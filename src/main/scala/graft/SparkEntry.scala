@@ -16,12 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg_pricing_summary" -> (Relational.q01PricingSummary _)
+    "q01_agg_pricing_summary" -> (Relational.q01PricingSummary _),
+    "p01_ingest_rename" -> (Pipelines.p01IngestRename _),
+    "p02_transfer_cast" -> (Pipelines.p02TransferCast _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q01_agg_pricing_summary" -> Relational.q01Sql
+    "q01_agg_pricing_summary" -> Relational.q01Sql,
+    "p01_ingest_rename" -> Pipelines.p01Sql,
+    "p02_transfer_cast" -> Pipelines.p02Sql
   )
 }
