@@ -6,8 +6,8 @@ import graft.ops._
   *
   * Each entry in [[queries]] is one operator from SURVEY.md §2's
   * inventory; [[oracleSql]] carries its DuckDB-runnable ANSI twin
-  * (omitted only for non-SQL-expressible ops, which get unit tests and
-  * a rows-only check instead).
+  * (omitted only for non-SQL-expressible / implementation-defined ops,
+  * which get unit tests and a rows-only check instead).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -16,16 +16,89 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg_pricing_summary" -> (Relational.q01PricingSummary _),
+    // Tier-P parity pipelines
     "p01_ingest_rename" -> (Pipelines.p01IngestRename _),
-    "p02_transfer_cast" -> (Pipelines.p02TransferCast _)
+    "p02_transfer_cast" -> (Pipelines.p02TransferCast _),
+    // aggregations
+    "q01_agg_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q12_distinct_agg" -> (Aggs.q12DistinctAgg _),
+    "q13_distinct" -> (Aggs.q13Distinct _),
+    "q14_approx_distinct" -> (Aggs.q14ApproxDistinct _),
+    "q15_rollup" -> (Aggs.q15Rollup _),
+    "q16_cube" -> (Aggs.q16Cube _),
+    "q17_grouping_sets" -> (Aggs.q17GroupingSets _),
+    "q18_pivot" -> (Aggs.q18Pivot _),
+    "q19_subquery_avg" -> (Aggs.q19SubqueryAvg _),
+    "q20_topk" -> (Aggs.q20TopK _),
+    // joins
+    "q04_join_broadcast" -> (Joins.q04JoinBroadcast _),
+    "q05_star_join" -> (Joins.q05StarJoin _),
+    "q06_semi_join" -> (Joins.q06SemiJoin _),
+    "q07_anti_join" -> (Joins.q07AntiJoin _),
+    "q08_outer_join" -> (Joins.q08OuterJoin _),
+    "q09_theta_join" -> (Joins.q09ThetaJoin _),
+    "q10_range_join" -> (Joins.q10RangeJoin _),
+    "q11_asof_join" -> (Joins.q11AsofJoin _),
+    // windows
+    "q21_window_rank" -> (Windows.q21WindowRank _),
+    "q22_window_running" -> (Windows.q22WindowRunning _),
+    "q23_window_lag_lead" -> (Windows.q23WindowLagLead _),
+    "q24_window_range_frame" -> (Windows.q24WindowRangeFrame _),
+    "q25_window_ntile" -> (Windows.q25WindowNtile _),
+    // set ops
+    "q26_union" -> (SetOps.q26Union _),
+    "q27_union_all" -> (SetOps.q27UnionAll _),
+    "q28_intersect" -> (SetOps.q28Intersect _),
+    "q29_except" -> (SetOps.q29Except _),
+    // scalar functions
+    "q30_string_funcs" -> (Functions.q30StringFuncs _),
+    "q31_date_funcs" -> (Functions.q31DateFuncs _),
+    "q32_math_funcs" -> (Functions.q32MathFuncs _),
+    "q33_case_when" -> (Functions.q33CaseWhen _),
+    "q34_array_funcs" -> (Functions.q34ArrayFuncs _),
+    "q35_map_funcs" -> (Functions.q35MapFuncs _),
+    "q36_json_funcs" -> (Functions.q36JsonFuncs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
   def oracleSql: Map[String, String] = Map(
-    "q01_agg_pricing_summary" -> Relational.q01Sql,
     "p01_ingest_rename" -> Pipelines.p01Sql,
-    "p02_transfer_cast" -> Pipelines.p02Sql
+    "p02_transfer_cast" -> Pipelines.p02Sql,
+    "q01_agg_pricing_summary" -> Relational.q01Sql,
+    "q12_distinct_agg" -> Aggs.q12Sql,
+    "q13_distinct" -> Aggs.q13Sql,
+    // q14_approx_distinct: HLL estimates are implementation-specific — no oracle
+    "q15_rollup" -> Aggs.q15Sql,
+    "q16_cube" -> Aggs.q16Sql,
+    "q17_grouping_sets" -> Aggs.q17Sql,
+    "q18_pivot" -> Aggs.q18Sql,
+    "q19_subquery_avg" -> Aggs.q19Sql,
+    "q20_topk" -> Aggs.q20Sql,
+    "q04_join_broadcast" -> Joins.q04Sql,
+    "q05_star_join" -> Joins.q05Sql,
+    "q06_semi_join" -> Joins.q06Sql,
+    "q07_anti_join" -> Joins.q07Sql,
+    "q08_outer_join" -> Joins.q08Sql,
+    "q09_theta_join" -> Joins.q09Sql,
+    "q10_range_join" -> Joins.q10Sql,
+    "q11_asof_join" -> Joins.q11Sql,
+    "q21_window_rank" -> Windows.q21Sql,
+    "q22_window_running" -> Windows.q22Sql,
+    "q23_window_lag_lead" -> Windows.q23Sql,
+    "q24_window_range_frame" -> Windows.q24Sql,
+    "q25_window_ntile" -> Windows.q25Sql,
+    "q26_union" -> SetOps.q26Sql,
+    "q27_union_all" -> SetOps.q27Sql,
+    "q28_intersect" -> SetOps.q28Sql,
+    "q29_except" -> SetOps.q29Sql,
+    "q30_string_funcs" -> Functions.q30Sql,
+    "q31_date_funcs" -> Functions.q31Sql,
+    "q32_math_funcs" -> Functions.q32Sql,
+    "q33_case_when" -> Functions.q33Sql,
+    "q34_array_funcs" -> Functions.q34Sql,
+    "q35_map_funcs" -> Functions.q35Sql,
+    "q36_json_funcs" -> Functions.q36Sql
   )
 }

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators (SURVEY.md §2.2: hash aggs with partial+final
+  * phases, distinct, approx distinct, rollup/cube/grouping sets,
+  * pivot, scalar subquery).
+  *
+  * All group-bys are two-phase automatically (partial map-side combine
+  * before the shuffle) — at scale the shuffle carries |groups| rows per
+  * partition, not the fact table.
+  */
+object Aggs {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Exact distinct counting: one `count(distinct)` plus a plain count.
+    * Catalyst plans `countDistinct` as an expand + two-phase aggregate —
+    * distributed, no driver materialization.
+    */
+  def q12DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+
+  val q12Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+
+  /** SELECT DISTINCT (dropDuplicates on a projection). */
+  def q13Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  val q13Sql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** Approximate distinct (HLL++). Estimates are implementation-specific,
+    * so there is no SQL oracle (driver records a rows-only check); the
+    * ScalaTest spec pins the estimate within 5% of exact instead.
+    */
+  def q14ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+
+  /** Rollup: hierarchical subtotals + grand total, disambiguated by
+    * grouping_id (same bitmask semantics as DuckDB's GROUPING()).
+    */
+  def q15Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").asc_nulls_last, col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+
+  val q15Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid ASC NULLS LAST, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** Cube: all 2^k grouping combinations. */
+  def q16Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").asc_nulls_last, col("o_orderstatus").asc_nulls_last,
+        col("o_orderpriority").asc_nulls_last)
+
+  val q16Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n, GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid ASC NULLS LAST, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
+
+  /** Grouping sets (via SQL — the DataFrame API has no direct form). */
+  def q17GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)
+  }
+
+  val q17Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** Pivot: order counts per customer nation × order status. The pivot
+    * values are declared (F/O/P) so the plan is a single pass — no
+    * driver-side distinct to discover columns.
+    */
+  def q18Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("c_nationkey").asc_nulls_last)
+  }
+
+  val q18Sql: String =
+    """SELECT c_nationkey,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS LAST""".stripMargin
+
+  /** Scalar/correlated-style subquery: orders above their customer's
+    * average order value — expressed as a join against a pre-aggregated
+    * side (the distributed form of a correlated subquery).
+    */
+  def q19SubqueryAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val avgPer = o.groupBy(col("o_custkey").as("k"))
+      .agg((dsum(col("o_totalprice")) / count(lit(1)).cast("double")).as("avg_price"))
+    o.join(avgPer, o("o_custkey") === avgPer("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
+  }
+
+  val q19Sql: String =
+    """WITH avg_per AS (
+      |  SELECT o_custkey AS k,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders JOIN avg_per ON o_custkey = k
+      |WHERE o_totalprice > avg_price
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+
+  /** Top-k: global order-by + limit, planned as TakeOrderedAndProject
+    * (per-partition top-k then a k-row merge — no global sort at scale).
+    * Ties broken by key so k is deterministic.
+    */
+  def q20TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q20Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+      |LIMIT 10""".stripMargin
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.2: string, date/time, math,
+  * conditional, array, map, JSON). Every function used here is a
+  * built-in Catalyst expression — whole-stage-codegen'd, no UDFs —
+  * and each has a DuckDB twin with identical semantics (functions
+  * whose results are implementation-defined across engines, e.g.
+  * ln/exp last-ulp or locale collation, are deliberately excluded
+  * from the oracle surface).
+  */
+object Functions {
+
+  /** String functions over part names. */
+  def q30StringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir).select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lo"),
+      upper(col("p_brand")).as("up"),
+      length(col("p_name")).as("len"),
+      substring(col("p_name"), 1, 5).as("sub"),
+      trim(col("p_name")).as("trimmed"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+      reverse(col("p_brand")).as("rev"),
+      instr(col("p_name"), "a").as("first_a"),
+      split(col("p_name"), " ").getItem(0).as("first_word"),
+      translate(col("p_brand"), "#", "-").as("trans"),
+      col("p_name").startsWith("a").as("starts_a"),
+      col("p_name").contains("steel").as("has_steel"))
+    .orderBy(col("p_partkey").asc_nulls_last)
+
+  val q30Sql: String =
+    """SELECT p_partkey,
+      |  lower(p_name) AS lo, upper(p_brand) AS up, length(p_name) AS len,
+      |  substr(p_name, 1, 5) AS sub, trim(p_name) AS trimmed,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  concat_ws('|', p_brand, p_type) AS joined,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+      |  reverse(p_brand) AS rev,
+      |  strpos(p_name, 'a') AS first_a,
+      |  string_split(p_name, ' ')[1] AS first_word,
+      |  replace(p_brand, '#', '-') AS trans,
+      |  starts_with(p_name, 'a') AS starts_a,
+      |  contains(p_name, 'steel') AS has_steel
+      |FROM part ORDER BY p_partkey ASC NULLS LAST""".stripMargin
+
+  /** Date/time functions over order dates. */
+  def q31DateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("qtr"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      last_day(col("o_orderdate")).as("month_end"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    .orderBy(col("o_orderkey").asc_nulls_last)
+
+  val q31Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom, CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+
+  /** Math functions over prices — restricted to exactly-rounded ops
+    * (abs/round/floor/ceil/sqrt/sign/mod/greatest/least) so results are
+    * bit-identical across engines; transcendentals (ln/exp/pow) are
+    * implementation-defined in the last ulp and excluded by design.
+    */
+  def q32MathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_extendedprice") - lit(50000.0)).as("absdev"),
+      round(col("l_extendedprice"), -2).as("rounded100"),
+      floor(col("l_quantity") / 7.0).cast("long").as("floored"),
+      ceil(col("l_quantity") / 7.0).cast("long").as("ceiled"),
+      sqrt(col("l_extendedprice")).as("rt"),
+      signum(col("l_discount") - 0.05).as("sgn"),
+      pmod(col("l_orderkey"), lit(97L)).as("m97"),
+      greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+      least(col("l_tax"), col("l_discount")).as("ls"))
+    .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+
+  val q32Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_extendedprice - 50000.0) AS absdev,
+      |  round(l_extendedprice, -2) AS rounded100,
+      |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floored,
+      |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceiled,
+      |  sqrt(l_extendedprice) AS rt,
+      |  CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sgn,
+      |  l_orderkey % 97 AS m97,
+      |  greatest(l_quantity, l_discount * 100) AS gr,
+      |  least(l_tax, l_discount) AS ls
+      |FROM lineitem ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin
+
+  /** Conditional logic: CASE WHEN buckets + conditional aggregation. */
+  def q33CaseWhen(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 100000.0, "small")
+          .when(col("o_totalprice") < 250000.0, "medium")
+          .otherwise("large"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)).as("n_urgent"))
+      .orderBy(col("bucket").asc_nulls_last)
+
+  val q33Sql: String =
+    """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'small'
+      |            WHEN o_totalprice < 250000.0 THEN 'medium'
+      |            ELSE 'large' END AS bucket,
+      |  count(*) AS n,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  sum(CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END) AS n_urgent
+      |FROM orders GROUP BY 1 ORDER BY bucket ASC NULLS LAST""".stripMargin
+
+  /** Array functions over the embedding vectors: size, element access,
+    * slicing, min/max, and an exact float sum via higher-order
+    * `aggregate` (elements cast to double before the left fold so both
+    * engines accumulate identically).
+    */
+  def q34ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first"),
+      element_at(col("embedding"), -1).as("last"),
+      array_max(col("embedding")).as("mx"),
+      array_min(col("embedding")).as("mn"),
+      aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("vsum"),
+      slice(col("embedding"), 1, 4).as("head4"))
+    .orderBy(col("vec_id").asc_nulls_last)
+
+  val q34Sql: String =
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  embedding[1] AS first,
+      |  embedding[-1] AS last,
+      |  list_max(embedding) AS mx,
+      |  list_min(embedding) AS mn,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS vsum,
+      |  embedding[1:4] AS head4
+      |FROM embeddings ORDER BY vec_id ASC NULLS LAST""".stripMargin
+
+  /** Map functions: construct a map from arrays, then key lookups and
+    * key/value extraction.
+    */
+  def q35MapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .withColumn("m", map_from_arrays(
+        array(lit("qty"), lit("price")),
+        array(col("l_quantity"), col("l_extendedprice"))))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "qty").as("qty"),
+        element_at(col("m"), "price").as("price"),
+        map_keys(col("m")).as("ks"),
+        size(col("m")).as("m_size"))
+      .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+
+  val q35Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity AS qty, l_extendedprice AS price,
+      |  ['qty', 'price'] AS ks, 2 AS m_size
+      |FROM lineitem ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin
+
+  /** JSON extraction from the events `props` column. */
+  def q36JsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+      schema_of_json(lit("""{"k": 1}""")).as("schema_sample"))
+    .withColumn("k_bucket", (col("k_val") % 10).cast("long"))
+    .orderBy(col("event_id").asc_nulls_last)
+
+  val q36Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  'STRUCT<k: BIGINT>' AS schema_sample,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+      |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin
+}
