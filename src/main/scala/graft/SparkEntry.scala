@@ -57,7 +57,29 @@ object SparkEntry {
     "q33_case_when" -> (Functions.q33CaseWhen _),
     "q34_array_funcs" -> (Functions.q34ArrayFuncs _),
     "q35_map_funcs" -> (Functions.q35MapFuncs _),
-    "q36_json_funcs" -> (Functions.q36JsonFuncs _)
+    "q36_json_funcs" -> (Functions.q36JsonFuncs _),
+    // event-time analytics
+    "e01_tumbling_window" -> (EventOps.e01Tumbling _),
+    "e02_sliding_window" -> (EventOps.e02Sliding _),
+    "e03_sessionization" -> (EventOps.e03Sessions _),
+    "e04_funnel" -> (EventOps.e04Funnel _),
+    // text analysis
+    "t01_token_stats" -> (TextOps.t01TokenStats _),
+    "t02_quality_score" -> (TextOps.t02QualityScore _),
+    "t03_lang_id" -> (TextOps.t03LangId _),
+    "t04_fingerprint" -> (TextOps.t04Fingerprint _),
+    // dedup
+    "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
+    "d02_minhash_lsh" -> (Dedup.d02MinhashLsh _),
+    "d03_simhash" -> (Dedup.d03Simhash _),
+    "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),
+    "d05_embedding_near_dup" -> (Dedup.d05EmbeddingNearDup _),
+    // similarity search
+    "s01_knn_brute" -> (Similarity.s01KnnBrute _),
+    "s02_knn_lsh" -> (Similarity.s02KnnLsh _),
+    // multimodal
+    "m01_media_features" -> (Multimodal.m01MediaFeatures _),
+    "m02_media_decode" -> (Multimodal.m02DecodeStub _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,6 +121,24 @@ object SparkEntry {
     "q33_case_when" -> Functions.q33Sql,
     "q34_array_funcs" -> Functions.q34Sql,
     "q35_map_funcs" -> Functions.q35Sql,
-    "q36_json_funcs" -> Functions.q36Sql
+    "q36_json_funcs" -> Functions.q36Sql,
+    "e01_tumbling_window" -> EventOps.e01Sql,
+    "e02_sliding_window" -> EventOps.e02Sql,
+    "e03_sessionization" -> EventOps.e03Sql,
+    "e04_funnel" -> EventOps.e04Sql,
+    "t01_token_stats" -> TextOps.t01Sql,
+    "t02_quality_score" -> TextOps.t02Sql,
+    "t03_lang_id" -> TextOps.t03Sql,
+    "t04_fingerprint" -> TextOps.t04Sql,
+    "d01_exact_dedup" -> Dedup.d01Sql,
+    "d02_minhash_lsh" -> Dedup.d02Sql,
+    "d03_simhash" -> Dedup.d03Sql,
+    "d04_ngram_jaccard" -> Dedup.d04Sql,
+    "d05_embedding_near_dup" -> Dedup.d05Sql,
+    "s01_knn_brute" -> Similarity.s01Sql,
+    "s02_knn_lsh" -> Similarity.s02Sql,
+    "m01_media_features" -> Multimodal.m01Sql
+    // m02_media_decode: imperative mapPartitions decode stub — no SQL
+    // oracle (rows-only check + MultimodalSpec)
   )
 }

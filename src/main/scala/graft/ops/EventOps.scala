@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time analytics over the `events` fixture (SURVEY.md §2.2
+  * streaming row — batch windowing surface; the Structured Streaming
+  * twin of e01 lives in graft.streaming and is spec-tested against
+  * this batch result).
+  *
+  * All three patterns are single-shuffle plans: tumbling/sliding
+  * windows shuffle on (window, type) for the aggregate; sessionization
+  * shuffles once on user_id and does the gap-scan inside each
+  * partition — the standard scale-out formulation.
+  */
+object EventOps {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Tumbling 6-hour windows: event counts + value sums per window ×
+    * type. Spark's `window()` buckets from the epoch; DuckDB's
+    * `time_bucket` from 2000-01-03 — both midnight-aligned and 6h
+    * divides a day, so the grids coincide.
+    */
+  def e01Tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("ws").asc_nulls_last, col("event_type").asc_nulls_last)
+
+  val e01Sql: String =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2
+      |ORDER BY ws ASC NULLS LAST, event_type ASC NULLS LAST""".stripMargin
+
+  /** Sliding windows (1 hour wide, 30-minute slide): every event lands
+    * in exactly two windows. The oracle reproduces the window set by
+    * unioning the two shifted 30-minute grids.
+    */
+  def e02Sliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("ws"), col("n"), col("total"))
+      .orderBy(col("ws").asc_nulls_last)
+
+  val e02Sql: String =
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+      |GROUP BY 1 ORDER BY ws ASC NULLS LAST""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap) — the
+    * lag + cumulative-sum window pattern: one shuffle on user_id, then
+    * a linear scan per user. Comparison is in exact epoch microseconds
+    * on both engines.
+    */
+  def e03Sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000L, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id").asc_nulls_last, col("session_id").asc_nulls_last)
+  }
+
+  val e03Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1
+      |         WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+      |), sess AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id ASC NULLS LAST, session_id ASC NULLS LAST""".stripMargin
+
+  /** Event funnel: per user, did view → click → purchase happen in
+    * order? Single pass: min event time per stage per user, then
+    * ordered-existence flags — no self-joins.
+    */
+  def e04Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .withColumn("reached_click",
+        coalesce((col("t_view").isNotNull && col("t_click") > col("t_view")).cast("int"), lit(0)))
+      .withColumn("reached_purchase",
+        coalesce((col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click")).cast("int"), lit(0)))
+      .select(col("user_id"), col("t_view"), col("reached_click"), col("reached_purchase"))
+      .orderBy(col("user_id").asc_nulls_last)
+
+  val e04Sql: String =
+    """WITH stages AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, t_view,
+      |  CAST(coalesce(t_view IS NOT NULL AND t_click > t_view, false) AS INT) AS reached_click,
+      |  CAST(coalesce(t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click, false) AS INT) AS reached_purchase
+      |FROM stages ORDER BY user_id ASC NULLS LAST""".stripMargin
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star extension): media payloads
+  * as opaque `binary` columns with typed metadata, plus a
+  * feature-extraction stage.
+  *
+  * The environment has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (byte-level features standing in
+  * for pixel/sample features). Everything around it is the real
+  * pattern for 100 TB media pipelines:
+  *  - payload stays an opaque `BinaryType` column (columnar parquet,
+  *    never stringified);
+  *  - metadata travels as a typed struct next to the payload;
+  *  - decode runs per-partition (mapPartitions) so a real codec would
+  *    amortize per-batch init (model load, decoder context) exactly
+  *    like a Pandas-UDF/mapInPandas batch on a Python stack;
+  *  - partitioning before decode spreads payload bytes evenly.
+  */
+object Multimodal {
+
+  /** Build the media table: payload = utf-8 bytes of the document text
+    * (the fixture's stand-in for an image/audio blob), metadata struct
+    * alongside.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        col("lang").as("lang"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
+
+  /** m01: declarative byte-feature extraction — payload length, header
+    * bytes, content digest, and a "frame sample" (every 64th byte of
+    * the hex stream — the moral equivalent of sampling video frames).
+    * Pure built-in expressions: this path stays in whole-stage codegen.
+    */
+  def m01MediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("doc_id"),
+      col("meta.mime").as("mime"),
+      col("meta.n_bytes").as("n_bytes"),
+      lower(hex(substring(col("payload"), 1, 4))).as("header_hex"),
+      sha2(col("payload"), 256).as("digest"),
+      substring(col("meta.lang"), 1, 2).as("lang2"))
+    .orderBy(col("doc_id").asc_nulls_last)
+
+  val m01Sql: String =
+    """SELECT doc_id,
+      |  'text/plain' AS mime,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+      |  sha256(encode(text)) AS digest,
+      |  substr(lang, 1, 2) AS lang2
+      |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Decoded "media" features, one row per payload. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int,
+      byte_sum_mod: Long, decoder: String)
+
+  /** m02 (spec-tested, no SQL oracle — imperative decode path): the
+    * mapPartitions decode stage. A real deployment swaps
+    * [[stubDecode]] for an actual codec (JNI/ONNX/pandas batch); the
+    * batching, schema, and partitioning stay identical.
+    */
+  def m02DecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir)
+      // even payload spread before the expensive stage; on a cluster
+      // this is the knob that keeps decoder utilization flat
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+    media.as[(Long, Array[Byte])].mapPartitions { rows =>
+      // per-partition init happens ONCE here (decoder context/model)
+      val decoder = StubDecoder
+      rows.map { case (id, bytes) => decoder.decode(id, bytes) }
+    }.toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** STUB: deterministic fake decoder. Replace with a real codec to
+    * productionize; signature and batch shape are the contract.
+    */
+  object StubDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val sum = bytes.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 1000000007L)
+      MediaFeatures(
+        doc_id = id,
+        n_bytes = bytes.length,
+        first_byte = if (bytes.nonEmpty) bytes.head & 0xff else -1,
+        last_byte = if (bytes.nonEmpty) bytes.last & 0xff else -1,
+        byte_sum_mod = sum,
+        decoder = "stub-v0")
+    }
+  }
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (north-star
+  * extension): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: the query set is broadcast (bounded), the corpus side
+  * streams — brute force is a broadcast nested loop over each corpus
+  * partition (embarrassingly parallel, no corpus shuffle). The LSH
+  * variant prunes candidates to one bucket per query: at 100 TB the
+  * bucket key becomes the shuffle/partition key and per-bucket work is
+  * local; more probes = union of adjacent buckets, same plan.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NQueries = 10
+
+  /** Double-cast vector + exact left-fold norm (portable arithmetic —
+    * both engines accumulate in the same order).
+    */
+  private def prepared(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+
+  private def cosine(v1: Column, v2: Column, n1: Column, n2: Column): Column =
+    aggregate(zip_with(v1, v2, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (n1 * n2)
+
+  /** Brute-force exact top-k: every query vector scored against the
+    * whole corpus, ranked per query. Ties broken by neighbor id.
+    */
+  def s01KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s01Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+
+  /** Deterministic pseudo-random hyperplanes (8 planes × 64 dims in
+    * [-1, 1]) — literal constants, identical in the Scala plan and the
+    * SQL oracle by construction.
+    */
+  private val NPlanes = 8
+  private val Dim = 64
+  private[ops] val Planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NPlanes).map { p =>
+      (0 until Dim).map { d =>
+        ((((p * Dim + d) * 2654435761L + 12345L) % 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** Flat per-plane bucket terms for the oracle (one CASE per plane,
+    * plane vector inlined as a literal list).
+    */
+  private def bucketSqlTerms: String =
+    (0 until NPlanes).map { p =>
+      val planeLit = Planes(p).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${Dim + 1}), i -> v[i] * ${planeLit}[i])),
+         |      (a, x) -> a + x) > 0.0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  /** Bucket id = sign pattern of the 8 hyperplane projections. */
+  private def bucketExpr(v: Column): Column =
+    (0 until NPlanes).map { p =>
+      val planeLit = array(Planes(p).map(lit): _*)
+      val dot = aggregate(
+        zip_with(v, planeLit, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      when(dot > 0.0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: queries only score candidates in
+    * their own hyperplane-sign bucket.
+    */
+  def s02KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir).withColumn("bucket", bucketExpr(col("v")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("bucket"))
+      .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s02Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |b AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(${bucketSqlTerms} AS BIGINT) AS bucket
+       |  FROM n),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |    AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine, bucket,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Text-analysis operators over `documents` (north-star extension:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting). Everything is built-in expressions over a
+  * tokenized column — per-row, embarrassingly parallel, no shuffle
+  * except the final presentation sort.
+  */
+object TextOps {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Token statistics: counts, distinct counts, exact average token
+    * length (integer sum ÷ count in double — same value both engines).
+    */
+  def t01TokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokens)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        (aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / size(col("toks")).cast("double")).as("avg_token_len"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val t01Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), t -> length(t))), (a, x) -> a + x) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+      |  length(text) AS n_chars_measured
+      |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to")
+
+  /** Quality scoring: stopword ratio, lexical diversity, length factor,
+    * combined into one fixed-form double expression (identical
+    * operation order on both engines ⇒ bit-identical score).
+    */
+  def t02QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).withColumn("toks", tokens)
+    val nTok = size(col("toks")).cast("double")
+    val nStop = size(filter(col("toks"), t => t.isInCollection(Stopwords))).cast("double")
+    val nDist = size(array_distinct(col("toks"))).cast("double")
+    val lenFactor = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+    d.select(
+        col("doc_id"),
+        (nStop / nTok).as("stopword_ratio"),
+        (nDist / nTok).as("diversity"),
+        lenFactor.as("len_factor"),
+        (lit(0.4) * (nDist / nTok) + lit(0.4) * lenFactor +
+          lit(0.2) * (nStop / nTok)).as("quality"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val t02Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) AS n_stop,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+      |    CAST(len(toks) AS DOUBLE) AS n_tok,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_factor
+      |  FROM t)
+      |SELECT doc_id,
+      |  n_stop / n_tok AS stopword_ratio,
+      |  n_dist / n_tok AS diversity,
+      |  len_factor,
+      |  0.4 * (n_dist / n_tok) + 0.4 * len_factor + 0.2 * (n_stop / n_tok) AS quality
+      |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Language-ID by marker-token counts (n-gram heuristic): count
+    * language-specific function words, argmax with a fixed priority
+    * order. The fixture text is synthetic, so the interesting property
+    * is the deterministic classifier plumbing, not linguistic accuracy.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "la", "y"),
+    "fr" -> Seq("le", "les", "et"))
+
+  def t03LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).withColumn("toks", tokens)
+    val scored = Markers.foldLeft(d) { case (df, (lang, ws)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("toks"), t => t.isInCollection(ws))))
+    }
+    val best =
+      when(col("s_en") > 0, "en")
+        .when(col("s_de") > 0 && col("s_de") > col("s_en"), "de")
+        .when(col("s_es") > 0 && col("s_es") > col("s_en") && col("s_es") > col("s_de"), "es")
+        .when(col("s_fr") > 0 && col("s_fr") > col("s_en") && col("s_fr") > col("s_de") &&
+          col("s_fr") > col("s_es"), "fr")
+        .otherwise("und")
+    scored.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        best.as("predicted"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val t03Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(toks, x -> x IN ('the', 'and', 'of'))) AS s_en,
+      |    len(list_filter(toks, x -> x IN ('der', 'und', 'die'))) AS s_de,
+      |    len(list_filter(toks, x -> x IN ('el', 'la', 'y'))) AS s_es,
+      |    len(list_filter(toks, x -> x IN ('le', 'les', 'et'))) AS s_fr
+      |  FROM t)
+      |SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr,
+      |  CASE WHEN s_en > 0 THEN 'en'
+      |       WHEN s_de > 0 AND s_de > s_en THEN 'de'
+      |       WHEN s_es > 0 AND s_es > s_en AND s_es > s_de THEN 'es'
+      |       WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+      |       ELSE 'und' END AS predicted
+      |FROM s ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Document fingerprint: polynomial rolling hash over the token
+    * stream (base 131 mod 2^31-1, tokens hashed by portable md5-32).
+    * Order-sensitive by construction — reordered tokens change the
+    * fingerprint, unlike a bag-of-words hash.
+    */
+  def t04Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokens)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(tokens, t => PortableHash.tokenHash32(t) % lit(PortableHash.P)),
+          lit(0L),
+          (acc, x) => (acc * lit(PortableHash.B) + x) % lit(PortableHash.P))
+          .as("fingerprint"),
+        size(col("toks")).as("n_tokens"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val t04Sql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '),
+       |        t -> ${PortableHash.tokenHash32Sql("t")} % ${PortableHash.P})),
+       |    (acc, x) -> (acc * ${PortableHash.B} + x) % ${PortableHash.P}) AS fingerprint,
+       |  len(string_split(text, ' ')) AS n_tokens
+       |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.2 streaming row): the
+  * streaming twin of the batch event analytics — readStream over the
+  * events parquet, watermark, windowed aggregation, writeStream.
+  *
+  * The batch fixture drives it synchronously in tests
+  * (`processAllAvailable`), which is also the correct cluster shape:
+  * swap the source for Kafka/files-on-arrival and the sink for a real
+  * table and the query is production Structured Streaming with
+  * watermark-bounded state.
+  */
+object StreamingOps {
+
+  /** The events schema as stored (ts is TIMESTAMP(NANOS) in parquet;
+    * with `nanosAsLong` the stream reads it as a long to normalize).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming tumbling 6-hour windows with a 1-hour watermark:
+    * counts + sums per window × event type — mirrors
+    * EventOps.e01Tumbling. Late data beyond the watermark is dropped;
+    * state is bounded by (windows in watermark horizon) × |types|.
+    */
+  def tumblingStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      // the file-stream source monitors directories; the fixture is a
+      // single file, so monitor the sf dir filtered to the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Run the stream to completion against the (finite) fixture and
+    * return the materialized result from the in-memory sink.
+    */
+  def runTumblingToCompletion(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_stream_tumbling"): DataFrame = {
+    val q = tumblingStream(spark, sfDir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

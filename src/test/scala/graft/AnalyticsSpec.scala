@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.streaming.StreamingOps
+
+/** Analytics-extension behavior that the SQL oracle can't cover:
+  * streaming/batch agreement, the mapPartitions decode stub, LSH
+  * recall vs brute force, minhash estimate sanity.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming tumbling windows agree with the batch formulation") {
+    val streamed = StreamingOps.runTumblingToCompletion(spark, sf)
+      .withColumn("ws", col("ws").cast("timestamp_ntz"))
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = EventOps.e01Tumbling(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
+  }
+
+  test("m02 decode stub: features match payload bytes") {
+    val out = Multimodal.m02DecodeStub(spark, sf).collect()
+    assert(out.length == 500)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(20).foreach { r =>
+      val text = docs(r.getLong(0))
+      assert(r.getInt(1) == text.getBytes("UTF-8").length)
+      assert(r.getInt(2) == (text.getBytes("UTF-8").head & 0xff))
+      assert(r.getString(5) == "stub-v0")
+    }
+  }
+
+  test("LSH knn is a subset-ranking of brute-force scores (same bucket ⇒ same cosine)") {
+    val brute = Similarity.s01KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.s02KnnLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH result that also appears in brute-force top-k has the
+    // identical cosine (same scoring arithmetic)
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(c == r.getDouble(3))
+      }
+    }
+  }
+
+  test("minhash estimate correlates with exact jaccard on candidate pairs") {
+    val est = Dedup.d02MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    // the band threshold (4 bands of 4) admits pairs with est >= 0.25;
+    // all estimates are valid probabilities
+    est.values.foreach(v => assert(v >= 0.25 && v <= 1.0))
+  }
+
+  test("exact dedup halves the double-crawl") {
+    val out = Dedup.d01ExactDedup(spark, sf).collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getLong(1) == 2)) // every doc seen in both crawls
+    assert(out.forall(_.getString(2) == "a")) // crawl 'a' survives
+  }
+}
