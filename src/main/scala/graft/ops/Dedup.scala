@@ -56,72 +56,84 @@ object Dedup {
     * and no full-signature comparison happens until after blocking.
     */
   def d02MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigCols: Seq[Column] = (0 until MinhashK).map { i =>
-      array_min(transform(col("sh"), s => perm(i)(s)))
-    }
+    graft.functions.GraftFunctions.register(spark)
+    // one md5 per TOKEN (not per shingle string); shingles combine the
+    // three token hashes arithmetically — same signal, ~3× less
+    // hashing — and the 16-permutation signature is one fused codegen
+    // pass (graft_minhash) instead of 16 interpreted array walks
     val docsigs = Tables.documents(spark, sfDir)
       .filter(size(split(col("text"), " ")) >= 3)
-      .withColumn("sh", transform(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2), " +
-          "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"),
-        s => tokenHash32(s)))
-      .select(col("doc_id"), array(sigCols: _*).as("sig"))
+      .withColumn("th", transform(split(col("text"), " "),
+        t => tokenHash32(t) % lit(P)))
+      .withColumn("sh", expr(
+        s"transform(sequence(1, size(th) - 2), " +
+          s"i -> ((th[i-1] * 8191 + th[i]) % $P * 8191 + th[i+1]) % $P)"))
+      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
+      // referenced three times below (bands + two signature lookups);
+      // persist so the hash pipeline runs once per action, not thrice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bands = docsigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, 3), b -> " +
           s"aggregate(slice(sig, b * 4 + 1, 4), 0L, (acc, x) -> (acc * 31 + x) % ${P}))"))
         .as(Seq("band", "band_key")))
 
-    val left = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"),
-      col("band"), col("band_key"))
-    val right = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"),
-      col("band"), col("band_key"))
-    left.join(right, Seq("band", "band_key"))
+    // narrow pair dedup first (ids only), then attach signatures —
+    // the wide sig arrays never travel through the distinct shuffle
+    val pairs = bands.select(col("doc_id").as("id1"), col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("id2"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    pairs
+      .join(docsigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(docsigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (aggregate(zip_with(col("sig1"), col("sig2"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
           .cast("double") / lit(MinhashK.toDouble)).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= 0.25)
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
   val d02Sql: String =
-    s"""WITH sh AS (
+    s"""WITH th AS (
        |  SELECT doc_id,
-       |    list_transform(
-       |      list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-       |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
-       |      s -> ${tokenHash32Sql("s")}) AS hashes
+       |    list_transform(string_split(text, ' '),
+       |      t -> ${tokenHash32Sql("t")} % ${P}) AS th
        |  FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(th) - 1),
+       |      i -> ((th[i] * 8191 + th[i+1]) % ${P} * 8191 + th[i+2]) % ${P}) AS hashes
+       |  FROM th),
        |sigs AS (
        |  SELECT doc_id,
        |    list_transform(range(1, ${MinhashK + 1}),
        |      i -> list_min(list_transform(hashes, h -> (${aSqlList}[i] * h + ${bSqlList}[i]) % ${P}))) AS sig
        |  FROM sh),
        |bands AS (
-       |  SELECT doc_id, sig, b AS band,
+       |  SELECT doc_id, b AS band,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
        |      (acc, x) -> (acc * 31 + x) % ${P}) AS band_key
        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(b)),
        |pairs AS (
-       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.sig AS sig1, r.sig AS sig2
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
        |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
-       |SELECT id1, id2,
-       |  CAST(list_reduce(list_prepend(0,
-       |    list_transform(range(1, ${MinhashK + 1}),
-       |      i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE)
-       |    / ${MinhashK}.0 AS est_jaccard
-       |FROM pairs
-       |WHERE CAST(list_reduce(list_prepend(0,
-       |    list_transform(range(1, ${MinhashK + 1}),
-       |      i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE)
-       |    / ${MinhashK}.0 >= 0.25
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT id1, id2,
+       |    CAST(list_reduce(list_prepend(0,
+       |      list_transform(range(1, ${MinhashK + 1}),
+       |        i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE)
+       |      / ${MinhashK}.0 AS est_jaccard
+       |  FROM pairs JOIN sigs s1 ON s1.doc_id = id1 JOIN sigs s2 ON s2.doc_id = id2)
+       |SELECT id1, id2, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.25
        |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
 
   /** SimHash: 32-bit locality-sensitive signature. Tokens exploded once
@@ -168,15 +180,18 @@ object Dedup {
     * computed from distinct-token set sizes.
     */
   def d04NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // sort+dedup ONCE per row; pair scoring is then a codegen'd linear
+    // merge (graft_intersect_size) instead of a per-pair hash set
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("len_bucket"),
-        array_distinct(toks).as("ts"))
+        array_sort(array_distinct(toks)).as("ts"))
     val a = d.select(col("doc_id").as("id1"), col("lang"), col("len_bucket"), col("ts").as("ts1"))
     val b = d.select(col("doc_id").as("id2"), col("lang"), col("len_bucket"), col("ts").as("ts2"))
     a.join(b, Seq("lang", "len_bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("n_common", size(array_intersect(col("ts1"), col("ts2"))))
+      .withColumn("n_common", expr("graft_intersect_size(ts1, ts2)"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("ts1")) + size(col("ts2")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
@@ -208,21 +223,18 @@ object Dedup {
     * 0.95+ with the same plan).
     */
   def d05EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    def norm(v: Column): Column =
-      sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-    val withNorm = e.withColumn("nrm", norm(col("v")))
-    val a = withNorm.select(col("vec_id").as("id1"), col("label"),
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val a = e.select(col("vec_id").as("id1"), col("label"),
       col("v").as("v1"), col("nrm").as("n1"))
-    val b = withNorm.select(col("vec_id").as("id2"), col("label"),
+    val b = e.select(col("vec_id").as("id2"), col("label"),
       col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")))
+      .withColumn("cosine", expr("graft_dot(v1, v2)") / (col("n1") * col("n2")))
       .filter(col("cosine") >= 0.30)
       .select(col("id1"), col("id2"), col("label"), col("cosine"))
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)

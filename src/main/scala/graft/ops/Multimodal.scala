@@ -55,7 +55,7 @@ object Multimodal {
       |  'text/plain' AS mime,
       |  octet_length(encode(text)) AS n_bytes,
       |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
-      |  sha256(encode(text)) AS digest,
+      |  sha256(text) AS digest,
       |  substr(lang, 1, 2) AS lang2
       |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
 

@@ -23,15 +23,16 @@ object Similarity {
   /** Double-cast vector + exact left-fold norm (portable arithmetic —
     * both engines accumulate in the same order).
     */
-  private def prepared(spark: SparkSession, sfDir: String): DataFrame =
+  private def prepared(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
-  private def cosine(v1: Column, v2: Column, n1: Column, n2: Column): Column =
-    aggregate(zip_with(v1, v2, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (n1 * n2)
+  private def cosine(v1: String, v2: String, n1: Column, n2: Column): Column =
+    expr(s"graft_dot($v1, $v2)") / (n1 * n2)
 
   /** Brute-force exact top-k: every query vector scored against the
     * whole corpus, ranked per query. Ties broken by neighbor id.
@@ -44,7 +45,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("cosine", cosine("qv", "cv", col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -123,7 +124,7 @@ object Similarity {
       .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("cosine", cosine("qv", "cv", col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

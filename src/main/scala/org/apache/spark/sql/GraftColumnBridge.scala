@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the (private[sql]) Column ⇄ Expression conversions so
+  * graft's native Catalyst expressions compose as Columns without a
+  * function-registry round-trip. Standard technique for Spark
+  * extension libraries shipping custom expressions.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
