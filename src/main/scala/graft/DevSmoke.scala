@@ -15,6 +15,10 @@ object DevSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args.filter(SparkEntry.queries.contains).foreach { name =>
+      println(s"=== PLAN $name ===")
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
     val df = SparkEntry.entry(spark)
     println("ENTRY_ROWS=" + df.count())
     df.show(5, truncate = false)

@@ -30,6 +30,8 @@ object SparkEntry {
     "q18_pivot" -> (Aggs.q18Pivot _),
     "q19_subquery_avg" -> (Aggs.q19SubqueryAvg _),
     "q20_topk" -> (Aggs.q20TopK _),
+    "q37_stats_moments" -> (Stats.q37StatsMoments _),
+    "q38_percentiles" -> (Stats.q38Percentiles _),
     // joins
     "q04_join_broadcast" -> (Joins.q04JoinBroadcast _),
     "q05_star_join" -> (Joins.q05StarJoin _),
@@ -98,6 +100,8 @@ object SparkEntry {
     "q18_pivot" -> Aggs.q18Sql,
     "q19_subquery_avg" -> Aggs.q19Sql,
     "q20_topk" -> Aggs.q20Sql,
+    "q37_stats_moments" -> Stats.q37Sql,
+    "q38_percentiles" -> Stats.q38Sql,
     "q04_join_broadcast" -> Joins.q04Sql,
     "q05_star_join" -> Joins.q05Sql,
     "q06_semi_join" -> Joins.q06Sql,

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregates (extends SURVEY.md §2.2 aggregations):
+  * moments, correlation, and percentiles.
+  *
+  * Moment-style statistics are computed from EXACT decimal power sums
+  * (Σx, Σx², Σxy) rather than the engines' streaming one-pass
+  * implementations: Welford/Neumaier accumulation differs engine to
+  * engine in the last ulps, while exact sums followed by one fixed
+  * double formula are bit-identical — and the two-phase decimal sum is
+  * the same single-shuffle plan at scale.
+  */
+object Stats {
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(18, 4))).cast("double")
+  // power sums multiply DECIMAL(19,4) × DECIMAL(18,4): the 19-wide
+  // side forces DuckDB onto its int128 multiply path (18×18 overflows
+  // its int64), while keeping Spark's result precision at
+  // 19+18+1 = 38 — any wider and Spark trims the scale below 8,
+  // rounding the product. This exact-by-construction pairing is
+  // bit-identical on both engines; one final double cast
+  private def dsum2(x: Column, y: Column) =
+    sum(x.cast(DecimalType(19, 4)) * y.cast(DecimalType(18, 4))).cast("double")
+
+  /** Per-group mean/variance/stddev + cross-column correlation from
+    * exact power sums (population forms, n in the denominator).
+    *
+    * Correlates quantity with discount (not price): every power sum's
+    * scaled-integer magnitude then stays below 2^53, so BOTH engines'
+    * decimal→double conversions are exact and the cancellation-heavy
+    * corr formula gets bit-identical operands. (Σ price² × 10^8
+    * exceeds 2^53: DuckDB's int128→double rounds twice there and
+    * diverges from Java's correctly-rounded conversion by ~1 ulp.)
+    */
+  def q37StatsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val n = count(lit(1)).cast("double")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum2(col("l_quantity"), col("l_quantity")).as("sxx"),
+        dsum(col("l_discount")).as("sy"),
+        dsum2(col("l_discount"), col("l_discount")).as("syy"),
+        dsum2(col("l_quantity"), col("l_discount")).as("sxy"),
+        n.as("nd"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sx") / col("nd")).as("mean_qty"),
+        (col("sxx") / col("nd") - (col("sx") / col("nd")) * (col("sx") / col("nd")))
+          .as("var_qty"),
+        sqrt(col("sxx") / col("nd") - (col("sx") / col("nd")) * (col("sx") / col("nd")))
+          .as("std_qty"),
+        ((col("sxy") / col("nd") - (col("sx") / col("nd")) * (col("sy") / col("nd"))) /
+          (sqrt(col("sxx") / col("nd") - (col("sx") / col("nd")) * (col("sx") / col("nd"))) *
+            sqrt(col("syy") / col("nd") - (col("sy") / col("nd")) * (col("sy") / col("nd")))))
+          .as("corr_qty_disc"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  val q37Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+      |    CAST(count(*) AS DOUBLE) AS nd
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sx / nd AS mean_qty,
+      |  sxx / nd - (sx / nd) * (sx / nd) AS var_qty,
+      |  sqrt(sxx / nd - (sx / nd) * (sx / nd)) AS std_qty,
+      |  (sxy / nd - (sx / nd) * (sy / nd)) /
+      |    (sqrt(sxx / nd - (sx / nd) * (sx / nd)) * sqrt(syy / nd - (sy / nd) * (sy / nd)))
+      |    AS corr_qty_disc
+      |FROM s ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+
+  /** Exact percentiles with linear interpolation (median + quartiles).
+    * Both engines compute pos = p·(n−1) with linear interpolation in
+    * double; verified exact on the fixture.
+    */
+  def q38Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+
+  val q38Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+}
