@@ -32,6 +32,8 @@ object SparkEntry {
     "q20_topk" -> (Aggs.q20TopK _),
     "q37_stats_moments" -> (Stats.q37StatsMoments _),
     "q38_percentiles" -> (Stats.q38Percentiles _),
+    "q39_salted_agg" -> (Scale.q39SaltedAgg _),
+    "q40_salted_join" -> (Scale.q40SaltedJoin _),
     // joins
     "q04_join_broadcast" -> (Joins.q04JoinBroadcast _),
     "q05_star_join" -> (Joins.q05StarJoin _),
@@ -102,6 +104,8 @@ object SparkEntry {
     "q20_topk" -> Aggs.q20Sql,
     "q37_stats_moments" -> Stats.q37Sql,
     "q38_percentiles" -> Stats.q38Sql,
+    "q39_salted_agg" -> Scale.q39Sql,
+    "q40_salted_join" -> Scale.q40Sql,
     "q04_join_broadcast" -> Joins.q04Sql,
     "q05_star_join" -> Joins.q05Sql,
     "q06_semi_join" -> Joins.q06Sql,

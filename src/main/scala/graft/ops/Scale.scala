@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew-handling techniques (SURVEY.md north-star "design every
+  * operator for 100 TB"): salting for hot keys, plus the AQE knobs the
+  * engine relies on at runtime.
+  *
+  * Salting splits each hot key into `nSalts` sub-keys so one executor
+  * never owns a whole hot key's rows. For algebraic aggregates the
+  * two-phase form (salted partial → final merge) is exactly
+  * result-equivalent to the direct groupBy — which is what the oracle
+  * asserts.
+  */
+object Scale {
+
+  /** Two-phase salted aggregation: groupBy((key, salt)) partial sums,
+    * then merge per key. The salt column is derived from a stable row
+    * attribute (not rand()) so the plan stays deterministic.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      saltSrc: Column,
+      nSalts: Int): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(saltSrc, lit(nSalts)))
+      .groupBy(key.as("k"), col("__salt"))
+      .agg(sum(value.cast(DecimalType(18, 4))).as("partial_sum"),
+        count(lit(1)).as("partial_n"))
+    salted.groupBy(col("k"))
+      .agg(sum(col("partial_sum")).cast("double").as("total"),
+        sum(col("partial_n")).as("n"))
+  }
+
+  /** q39: salted aggregation over the (skew-prone) returnflag key —
+    * oracle is the plain GROUP BY, proving result-equivalence of the
+    * two-phase salted plan.
+    */
+  def q39SaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    saltedAgg(Tables.lineitem(spark, sfDir), col("l_returnflag"),
+      col("l_extendedprice"), saltSrc = col("l_orderkey"), nSalts = 16)
+      .withColumnRenamed("k", "l_returnflag")
+      .orderBy(col("l_returnflag").asc_nulls_last)
+
+  val q39Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+
+  /** Salted join for a skewed fact key: the fact side gets a
+    * deterministic salt, the (small) build side is replicated across
+    * all salt values, and the join key becomes (key, salt). Result-
+    * equivalent to the plain join; spreads one hot key over nSalts
+    * tasks.
+    */
+  def saltedJoin(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      saltSrc: Column, nSalts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(saltSrc, lit(nSalts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(replicatedDim,
+      saltedFact(factKey) === replicatedDim(dimKey) &&
+        saltedFact("__salt") === replicatedDim("__salt"))
+      .drop("__salt")
+  }
+
+  /** q40: salted join lineitem ⋈ orders on the order key — oracle is
+    * the plain equi join.
+    */
+  def q40SaltedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    saltedJoin(
+      Tables.lineitem(spark, sfDir), "l_orderkey",
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey",
+      saltSrc = col("l_linenumber"), nSalts = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("qty"))
+      .orderBy(col("o_orderpriority").asc_nulls_last)
+
+  val q40Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Scale, Tables}
+import graft.sinks.Sinks
+
+/** Scale-technique semantics: salted plans are result-equivalent to
+  * their direct forms; partitioned sinks prune; bucketed tables join
+  * without a shuffle.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted agg equals direct groupBy") {
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = Scale.q39SaltedAgg(spark, sf).collect().toSeq
+    assert(salted.map(_.toSeq) == direct.map(_.toSeq))
+  }
+
+  test("salted join equals direct join") {
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+      .orderBy("o_orderpriority").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = Scale.q40SaltedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == direct)
+  }
+
+  test("partitioned sink lays out partition directories and prunes on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    Sinks.writePartitioned(Tables.orders(spark, sf), dir, Seq("o_orderstatus"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("o_orderstatus="))
+    assert(dirs.toSet == Set("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
+    val plan = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    Sinks.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 4)
+    // the fixture dims are broadcast-size; disable auto-broadcast so
+    // the plan shows what bucketing buys on two LARGE tables: a
+    // sort-merge join with zero Exchange on either side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
