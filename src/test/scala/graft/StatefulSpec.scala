@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{EventOps, Tables}
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{Ev, SessionState}
+import graft.functions.WeightedAvg
+
+/** Stateful streaming sessionization + typed Aggregator semantics. */
+class StatefulSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("session state machine: gap splits, accumulation, carryover") {
+    val gap = StatefulSessions.GapUs
+    def tsOf(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val evs = Seq(Ev(1, tsOf(0), 1.0), Ev(1, tsOf(gap), 2.0), Ev(1, tsOf(2 * gap + 1), 4.0))
+    val (closed, open) = StatefulSessions.advance(evs, None)
+    // first two chain (gap not exceeded), third starts a new session
+    assert(closed == Seq(StatefulSessions.SessionOut(1, 0, gap, 2, 3.0)))
+    assert(open.contains(SessionState(2 * gap + 1, 2 * gap + 1, 1, 4.0)))
+    // resuming from prior state extends it
+    val (closed2, open2) =
+      StatefulSessions.advance(Seq(Ev(1, tsOf(2 * gap + 2), 1.0)), open)
+    assert(closed2.isEmpty && open2.get.n == 2)
+  }
+
+  test("streaming stateful sessions agree with the batch gap formulation") {
+    val streamed = StatefulSessions.runToCompletion(spark, sf)
+      .select(col("user_id"), col("session_start_us"), col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    val batch = EventOps.e03Sessions(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start").cast("timestamp")).as("sus"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // every CLOSED streaming session must match the batch session with
+    // the same (user, start); open tail sessions are absent by design
+    streamed.foreach { case (k, (n, total)) =>
+      val (bn, btotal) = batch(k)
+      assert(n == bn, s"$k events")
+      assert(math.abs(total - btotal) < 1e-9, s"$k value")
+    }
+  }
+
+  test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
+    import spark.implicits._
+    val ds = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_quantity")).as[(Double, Double)]
+    val typed = ds.select(WeightedAvg.toColumn).head()
+    val ref = Tables.lineitem(spark, sf)
+      .agg((sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity"))))
+      .head().getDouble(0)
+    assert(math.abs(typed - ref) < 1e-6 * math.abs(ref))
+  }
+}
