@@ -54,7 +54,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"))
   }
 
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a previous JVM's managed-table directory survives the catalog;
+    // Spark refuses to CREATE over the orphaned location — remove it
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
+    dropTable("orders_b")
+    dropTable("lineitem_b")
     Sinks.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
     Sinks.writeBucketed(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
