@@ -81,6 +81,8 @@ object SparkEntry {
     // similarity search
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_knn_lsh" -> (Similarity.s02KnnLsh _),
+    "s03_knn_ivf" -> (Similarity.s03KnnIvf _),
+    "t05_subword_tokens" -> (TextOps.t05SubwordTokens _),
     // multimodal
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_media_decode" -> (Multimodal.m02DecodeStub _)
@@ -145,6 +147,8 @@ object SparkEntry {
     "d05_embedding_near_dup" -> Dedup.d05Sql,
     "s01_knn_brute" -> Similarity.s01Sql,
     "s02_knn_lsh" -> Similarity.s02Sql,
+    "s03_knn_ivf" -> Similarity.s03Sql,
+    "t05_subword_tokens" -> TextOps.t05Sql,
     "m01_media_features" -> Multimodal.m01Sql
     // m02_media_decode: imperative mapPartitions decode stub — no SQL
     // oracle (rows-only check + MultimodalSpec)

@@ -76,6 +76,82 @@ object Similarity {
        |WHERE rank <= $K
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * centroid's cell; queries probe only their own cell. Centroids are
+    * a deterministic sample of the corpus (every 100th id) standing in
+    * for a k-means codebook — the partition/probe plumbing is the
+    * scale path either way: at 100 TB the cell id is the partition
+    * key, the codebook is broadcast, and assignment is one broadcast
+    * pass over the corpus. `nprobe` > 1 unions more cells into the
+    * candidate set (kept at 1 here for the oracle's sake).
+    */
+  def s03KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc_nulls_last, col("cent_id").asc_nulls_last)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
+      col("v").as("cv2"), col("nrm").as("cn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr("graft_dot(qv, cv2)") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("cell"))
+      .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s03Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0),
+       |scored_cells AS (
+       |  SELECT n.vec_id, cents.cent_id, n.v, n.nrm,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cents.cv[i])),
+       |      (acc, x) -> acc + x) / (n.nrm * cents.cn) AS cscore
+       |  FROM n CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell, v, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC NULLS LAST, cent_id ASC NULLS LAST) AS crn
+       |    FROM scored_cells)
+       |  WHERE crn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM assigned q JOIN assigned c ON q.cell = c.cell
+       |    AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine, cell,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine, cell FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+
   /** Deterministic pseudo-random hyperplanes (8 planes × 64 dims in
     * [-1, 1]) — literal constants, identical in the Scala plan and the
     * SQL oracle by construction.

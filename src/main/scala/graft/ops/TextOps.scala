@@ -144,6 +144,34 @@ object TextOps {
         size(col("toks")).as("n_tokens"))
       .orderBy(col("doc_id").asc_nulls_last)
 
+  /** BPE-ish subword tokenization (GPT-2-style pre-tokenizer shape:
+    * space-prefixed letter runs, digit runs, punctuation runs — no
+    * lookaheads, so the pattern means the same thing to Java regex and
+    * RE2). Counts whole-word vs subword token inflation per document.
+    */
+  def t05SubwordTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    Tables.documents(spark, sfDir)
+      .withColumn("bpe", expr(s"regexp_extract_all(text, '$pat', 0)"))
+      .select(
+        col("doc_id"),
+        size(tokens).as("n_whitespace_tokens"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        (size(col("bpe")).cast("double") / size(tokens).cast("double"))
+          .as("inflation"),
+        element_at(col("bpe"), 1).as("first_tok"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val t05Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_whitespace_tokens,
+      |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS inflation,
+      |  regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')[1] AS first_tok
+      |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   val t04Sql: String =
     s"""SELECT doc_id,
        |  list_reduce(

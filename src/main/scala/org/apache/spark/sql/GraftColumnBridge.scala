@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to an existing
+    * session's registry (normally this happens only at session build;
+    * tests use this to exercise the extension against a shared
+    * session).
+    */
+  def registerInto(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }
