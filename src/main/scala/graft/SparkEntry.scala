@@ -62,6 +62,7 @@ object SparkEntry {
     "q34_array_funcs" -> (Functions.q34ArrayFuncs _),
     "q35_map_funcs" -> (Functions.q35MapFuncs _),
     "q36_json_funcs" -> (Functions.q36JsonFuncs _),
+    "q41_generators" -> (Functions.q41Generators _),
     // event-time analytics
     "e01_tumbling_window" -> (EventOps.e01Tumbling _),
     "e02_sliding_window" -> (EventOps.e02Sliding _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "q34_array_funcs" -> Functions.q34Sql,
     "q35_map_funcs" -> Functions.q35Sql,
     "q36_json_funcs" -> Functions.q36Sql,
+    "q41_generators" -> Functions.q41Sql,
     "e01_tumbling_window" -> EventOps.e01Sql,
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,

@@ -182,6 +182,31 @@ object Functions {
       |  ['qty', 'price'] AS ks, 2 AS m_size
       |FROM lineitem ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin
 
+  /** Generator (UDTF-class) operators: posexplode over a derived
+    * array and stack for columns→rows unpivot — Spark's lateral-view
+    * surface. The oracle replays them with UNNEST-with-index and
+    * UNION ALL (identical row sets).
+    */
+  def q41Generators(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+      .unionByName(
+        Tables.part(spark, sfDir).select(col("p_partkey"),
+          expr("stack(2, -1, p_brand, -2, p_name)").as(Seq("pos", "word"))))
+      .orderBy(col("p_partkey").asc_nulls_last, col("pos").asc_nulls_last,
+        col("word").asc_nulls_last)
+
+  val q41Sql: String =
+    """SELECT p_partkey, pos, word FROM (
+      |  SELECT p_partkey, CAST(s.i - 1 AS INT) AS pos, s.w AS word FROM (
+      |    SELECT p_partkey,
+      |      unnest(list_transform(string_split(p_type, ' '), (w, i) -> {'w': w, 'i': i})) AS s
+      |    FROM part)
+      |  UNION ALL SELECT p_partkey, -1, p_brand FROM part
+      |  UNION ALL SELECT p_partkey, -2, p_name FROM part)
+      |ORDER BY p_partkey ASC NULLS LAST, pos ASC NULLS LAST, word ASC NULLS LAST""".stripMargin
+
   /** JSON extraction from the events `props` column. */
   def q36JsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir).select(

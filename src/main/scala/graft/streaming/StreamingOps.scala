@@ -47,6 +47,21 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming deduplication: dropDuplicates on a business key with a
+    * watermark bounding the dedup state — the streaming twin of exact
+    * dedup (d01): at 100 TB/day the watermark is what keeps the seen-
+    * keys state finite.
+    */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
   /** Run the stream to completion against the (finite) fixture and
     * return the materialized result from the in-memory sink.
     */

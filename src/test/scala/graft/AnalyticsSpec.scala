@@ -29,6 +29,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
   }
 
+  test("streaming dedup equals batch distinct on the same key") {
+    val q = StreamingOps.dedupStream(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("graft_stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_stream_dedup")
+      .select("user_id", "event_type").distinct().count()
+    val batch = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed == batch)
+  }
+
   test("m02 decode stub: features match payload bytes") {
     val out = Multimodal.m02DecodeStub(spark, sf).collect()
     assert(out.length == 500)
