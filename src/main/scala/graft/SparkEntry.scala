@@ -63,6 +63,7 @@ object SparkEntry {
     "q35_map_funcs" -> (Functions.q35MapFuncs _),
     "q36_json_funcs" -> (Functions.q36JsonFuncs _),
     "q41_generators" -> (Functions.q41Generators _),
+    "q42_null_handling" -> (Functions.q42NullHandling _),
     // event-time analytics
     "e01_tumbling_window" -> (EventOps.e01Tumbling _),
     "e02_sliding_window" -> (EventOps.e02Sliding _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "q35_map_funcs" -> Functions.q35Sql,
     "q36_json_funcs" -> Functions.q36Sql,
     "q41_generators" -> Functions.q41Sql,
+    "q42_null_handling" -> Functions.q42Sql,
     "e01_tumbling_window" -> EventOps.e01Sql,
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,

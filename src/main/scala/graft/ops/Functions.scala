@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scalar-function surface (SURVEY.md §2.2: string, date/time, math,
   * conditional, array, map, JSON). Every function used here is a
@@ -181,6 +182,39 @@ object Functions {
       |  l_quantity AS qty, l_extendedprice AS price,
       |  ['qty', 'price'] AS ks, 2 AS m_size
       |FROM lineitem ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin
+
+  /** Null-handling surface: nullif/coalesce/nvl2, null-aware
+    * aggregation, and na.fill/na.drop equivalents. The fixtures carry
+    * no nulls, so nulls are INTRODUCED deterministically
+    * (`nullif(l_discount, 0.0)`) and then handled — which also pins
+    * Spark's null-skipping aggregate semantics against DuckDB's.
+    */
+  def q42NullHandling(spark: SparkSession, sfDir: String): DataFrame = {
+    val withNulls = Tables.lineitem(spark, sfDir)
+      .withColumn("disc_n", nullif(col("l_discount"), lit(0.0)))
+    withNulls
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("disc_n")).as("n_nonnull"),
+        sum(when(col("disc_n").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(coalesce(col("disc_n"), lit(0.0)).cast(DecimalType(18, 4)))
+          .cast("double").as("sum_filled"),
+        sum(col("disc_n").cast(DecimalType(18, 4))).cast("double").as("sum_skipnull"),
+        max(nvl2(col("disc_n"), lit("has"), lit("none"))).as("nvl2_max"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  val q42Sql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  count(nullif(l_discount, 0.0)) AS n_nonnull,
+      |  sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  CAST(sum(CAST(coalesce(nullif(l_discount, 0.0), 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled,
+      |  CAST(sum(CAST(nullif(l_discount, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_skipnull,
+      |  max(CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 'has' ELSE 'none' END) AS nvl2_max
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
 
   /** Generator (UDTF-class) operators: posexplode over a derived
     * array and stack for columns→rows unpivot — Spark's lateral-view

@@ -35,4 +35,28 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(sig.length == graft.functions.PortableHash.MinhashK)
   }
+
+  test("IntersectSizeRewrite rule replaces size(array_intersect) with the merge kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a real scan source — literals would be constant-folded away
+    def query = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        size(array_intersect(split(col("text"), " "),
+          split(concat_ws(" ", col("lang"), col("source")), " "))).as("n"))
+      .orderBy("doc_id")
+    val reference = query.collect().map(_.getInt(1)).toSeq // rule OFF
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.IntersectSizeRewrite
+    try {
+      val df = query
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_intersect_size"))
+      assert(df.collect().map(_.getInt(1)).toSeq == reference)
+      // non-eligible types (nullable elements) stay on the built-in path
+      val nn = Seq((Seq(Some("a"), None), Seq(Some("a")))).toDF("a", "b")
+        .select(size(array_intersect(col("a"), col("b"))).as("n"))
+      assert(!nn.queryExecution.optimizedPlan.toString.contains("graft_intersect_size"))
+      assert(nn.head().getInt(0) == 1)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
