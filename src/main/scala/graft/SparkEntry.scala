@@ -69,6 +69,8 @@ object SparkEntry {
     "e02_sliding_window" -> (EventOps.e02Sliding _),
     "e03_sessionization" -> (EventOps.e03Sessions _),
     "e04_funnel" -> (EventOps.e04Funnel _),
+    "e05_retention" -> (EventOps.e05Retention _),
+    "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     // text analysis
     "t01_token_stats" -> (TextOps.t01TokenStats _),
     "t02_quality_score" -> (TextOps.t02QualityScore _),
@@ -140,6 +142,8 @@ object SparkEntry {
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,
     "e04_funnel" -> EventOps.e04Sql,
+    "e05_retention" -> EventOps.e05Sql,
+    "m03_frame_sample" -> Multimodal.m03Sql,
     "t01_token_stats" -> TextOps.t01Sql,
     "t02_quality_score" -> TextOps.t02Sql,
     "t03_lang_id" -> TextOps.t03Sql,

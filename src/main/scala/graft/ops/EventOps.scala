@@ -101,6 +101,36 @@ object EventOps {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id ASC NULLS LAST, session_id ASC NULLS LAST""".stripMargin
 
+  /** Retention cohorts: users grouped by first-seen day, counted per
+    * day-offset of later activity — the standard triangular retention
+    * matrix, built from one aggregate (first-seen) + one distinct
+    * (user, day) projection + one join, all keyed on user_id.
+    */
+  def e05Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val activeDays = ev.distinct()
+    activeDays.join(firstSeen, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .filter(col("day_offset") <= 7)
+      .orderBy(col("cohort_day").asc_nulls_last, col("day_offset").asc_nulls_last)
+  }
+
+  val e05Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first_seen AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+      |  count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN first_seen ON ev.user_id = first_seen.user_id
+      |WHERE datediff('day', cohort_day, day) <= 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day ASC NULLS LAST, day_offset ASC NULLS LAST""".stripMargin
+
   /** Event funnel: per user, did view → click → purchase happen in
     * order? Single pass: min event time per stage per user, then
     * ordered-existence flags — no self-joins.

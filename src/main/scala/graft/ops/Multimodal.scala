@@ -59,6 +59,31 @@ object Multimodal {
       |  substr(lang, 1, 2) AS lang2
       |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** m03: declarative frame sampling — every 32nd byte of the payload
+    * becomes a "frame" row with its offset and value, the batch shape
+    * of video frame-extraction (sample positions computed per row, one
+    * generator, no UDF).
+    */
+  def m03FrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, octet_length(payload), 32), " +
+          "i -> struct(i - 1 AS byte_offset, hex(substring(payload, i, 1)) AS byte_hex))"))
+        .as("frame"))
+      .select(col("doc_id"),
+        col("frame").getField("byte_offset").cast("long").as("byte_offset"),
+        lower(col("frame").getField("byte_hex")).as("byte_hex"))
+      .orderBy(col("doc_id").asc_nulls_last, col("byte_offset").asc_nulls_last)
+
+  val m03Sql: String =
+    """SELECT doc_id, CAST(s.i - 1 AS BIGINT) AS byte_offset,
+      |  lower(hex(encode(substr(text, CAST(s.i AS INT), 1)))) AS byte_hex
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(list_transform(range(1, length(text) + 1, 32), i -> {'i': i})) AS s
+      |  FROM documents)
+      |ORDER BY doc_id ASC NULLS LAST, byte_offset ASC NULLS LAST""".stripMargin
+
   /** Decoded "media" features, one row per payload. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int,
