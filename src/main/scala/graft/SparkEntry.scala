@@ -64,6 +64,9 @@ object SparkEntry {
     "q36_json_funcs" -> (Functions.q36JsonFuncs _),
     "q41_generators" -> (Functions.q41Generators _),
     "q42_null_handling" -> (Functions.q42NullHandling _),
+    "q43_fk_integrity" -> (Quality.q43FkIntegrity _),
+    "q44_uniqueness" -> (Quality.q44Uniqueness _),
+    "q45_upsert_latest" -> (Quality.q45UpsertLatest _),
     // event-time analytics
     "e01_tumbling_window" -> (EventOps.e01Tumbling _),
     "e02_sliding_window" -> (EventOps.e02Sliding _),
@@ -138,6 +141,9 @@ object SparkEntry {
     "q36_json_funcs" -> Functions.q36Sql,
     "q41_generators" -> Functions.q41Sql,
     "q42_null_handling" -> Functions.q42Sql,
+    "q43_fk_integrity" -> Quality.q43Sql,
+    "q44_uniqueness" -> Quality.q44Sql,
+    "q45_upsert_latest" -> Quality.q45Sql,
     "e01_tumbling_window" -> EventOps.e01Sql,
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality and integration-maintenance operators — the checks an
+  * ETL engine (the reference's domain) runs on every load, plus
+  * upsert/merge semantics for incremental feeds.
+  *
+  * All checks return VIOLATION ROWS (empty result = clean), so they
+  * compose as gating steps in a pipeline and scale as ordinary
+  * joins/aggregates.
+  */
+object Quality {
+
+  /** Generic FK check: rows of `child` whose `fkCol` has no match in
+    * `parent.pkCol` — a left-anti join, i.e. one shuffle (or none when
+    * the parent side broadcasts).
+    */
+  def fkViolations(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String): DataFrame =
+    child.join(parent, child(fkCol) === parent(pkCol), "left_anti")
+
+  /** q43: referential integrity over the star schema — lineitem rows
+    * whose order or part key dangles. The fixture is clean on orders
+    * but the check must PROVE that, so the query reports per-FK
+    * violation counts (zeros included).
+    */
+  def q43FkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val badOrders = fkViolations(li, "l_orderkey", Tables.orders(spark, sfDir), "o_orderkey")
+      .agg(count(lit(1)).as("n")).withColumn("fk", lit("l_orderkey->o_orderkey"))
+    val badParts = fkViolations(li, "l_partkey", Tables.part(spark, sfDir), "p_partkey")
+      .agg(count(lit(1)).as("n")).withColumn("fk", lit("l_partkey->p_partkey"))
+    val badCusts = fkViolations(Tables.orders(spark, sfDir), "o_custkey",
+      Tables.customer(spark, sfDir), "c_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("fk", lit("o_custkey->c_custkey"))
+    badOrders.unionByName(badParts).unionByName(badCusts)
+      .select(col("fk"), col("n"))
+      .orderBy(col("fk").asc_nulls_last)
+  }
+
+  val q43Sql: String =
+    """SELECT fk, n FROM (
+      |  SELECT 'l_orderkey->o_orderkey' AS fk, count(*) AS n FROM lineitem
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL
+      |  SELECT 'l_partkey->p_partkey', count(*) FROM lineitem
+      |    WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |  UNION ALL
+      |  SELECT 'o_custkey->c_custkey', count(*) FROM orders
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |ORDER BY fk ASC NULLS LAST""".stripMargin
+
+  /** q44: uniqueness / primary-key check — key groups appearing more
+    * than once, with multiplicities. Run on the composite lineitem key
+    * (clean) and on a deliberately non-unique column to show actual
+    * violations.
+    */
+  def q44Uniqueness(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val pkDups = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .filter(col("multiplicity") > 1)
+      .agg(coalesce(sum(col("multiplicity")), lit(0L)).as("n"),
+        count(lit(1)).as("n_keys"))
+      .withColumn("check", lit("pk(l_orderkey,l_linenumber)"))
+    val orderDups = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .filter(col("multiplicity") > 1)
+      .agg(coalesce(sum(col("multiplicity")), lit(0L)).as("n"),
+        count(lit(1)).as("n_keys"))
+      .withColumn("check", lit("nonunique(l_orderkey)"))
+    pkDups.unionByName(orderDups)
+      .select(col("check"), col("n"), col("n_keys"))
+      .orderBy(col("check").asc_nulls_last)
+  }
+
+  val q44Sql: String =
+    """SELECT "check", n, n_keys FROM (
+      |  SELECT 'pk(l_orderkey,l_linenumber)' AS "check",
+      |    coalesce(sum(multiplicity), 0) AS n, count(*) AS n_keys
+      |  FROM (SELECT l_orderkey, l_linenumber, count(*) AS multiplicity
+      |        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'nonunique(l_orderkey)', coalesce(sum(multiplicity), 0), count(*)
+      |  FROM (SELECT l_orderkey, count(*) AS multiplicity
+      |        FROM lineitem GROUP BY 1 HAVING count(*) > 1))
+      |ORDER BY "check" ASC NULLS LAST""".stripMargin
+
+  /** Merge/upsert by key, latest-wins: the incremental-load primitive.
+    * A batch of updates (here: re-delivered orders with bumped prices)
+    * is unioned with the base table and deduplicated per key by
+    * recency — one window pass, the distributed MERGE pattern.
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame,
+      key: Seq[String], versionCol: Column): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(versionCol.desc, col("__src").desc)
+    base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
+  /** q45: upsert-latest over orders — a simulated redelivery batch
+    * (every 10th order, price +1) merged latest-wins; aggregate proves
+    * exactly those rows were replaced.
+    */
+  def q45UpsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val updates = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    upsertLatest(o, updates, Seq("o_orderkey"), col("o_orderdate"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_last)
+  }
+
+  val q45Sql: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+      |    o_orderdate, o_orderpriority, 1 AS __src
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |unioned AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |    o_orderpriority, 0 AS __src FROM orders
+      |  UNION ALL SELECT * FROM updates),
+      |merged AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY o_orderdate DESC, __src DESC) AS __rn
+      |    FROM unioned)
+      |  WHERE __rn = 1)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM merged GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+}
