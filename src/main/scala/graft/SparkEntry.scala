@@ -90,6 +90,7 @@ object SparkEntry {
     "s02_knn_lsh" -> (Similarity.s02KnnLsh _),
     "s03_knn_ivf" -> (Similarity.s03KnnIvf _),
     "t05_subword_tokens" -> (TextOps.t05SubwordTokens _),
+    "t06_edit_distance" -> (TextOps.t06EditDistance _),
     // multimodal
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_media_decode" -> (Multimodal.m02DecodeStub _)
@@ -163,6 +164,7 @@ object SparkEntry {
     "s02_knn_lsh" -> Similarity.s02Sql,
     "s03_knn_ivf" -> Similarity.s03Sql,
     "t05_subword_tokens" -> TextOps.t05Sql,
+    "t06_edit_distance" -> TextOps.t06Sql,
     "m01_media_features" -> Multimodal.m01Sql
     // m02_media_decode: imperative mapPartitions decode stub — no SQL
     // oracle (rows-only check + MultimodalSpec)

@@ -126,6 +126,38 @@ object TextOps {
       |       ELSE 'und' END AS predicted
       |FROM s ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Edit-distance fuzzy matching: near-identical part names within a
+    * (brand, first-word) block, scored by Levenshtein distance — the
+    * classic fuzzy-dedup shape: cheap equality blocking first, the
+    * O(len²) distance only inside blocks.
+    */
+  def t06EditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select(
+      col("p_partkey"), col("p_brand"),
+      split(col("p_name"), " ").getItem(0).as("w0"), col("p_name"))
+    val a = p.select(col("p_partkey").as("id1"), col("p_brand"),
+      col("w0"), col("p_name").as("name1"))
+    val b = p.select(col("p_partkey").as("id2"), col("p_brand"),
+      col("w0"), col("p_name").as("name2"))
+    a.join(b, Seq("p_brand", "w0"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist") <= 8)
+      .select(col("id1"), col("id2"), col("p_brand"), col("dist"))
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  val t06Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand, string_split(p_name, ' ')[1] AS w0, p_name
+      |  FROM part)
+      |SELECT a.p_partkey AS id1, b.p_partkey AS id2, a.p_brand,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w0 = b.w0
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 8
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over the token
     * stream (base 131 mod 2^31-1, tokens hashed by portable md5-32).
     * Order-sensitive by construction — reordered tokens change the
