@@ -62,6 +62,26 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-static join: the event stream enriched against the static
+    * customer dimension (user_id = c_custkey). The static side is
+    * re-planned per micro-batch and broadcast when small — the
+    * standard streaming-enrichment shape; no state is kept because
+    * the static side is not a stream.
+    */
+  def enrichedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      .join(customers, col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+  }
+
   /** Run the stream to completion against the (finite) fixture and
     * return the materialized result from the in-memory sink.
     */

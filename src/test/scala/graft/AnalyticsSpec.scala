@@ -40,6 +40,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static join enrichment equals the batch join") {
+    val q = StreamingOps.enrichedStream(spark, sf).writeStream
+      .outputMode("complete").format("memory").queryName("graft_stream_enrich").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_stream_enrich")
+      .orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total"))
+      .orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("m02 decode stub: features match payload bytes") {
     val out = Multimodal.m02DecodeStub(spark, sf).collect()
     assert(out.length == 500)

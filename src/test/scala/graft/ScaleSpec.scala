@@ -54,6 +54,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"))
   }
 
+  test("partitioning control: byKey count, coalesce narrowing, balance histogram") {
+    import graft.ops.Partitioning
+    val li = Tables.lineitem(spark, sf)
+    val parted = Partitioning.byKey(li, 8, org.apache.spark.sql.functions.col("l_orderkey"))
+    assert(parted.rdd.getNumPartitions == 8)
+    assert(Partitioning.compact(parted, 2).rdd.getNumPartitions == 2)
+    val hist = Partitioning.partitionHistogram(parted).collect()
+    assert(hist.map(_.getLong(1)).sum == li.count())
+    // hash partitioning on a high-cardinality key is near-balanced
+    val counts = hist.map(_.getLong(1).toDouble)
+    assert(counts.max / (counts.sum / counts.length) < 1.5)
+  }
+
   private def dropTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     // a previous JVM's managed-table directory survives the catalog;
