@@ -67,6 +67,8 @@ object SparkEntry {
     "q43_fk_integrity" -> (Quality.q43FkIntegrity _),
     "q44_uniqueness" -> (Quality.q44Uniqueness _),
     "q45_upsert_latest" -> (Quality.q45UpsertLatest _),
+    "q46_array_funcs2" -> (Functions.q46ArrayFuncs2 _),
+    "q47_sql_subqueries" -> (Aggs.q47SqlSubqueries _),
     // event-time analytics
     "e01_tumbling_window" -> (EventOps.e01Tumbling _),
     "e02_sliding_window" -> (EventOps.e02Sliding _),
@@ -145,6 +147,8 @@ object SparkEntry {
     "q43_fk_integrity" -> Quality.q43Sql,
     "q44_uniqueness" -> Quality.q44Sql,
     "q45_upsert_latest" -> Quality.q45Sql,
+    "q46_array_funcs2" -> Functions.q46Sql,
+    "q47_sql_subqueries" -> Aggs.q47Sql,
     "e01_tumbling_window" -> EventOps.e01Sql,
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,

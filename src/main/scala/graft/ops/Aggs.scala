@@ -158,6 +158,33 @@ object Aggs {
       |WHERE o_totalprice > avg_price
       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
 
+  /** SQL front door: the same ANSI text runs on Spark's parser —
+    * CTE + IN-subquery + correlated EXISTS. Catalyst rewrites both
+    * subqueries into semi joins; the point is the `spark.sql(...)`
+    * surface itself, so the oracle is (nearly) the same string.
+    */
+  def q47SqlSubqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer_sq")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_sq")
+    spark.sql(
+      """WITH hi AS (
+        |  SELECT o_custkey FROM graft_orders_sq WHERE o_totalprice > 400000.0)
+        |SELECT c_custkey, c_name, c_mktsegment FROM graft_customer_sq
+        |WHERE c_custkey IN (SELECT o_custkey FROM hi)
+        |  AND EXISTS (SELECT 1 FROM graft_orders_sq
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin)
+  }
+
+  val q47Sql: String =
+    """WITH hi AS (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      |SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM hi)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin
+
   /** Top-k: global order-by + limit, planned as TakeOrderedAndProject
     * (per-partition top-k then a k-row merge — no global sort at scale).
     * Ties broken by key so k is deterministic.

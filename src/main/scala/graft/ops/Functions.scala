@@ -161,6 +161,34 @@ object Functions {
       |  embedding[1:4] AS head4
       |FROM embeddings ORDER BY vec_id ASC NULLS LAST""".stripMargin
 
+  /** Array functions, second batch: construction, membership,
+    * position, flatten, reverse, concat — over token arrays derived
+    * from document text.
+    */
+  def q46ArrayFuncs2(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_position(col("toks"), "data").cast("long").as("pos_data"),
+        size(array_remove(col("toks"), "a")).as("n_no_a"),
+        reverse(slice(col("toks"), 1, 3)).as("head3_rev"),
+        flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))).as("head4"),
+        concat(slice(col("toks"), 1, 1), array(lit("END"))).as("first_plus"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val q46Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  list_contains(toks, 'the') AS has_the,
+      |  CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+      |  len(list_filter(toks, x -> x <> 'a')) AS n_no_a,
+      |  list_reverse(toks[1:3]) AS head3_rev,
+      |  flatten([toks[1:2], toks[3:4]]) AS head4,
+      |  list_concat(toks[1:1], ['END']) AS first_plus
+      |FROM t ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   /** Map functions: construct a map from arrays, then key lookups and
     * key/value extraction.
     */
