@@ -87,6 +87,7 @@ object SparkEntry {
     "d03_simhash" -> (Dedup.d03Simhash _),
     "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),
     "d05_embedding_near_dup" -> (Dedup.d05EmbeddingNearDup _),
+    "d06_dedup_clusters" -> (Dedup.d06DedupClusters _),
     // similarity search
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_knn_lsh" -> (Similarity.s02KnnLsh _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "d03_simhash" -> Dedup.d03Sql,
     "d04_ngram_jaccard" -> Dedup.d04Sql,
     "d05_embedding_near_dup" -> Dedup.d05Sql,
+    "d06_dedup_clusters" -> Dedup.d06Sql,
     "s01_knn_brute" -> Similarity.s01Sql,
     "s02_knn_lsh" -> Similarity.s02Sql,
     "s03_knn_ivf" -> Similarity.s03Sql,

@@ -99,8 +99,11 @@ object Dedup {
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
-  val d02Sql: String =
-    s"""WITH th AS (
+  /** The d02 CTE chain (no WITH prefix) — shared by d02Sql and the
+    * clustering oracle, which extends it with recursive CTEs.
+    */
+  val d02Ctes: String =
+    s"""th AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text, ' '),
        |      t -> ${tokenHash32Sql("t")} % ${P}) AS th
@@ -131,10 +134,72 @@ object Dedup {
        |      list_transform(range(1, ${MinhashK + 1}),
        |        i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE)
        |      / ${MinhashK}.0 AS est_jaccard
-       |  FROM pairs JOIN sigs s1 ON s1.doc_id = id1 JOIN sigs s2 ON s2.doc_id = id2)
+       |  FROM pairs JOIN sigs s1 ON s1.doc_id = id1 JOIN sigs s2 ON s2.doc_id = id2)""".stripMargin
+
+  val d02Sql: String =
+    s"""WITH $d02Ctes
        |SELECT id1, id2, est_jaccard FROM est
        |WHERE est_jaccard >= 0.25
        |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
+
+  /** Dedup clustering: connected components over the MinHash candidate
+    * pairs — the step that turns pairwise similarity into dedup GROUPS
+    * (keep one doc per cluster). Spark side: iterative min-label
+    * propagation (the GraphX-style formulation — each round, every
+    * vertex takes the min label among itself and its neighbors; the
+    * driver loop is control flow only, data stays distributed, and
+    * lineage is truncated per round). Converges in diameter rounds.
+    * Oracle: recursive-CTE transitive closure (the edge set is small
+    * by construction — band collisions only).
+    */
+  def d06DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = d02MinhashLsh(spark, sfDir).select(col("id1"), col("id2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      iter += 1
+      val msgs = edges
+        .join(labels, edges("id1") === labels("doc_id"))
+        .select(col("id2").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+    }
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_n"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val d06Sql: String =
+    s"""WITH RECURSIVE $d02Ctes,
+       |edges AS (
+       |  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.25
+       |  UNION ALL SELECT id2, id1 FROM est WHERE est_jaccard >= 0.25),
+       |reach AS (
+       |  SELECT id1 AS src, id2 AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.dst = e.id1),
+       |labels AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_n
+       |FROM labels l JOIN (
+       |  SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY cluster_id) s
+       |  ON l.cluster_id = s.cluster_id
+       |ORDER BY l.doc_id ASC NULLS LAST""".stripMargin
 
   /** SimHash: 32-bit locality-sensitive signature. Tokens exploded once
     * (hash computed once per token), then 32 conditional sums per doc —
