@@ -75,6 +75,7 @@ object SparkEntry {
     "e03_sessionization" -> (EventOps.e03Sessions _),
     "e04_funnel" -> (EventOps.e04Funnel _),
     "e05_retention" -> (EventOps.e05Retention _),
+    "e06_session_window" -> (EventOps.e06SessionWindow _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     // text analysis
     "t01_token_stats" -> (TextOps.t01TokenStats _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "e03_sessionization" -> EventOps.e03Sql,
     "e04_funnel" -> EventOps.e04Sql,
     "e05_retention" -> EventOps.e05Sql,
+    "e06_session_window" -> EventOps.e06Sql,
     "m03_frame_sample" -> Multimodal.m03Sql,
     "t01_token_stats" -> TextOps.t01Sql,
     "t02_quality_score" -> TextOps.t02Sql,

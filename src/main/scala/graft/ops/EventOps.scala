@@ -101,6 +101,39 @@ object EventOps {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id ASC NULLS LAST, session_id ASC NULLS LAST""".stripMargin
 
+  /** Native session windows: Spark's `session_window` operator (the
+    * built-in form of e03's manual gap pattern). Window end = last
+    * event + gap by definition; the oracle derives the same sessions
+    * via the gap pattern and reconstructs the end bound.
+    */
+  def e06SessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end_bound"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id").asc_nulls_last, col("session_start").asc_nulls_last)
+
+  val e06Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1
+      |         WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST)
+      |), sess AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS LAST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL '30 minutes' AS session_end_bound,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST""".stripMargin
+
   /** Retention cohorts: users grouped by first-seen day, counted per
     * day-offset of later activity — the standard triangular retention
     * matrix, built from one aggregate (first-seen) + one distinct
