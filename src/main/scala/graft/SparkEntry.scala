@@ -69,6 +69,7 @@ object SparkEntry {
     "q45_upsert_latest" -> (Quality.q45UpsertLatest _),
     "q46_array_funcs2" -> (Functions.q46ArrayFuncs2 _),
     "q47_sql_subqueries" -> (Aggs.q47SqlSubqueries _),
+    "q48_collect_sorted" -> (Aggs.q48CollectSorted _),
     // event-time analytics
     "e01_tumbling_window" -> (EventOps.e01Tumbling _),
     "e02_sliding_window" -> (EventOps.e02Sliding _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q45_upsert_latest" -> Quality.q45Sql,
     "q46_array_funcs2" -> Functions.q46Sql,
     "q47_sql_subqueries" -> Aggs.q47Sql,
+    "q48_collect_sorted" -> Aggs.q48Sql,
     "e01_tumbling_window" -> EventOps.e01Sql,
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,

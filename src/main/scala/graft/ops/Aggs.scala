@@ -158,6 +158,28 @@ object Aggs {
       |WHERE o_totalprice > avg_price
       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
 
+  /** Array aggregation, determinism-safe: `collect_list` has no
+    * ordering guarantee under parallel aggregation, so every engine
+    * result is post-sorted (`sort_array`) — the pattern that makes
+    * array aggregation hash-comparable (SURVEY.md §7.5 risk 4).
+    */
+  def q48CollectSorted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        sort_array(collect_set(col("source"))).as("sources"),
+        count(lit(1)).as("n"))
+      .orderBy(col("lang").asc_nulls_last)
+
+  val q48Sql: String =
+    """SELECT lang,
+      |  list_sort(list(doc_id)) AS doc_ids,
+      |  list_sort(list(DISTINCT source)) AS sources,
+      |  count(*) AS n
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
+
   /** SQL front door: the same ANSI text runs on Spark's parser —
     * CTE + IN-subquery + correlated EXISTS. Catalyst rewrites both
     * subqueries into semi joins; the point is the `spark.sql(...)`
