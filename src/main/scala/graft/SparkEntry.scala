@@ -70,6 +70,7 @@ object SparkEntry {
     "q46_array_funcs2" -> (Functions.q46ArrayFuncs2 _),
     "q47_sql_subqueries" -> (Aggs.q47SqlSubqueries _),
     "q48_collect_sorted" -> (Aggs.q48CollectSorted _),
+    "q49_string_agg" -> (Aggs.q49StringAgg _),
     // event-time analytics
     "e01_tumbling_window" -> (EventOps.e01Tumbling _),
     "e02_sliding_window" -> (EventOps.e02Sliding _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q46_array_funcs2" -> Functions.q46Sql,
     "q47_sql_subqueries" -> Aggs.q47Sql,
     "q48_collect_sorted" -> Aggs.q48Sql,
+    "q49_string_agg" -> Aggs.q49Sql,
     "e01_tumbling_window" -> EventOps.e01Sql,
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,

@@ -180,6 +180,26 @@ object Aggs {
       |FROM documents GROUP BY lang
       |ORDER BY lang ASC NULLS LAST""".stripMargin
 
+  /** Ordered string aggregation (listagg/string_agg): deterministic by
+    * sorting before joining, plus a conditional distinct count.
+    */
+  def q49StringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        countDistinct(when(col("c_acctbal") > 5000.0, col("c_mktsegment"))).as("rich_segments"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey").asc_nulls_last)
+
+  val q49Sql: String =
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  count(DISTINCT CASE WHEN c_acctbal > 5000.0 THEN c_mktsegment END) AS rich_segments,
+      |  count(*) AS n
+      |FROM customer GROUP BY c_nationkey
+      |ORDER BY c_nationkey ASC NULLS LAST""".stripMargin
+
   /** SQL front door: the same ANSI text runs on Spark's parser —
     * CTE + IN-subquery + correlated EXISTS. Catalyst rewrites both
     * subqueries into semi joins; the point is the `spark.sql(...)`
