@@ -124,6 +124,28 @@ class TierPSpec extends AnyFunSuite {
     assert(r == "ok" && calls == 3)
   }
 
+  test("retry: logs one line per failed attempt") {
+    val logged = scala.collection.mutable.Buffer[String]()
+    intercept[RuntimeException] {
+      Retry.withRetry(3, 0L, logged.append(_)) { sys.error("x") }
+    }
+    assert(logged.size == 3)
+    assert(logged.head.startsWith("attempt 1/3"))
+  }
+
+  test("nullableAll forces every field nullable") {
+    val s = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = true)))
+    assert(TypeMap.nullableAll(s).fields.forall(_.nullable))
+  }
+
+  test("clickHouseWriteCast: bool→byte, interval→string, else identity") {
+    assert(TypeMap.clickHouseWriteCast(BooleanType) == ByteType)
+    assert(TypeMap.clickHouseWriteCast(DayTimeIntervalType()) == StringType)
+    assert(TypeMap.clickHouseWriteCast(DoubleType) == DoubleType)
+  }
+
   test("retry: re-raises the last failure after exhaustion") {
     var calls = 0
     val e = intercept[RuntimeException] {

@@ -55,6 +55,22 @@ class TransferSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("castColumns casts named columns, passes others through") {
+    import org.apache.spark.sql.types._
+    val out = Ingest.castColumns(dirtyDf, Map("N-(Stars)" -> DoubleType))
+    assert(out.schema("N-(Stars)").dataType == DoubleType)
+    assert(out.schema("OK $Flag").dataType == BooleanType)
+    assert(out.count() == 2)
+  }
+
+  test("JdbcSpec emits partitioned-read and batched-write options") {
+    val spec = graft.transfer.Transfer.JdbcSpec(
+      "jdbc:postgresql://h/db", "t", Some("id"), 16, 5000, Some("s"))
+    assert(spec.readOptions("numPartitions") == "16")
+    assert(spec.readOptions("partitionColumn") == "id")
+    assert(spec.writeOptions("batchsize") == "5000")
+  }
+
   test("defaultTableName pipeline rule") {
     assert(Ingest.defaultTableName("wildberries_reviews.xlsx") == "wildberries_reviews")
   }
