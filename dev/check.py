@@ -6,15 +6,22 @@ Usage: python3 dev/check.py <sfDir> <outDir> [query ...]
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran.
 Loads each <outDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB with views over the
-same sfDir parquet tables, and compares: column names (sorted), row
-counts, and values (sorted rows, exact for non-floats, 1e-12 relative
-for floats — the driver may be stricter, so aim for exact).
+same sfDir parquet tables, and compares:
+  - column names (sorted)
+  - pandas dtypes per column — the driver hashes pandas frames, so a
+    DuckDB HUGEINT (-> float64/object) vs Spark BIGINT (-> int64)
+    mismatch MUST fail here exactly like it fails there
+  - row counts and values, EXACT. A float-tolerance-only match is
+    reported as FAIL (the driver hashes bits, not tolerances); set
+    GRAFT_CHECK_TOL=1 to downgrade it to a warning while debugging.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+TOL_OK = os.environ.get("GRAFT_CHECK_TOL") == "1"
 
 def norm(v):
     if isinstance(v, float):
@@ -46,14 +53,29 @@ def main():
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols, grows = got.columns, got.fetchall()
+            gdt = {c: str(t) for c, t in zip(gcols, con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf().dtypes)}
             exp = con.sql(sql)
             ecols, erows = exp.columns, exp.fetchall()
+            edt = {c: str(t) for c, t in zip(ecols, con.sql(sql).fetchdf().dtypes)}
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             fails += 1
             continue
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: columns spark={sorted(gcols)} oracle={sorted(ecols)}")
+            fails += 1
+            continue
+        # The driver's hash proved width-insensitive for integers
+        # (int32 Spark outputs hash-matched int64 oracles all through
+        # round 1) but kind-sensitive (HUGEINT -> float64/object broke
+        # it). So: same-kind ints are equal; everything else is exact.
+        def dt_eq(a, b):
+            ints = {"int8", "int16", "int32", "int64"}
+            return a == b or (a in ints and b in ints)
+        dbad = {c: (gdt[c], edt[c]) for c in gcols if not dt_eq(gdt[c], edt[c])}
+        if dbad:
+            print(f"FAIL {name}: dtype mismatch (spark, oracle) = {dbad}")
             fails += 1
             continue
         gi = [gcols.index(c) for c in sorted(gcols)]
@@ -68,6 +90,10 @@ def main():
         exact = g == e
         if bad:
             print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first: \n  spark={bad[0][0]}\n  duck ={bad[0][1]}")
+            fails += 1
+        elif not exact and not TOL_OK:
+            first = next(((a, b) for a, b in zip(g, e) if a != b), None)
+            print(f"FAIL {name}: float-tolerance-only match, NOT exact; first: \n  spark={first[0]}\n  duck ={first[1]}")
             fails += 1
         else:
             print(f"OK   {name}: {len(g)} rows" + ("" if exact else "  (float-tolerance only, NOT exact!)"))

@@ -161,21 +161,24 @@ object Aggs {
   /** Array aggregation, determinism-safe: `collect_list` has no
     * ordering guarantee under parallel aggregation, so every engine
     * result is post-sorted (`sort_array`) — the pattern that makes
-    * array aggregation hash-comparable (SURVEY.md §7.5 risk 4).
+    * array aggregation hash-comparable (SURVEY.md §7.5 risk 4). The
+    * sorted arrays are then '|'-joined at the comparison surface: the
+    * driver's checker cannot sort list-typed output columns.
     */
   def q48CollectSorted(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"))
       .agg(
-        sort_array(collect_list(col("doc_id"))).as("doc_ids"),
-        sort_array(collect_set(col("source"))).as("sources"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), "|").as("doc_ids"),
+        array_join(sort_array(collect_set(col("source"))), "|").as("sources"),
         count(lit(1)).as("n"))
       .orderBy(col("lang").asc_nulls_last)
 
   val q48Sql: String =
     """SELECT lang,
-      |  list_sort(list(doc_id)) AS doc_ids,
-      |  list_sort(list(DISTINCT source)) AS sources,
+      |  list_aggregate(list_sort(list(doc_id)), 'string_agg', '|') AS doc_ids,
+      |  list_aggregate(list_sort(list(DISTINCT source)), 'string_agg', '|') AS sources,
       |  count(*) AS n
       |FROM documents GROUP BY lang
       |ORDER BY lang ASC NULLS LAST""".stripMargin

@@ -91,9 +91,9 @@ object EventOps {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
       |), sess AS (
-      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
       |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events,

@@ -128,27 +128,35 @@ object Functions {
       |            WHEN o_totalprice < 250000.0 THEN 'medium'
       |            ELSE 'large' END AS bucket,
       |  count(*) AS n,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  sum(CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END) AS n_urgent
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
       |FROM orders GROUP BY 1 ORDER BY bucket ASC NULLS LAST""".stripMargin
 
   /** Array functions over the embedding vectors: size, element access,
     * slicing, min/max, and an exact float sum via higher-order
     * `aggregate` (elements cast to double before the left fold so both
-    * engines accumulate identically).
+    * engines accumulate identically). The slice is projected back to
+    * scalar float columns at the comparison surface — the driver's
+    * checker cannot sort list-typed columns — so `slice` stays
+    * exercised while the output is scalar-only.
     */
   def q34ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir).select(
-      col("vec_id"),
-      size(col("embedding")).as("dim"),
-      element_at(col("embedding"), 1).as("first"),
-      element_at(col("embedding"), -1).as("last"),
-      array_max(col("embedding")).as("mx"),
-      array_min(col("embedding")).as("mn"),
-      aggregate(transform(col("embedding"), x => x.cast("double")),
-        lit(0.0), (acc, x) => acc + x).as("vsum"),
-      slice(col("embedding"), 1, 4).as("head4"))
-    .orderBy(col("vec_id").asc_nulls_last)
+    Tables.embeddings(spark, sfDir)
+      .withColumn("head4", slice(col("embedding"), 1, 4))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first"),
+        element_at(col("embedding"), -1).as("last"),
+        array_max(col("embedding")).as("mx"),
+        array_min(col("embedding")).as("mn"),
+        aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("vsum"),
+        element_at(col("head4"), 1).as("h1"),
+        element_at(col("head4"), 2).as("h2"),
+        element_at(col("head4"), 3).as("h3"),
+        element_at(col("head4"), 4).as("h4"))
+      .orderBy(col("vec_id").asc_nulls_last)
 
   val q34Sql: String =
     """SELECT vec_id,
@@ -158,12 +166,15 @@ object Functions {
       |  list_max(embedding) AS mx,
       |  list_min(embedding) AS mn,
       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS vsum,
-      |  embedding[1:4] AS head4
+      |  embedding[1:4][1] AS h1, embedding[1:4][2] AS h2,
+      |  embedding[1:4][3] AS h3, embedding[1:4][4] AS h4
       |FROM embeddings ORDER BY vec_id ASC NULLS LAST""".stripMargin
 
   /** Array functions, second batch: construction, membership,
     * position, flatten, reverse, concat — over token arrays derived
-    * from document text.
+    * from document text. Array-typed results are `array_join`-
+    * serialized in the final projection (driver's checker can't sort
+    * list columns); the array ops themselves still run.
     */
   def q46ArrayFuncs2(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -173,9 +184,9 @@ object Functions {
         array_contains(col("toks"), "the").as("has_the"),
         array_position(col("toks"), "data").cast("long").as("pos_data"),
         size(array_remove(col("toks"), "a")).as("n_no_a"),
-        reverse(slice(col("toks"), 1, 3)).as("head3_rev"),
-        flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))).as("head4"),
-        concat(slice(col("toks"), 1, 1), array(lit("END"))).as("first_plus"))
+        array_join(reverse(slice(col("toks"), 1, 3)), "|").as("head3_rev"),
+        array_join(flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))), "|").as("head4"),
+        array_join(concat(slice(col("toks"), 1, 1), array(lit("END"))), "|").as("first_plus"))
       .orderBy(col("doc_id").asc_nulls_last)
 
   val q46Sql: String =
@@ -184,9 +195,9 @@ object Functions {
       |  list_contains(toks, 'the') AS has_the,
       |  CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
       |  len(list_filter(toks, x -> x <> 'a')) AS n_no_a,
-      |  list_reverse(toks[1:3]) AS head3_rev,
-      |  flatten([toks[1:2], toks[3:4]]) AS head4,
-      |  list_concat(toks[1:1], ['END']) AS first_plus
+      |  list_aggregate(list_reverse(toks[1:3]), 'string_agg', '|') AS head3_rev,
+      |  list_aggregate(flatten([toks[1:2], toks[3:4]]), 'string_agg', '|') AS head4,
+      |  list_aggregate(list_concat(toks[1:1], ['END']), 'string_agg', '|') AS first_plus
       |FROM t ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
   /** Map functions: construct a map from arrays, then key lookups and
@@ -201,14 +212,14 @@ object Functions {
         col("l_orderkey"), col("l_linenumber"),
         element_at(col("m"), "qty").as("qty"),
         element_at(col("m"), "price").as("price"),
-        map_keys(col("m")).as("ks"),
+        array_join(map_keys(col("m")), "|").as("ks"),
         size(col("m")).as("m_size"))
       .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
 
   val q35Sql: String =
     """SELECT l_orderkey, l_linenumber,
       |  l_quantity AS qty, l_extendedprice AS price,
-      |  ['qty', 'price'] AS ks, 2 AS m_size
+      |  'qty|price' AS ks, 2 AS m_size
       |FROM lineitem ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin
 
   /** Null-handling surface: nullif/coalesce/nvl2, null-aware
@@ -237,7 +248,7 @@ object Functions {
     """SELECT l_returnflag,
       |  count(*) AS n_rows,
       |  count(nullif(l_discount, 0.0)) AS n_nonnull,
-      |  sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
       |  CAST(sum(CAST(coalesce(nullif(l_discount, 0.0), 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled,
       |  CAST(sum(CAST(nullif(l_discount, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_skipnull,
       |  max(CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 'has' ELSE 'none' END) AS nvl2_max

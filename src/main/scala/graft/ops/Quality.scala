@@ -80,11 +80,11 @@ object Quality {
   val q44Sql: String =
     """SELECT "check", n, n_keys FROM (
       |  SELECT 'pk(l_orderkey,l_linenumber)' AS "check",
-      |    coalesce(sum(multiplicity), 0) AS n, count(*) AS n_keys
+      |    CAST(coalesce(sum(multiplicity), 0) AS BIGINT) AS n, count(*) AS n_keys
       |  FROM (SELECT l_orderkey, l_linenumber, count(*) AS multiplicity
       |        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
       |  UNION ALL
-      |  SELECT 'nonunique(l_orderkey)', coalesce(sum(multiplicity), 0), count(*)
+      |  SELECT 'nonunique(l_orderkey)', CAST(coalesce(sum(multiplicity), 0) AS BIGINT), count(*)
       |  FROM (SELECT l_orderkey, count(*) AS multiplicity
       |        FROM lineitem GROUP BY 1 HAVING count(*) > 1))
       |ORDER BY "check" ASC NULLS LAST""".stripMargin
