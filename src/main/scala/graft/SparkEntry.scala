@@ -88,8 +88,8 @@ object SparkEntry {
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (Dedup.d02MinhashLsh _),
     "d03_simhash" -> (Dedup.d03Simhash _),
-    "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),
-    "d05_embedding_near_dup" -> (Dedup.d05EmbeddingNearDup _),
+    "d04_ngram_jaccard" -> ((s, d) => Dedup.d04NgramJaccard(s, d)),
+    "d05_embedding_near_dup" -> ((s, d) => Dedup.d05EmbeddingNearDup(s, d)),
     "d06_dedup_clusters" -> (Dedup.d06DedupClusters _),
     // similarity search
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),

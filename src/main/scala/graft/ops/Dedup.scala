@@ -245,9 +245,14 @@ object Dedup {
 
   /** N-gram (token-set) Jaccard with candidate blocking: only pairs in
     * the same (lang, length-bucket) block are compared; Jaccard is
-    * computed from distinct-token set sizes.
+    * computed from distinct-token set sizes. Pair generation goes
+    * through the grid-salted self-join (`Scale.gridSelfJoinPairs`), so
+    * a hot block is split across cells² tasks instead of landing on
+    * one — same result set, bounded per-task pair count. `rowsPerCell`
+    * is exposed for the spec that forces splitting on small fixtures.
     */
-  def d04NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def d04NgramJaccard(spark: SparkSession, sfDir: String,
+      rowsPerCell: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // sort+dedup ONCE per row; pair scoring is then a codegen'd linear
     // merge (graft_intersect_size) instead of a per-pair hash set
@@ -257,13 +262,17 @@ object Dedup {
         array_sort(array_distinct(toks)).as("ts"))
     val a = d.select(col("doc_id").as("id1"), col("lang"), col("len_bucket"), col("ts").as("ts1"))
     val b = d.select(col("doc_id").as("id2"), col("lang"), col("len_bucket"), col("ts").as("ts2"))
-    a.join(b, Seq("lang", "len_bucket"))
-      .filter(col("id1") < col("id2"))
+    Scale.gridSelfJoinPairs(a, b, Seq("lang", "len_bucket"), "id1", "id2",
+        rowsPerCell = rowsPerCell)
       .withColumn("n_common", expr("graft_intersect_size(ts1, ts2)"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("ts1")) + size(col("ts2")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
-      .select(col("id1"), col("id2"), col("lang"), col("jaccard"))
+      // least/greatest: cross-salt cells keep the salt-ordered
+      // orientation, not the id-ordered one (jaccard is symmetric)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        col("lang"), col("jaccard"))
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
@@ -290,7 +299,8 @@ object Dedup {
     * the fixture (max same-label cosine ≈ 0.47; real dup corpora use
     * 0.95+ with the same plan).
     */
-  def d05EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def d05EmbeddingNearDup(spark: SparkSession, sfDir: String,
+      rowsPerCell: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
@@ -300,11 +310,16 @@ object Dedup {
       col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("label"),
       col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("label"))
-      .filter(col("id1") < col("id2"))
+    // grid-salted pairs: one dominant label can't pin a whole
+    // quadratic expansion on a single task (cosine is symmetric, so
+    // the least/greatest canonicalization is value-preserving)
+    Scale.gridSelfJoinPairs(a, b, Seq("label"), "id1", "id2",
+        rowsPerCell = rowsPerCell)
       .withColumn("cosine", expr("graft_dot(v1, v2)") / (col("n1") * col("n2")))
       .filter(col("cosine") >= 0.30)
-      .select(col("id1"), col("id2"), col("label"), col("cosine"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        col("label"), col("cosine"))
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 

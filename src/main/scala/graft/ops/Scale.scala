@@ -91,4 +91,51 @@ object Scale {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin
+
+  /** Grid-salted all-pairs self-join within blocks — the skew governor
+    * for blocked pairwise operators (d04/d05). A plain
+    * `a.join(b, blockCols).filter(id1 < id2)` sends one whole block to
+    * ONE task, so a hot block at 100 TB means one executor owning a
+    * quadratic pair expansion. Here each block is split into
+    * `cells = clamp(ceil(blockRows / rowsPerCell), 1, maxCells)`
+    * sub-blocks by a deterministic id hash, and the pair space becomes
+    * a triangular grid of (ci, cj) cells, ci <= cj: the left side
+    * replicates a row with salt s into cells (s, s..cells-1), the
+    * right side into (0..s, s). Every unordered pair {u, v} lands in
+    * exactly one cell — (min(su,sv), max(su,sv)); equal-salt cells see
+    * both orderings, which the `ci < cj OR idL < idR` filter dedups —
+    * so the RESULT SET is identical to the unsalted join while the max
+    * per-task pair count drops by cells². Replication cost is
+    * ~(cells+1)/2 per row, paid only by blocks over `rowsPerCell`.
+    *
+    * The per-block cell counts are a one-row-per-block aggregate,
+    * broadcast to both sides (blocks are orders of magnitude fewer
+    * than rows; this is the same shape as an AQE skew-stats exchange).
+    *
+    * Callers must canonicalize the emitted pair with least/greatest:
+    * in a cross-salt cell the surviving orientation is salt-ordered,
+    * not id-ordered.
+    */
+  def gridSelfJoinPairs(
+      a: DataFrame, b: DataFrame, blockCols: Seq[String],
+      idLeft: String, idRight: String,
+      rowsPerCell: Int, maxCells: Int = 16): DataFrame = {
+    val cells = a.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__cells",
+        least(greatest(ceil(col("__bn").cast("double") / rowsPerCell), lit(1L)),
+          lit(maxCells.toLong)).cast("int"))
+      .select(blockCols.map(col) :+ col("__cells"): _*)
+    val ac = a.join(broadcast(cells), blockCols)
+      .withColumn("__ci", pmod(hash(col(idLeft)), col("__cells")))
+      .withColumn("__cj", explode(sequence(col("__ci"), col("__cells") - 1)))
+      .drop("__cells")
+    val bc = b.join(broadcast(cells), blockCols)
+      .withColumn("__cj", pmod(hash(col(idRight)), col("__cells")))
+      .withColumn("__ci", explode(sequence(lit(0), col("__cj"))))
+      .drop("__cells")
+    ac.join(bc, blockCols ++ Seq("__ci", "__cj"))
+      .filter(col("__ci") < col("__cj") || col(idLeft) < col(idRight))
+      .drop("__ci", "__cj")
+  }
 }

@@ -27,6 +27,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q08 pre-aggregates orders BELOW the join (no post-join aggregate)") {
+    // in the plan printout children follow parents, so "aggregate
+    // below join" means the HashAggregate line comes after the Join
+    // line; the round-1 shape (join feeding a final aggregate) had it
+    // before
+    val plan = graft.ops.Joins.q08OuterJoin(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected orders pre-aggregate under the join:\n$plan")
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution

@@ -67,6 +67,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(counts.max / (counts.sum / counts.length) < 1.5)
   }
 
+  test("grid-salted self-join: identical pair set, hot block split across cells") {
+    import spark.implicits._
+    // one hot block (400 rows -> quadratic risk) + one cold block
+    val rows = ((1L to 400L).map(i => (i, "hot")) ++
+      (1001L to 1010L).map(i => (i, "cold"))).toDF("id", "blk")
+    val a = rows.select(col("id").as("id1"), col("blk"))
+    val b = rows.select(col("id").as("id2"), col("blk"))
+    val plain = a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    val grid = Scale.gridSelfJoinPairs(a, b, Seq("blk"), "id1", "id2",
+        rowsPerCell = 100)
+      .select(least(col("id1"), col("id2")), greatest(col("id1"), col("id2")))
+      .as[(Long, Long)].collect().toSet
+    assert(grid == plain, "grid-salted pair set must equal the unsalted one")
+    // split-ness: the hot block's 400 rows hash into 4 salts, so no
+    // single (blk, salt) task key owns more than ~1/4 of the block
+    val maxSalt = rows.filter(col("blk") === "hot")
+      .withColumn("s", pmod(hash(col("id")), lit(4)))
+      .groupBy("s").count().agg(max("count")).head().getLong(0)
+    assert(maxSalt < 200, s"hot block not split: max salt group = $maxSalt")
+  }
+
+  test("d04/d05 grid-salted variants equal their unsalted forms") {
+    // rowsPerCell=25 forces every fixture block to split; the default
+    // call (2000) leaves them whole — results must be identical
+    val d04Split = graft.ops.Dedup.d04NgramJaccard(spark, sf, rowsPerCell = 25)
+      .collect().map(_.toSeq).toSeq
+    val d04Whole = graft.ops.Dedup.d04NgramJaccard(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(d04Split == d04Whole)
+    val d05Split = graft.ops.Dedup.d05EmbeddingNearDup(spark, sf, rowsPerCell = 25)
+      .collect().map(_.toSeq).toSeq
+    val d05Whole = graft.ops.Dedup.d05EmbeddingNearDup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(d05Split == d05Whole)
+  }
+
   private def dropTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     // a previous JVM's managed-table directory survives the catalog;
