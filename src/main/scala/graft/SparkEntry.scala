@@ -94,7 +94,7 @@ object SparkEntry {
     // similarity search
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_knn_lsh" -> (Similarity.s02KnnLsh _),
-    "s03_knn_ivf" -> (Similarity.s03KnnIvf _),
+    "s03_knn_ivf" -> ((s, d) => Similarity.s03KnnIvf(s, d)),
     "t05_subword_tokens" -> (TextOps.t05SubwordTokens _),
     "t06_edit_distance" -> (TextOps.t06EditDistance _),
     // multimodal

@@ -43,4 +43,19 @@ object Ddl {
   /** Schema auto-create probe (ClickHouseDatabase.py:43-50 behavior). */
   def clickHouseCreateDatabase(db: String): String =
     s"CREATE DATABASE IF NOT EXISTS $db"
+
+  /** Post-load grant (PostgresDatabase.py:95): the reference issues
+    * `GRANT SELECT ... TO PUBLIC` inside the same transaction as every
+    * COPY load, so read visibility is part of the load contract, not a
+    * one-time setup step.
+    */
+  def postgresGrantAfterLoad(table: String): String =
+    s"GRANT SELECT ON TABLE $table TO PUBLIC"
+
+  /** The full PG load-path statement sequence: destructive recreate,
+    * then (after the bulk COPY the caller performs) the public read
+    * grant — the order the reference executes.
+    */
+  def postgresLoadSequence(table: String, schema: StructType): Seq[String] =
+    postgresCreate(table, schema) :+ postgresGrantAfterLoad(table)
 }

@@ -76,28 +76,85 @@ object Similarity {
        |WHERE rank <= $K
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 
-  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
-    * centroid's cell; queries probe only their own cell. Centroids are
-    * a deterministic sample of the corpus (every 100th id) standing in
-    * for a k-means codebook — the partition/probe plumbing is the
-    * scale path either way: at 100 TB the cell id is the partition
-    * key, the codebook is broadcast, and assignment is one broadcast
-    * pass over the corpus. `nprobe` > 1 unions more cells into the
-    * candidate set (kept at 1 here for the oracle's sake).
+  /** One broadcast codebook pass: every vector scored against every
+    * centroid (the codebook is bounded, so the cross join is a
+    * broadcast nested loop — the correct IVF assignment shape), ranked
+    * per vector. `crn == 1` is the owning cell; `crn <= nprobe` is the
+    * query-side probe set.
     */
-  def s03KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = prepared(spark, sfDir)
-    val cents = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc_nulls_last, col("cent_id").asc_nulls_last)
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("cscore", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
       .withColumn("crn", row_number().over(wAssign))
+  }
+
+  /** Spherical k-means codebook over the corpus (Lloyd's iterations,
+    * cosine assignment): initial centroids are the k lowest vec_ids
+    * (deterministic), each round reassigns (one broadcast pass) and
+    * recomputes per-cell means elementwise via posexplode — the
+    * distributed form of the M-step; means are renormalized to unit
+    * length so cosine argmax stays consistent. The driver loop is
+    * control flow only; `localCheckpoint` cuts lineage per round (the
+    * d06 connected-components pattern).
+    */
+  def kmeansCodebook(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = prepared(spark, sfDir)
+    var cents = e.orderBy(col("vec_id").asc_nulls_last).limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(e, cents).filter(col("crn") === 1)
+        .select(col("cent_id").as("cell"), col("v"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+        .withColumn("mn", sqrt(expr("graft_dot(mv, mv)")))
+        .select(col("cell").as("cent_id"),
+          transform(col("mv"), x => x / col("mn")).as("cv"),
+          lit(1.0).as("cn"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Mean best-centroid cosine over the corpus — the (spherical)
+    * k-means objective; evaluation/spec metric, not a data operator.
+    */
+  def codebookObjective(spark: SparkSession, sfDir: String,
+      cents: DataFrame): Double =
+    assignCells(prepared(spark, sfDir), cents)
       .filter(col("crn") === 1)
+      .agg(avg(col("cscore"))).head().getDouble(0)
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * centroid's cell; queries probe their `nprobe` nearest cells. The
+    * default codebook is a deterministic sample of the corpus (every
+    * 100th id) so the oracle can replay it; pass
+    * `kmeansCodebook(...)` for the trained variant (spec-gated — the
+    * iteration count makes it SQL-inexpressible). The partition/probe
+    * plumbing is the scale path either way: at 100 TB the cell id is
+    * the partition key, the codebook is broadcast, and assignment is
+    * one broadcast pass over the corpus. Corpus cells are disjoint, so
+    * nprobe > 1 unions candidate sets without duplicate neighbors —
+    * same plan, bigger candidate list.
+    */
+  def s03KnnIvf(spark: SparkSession, sfDir: String,
+      nprobe: Int = 1, codebook: Option[DataFrame] = None): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val cents = codebook.getOrElse(
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val scored = assignCells(e, cents)
+    val assigned = scored.filter(col("crn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
-    val q = assigned.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("cell"),
+    val q = scored.filter(col("crn") <= nprobe && col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
       col("v").as("cv2"), col("nrm").as("cn2"))

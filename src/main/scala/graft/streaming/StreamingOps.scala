@@ -82,6 +82,41 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
   }
 
+  /** Streaming native session windows (`session_window`, 30-minute
+    * gap) — the third sessionization variant alongside the batch gap
+    * pattern (e03/e06) and the flatMapGroupsWithState machine
+    * (StatefulSessions). Append mode + watermark: a session is emitted
+    * once the watermark passes its close, so state is bounded by the
+    * watermark horizon — the form that survives an unbounded stream.
+    */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end_bound"), col("n_events"), col("total_value"))
+
+  /** Drive the session-window stream over the finite fixture; append
+    * mode means only watermark-closed sessions appear in the sink.
+    */
+  def runSessionWindowToCompletion(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_stream_session"): DataFrame = {
+    val q = sessionWindowStream(spark, sfDir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the stream to completion against the (finite) fixture and
     * return the materialized result from the in-memory sink.
     */

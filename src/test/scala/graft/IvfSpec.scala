@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** IVF upgrades beyond the oracle-gated deterministic variant:
+  * multi-cell probing (nprobe > 1) and the spherical k-means codebook.
+  * These are spec-gated — the Lloyd's iteration count makes the
+  * trained codebook SQL-inexpressible — while `s03_knn_ivf` itself
+  * stays on the deterministic codebook the DuckDB oracle replays.
+  */
+class IvfSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("nprobe=2 candidate sets dominate nprobe=1 (top-1 cosine never worse)") {
+    val one = Similarity.s03KnnIvf(spark, sf, nprobe = 1)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cosine"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = Similarity.s03KnnIvf(spark, sf, nprobe = 2)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cosine"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two.keySet == one.keySet)
+    // probing more cells only grows the candidate set, so the best
+    // cosine per query is monotonically non-decreasing
+    one.foreach { case (qid, c1) =>
+      assert(two(qid) >= c1 - 1e-12, s"query $qid regressed: $c1 -> ${two(qid)}")
+    }
+  }
+
+  test("spherical k-means codebook: k unit-norm centroids, monotone objective") {
+    val cb1 = Similarity.kmeansCodebook(spark, sf, k = 8, iters = 1)
+    val cb3 = Similarity.kmeansCodebook(spark, sf, k = 8, iters = 3)
+    val rows = cb3.collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](r.fieldIndex("cv"))
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"centroid not unit-norm: $nrm")
+    }
+    // Lloyd's iterations never decrease the (spherical) objective
+    val o1 = Similarity.codebookObjective(spark, sf, cb1)
+    val o3 = Similarity.codebookObjective(spark, sf, cb3)
+    assert(o3 >= o1 - 1e-9, s"objective regressed: $o1 -> $o3")
+  }
+
+  test("s03 over a k-means codebook: full ranked top-k per query, deterministic") {
+    val cb = Similarity.kmeansCodebook(spark, sf, k = 8, iters = 2)
+    val a = Similarity.s03KnnIvf(spark, sf, nprobe = 2, codebook = Some(cb))
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.s03KnnIvf(spark, sf, nprobe = 2, codebook = Some(cb))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "k-means IVF result not deterministic")
+    val perQuery = a.groupBy(_.head)
+    perQuery.foreach { case (qid, rs) =>
+      val ranks = rs.map(_(1).asInstanceOf[Int]).sorted
+      assert(ranks == (1 to ranks.max).toList, s"query $qid ranks not contiguous: $ranks")
+    }
+  }
+}

@@ -57,6 +57,34 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session_window agrees with the batch session_window (e06)") {
+    val streamed = graft.streaming.StreamingOps
+      .runSessionWindowToCompletion(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")).as("sus"),
+        unix_micros(col("session_end_bound")).as("eus"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(streamed.nonEmpty, "no sessions closed below the watermark")
+    val batch = EventOps.e06SessionWindow(spark, sf)
+      .select(col("user_id"),
+        unix_micros(col("session_start").cast("timestamp")).as("sus"),
+        unix_micros(col("session_end_bound").cast("timestamp")).as("eus"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // append mode only emits watermark-closed sessions: every emitted
+    // session must match the batch session with the same (user, start)
+    streamed.foreach { case (k, (eus, n, total)) =>
+      val (beus, bn, btotal) = batch(k)
+      assert(eus == beus, s"$k end bound")
+      assert(n == bn, s"$k events")
+      assert(math.abs(total - btotal) < 1e-9, s"$k value")
+    }
+  }
+
   test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
     import spark.implicits._
     val ds = Tables.lineitem(spark, sf)

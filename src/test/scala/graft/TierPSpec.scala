@@ -96,6 +96,14 @@ class TierPSpec extends AnyFunSuite {
     assert(create == "CREATE TABLE test_t_re (author varchar, n bigint, ok boolean)")
   }
 
+  test("PG load sequence ends with GRANT SELECT TO PUBLIC (PostgresDatabase.py:95)") {
+    val stmts = Ddl.postgresLoadSequence("sch.test_t", schema)
+    assert(stmts.size == 3)
+    assert(stmts.head.startsWith("DROP TABLE IF EXISTS sch.test_t"))
+    assert(stmts(1).startsWith("CREATE TABLE sch.test_t"))
+    assert(stmts.last == "GRANT SELECT ON TABLE sch.test_t TO PUBLIC")
+  }
+
   test("CH DDL: IF NOT EXISTS, MergeTree, ORDER BY tuple()") {
     val ddl = Ddl.clickHouseCreate("test_schema.t", schema)
     assert(ddl == "CREATE TABLE IF NOT EXISTS test_schema.t " +
