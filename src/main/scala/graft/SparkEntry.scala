@@ -19,6 +19,11 @@ object SparkEntry {
     // Tier-P parity pipelines
     "p01_ingest_rename" -> (Pipelines.p01IngestRename _),
     "p02_transfer_cast" -> (Pipelines.p02TransferCast _),
+    // training-data pipeline primitives
+    "p03_hash_sample" -> (PipelineOps.p03HashSample _),
+    "p04_stratified_sample" -> (PipelineOps.p04StratifiedSample _),
+    "p05_train_split" -> (PipelineOps.p05TrainSplit _),
+    "p06_sequence_packing" -> ((s, d) => PipelineOps.p06SequencePacking(s, d)),
     // aggregations
     "q01_agg_pricing_summary" -> (Relational.q01PricingSummary _),
     "q12_distinct_agg" -> (Aggs.q12DistinctAgg _),
@@ -84,6 +89,9 @@ object SparkEntry {
     "t02_quality_score" -> (TextOps.t02QualityScore _),
     "t03_lang_id" -> (TextOps.t03LangId _),
     "t04_fingerprint" -> (TextOps.t04Fingerprint _),
+    "t07_redaction" -> (TextOps.t07Redaction _),
+    "t08_bigrams" -> (TextOps.t08Bigrams _),
+    "t09_tfidf" -> (TextOps.t09Tfidf _),
     // dedup
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (Dedup.d02MinhashLsh _),
@@ -91,6 +99,7 @@ object SparkEntry {
     "d04_ngram_jaccard" -> ((s, d) => Dedup.d04NgramJaccard(s, d)),
     "d05_embedding_near_dup" -> ((s, d) => Dedup.d05EmbeddingNearDup(s, d)),
     "d06_dedup_clusters" -> (Dedup.d06DedupClusters _),
+    "d07_incremental_dedup" -> (Dedup.d07IncrementalDedup _),
     // similarity search
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_knn_lsh" -> (Similarity.s02KnnLsh _),
@@ -108,6 +117,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "p01_ingest_rename" -> Pipelines.p01Sql,
     "p02_transfer_cast" -> Pipelines.p02Sql,
+    "p03_hash_sample" -> PipelineOps.p03Sql,
+    "p04_stratified_sample" -> PipelineOps.p04Sql,
+    "p05_train_split" -> PipelineOps.p05Sql,
+    "p06_sequence_packing" -> PipelineOps.p06Sql,
     "q01_agg_pricing_summary" -> Relational.q01Sql,
     "q12_distinct_agg" -> Aggs.q12Sql,
     "q13_distinct" -> Aggs.q13Sql,
@@ -166,12 +179,16 @@ object SparkEntry {
     "t02_quality_score" -> TextOps.t02Sql,
     "t03_lang_id" -> TextOps.t03Sql,
     "t04_fingerprint" -> TextOps.t04Sql,
+    "t07_redaction" -> TextOps.t07Sql,
+    "t08_bigrams" -> TextOps.t08Sql,
+    "t09_tfidf" -> TextOps.t09Sql,
     "d01_exact_dedup" -> Dedup.d01Sql,
     "d02_minhash_lsh" -> Dedup.d02Sql,
     "d03_simhash" -> Dedup.d03Sql,
     "d04_ngram_jaccard" -> Dedup.d04Sql,
     "d05_embedding_near_dup" -> Dedup.d05Sql,
     "d06_dedup_clusters" -> Dedup.d06Sql,
+    "d07_incremental_dedup" -> Dedup.d07Sql,
     "s01_knn_brute" -> Similarity.s01Sql,
     "s02_knn_lsh" -> Similarity.s02Sql,
     "s03_knn_ivf" -> Similarity.s03Sql,

@@ -47,6 +47,37 @@ object Dedup {
       |FROM crawls GROUP BY md5(text)
       |ORDER BY content_hash ASC NULLS LAST""".stripMargin
 
+  /** d07: incremental (cross-run) dedup — the daily-crawl primitive:
+    * a new batch lands, and only content NOT already in the corpus
+    * survives. Batch = simulated re-crawl (every 3rd doc, new ids,
+    * identical text → must be dropped) ∪ genuinely revised docs
+    * (every 10th ≡ 7, text changed → must survive). One anti-join on
+    * the content hash: shuffles hashes, not documents — at 100 TB the
+    * corpus side is a pre-computed hash index you keep partitioned by
+    * hash, so each incremental run shuffles only the new batch.
+    */
+  def d07IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpusHashes = docs.select(md5(col("text")).as("h")).distinct()
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" revised v2")).as("text")))
+    batch.join(corpusHashes, md5(batch("text")) === corpusHashes("h"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val d07Sql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' revised v2' FROM documents WHERE doc_id % 10 = 7)
+      |SELECT doc_id, md5(text) AS content_hash FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   /** MinHash signatures + LSH banding: word-3-gram shingles → 16
     * portable minhashes → 4 bands of 4 → band-bucket self-join →
     * signature-agreement estimate per candidate pair.

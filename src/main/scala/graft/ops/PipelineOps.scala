@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Training-data pipeline primitives (north-star extension): the
+  * operations a 100 TB corpus build needs between raw ingest and
+  * tokenized shards — reproducible sampling, train/val/test splits,
+  * and context-window sequence packing.
+  *
+  * Every sampler here is HASH-based, not rand()-based: membership is a
+  * pure function of the row key, so the sample is identical across
+  * engines, re-runs, partitionings, and retries — the property that
+  * makes a 100 TB sample reproducible and lets the DuckDB oracle
+  * replay it exactly. `TABLESAMPLE`/`df.sample` trade that away for
+  * speed (per-partition RNG), which is the wrong trade for corpus
+  * builds.
+  */
+object PipelineOps {
+
+  /** p03: deterministic 10 % uniform sample of orders — portable
+    * md5-derived bucket in [0, 100). One narrow filter, no shuffle;
+    * the filter pushes to the scan boundary (post-scan, pre-project).
+    */
+  def p03HashSample(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.orders(spark, sfDir)
+      .filter(PortableHash.tokenHash32(col("o_orderkey").cast("string")) % 100 < 10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
+  }
+
+  val p03Sql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |WHERE ${PortableHash.tokenHash32Sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 10
+       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+
+  /** p04: stratified sampling — per-stratum rates (the corpus-balance
+    * knob: upsample rare languages / downsample boilerplate). Same
+    * hash-bucket membership, rate chosen per segment; output is the
+    * per-stratum (total, sampled) audit an operator actually checks.
+    */
+  def p04StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val rate = when(col("c_mktsegment") === "AUTOMOBILE", 50)
+      .when(col("c_mktsegment") === "BUILDING", 20)
+      .otherwise(10)
+    Tables.customer(spark, sfDir)
+      .withColumn("in_sample",
+        PortableHash.tokenHash32(col("c_custkey").cast("string")) % 100 < rate)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("in_sample"), 1)).as("n_sampled"))
+      .orderBy(col("c_mktsegment").asc_nulls_last)
+  }
+
+  val p04Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(c_custkey AS VARCHAR)")
+    s"""SELECT c_mktsegment, count(*) AS n_total,
+       |  count(CASE WHEN $h % 100 <
+       |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 50
+       |         WHEN c_mktsegment = 'BUILDING' THEN 20
+       |         ELSE 10 END THEN 1 END) AS n_sampled
+       |FROM customer GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin
+  }
+
+  /** p05: train/val/test split (80/10/10) over documents — hash-bucket
+    * assignment so a document's split never changes as the corpus
+    * grows (contamination control). Output is the per-(lang, split)
+    * census.
+    */
+  def p05TrainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bucket = PortableHash.tokenHash32(col("doc_id").cast("string")) % 100
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang").asc_nulls_last, col("split").asc_nulls_last)
+  }
+
+  val p05Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT lang,
+       |  CASE WHEN $h % 100 < 80 THEN 'train'
+       |       WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM documents GROUP BY 1, 2
+       |ORDER BY lang ASC NULLS LAST, split ASC NULLS LAST""".stripMargin
+  }
+
+  /** p06: sequence packing — assign documents (in stable doc_id order,
+    * per lang) to fixed token-budget bins by their running START
+    * offset: bin = floor((cumsum − n) / budget). This is the
+    * distributed form of context-window packing: one window pass per
+    * lang partition, no driver loop; a doc whose start falls in a bin
+    * belongs to it (documents are never split). Output is the per-bin
+    * manifest a shard writer consumes.
+    */
+  def p06SequencePacking(spark: SparkSession, sfDir: String,
+      budget: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"off div $budget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang").asc_nulls_last, col("bin").asc_nulls_last)
+  }
+
+  val p06Sql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC NULLS LAST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS off
+      |  FROM t)
+      |SELECT lang, off // 4096 AS bin, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2
+      |ORDER BY lang ASC NULLS LAST, bin ASC NULLS LAST""".stripMargin
+}

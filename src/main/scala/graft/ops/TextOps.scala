@@ -213,4 +213,124 @@ object TextOps {
        |    (acc, x) -> (acc * ${PortableHash.B} + x) % ${PortableHash.P}) AS fingerprint,
        |  len(string_split(text, ' ')) AS n_tokens
        |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** t07: PII redaction — regex scrub of emails/phone numbers, the
+    * pre-training hygiene pass. The fixture text carries no PII, so
+    * deterministic synthetic contact strings (derived from doc_id) are
+    * APPENDED first, then redacted — which also pins both engines'
+    * regex semantics against each other. Per-row, no shuffle.
+    */
+  private val EmailRe = "[a-z0-9]+@[a-z.]+"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  def t07Redaction(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("text2", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text2"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val t07Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example or +1-555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text2, '[a-z0-9]+@[a-z.]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(text2, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g'),
+      |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM t ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** t08: corpus bigram statistics — top 15 bigrams per language. The
+    * bigram list is built per row with zip_with over two shifted
+    * slices (no self-join), then one count shuffle on (lang, bigram)
+    * with map-side partial aggregation; the per-lang top-k is a
+    * ranking window with a total tiebreak, so the cut is
+    * deterministic.
+    */
+  def t08Bigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = tokens
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc_nulls_last, col("bigram").asc_nulls_last)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(zip_with(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 15)
+      .select(col("lang"), col("rnk"), col("bigram"), col("n"))
+      .orderBy(col("lang").asc_nulls_last, col("rnk").asc_nulls_last)
+  }
+
+  val t08Sql: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      |  FROM t),
+      |cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, bigram, n,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY n DESC NULLS LAST, bigram ASC NULLS LAST) AS INT) AS rnk
+      |  FROM cnt)
+      |SELECT lang, rnk, bigram, n FROM r WHERE rnk <= 15
+      |ORDER BY lang ASC NULLS LAST, rnk ASC NULLS LAST""".stripMargin
+
+  /** t09: TF-IDF-style term weighting (rational idf = N/df — no
+    * transcendental log, so the score is bit-exact across engines):
+    * top 3 terms for the first 100 docs. Two count shuffles (per-doc
+    * tf, corpus df) + one broadcast of the single-row corpus size —
+    * the classic two-phase term-weighting plan; df comes from the
+    * FULL corpus while the output is restricted per query.
+    */
+  def t09Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc_nulls_last, col("tok").asc_nulls_last)
+    tf.filter(col("doc_id") < 100)
+      .join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs").cast("double")
+        / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id").asc_nulls_last, col("rnk").asc_nulls_last)
+  }
+
+  val t09Sql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+      |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+      |  WHERE tf.doc_id < 100),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC NULLS LAST, tok ASC NULLS LAST) AS INT) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, tok, tf, df, score FROM r WHERE rnk <= 3
+      |ORDER BY doc_id ASC NULLS LAST, rnk ASC NULLS LAST""".stripMargin
 }
