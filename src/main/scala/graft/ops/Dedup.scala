@@ -304,6 +304,12 @@ object Dedup {
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
         col("lang"), col("jaccard"))
+      // materialize the (scalar-only) pair list before the global
+      // sort: range partitioning SAMPLES its input to pick boundaries,
+      // which would execute the whole pair kernel twice (measured 2x
+      // wall at sf0.1); the checkpoint is lazy and holds only the
+      // 4-column output, never the token arrays
+      .localCheckpoint(false)
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
@@ -351,6 +357,9 @@ object Dedup {
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
         col("label"), col("cosine"))
+      // see d04: don't let the sort's range sampling re-run the dot-
+      // product join; checkpoint the scalar pair output first
+      .localCheckpoint(false)
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 

@@ -144,6 +144,10 @@ object TextOps {
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= 8)
       .select(col("id1"), col("id2"), col("p_brand"), col("dist"))
+      // single-stage broadcast pair join: checkpoint the scalar pair
+      // output so the sort's range sampling doesn't re-run the O(len²)
+      // distance kernel (same rationale as d04/d05)
+      .localCheckpoint(false)
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
