@@ -104,6 +104,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(d05Split == d05Whole)
   }
 
+  test("AQE detects and splits a skewed join partition (skew=true in final plan)") {
+    // 99% of fact rows collapse onto one join key; thresholds are
+    // lowered so fixture-scale data crosses the skew bar (the same
+    // mechanism fires untuned at production sizes). Broadcast is
+    // disabled to force the shuffled join AQE governs.
+    val sf01 = "/root/testdata/sf0.01"
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize"),
+      "spark.sql.files.maxPartitionBytes" ->
+        spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    try {
+      import spark.implicits._
+      // a skewed reduce partition is split by regrouping MAP-output
+      // ranges — the single-file fixture scans as ONE map task (one
+      // row group), leaving nothing to regroup, so give the join
+      // shuffle a multi-task map stage via an upstream round-robin
+      // repartition (at real scale the scan has thousands of mappers
+      // and this is unnecessary)
+      val fact = Tables.lineitem(spark, sf01).repartition(8)
+        .withColumn("k", when(col("l_orderkey") % 100 < 99, 0L)
+          .otherwise(col("l_orderkey")))
+      // dim keys unique BY CONSTRUCTION (no dropDuplicates: an
+      // aggregate between join and shuffle breaks the
+      // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) pattern
+      // OptimizeSkewedJoin rewrites)
+      val dim = Tables.orders(spark, sf01)
+        .filter(col("o_orderkey") % 100 >= 99)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+        .unionByName(Seq((0L, "HOT")).toDF("k", "o_orderpriority"))
+      val joined = fact.join(dim, "k")
+      // drive THIS QueryExecution's AdaptiveSparkPlanExec to its final
+      // plan (count/write/foreach all spawn their own executions, whose
+      // column pruning would also shrink the shuffle below the skew
+      // threshold)
+      val qe = joined.queryExecution
+      qe.executedPlan.execute().count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to fire:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   private def dropTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     // a previous JVM's managed-table directory survives the catalog;
