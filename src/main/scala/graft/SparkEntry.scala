@@ -37,6 +37,7 @@ object SparkEntry {
     "q20_topk" -> (Aggs.q20TopK _),
     "q37_stats_moments" -> (Stats.q37StatsMoments _),
     "q38_percentiles" -> (Stats.q38Percentiles _),
+    "q50_outliers" -> (Stats.q50Outliers _),
     "q39_salted_agg" -> (Scale.q39SaltedAgg _),
     "q40_salted_join" -> (Scale.q40SaltedJoin _),
     // joins
@@ -83,6 +84,7 @@ object SparkEntry {
     "e04_funnel" -> (EventOps.e04Funnel _),
     "e05_retention" -> (EventOps.e05Retention _),
     "e06_session_window" -> (EventOps.e06SessionWindow _),
+    "e07_event_paths" -> (EventOps.e07EventPaths _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     // text analysis
     "t01_token_stats" -> (TextOps.t01TokenStats _),
@@ -108,7 +110,8 @@ object SparkEntry {
     "t06_edit_distance" -> (TextOps.t06EditDistance _),
     // multimodal
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
-    "m02_media_decode" -> (Multimodal.m02DecodeStub _)
+    "m02_media_decode" -> (Multimodal.m02DecodeStub _),
+    "m04_payload_chunks" -> ((s, d) => Multimodal.m04PayloadChunks(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +136,7 @@ object SparkEntry {
     "q20_topk" -> Aggs.q20Sql,
     "q37_stats_moments" -> Stats.q37Sql,
     "q38_percentiles" -> Stats.q38Sql,
+    "q50_outliers" -> Stats.q50Sql,
     "q39_salted_agg" -> Scale.q39Sql,
     "q40_salted_join" -> Scale.q40Sql,
     "q04_join_broadcast" -> Joins.q04Sql,
@@ -174,6 +178,7 @@ object SparkEntry {
     "e04_funnel" -> EventOps.e04Sql,
     "e05_retention" -> EventOps.e05Sql,
     "e06_session_window" -> EventOps.e06Sql,
+    "e07_event_paths" -> EventOps.e07Sql,
     "m03_frame_sample" -> Multimodal.m03Sql,
     "t01_token_stats" -> TextOps.t01Sql,
     "t02_quality_score" -> TextOps.t02Sql,
@@ -194,7 +199,8 @@ object SparkEntry {
     "s03_knn_ivf" -> Similarity.s03Sql,
     "t05_subword_tokens" -> TextOps.t05Sql,
     "t06_edit_distance" -> TextOps.t06Sql,
-    "m01_media_features" -> Multimodal.m01Sql
+    "m01_media_features" -> Multimodal.m01Sql,
+    "m04_payload_chunks" -> Multimodal.m04Sql
     // m02_media_decode: imperative mapPartitions decode stub — no SQL
     // oracle (rows-only check + MultimodalSpec)
   )

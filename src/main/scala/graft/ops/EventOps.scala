@@ -194,4 +194,35 @@ object EventOps {
       |  CAST(coalesce(t_view IS NOT NULL AND t_click > t_view, false) AS INT) AS reached_click,
       |  CAST(coalesce(t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click, false) AS INT) AS reached_purchase
       |FROM stages ORDER BY user_id ASC NULLS LAST""".stripMargin
+
+  /** e07: event-path analysis — each user's first-5 event-type journey
+    * as a '>'-joined path, then the corpus-wide path frequency table
+    * (the clickstream "what do users do first" query). One shuffle on
+    * user_id (collect + sort the tiny per-user struct list — bounded
+    * by the slice, not the history), one count shuffle on path.
+    * Determinism: struct sort on (ts, event_id) is a total order.
+    */
+  def e07EventPaths(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))), 1, 5),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc_nulls_last, col("path").asc_nulls_last)
+
+  val e07Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p GROUP BY path
+      |ORDER BY n_users DESC NULLS LAST, path ASC NULLS LAST""".stripMargin
 }

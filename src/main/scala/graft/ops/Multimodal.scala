@@ -84,6 +84,38 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id ASC NULLS LAST, byte_offset ASC NULLS LAST""".stripMargin
 
+  /** m04: payload chunking — shard a binary blob into fixed-size
+    * chunks (the upload/storage unit for large media): a per-row
+    * generator over computed chunk offsets, real binary `substring`
+    * slicing, no UDF. The fixture payload is UTF-8 of ASCII text, so
+    * the oracle can verify chunk CONTENT via substr on the text —
+    * byte arithmetic equals character arithmetic there.
+    */
+  def m04PayloadChunks(spark: SparkSession, sfDir: String,
+      chunk: Int = 256): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), expr(s"(n_bytes + ${chunk - 1}) div $chunk - 1"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        octet_length(expr(s"substring(payload, chunk_idx * $chunk + 1, $chunk)"))
+          .as("chunk_size"),
+        decode(expr(s"substring(payload, chunk_idx * $chunk + 1, $chunk)"), "UTF-8")
+          .as("chunk_text"))
+      .orderBy(col("doc_id").asc_nulls_last, col("chunk_idx").asc_nulls_last)
+
+  val m04Sql: String =
+    """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |c AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(range(0, (n + 255) // 256)) AS chunk_idx
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(least(256, n - chunk_idx * 256) AS INT) AS chunk_size,
+      |  substr(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk_text
+      |FROM c
+      |ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""".stripMargin
+
   /** Decoded "media" features, one row per payload. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int,

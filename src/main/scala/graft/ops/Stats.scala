@@ -101,4 +101,49 @@ object Stats {
       |  quantile_cont(l_extendedprice, 0.75) AS p75_price
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+
+  /** q50: z-score outlier detection — the classic two-pass plan: a
+    * per-group stats aggregate (exact power sums → mean/std, bit-
+    * identical across engines), broadcast back onto the fact rows, and
+    * a flag count. At scale the stats side is group-cardinality-sized,
+    * so the second pass is a broadcast join — one fact shuffle total
+    * (for the final per-group count). The |x−μ| > 2σ comparison is on
+    * bit-identical doubles, so the boundary is portable.
+    */
+  def q50Outliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sx"),
+        dsum2(col("l_quantity"), col("l_quantity")).as("sxx"),
+        count(lit(1)).cast("double").as("nd"))
+      .select(col("l_returnflag"),
+        (col("sx") / col("nd")).as("mean_q"),
+        sqrt(col("sxx") / col("nd") -
+          (col("sx") / col("nd")) * (col("sx") / col("nd"))).as("std_q"))
+    li.join(broadcast(stats), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("l_quantity") - col("mean_q")) > lit(2.0) * col("std_q"), 1))
+          .as("n_outliers"),
+        max(col("mean_q")).as("mean_q"),
+        max(col("std_q")).as("std_q"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  val q50Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+      |    CAST(count(*) AS DOUBLE) AS nd
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, sx / nd AS mean_q,
+      |    sqrt(sxx / nd - (sx / nd) * (sx / nd)) AS std_q
+      |  FROM s)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  count(CASE WHEN abs(l.l_quantity - m.mean_q) > 2.0 * m.std_q THEN 1 END) AS n_outliers,
+      |  max(m.mean_q) AS mean_q, max(m.std_q) AS std_q
+      |FROM lineitem l JOIN m USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag ASC NULLS LAST""".stripMargin
 }
