@@ -55,6 +55,9 @@ object Aggs {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      // checkpoint before the presentation sort: the HLL sketch merge
+      // is the heavy final stage and range sampling would run it twice
+      .localCheckpoint(false)
       .orderBy(col("l_returnflag").asc_nulls_last)
 
   /** Rollup: hierarchical subtotals + grand total, disambiguated by

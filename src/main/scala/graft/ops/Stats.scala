@@ -92,6 +92,11 @@ object Stats {
         expr("percentile(l_quantity, 0.5)").as("median_qty"),
         expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
         expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+      // the final percentile merge (per-partition value maps) is the
+      // expensive stage; checkpoint the 3-row result so the sort's
+      // range sampling doesn't run that merge twice (measured 2.4s →
+      // 0.7s at sf0.1)
+      .localCheckpoint(false)
       .orderBy(col("l_returnflag").asc_nulls_last)
 
   val q38Sql: String =
