@@ -24,6 +24,7 @@ object SparkEntry {
     "p04_stratified_sample" -> (PipelineOps.p04StratifiedSample _),
     "p05_train_split" -> (PipelineOps.p05TrainSplit _),
     "p06_sequence_packing" -> ((s, d) => PipelineOps.p06SequencePacking(s, d)),
+    "p07_corpus_build" -> (PipelineOps.p07CorpusBuild _),
     // aggregations
     "q01_agg_pricing_summary" -> (Relational.q01PricingSummary _),
     "q12_distinct_agg" -> (Aggs.q12DistinctAgg _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q47_sql_subqueries" -> (Aggs.q47SqlSubqueries _),
     "q48_collect_sorted" -> (Aggs.q48CollectSorted _),
     "q49_string_agg" -> (Aggs.q49StringAgg _),
+    "q51_lateral_topn" -> (Aggs.q51LateralTopN _),
     // event-time analytics
     "e01_tumbling_window" -> (EventOps.e01Tumbling _),
     "e02_sliding_window" -> (EventOps.e02Sliding _),
@@ -124,6 +126,7 @@ object SparkEntry {
     "p04_stratified_sample" -> PipelineOps.p04Sql,
     "p05_train_split" -> PipelineOps.p05Sql,
     "p06_sequence_packing" -> PipelineOps.p06Sql,
+    "p07_corpus_build" -> PipelineOps.p07Sql,
     "q01_agg_pricing_summary" -> Relational.q01Sql,
     "q12_distinct_agg" -> Aggs.q12Sql,
     "q13_distinct" -> Aggs.q13Sql,
@@ -172,6 +175,7 @@ object SparkEntry {
     "q47_sql_subqueries" -> Aggs.q47Sql,
     "q48_collect_sorted" -> Aggs.q48Sql,
     "q49_string_agg" -> Aggs.q49Sql,
+    "q51_lateral_topn" -> Aggs.q51Sql,
     "e01_tumbling_window" -> EventOps.e01Sql,
     "e02_sliding_window" -> EventOps.e02Sql,
     "e03_sessionization" -> EventOps.e03Sql,

@@ -233,6 +233,33 @@ object Aggs {
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey ASC NULLS LAST""".stripMargin
 
+  /** q51: correlated LATERAL subquery — per-customer top-2 orders by
+    * price. Catalyst decorrelates the LIMIT-inside-LATERAL into a
+    * ranked window join (no per-row re-execution), which is exactly
+    * the plan you'd hand-write; the point is the SQL surface.
+    */
+  def q51LateralTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer_lt")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_lt")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_customer_lt c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders_lt
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |ORDER BY c.c_custkey ASC NULLS LAST, o.o_totalprice DESC NULLS LAST,
+        |  o.o_orderkey ASC NULLS LAST""".stripMargin)
+  }
+
+  val q51Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+      |ORDER BY c.c_custkey ASC NULLS LAST, o.o_totalprice DESC NULLS LAST,
+      |  o.o_orderkey ASC NULLS LAST""".stripMargin
+
   /** Top-k: global order-by + limit, planned as TakeOrderedAndProject
     * (per-partition top-k then a k-row merge — no global sort at scale).
     * Ties broken by key so k is deterministic.

@@ -118,6 +118,56 @@ object PipelineOps {
       .orderBy(col("lang").asc_nulls_last, col("bin").asc_nulls_last)
   }
 
+  /** p07: the end-to-end corpus build — the composition the individual
+    * primitives exist for: double-crawl union → exact dedup (keep the
+    * lexicographically first copy per content hash) → quality gate
+    * (minimum token count) → hash-bucket split assignment → per-
+    * (lang, split) census. Three shuffles total (dedup hash, census
+    * group, presentation sort); every stage is the scale-shape used by
+    * its standalone operator (d01, t01, p05).
+    */
+  def p07CorpusBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val crawls = docs.withColumn("crawl", lit("a"))
+      .unionByName(docs.withColumn("crawl", lit("b")))
+    val wDedup = Window.partitionBy(md5(col("text")))
+      .orderBy(col("crawl").asc_nulls_last, col("doc_id").asc_nulls_last)
+    val kept = crawls
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .filter(col("n_tok") >= 30)
+    val bucket = PortableHash.tokenHash32(col("doc_id").cast("string")) % 100
+    kept
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("lang").asc_nulls_last, col("split").asc_nulls_last)
+  }
+
+  val p07Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH crawls AS (
+       |  SELECT 'a' AS crawl, doc_id, text, lang FROM documents
+       |  UNION ALL SELECT 'b', doc_id, text, lang FROM documents),
+       |d AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |    ORDER BY crawl ASC NULLS LAST, doc_id ASC NULLS LAST) AS rn
+       |  FROM crawls),
+       |k AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+       |  FROM d WHERE rn = 1),
+       |q AS (SELECT * FROM k WHERE n_tok >= 30)
+       |SELECT lang,
+       |  CASE WHEN $h % 100 < 80 THEN 'train'
+       |       WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |FROM q GROUP BY 1, 2
+       |ORDER BY lang ASC NULLS LAST, split ASC NULLS LAST""".stripMargin
+  }
+
   val p06Sql: String =
     """WITH t AS (
       |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
