@@ -117,6 +117,66 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+
+  /** Stream-stream interval join: views joined to the same user's
+    * clicks within the following 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so each side's buffered state is droppable once the
+    * other side's watermark passes — the only join shape that runs
+    * forever on unbounded streams. The shuffle key is user_id; the
+    * time band is evaluated within the partition.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = eventStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    views.join(clicks, expr(
+      "v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 30 minutes"))
+      .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"),
+        col("v_event"), col("c_event"))
+  }
+
+  /** Batch twin of [[streamStreamJoin]] over the same fixture. */
+  def viewClickJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.ops.Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    views.join(clicks, expr(
+      "v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 30 minutes"))
+      .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"),
+        col("v_event"), col("c_event"))
+  }
+
+  /** Drive the stream-stream join over the finite fixture. */
+  def runStreamStreamJoinToCompletion(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_stream_ssjoin"): DataFrame = {
+    val q = streamStreamJoin(spark, sfDir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the stream to completion against the (finite) fixture and
     * return the materialized result from the in-memory sink.
     */

@@ -85,6 +85,28 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch join") {
+    // normalize both sides to epoch micros: the batch side reads
+    // TIMESTAMP_NTZ (LocalDateTime rows), the stream side TIMESTAMP
+    def micros(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id"), unix_micros(col("v_ts").cast("timestamp")),
+      unix_micros(col("c_ts").cast("timestamp")),
+      col("v_event"), col("c_event"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamed = micros(graft.streaming.StreamingOps
+      .runStreamStreamJoinToCompletion(spark, sf))
+    val batch = micros(graft.streaming.StreamingOps.viewClickJoinBatch(spark, sf))
+    assert(streamed.nonEmpty, "stream-stream join emitted nothing")
+    // inner interval join with both watermarks: everything emitted must
+    // be a true batch pair, and with the finite fixture fully replayed
+    // the stream should emit the complete batch result
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+  }
+
   test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
     import spark.implicits._
     val ds = Tables.lineitem(spark, sf)
