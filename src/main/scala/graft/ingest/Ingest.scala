@@ -53,12 +53,20 @@ object Ingest {
   def renameRaw(df: DataFrame, mapping: Map[String, String]): DataFrame =
     df.toDF(df.columns.map(c => mapping.getOrElse(c, c)).toIndexedSeq: _*)
 
-  /** CSV reader with inferred schema — the offline stand-in for the
-    * reference's Excel ingest (SURVEY.md §7.5: no Spark Excel reader,
-    * zero-egress env; documented gap).
+  /** CSV reader with inferred schema — the original offline stand-in
+    * for the reference's Excel ingest; [[readExcel]] now covers the
+    * real format too.
     */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Excel ingest (O1 parity, `pd.read_excel` at
+    * PostgresDatabase.py:130) via the dependency-free [[Xlsx]] reader:
+    * header row + inferred column types, same contract the reference
+    * gets from pandas/openpyxl.
+    */
+  def readExcel(spark: SparkSession, path: String): DataFrame =
+    Xlsx.readXlsx(spark, path)
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
