@@ -104,6 +104,7 @@ object SparkEntry {
     "d05_embedding_near_dup" -> ((s, d) => Dedup.d05EmbeddingNearDup(s, d)),
     "d06_dedup_clusters" -> (Dedup.d06DedupClusters _),
     "d07_incremental_dedup" -> (Dedup.d07IncrementalDedup _),
+    "d08_boilerplate" -> (Dedup.d08Boilerplate _),
     // similarity search
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_knn_lsh" -> (Similarity.s02KnnLsh _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "d05_embedding_near_dup" -> Dedup.d05Sql,
     "d06_dedup_clusters" -> Dedup.d06Sql,
     "d07_incremental_dedup" -> Dedup.d07Sql,
+    "d08_boilerplate" -> Dedup.d08Sql,
     "s01_knn_brute" -> Similarity.s01Sql,
     "s02_knn_lsh" -> Similarity.s02Sql,
     "s03_knn_ivf" -> Similarity.s03Sql,

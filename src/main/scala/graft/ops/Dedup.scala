@@ -78,6 +78,42 @@ object Dedup {
       |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** d08: cross-document repeated-span (boilerplate) detection — the
+    * sub-document complement of whole-doc dedup: 5-token shingles that
+    * appear in ≥ 3 DISTINCT documents are boilerplate candidates
+    * (headers, disclaimers, templated sentences) a training-data
+    * pipeline strips before tokenization. One explode + one count
+    * shuffle with map-side partial aggregation; document frequency is
+    * distinct-doc, occurrence count is raw. At 100 TB you'd shuffle
+    * md5 shingle HASHES and join strings back for the survivors; raw
+    * strings are kept here for oracle readability.
+    */
+  def d08Boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", toks)
+      .select(col("doc_id"), explode(expr(
+        // slice(tk,1,0) = typed empty array; bare array() is array<null>
+        "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4), " +
+          "i -> array_join(slice(tk, i, 5), ' ')) ELSE slice(tk, 1, 0) END"))
+        .as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_occ"))
+      .filter(col("df") >= 3)
+      .orderBy(col("df").desc_nulls_last, col("shingle").asc_nulls_last)
+
+  val d08Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(tk) >= 5
+      |      THEN list_transform(range(1, len(tk) - 3),
+      |        i -> list_aggregate(tk[i:i+4], 'string_agg', ' '))
+      |      ELSE [] END) AS shingle
+      |  FROM t)
+      |SELECT shingle, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+      |FROM s GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3
+      |ORDER BY df DESC NULLS LAST, shingle ASC NULLS LAST""".stripMargin
+
   /** MinHash signatures + LSH banding: word-3-gram shingles → 16
     * portable minhashes → 4 bands of 4 → band-bucket self-join →
     * signature-agreement estimate per candidate pair.
