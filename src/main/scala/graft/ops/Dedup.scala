@@ -114,6 +114,61 @@ object Dedup {
       |FROM s GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3
       |ORDER BY df DESC NULLS LAST, shingle ASC NULLS LAST""".stripMargin
 
+  /** d09: train/test contamination — the eval-hygiene pass: training
+    * documents sharing ≥ 2 distinct 5-token shingles with any test-
+    * split document leak evaluation data and must be dropped. Composes
+    * the p05 hash-bucket split with d08's shingling: distinct
+    * (doc, shingle) pairs per side, an equi-join on the shingle (the
+    * shuffle key — never a doc×doc comparison), and a per-train-doc
+    * distinct count. At 100 TB the test side is small and broadcastable.
+    */
+  def d09Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bucket = graft.functions.PortableHash
+      .tokenHash32(col("doc_id").cast("string")) % 100
+    val shingled = Tables.documents(spark, sfDir)
+      .withColumn("tk", toks)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), explode(expr(
+        "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4), " +
+          "i -> array_join(slice(tk, i, 5), ' ')) ELSE slice(tk, 1, 0) END"))
+        .as("shingle"))
+      .distinct()
+    val train = shingled.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val test = shingled.filter(col("split") === "test")
+      .select(col("shingle")).distinct()
+    train.join(test, "shingle")
+      .groupBy(col("train_doc"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("train_doc").asc_nulls_last)
+  }
+
+  val d09Sql: String = {
+    val h = graft.functions.PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+       |    string_split(text, ' ') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    unnest(CASE WHEN len(tk) >= 5
+       |      THEN list_transform(range(1, len(tk) - 3),
+       |        i -> list_aggregate(tk[i:i+4], 'string_agg', ' '))
+       |      ELSE [] END) AS shingle
+       |  FROM t),
+       |test_sh AS (SELECT DISTINCT shingle FROM s WHERE split = 'test')
+       |SELECT s.doc_id AS train_doc, count(DISTINCT s.shingle) AS n_shared
+       |FROM s JOIN test_sh USING (shingle)
+       |WHERE s.split = 'train'
+       |GROUP BY s.doc_id HAVING count(DISTINCT s.shingle) >= 2
+       |ORDER BY train_doc ASC NULLS LAST""".stripMargin
+  }
+
   /** MinHash signatures + LSH banding: word-3-gram shingles → 16
     * portable minhashes → 4 bands of 4 → band-bucket self-join →
     * signature-agreement estimate per candidate pair.
