@@ -66,7 +66,10 @@ object Xlsx {
       val cells = rows.item(i).asInstanceOf[Element].getElementsByTagName("c")
       (0 until cells.getLength).flatMap { j =>
         val c = cells.item(j).asInstanceOf[Element]
-        val idx = colIndex(c.getAttribute("r"))
+        // the r attribute is optional in OOXML; writers that omit it
+        // imply sequential placement
+        val ref = c.getAttribute("r")
+        val idx = if (ref.exists(_.isLetter)) colIndex(ref) else j
         val t = c.getAttribute("t")
         val raw =
           if (t == "inlineStr") {

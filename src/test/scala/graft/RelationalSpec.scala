@@ -32,6 +32,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile (q38's scale path) is within 5% of exact") {
+    // exact per-group percentiles hold per-group value maps; at
+    // extreme cardinality the sketch is the 100 TB form — bound it
+    // against the exact result the oracle gates
+    val both = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val e = r.getDouble(1)
+      val a = r.getDouble(2)
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
   test("q05 star join plan broadcasts the dimension tables") {
     val plan = Joins.q05StarJoin(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
