@@ -95,6 +95,9 @@ object Multimodal {
       chunk: Int = 256): DataFrame =
     mediaTable(spark, sfDir)
       .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      // empty payload = no chunks. Without the guard, sequence(0, -1)
+      // DESCENDS ([0, -1]) and would fabricate two bogus chunks
+      .filter(col("n_bytes") > 0)
       .withColumn("chunk_idx",
         explode(sequence(lit(0), expr(s"(n_bytes + ${chunk - 1}) div $chunk - 1"))))
       .select(col("doc_id"), col("chunk_idx"),

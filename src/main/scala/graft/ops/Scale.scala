@@ -115,6 +115,10 @@ object Scale {
     * Callers must canonicalize the emitted pair with least/greatest:
     * in a cross-salt cell the surviving orientation is salt-ordered,
     * not id-ordered.
+    *
+    * Contract: this is a SELF-join helper — `a` and `b` must be the
+    * same row set under different column names (the block census is
+    * computed from `a` and applied to both sides).
     */
   def gridSelfJoinPairs(
       a: DataFrame, b: DataFrame, blockCols: Seq[String],

@@ -97,7 +97,10 @@ object Similarity {
     * distributed form of the M-step; means are renormalized to unit
     * length so cosine argmax stays consistent. The driver loop is
     * control flow only; `localCheckpoint` cuts lineage per round (the
-    * d06 connected-components pattern).
+    * d06 connected-components pattern). A cell that captures no
+    * vectors in a round drops out (k can shrink on degenerate
+    * inits) — standard Lloyd's behavior; callers needing exactly k
+    * re-seed.
     */
   def kmeansCodebook(spark: SparkSession, sfDir: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
