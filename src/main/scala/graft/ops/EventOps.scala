@@ -195,6 +195,41 @@ object EventOps {
       |  CAST(coalesce(t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click, false) AS INT) AS reached_purchase
       |FROM stages ORDER BY user_id ASC NULLS LAST""".stripMargin
 
+  /** e08: time-series gap filling — the dense-grid completion every
+    * dashboard/training-feature pipeline needs: per event type, every
+    * 6-hour bucket between that type's first and last events exists in
+    * the output, with absent buckets zero-filled. The grid is
+    * GENERATED per key from its (min, max) bounds — a per-group
+    * `sequence` explode, rows ∝ distinct buckets, never a cross join
+    * against a global calendar — then a left join attaches observed
+    * counts.
+    */
+  def e08GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = Tables.events(spark, sfDir)
+      .select(col("event_type"), window(col("ts"), "6 hours")("start").as("ws"))
+    val counts = buckets.groupBy(col("event_type"), col("ws"))
+      .agg(count(lit(1)).as("n"))
+    val grid = buckets.groupBy(col("event_type"))
+      .agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 6 hours"))).as("ws"))
+    grid.join(counts, Seq("event_type", "ws"), "left")
+      .select(col("event_type"), col("ws"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type").asc_nulls_last, col("ws").asc_nulls_last)
+  }
+
+  val e08Sql: String =
+    """WITH b AS (
+      |  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS ws FROM events),
+      |c AS (SELECT event_type, ws, count(*) AS n FROM b GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(ws) AS lo, max(ws) AS hi FROM b GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS ws
+      |  FROM bounds)
+      |SELECT g.event_type, g.ws, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+      |FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.ws = c.ws
+      |ORDER BY g.event_type ASC NULLS LAST, g.ws ASC NULLS LAST""".stripMargin
+
   /** e07: event-path analysis — each user's first-5 event-type journey
     * as a '>'-joined path, then the corpus-wide path frequency table
     * (the clickstream "what do users do first" query). One shuffle on

@@ -100,4 +100,13 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 2)) // every doc seen in both crawls
     assert(out.forall(_.getString(2) == "a")) // crawl 'a' survives
   }
+
+  test("e08 gap fill manufactures the missing buckets (sparse scale)") {
+    // sf0.001 events are sparse enough to leave real holes — the
+    // oracle gate at sf0.01 happens to be dense, so pin the fill
+    // behavior here: 121 zero-filled buckets in a 598-bucket grid
+    val out = EventOps.e08GapFill(spark, sf).collect()
+    assert(out.length == 598)
+    assert(out.count(_.getLong(2) == 0L) == 121)
+  }
 }
