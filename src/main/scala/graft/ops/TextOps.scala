@@ -337,4 +337,39 @@ object TextOps {
       |  FROM scored)
       |SELECT doc_id, rnk, tok, tf, df, score FROM r WHERE rnk <= 3
       |ORDER BY doc_id ASC NULLS LAST, rnk ASC NULLS LAST""".stripMargin
+
+  /** t10: text normalization — the pre-tokenization cleanup pass
+    * (casefold, strip non-alphanumerics, collapse whitespace, trim).
+    * The fixture text is already clean, so — as with t07 — the input
+    * is deterministically DE-normalized first (uppercased prefix,
+    * injected punctuation/space runs derived from doc_id), which pins
+    * both engines' regex + casefold semantics against each other.
+    * Per-row, no shuffle.
+    */
+  def t10Normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("messy", concat(
+        upper(substring(col("text"), 1, 10)),
+        expr("substring(text, 11)"),
+        lit("  ...End #"), col("doc_id").cast("string")))
+      .select(
+        col("doc_id"),
+        length(col("messy")).as("len_before"),
+        trim(regexp_replace(regexp_replace(lower(col("messy")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .withColumn("len_after", length(col("norm")))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val t10Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    upper(substr(text, 1, 10)) || substr(text, 11)
+      |      || '  ...End #' || CAST(doc_id AS VARCHAR) AS messy
+      |  FROM documents)
+      |SELECT doc_id, length(messy) AS len_before,
+      |  trim(regexp_replace(regexp_replace(lower(messy),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+      |  length(trim(regexp_replace(regexp_replace(lower(messy),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS len_after
+      |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
 }
