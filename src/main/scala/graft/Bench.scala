@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query and
@@ -9,9 +10,34 @@ import org.apache.spark.sql.SparkSession
   * fastest rep: single cold runs are dominated by per-query codegen /
   * JIT and by host-noise spikes (observed 4-10× swings on an idle
   * box), so min-of-2 is the stable, comparable-across-rounds number.
+  *
+  * The artifact is self-defending against host contention: it records
+  * EVERY rep time per query (`"reps"`), a fixed-cost CPU calibration
+  * kernel timed at start and end (`"calibration"`), and the run's
+  * total wall seconds next to the sum-of-mins — so a reader can
+  * mechanically discount a contended run (calibration drifts, wall ≫
+  * sum-of-mins, spiky rep arrays) instead of mistaking noise for a
+  * regression.
+  *
   * Dev extra: pass query names as args to restrict the set.
   */
 object Bench {
+
+  /** Fixed-cost, IO-free calibration kernel: hash-fold 20M longs.
+    * Identical work every invocation — any run-to-run delta is the
+    * host, not the engine.
+    */
+  private def calibrate(spark: SparkSession, reps: Int): Seq[Double] =
+    (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 8)
+        .selectExpr("bit_xor(xxhash64(id)) AS s")   // xor-fold: ANSI-safe, can't overflow
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+  private def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,31 +56,39 @@ object Bench {
     // deterministic execution order; a tiny warmup query absorbs
     // one-time session costs (codegen bootstrap, parquet footer cache)
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val calStart = calibrate(spark, 3)
+    val wall0 = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
-      (0 until reps).foreach { _ =>
+      val times = (0 until reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           // noop sink: materializes every output column (a bare count()
           // lets Catalyst prune projection expressions away, so
           // select-only scalar-function queries would measure ~nothing)
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => () }
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case NonFatal(_) => None }
       }
       // any successful rep counts; -1 only when EVERY rep failed
-      name -> (if (best == Double.MaxValue) -1.0 else best)
+      (name, if (times.isEmpty) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val wall = (System.nanoTime() - wall0) / 1e9
+    val calEnd = calibrate(spark, 3)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val cal = s"""{"start":[${calStart.map(fmt).mkString(",")}],"end":[${calEnd.map(fmt).mkString(",")}]}"""
     // failed queries are excluded from the total (and visible as -1 entries)
     val total = results.map(_._2).filter(_ >= 0.0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","wall_sec":${fmt(wall)},"reps_n":$reps,"reps":$repsJson,"calibration":$cal}"""
     // also persist the line so the driver never has to scrape sbt logs
     try {
       val p = java.nio.file.Paths.get("BENCH.json")
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
     println(line)
     spark.stop()
   }
