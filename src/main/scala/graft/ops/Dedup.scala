@@ -78,28 +78,45 @@ object Dedup {
       |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** The 5-token shingle set of a document's token array (shared by
+    * d08/d09). slice(tk,1,0) = typed empty array; bare array() is
+    * array<null>.
+    */
+  private val shingles5 = expr(
+    "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4), " +
+      "i -> array_join(slice(tk, i, 5), ' ')) ELSE slice(tk, 1, 0) END")
+
   /** d08: cross-document repeated-span (boilerplate) detection — the
     * sub-document complement of whole-doc dedup: 5-token shingles that
     * appear in ≥ 3 DISTINCT documents are boilerplate candidates
     * (headers, disclaimers, templated sentences) a training-data
-    * pipeline strips before tokenization. One explode + one count
-    * shuffle with map-side partial aggregation; document frequency is
-    * distinct-doc, occurrence count is raw. At 100 TB you'd shuffle
-    * md5 shingle HASHES and join strings back for the survivors; raw
-    * strings are kept here for oracle readability.
+    * pipeline strips before tokenization.
+    *
+    * Production shuffle shape: the count aggregation shuffles the
+    * 8-byte `xxhash64` of each shingle, never the string — at 100 TB
+    * the shingle universe is far wider than the document set and raw
+    * strings would dominate shuffle bytes. Survivor strings are joined
+    * back afterwards: the ≥3-df survivor set is small, so it
+    * broadcasts against a second (map-side) explode pass and only
+    * survivor strings ever hit a shuffle (the final distinct). A
+    * 64-bit hash merge is the standard corpus-dedup trade: collision
+    * odds are ~n²/2⁶⁵, negligible against crawl noise.
     */
-  def d08Boilerplate(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def d08Boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = Tables.documents(spark, sfDir)
       .withColumn("tk", toks)
-      .select(col("doc_id"), explode(expr(
-        // slice(tk,1,0) = typed empty array; bare array() is array<null>
-        "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4), " +
-          "i -> array_join(slice(tk, i, 5), ' ')) ELSE slice(tk, 1, 0) END"))
-        .as("shingle"))
-      .groupBy(col("shingle"))
+      .select(col("doc_id"), explode(shingles5).as("shingle"))
+    val survivors = exploded
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_occ"))
       .filter(col("df") >= 3)
+    exploded
+      .join(broadcast(survivors), xxhash64(col("shingle")) === col("sh"))
+      .select(col("shingle"), col("df"), col("n_occ"))
+      .distinct()
       .orderBy(col("df").desc_nulls_last, col("shingle").asc_nulls_last)
+  }
 
   val d08Sql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -121,6 +138,11 @@ object Dedup {
     * (doc, shingle) pairs per side, an equi-join on the shingle (the
     * shuffle key — never a doc×doc comparison), and a per-train-doc
     * distinct count. At 100 TB the test side is small and broadcastable.
+    *
+    * Production shuffle shape: the output never needs a shingle
+    * string, so the string is hashed to its 8-byte `xxhash64` at the
+    * explode — the distinct, the join, and the count-distinct all
+    * shuffle longs only (same collision trade as d08).
     */
   def d09Contamination(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -130,18 +152,17 @@ object Dedup {
       .withColumn("tk", toks)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-      .select(col("doc_id"), col("split"), explode(expr(
-        "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4), " +
-          "i -> array_join(slice(tk, i, 5), ' ')) ELSE slice(tk, 1, 0) END"))
-        .as("shingle"))
+      .select(col("doc_id"), col("split"),
+        explode(shingles5).as("shingle"))
+      .select(col("doc_id"), col("split"), xxhash64(col("shingle")).as("sh"))
       .distinct()
     val train = shingled.filter(col("split") === "train")
-      .select(col("doc_id").as("train_doc"), col("shingle"))
+      .select(col("doc_id").as("train_doc"), col("sh"))
     val test = shingled.filter(col("split") === "test")
-      .select(col("shingle")).distinct()
-    train.join(test, "shingle")
+      .select(col("sh")).distinct()
+    train.join(test, "sh")
       .groupBy(col("train_doc"))
-      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .orderBy(col("train_doc").asc_nulls_last)
   }

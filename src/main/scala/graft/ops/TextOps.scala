@@ -257,22 +257,43 @@ object TextOps {
 
   /** t08: corpus bigram statistics — top 15 bigrams per language. The
     * bigram list is built per row with zip_with over two shifted
-    * slices (no self-join), then one count shuffle on (lang, bigram)
-    * with map-side partial aggregation; the per-lang top-k is a
-    * ranking window with a total tiebreak, so the cut is
-    * deterministic.
+    * slices (no self-join), then one count shuffle with map-side
+    * partial aggregation.
+    *
+    * Production shuffle shape: the count aggregation and the
+    * candidate cut run on (lang, xxhash64(bigram)) — 8-byte keys, not
+    * strings. The candidate cut uses `rank()` on the count alone
+    * (ties kept), which is a strict superset of the final
+    * (n, bigram)-ordered top 15: a row whose count-only rank exceeds
+    * 15 has ≥ 15 rows with strictly larger n and can never enter the
+    * final cut. Strings are joined back only for that candidate set
+    * (broadcast against a second map-side explode), and the final
+    * row_number with the string tiebreak runs on survivors only.
     */
   def t08Bigrams(spark: SparkSession, sfDir: String): DataFrame = {
     val tk = tokens
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      .orderBy(col("n").desc_nulls_last, col("bigram").asc_nulls_last)
-    Tables.documents(spark, sfDir)
+    val exploded = Tables.documents(spark, sfDir)
       .select(col("lang"), explode(zip_with(
         slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
         slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
-      .groupBy(col("lang"), col("bigram"))
+    val wByCount = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc_nulls_last)
+    val cands = exploded
+      .select(col("lang"), xxhash64(col("bigram")).as("bh"))
+      .groupBy(col("lang"), col("bh"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("rk", rank().over(wByCount))
+      .filter(col("rk") <= 15)
+      .drop("rk")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc_nulls_last, col("bigram").asc_nulls_last)
+    exploded
+      .join(broadcast(cands),
+        exploded("lang") === cands("lang") &&
+          xxhash64(exploded("bigram")) === cands("bh"))
+      .select(exploded("lang"), col("bigram"), col("n"))
+      .distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 15)
       .select(col("lang"), col("rnk"), col("bigram"), col("n"))
@@ -300,20 +321,38 @@ object TextOps {
     * tf, corpus df) + one broadcast of the single-row corpus size —
     * the classic two-phase term-weighting plan; df comes from the
     * FULL corpus while the output is restricted per query.
+    *
+    * Production shuffle shape: both count shuffles (per-doc tf,
+    * corpus df) key on xxhash64(token) — the vocabulary is wide and
+    * heavy-tailed, so 8-byte keys beat strings on shuffle bytes and
+    * comparator cost. Token strings rejoin only for the per-doc
+    * top-3 candidate set (rank() on score with ties kept — a superset
+    * of the final (score, tok)-ordered cut, same argument as t08),
+    * from a map-side re-explode of just the output docs.
     */
   def t09Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens).as("tok"))
-    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tf = ex.select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc_nulls_last, col("tok").asc_nulls_last)
-    tf.filter(col("doc_id") < 100)
-      .join(dfreq, Seq("tok"))
+    val wByScore = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc_nulls_last)
+    val cands = tf.filter(col("doc_id") < 100)
+      .join(dfreq, Seq("th"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") * col("n_docs").cast("double")
         / col("df").cast("double"))
+      .withColumn("rk", rank().over(wByScore))
+      .filter(col("rk") <= 3)
+      .drop("rk", "n_docs")
+    val names = ex.filter(col("doc_id") < 100)
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"), col("tok"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc_nulls_last, col("tok").asc_nulls_last)
+    cands.join(names, Seq("doc_id", "th"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))
