@@ -84,17 +84,16 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id ASC NULLS LAST, byte_offset ASC NULLS LAST""".stripMargin
 
-  /** m04: payload chunking — shard a binary blob into fixed-size
-    * chunks (the upload/storage unit for large media): a per-row
+  /** Payload chunking core over (doc_id, payload, n_bytes): a per-row
     * generator over computed chunk offsets, real binary `substring`
-    * slicing, no UDF. The fixture payload is UTF-8 of ASCII text, so
-    * the oracle can verify chunk CONTENT via substr on the text —
-    * byte arithmetic equals character arithmetic there.
+    * slicing, no UDF. Decoding a CHUNK as UTF-8 is only sound when
+    * byte arithmetic equals character arithmetic — a chunk boundary
+    * inside a multi-byte sequence would yield replacement characters —
+    * so non-ASCII payloads (payload byte length ≠ decoded char length)
+    * fail fast with raise_error instead of silently corrupting text.
     */
-  def m04PayloadChunks(spark: SparkSession, sfDir: String,
-      chunk: Int = 256): DataFrame =
-    mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+  def payloadChunks(media: DataFrame, chunk: Int): DataFrame =
+    media
       // empty payload = no chunks. Without the guard, sequence(0, -1)
       // DESCENDS ([0, -1]) and would fabricate two bogus chunks
       .filter(col("n_bytes") > 0)
@@ -103,9 +102,26 @@ object Multimodal {
       .select(col("doc_id"), col("chunk_idx"),
         octet_length(expr(s"substring(payload, chunk_idx * $chunk + 1, $chunk)"))
           .as("chunk_size"),
-        decode(expr(s"substring(payload, chunk_idx * $chunk + 1, $chunk)"), "UTF-8")
+        when(octet_length(col("payload")) === length(decode(col("payload"), "UTF-8")),
+          decode(expr(s"substring(payload, chunk_idx * $chunk + 1, $chunk)"), "UTF-8"))
+          .otherwise(raise_error(concat(
+            lit("m04: non-ASCII payload, byte-chunk decode unsafe for doc_id="),
+            col("doc_id").cast("string"))))
           .as("chunk_text"))
       .orderBy(col("doc_id").asc_nulls_last, col("chunk_idx").asc_nulls_last)
+
+  /** m04: payload chunking — shard a binary blob into fixed-size
+    * chunks (the upload/storage unit for large media). The fixture
+    * payload is UTF-8 of ASCII text, so the oracle can verify chunk
+    * CONTENT via substr on the text; [[payloadChunks]] enforces that
+    * precondition per row.
+    */
+  def m04PayloadChunks(spark: SparkSession, sfDir: String,
+      chunk: Int = 256): DataFrame =
+    payloadChunks(
+      mediaTable(spark, sfDir)
+        .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes")),
+      chunk)
 
   val m04Sql: String =
     """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

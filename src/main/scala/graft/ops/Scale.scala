@@ -124,22 +124,34 @@ object Scale {
       a: DataFrame, b: DataFrame, blockCols: Seq[String],
       idLeft: String, idRight: String,
       rowsPerCell: Int, maxCells: Int = 16): DataFrame = {
-    val sizes = a.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+    val sizesDf = a.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__bn"))
     // stats-then-choose, the AQE pattern at the operator level: the
-    // block census is a column-pruned scan + tiny agg; when no block
-    // exceeds the cap the plain join plan (no Generate, no extra
-    // broadcast) is strictly better — measured 2x on this corpus —
-    // so the grid engages only under real skew
-    val maxBlock = sizes.agg(coalesce(max(col("__bn")), lit(0L)))
-      .head().getLong(0)
+    // block census is a column-pruned scan + tiny agg, collected ONCE
+    // at construction (one row per block — it has to fit the driver
+    // anyway, since the grid path broadcasts it) and reused for both
+    // the engage decision and the cell map, so the census scan never
+    // runs twice. When no block exceeds the cap the plain join plan
+    // (no Generate, no extra broadcast) is strictly better — measured
+    // 2x on this corpus — so the grid engages only under real skew.
+    val census = sizesDf.collect()
+    val bnIdx = sizesDf.schema.fieldIndex("__bn")
+    val maxBlock = if (census.isEmpty) 0L else census.iterator.map(_.getLong(bnIdx)).max
     if (maxBlock <= rowsPerCell) {
       a.join(b, blockCols).filter(col(idLeft) < col(idRight))
     } else {
-      val cells = sizes
-        .withColumn("__cells",
-          least(greatest(ceil(col("__bn").cast("double") / rowsPerCell), lit(1L)),
-            lit(maxCells.toLong)).cast("int"))
-        .select(blockCols.map(col) :+ col("__cells"): _*)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      def cellsFor(bn: Long): Int =
+        math.min(math.max(math.ceil(bn.toDouble / rowsPerCell).toLong, 1L),
+          maxCells.toLong).toInt
+      val cellsSchema = StructType(
+        sizesDf.schema.fields.patch(bnIdx, Nil, 1) :+
+          StructField("__cells", IntegerType, nullable = false))
+      val cellsRows = census.map { r =>
+        Row.fromSeq(r.toSeq.patch(bnIdx, Nil, 1) :+ cellsFor(r.getLong(bnIdx)))
+      }
+      val cells = a.sparkSession.createDataFrame(
+        java.util.Arrays.asList(cellsRows: _*), cellsSchema)
       val ac = a.join(broadcast(cells), blockCols)
         .withColumn("__ci", pmod(hash(col(idLeft)), col("__cells")))
         .withColumn("__cj", explode(sequence(col("__ci"), col("__cells") - 1)))

@@ -43,4 +43,56 @@ class GridPropertySpec extends AnyFunSuite {
           s"missing=${(plain -- grid).take(3)} extra=${(grid -- plain).take(3)}")
     }
   }
+
+  /** The 100×-skew claim as a regression test: a one-hot block (the
+    * real-corpus shape — one dominant language/label) must (a) engage
+    * the grid, (b) cap per-cell pair work near rowsPerCell² instead of
+    * the block's quadratic total, and (c) emit exactly the plain
+    * join's pair set. Cell assignment here replays the operator's own
+    * pmod(hash(id), cells) so the per-cell counts measured are the
+    * ones its shuffle actually produces.
+    */
+  test("skew governor: one-hot block engages the grid, bounds per-cell work, same pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val ids = Iterator.continually(rnd.nextLong().abs % 1000000L)
+      .distinct.take(255).toSeq
+    val rows = ids.take(240).map(id => (id, "en")) ++
+      ids.slice(240, 250).map((_, "fr")) ++ ids.slice(250, 255).map((_, "de"))
+    val df = rows.toDF("id", "blk")
+    val a = df.select(col("id").as("id1"), col("blk"))
+    val b = df.select(col("id").as("id2"), col("blk"))
+    val cap = 30
+    val grid = Scale.gridSelfJoinPairs(a, b, Seq("blk"), "id1", "id2",
+      rowsPerCell = cap, maxCells = 8)
+
+    // (a) engaged: the grid path (and only it) replicates via explode
+    assert(grid.queryExecution.executedPlan.toString.contains("Generate"),
+      "grid did not engage on a 240-row block with cap 30")
+
+    // (c) identical pair set
+    val plain = a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .select(col("blk"), col("id1"), col("id2"))
+    val plainSet = plain.as[(String, Long, Long)].collect().toSet
+    val gridSet = grid
+      .select(col("blk"), least(col("id1"), col("id2")), greatest(col("id1"), col("id2")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(gridSet == plainSet,
+      s"missing=${(plainSet -- gridSet).take(3)} extra=${(gridSet -- plainSet).take(3)}")
+
+    // (b) per-cell pair work: en splits into ceil(240/30)=8 cells,
+    // fr/de stay whole; replay the operator's cell assignment
+    val perCell = plain
+      .withColumn("cells", when(col("blk") === "en", lit(8)).otherwise(lit(1)))
+      .withColumn("s1", pmod(hash(col("id1")), col("cells")))
+      .withColumn("s2", pmod(hash(col("id2")), col("cells")))
+      .groupBy(col("blk"), least(col("s1"), col("s2")), greatest(col("s1"), col("s2")))
+      .count()
+    val maxCell = perCell.agg(max(col("count"))).head().getLong(0)
+    val hotBlockPairs = 240L * 239L / 2   // what ONE task owns without the grid
+    assert(maxCell <= 2L * cap * cap,
+      s"per-cell pair count $maxCell exceeds 2*cap^2 = ${2 * cap * cap}")
+    assert(maxCell * 10 <= hotBlockPairs,
+      s"grid gives <10x reduction: $maxCell vs $hotBlockPairs")
+  }
 }
