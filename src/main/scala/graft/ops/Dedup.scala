@@ -475,6 +475,100 @@ object Dedup {
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
+  /** Per-band LSH bucket: the sign pattern of `ppb` consecutive
+    * hyperplane projections (s02's plane family, Similarity.Planes),
+    * packed into an int.
+    */
+  private def bandBucket(v: Column, band: Int, ppb: Int): Column =
+    (0 until ppb).map { i =>
+      val planeLit = array(Similarity.Planes(band * ppb + i).map(lit): _*)
+      val dot = aggregate(zip_with(v, planeLit, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      when(dot > 0.0, lit(1 << i)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** d10: embedding near-dup for LABEL-FREE corpora — real crawls
+    * don't ship d05's label column, so the block key here is a banded
+    * hyperplane-LSH bucket: `nBands` bands of `planesPerBand` sign
+    * bits each; a pair becomes a candidate when it agrees on ALL bits
+    * of at least one band (band-OR × bit-AND, the MinHash-LSH recall
+    * trade — more bands with fewer bits raise recall). Candidates flow
+    * through the same grid governor as d05, so a hot bucket splits
+    * across tasks like any hot label, and the band replication factor
+    * is a constant `nBands`. DedupLshSpec pins recall vs brute-force
+    * ground truth >= the label-blocked variant's on the fixture.
+    */
+  def d10NearDupLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.30, planesPerBand: Int = 2, nBands: Int = 4,
+      rowsPerCell: Int = 2000): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val bands = array((0 until nBands).map(bd =>
+      struct(lit(bd).as("band"),
+        bandBucket(col("v"), bd, planesPerBand).as("bucket"))): _*)
+    val banded = e.withColumn("bb", explode(bands))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("vec_id").as("id1"), col("band"), col("bucket"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = banded.select(col("vec_id").as("id2"), col("band"), col("bucket"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    Scale.gridSelfJoinPairs(a, b, Seq("band", "bucket"), "id1", "id2",
+        rowsPerCell = rowsPerCell)
+      .withColumn("cosine", expr("graft_dot(v1, v2)") / (col("n1") * col("n2")))
+      .filter(col("cosine") >= threshold)
+      // a pair found in several bands is one near-dup: canonicalize
+      // and dedup (cosine is identical across bands — same fold)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("cosine"))
+      .distinct()
+      // see d04: don't let the sort's range sampling re-run the dot-
+      // product join; checkpoint the scalar pair output first
+      .localCheckpoint(false)
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  /** DuckDB twin of the banded bucketing: per band, the same sign
+    * pattern over inlined plane literals (identical left-fold dots ⇒
+    * identical signs ⇒ identical candidates).
+    */
+  val d10Sql: String = {
+    val ppb = 2
+    def bandTerm(band: Int): String =
+      (0 until ppb).map { i =>
+        val planeLit = Similarity.Planes(band * ppb + i).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, 65), i -> v[i] * ${planeLit}[i])),
+           |      (a, x) -> a + x) > 0.0 THEN ${1 << i} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+    val bandRows = (0 until 4).map(bd =>
+      s"SELECT vec_id, v, nrm, $bd AS band, ${bandTerm(bd)} AS bucket FROM n")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |banded AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+       |      (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id1, id2, cosine FROM pairs
+       |WHERE cosine >= 0.30
+       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
+  }
+
   val d05Sql: String =
     """WITH e AS (
       |  SELECT vec_id, label,
