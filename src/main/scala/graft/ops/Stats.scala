@@ -107,6 +107,26 @@ object Stats {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
 
+  /** q52: approx-percentile scale twin of q38 — the 100 TB form of
+    * per-group percentiles: bounded-size sketches (accuracy 1000)
+    * merge map-side instead of shipping per-group value maps, so
+    * memory is O(groups × accuracy) regardless of value cardinality.
+    * Estimates are implementation-specific, so there is no SQL oracle
+    * (driver records a rows-only check); RelationalSpec bounds every
+    * estimate within 5% of the exact q38-style value.
+    */
+  def q52ApproxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
+        expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25_price"),
+        expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("p75_price"))
+      // same double-execute defense as q38: checkpoint the 3-row
+      // result before the presentation sort's range sampling
+      .localCheckpoint(false)
+      .orderBy(col("l_returnflag").asc_nulls_last)
+
   /** q50: z-score outlier detection — the classic two-pass plan: a
     * per-group stats aggregate (exact power sums → mean/std, bit-
     * identical across engines), broadcast back onto the fact rows, and

@@ -32,20 +32,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("approx percentile (q38's scale path) is within 5% of exact") {
+  test("q52 approx percentiles are within 5% of exact q38 values") {
     // exact per-group percentiles hold per-group value maps; at
-    // extreme cardinality the sketch is the 100 TB form — bound it
-    // against the exact result the oracle gates
-    val both = Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
-      .collect()
-    assert(both.nonEmpty)
-    both.foreach { r =>
-      val e = r.getDouble(1)
-      val a = r.getDouble(2)
-      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: approx=$a exact=$e")
+    // extreme cardinality the sketch is the 100 TB form — bound the
+    // declared q52 operator column-by-column against the exact
+    // q38 result the oracle gates
+    val approx = Stats.q52ApproxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = Stats.q38Percentiles(spark, sf).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val a = approx(r.getString(0))
+      Seq(1, 2, 3).foreach { i =>
+        val e = r.getDouble(i)
+        assert(math.abs(a(i - 1) - e) / e < 0.05,
+          s"${r.getString(0)} col$i: approx=${a(i - 1)} exact=$e")
+      }
     }
   }
 
