@@ -82,4 +82,31 @@ object Transfer {
     plan(src, mapping, mode, sinkCast).write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .parquet(outPath)
+
+  /** Execute a transfer into a REAL JDBC sink — the wire path the
+    * reference drives with psycopg2 COPY / clickhouse insert_df.
+    * Spark's batched JDBC writer replaces both: `overwrite` drops and
+    * recreates the table (the reference's destructive PG semantics),
+    * `append` inserts (the CH semantics). Exercised end-to-end in
+    * TransferSpec against embedded Derby (the one JDBC engine on this
+    * classpath); on a cluster the same call takes the PG/CH URL.
+    */
+  def runToJdbc(
+      src: DataFrame,
+      mapping: Map[String, String],
+      mode: RenameMode,
+      spec: JdbcSpec,
+      overwrite: Boolean = true,
+      sinkCast: Boolean = false): Unit =
+    plan(src, mapping, mode, sinkCast).write
+      .format("jdbc")
+      .options(spec.writeOptions)
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .save()
+
+  /** Read a JDBC table (partitioned range scan when the spec carries a
+    * partitionColumn + bounds).
+    */
+  def readJdbc(spark: SparkSession, spec: JdbcSpec): DataFrame =
+    spark.read.format("jdbc").options(spec.readOptions).load()
 }

@@ -74,4 +74,27 @@ class TransferSpec extends AnyFunSuite {
   test("defaultTableName pipeline rule") {
     assert(Ingest.defaultTableName("wildberries_reviews.xlsx") == "wildberries_reviews")
   }
+
+  /** Real JDBC wire execution — the round-1/2 "config-only" gap: the
+    * Spark classpath ships embedded Derby, so the transfer path runs
+    * against an actual database here (same `runToJdbc` call a cluster
+    * points at PG/CH): overwrite = DROP+CREATE parity, append = insert
+    * parity, then a JDBC read back through `readJdbc`.
+    */
+  test("JDBC round-trip against embedded Derby: overwrite, append, read back") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    val spec = Transfer.JdbcSpec(s"jdbc:derby:$dbDir/db;create=true", "reviews")
+    Transfer.runToJdbc(dirtyDf, Map("Автор Отзыва?" -> "author"),
+      Transfer.SanitizeKeys, spec, overwrite = true)
+    Transfer.runToJdbc(dirtyDf, Map("Автор Отзыва?" -> "author"),
+      Transfer.SanitizeKeys, spec, overwrite = false)
+    val back = Transfer.readJdbc(spark, spec)
+    assert(back.columns.sorted.toSeq == Seq("author", "n_stars", "ok_flag"))
+    assert(back.count() == 4)
+    val authors = back.select("author").collect().map(_.getString(0)).sorted.toSeq
+    assert(authors == Seq("ann", "ann", "bob", "bob"))
+    // overwrite drops + recreates (the reference's destructive PG path)
+    Transfer.runToJdbc(dirtyDf, Map.empty, Transfer.SanitizeKeys, spec, overwrite = true)
+    assert(Transfer.readJdbc(spark, spec).count() == 2)
+  }
 }
