@@ -277,11 +277,13 @@ object TextOps {
         slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
         slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
-    val wByCount = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val wByCount = org.apache.spark.sql.expressions.Window.partitionBy(col("c_lang"))
       .orderBy(col("n").desc_nulls_last)
+    // fresh alias (c_lang) so the candidate side never shares attribute
+    // ids with the re-exploded string side it joins back to
     val cands = exploded
-      .select(col("lang"), xxhash64(col("bigram")).as("bh"))
-      .groupBy(col("lang"), col("bh"))
+      .select(col("lang").as("c_lang"), xxhash64(col("bigram")).as("bh"))
+      .groupBy(col("c_lang"), col("bh"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", rank().over(wByCount))
       .filter(col("rk") <= 15)
@@ -290,9 +292,9 @@ object TextOps {
       .orderBy(col("n").desc_nulls_last, col("bigram").asc_nulls_last)
     exploded
       .join(broadcast(cands),
-        exploded("lang") === cands("lang") &&
-          xxhash64(exploded("bigram")) === cands("bh"))
-      .select(exploded("lang"), col("bigram"), col("n"))
+        col("lang") === col("c_lang") &&
+          xxhash64(col("bigram")) === col("bh"))
+      .select(col("lang"), col("bigram"), col("n"))
       .distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 15)

@@ -40,6 +40,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected orders pre-aggregate under the join:\n$plan")
   }
 
+  test("no query plans an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a global (unpartitioned) window — single-task at scale")
+    }
+  }
+
+  /** The range-sampling double-execute class: a global sort's range
+    * partitioner SAMPLES its child, so a join/generate kernel sitting
+    * under the range exchange with no shuffle in between runs twice.
+    * Pipelines whose sort follows a shuffle are bounded by shuffle
+    * reuse; kernels must be cut off by a localCheckpoint (which plans
+    * as an RDD scan). This fails if a future query forgets the
+    * checkpoint.
+    */
+  test("no global sort re-executes an unshuffled join/generate kernel") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeLike, Exchange}
+    def unshuffledBelow(p: SparkPlan): Seq[SparkPlan] =
+      p.children.flatMap {
+        case _: ShuffleExchangeLike => Nil // resample bounded by shuffle reuse
+        case c => c +: unshuffledBelow(c)
+      }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val rangeExchanges = plan.collect {
+        case e: ShuffleExchangeLike
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      rangeExchanges.foreach { e =>
+        val risky = unshuffledBelow(e).filter {
+          case _: GenerateExec => true
+          case _: Exchange => false // broadcast exchanges compute once
+          case p => p.nodeName.contains("Join")
+        }
+        assert(risky.isEmpty,
+          s"$name: global sort samples an unshuffled kernel " +
+            s"(${risky.map(_.nodeName).distinct.mkString(", ")}) — add a localCheckpoint " +
+            "before the presentation sort")
+      }
+    }
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
