@@ -260,4 +260,95 @@ object EventOps {
       |  FROM r WHERE rn <= 5 GROUP BY user_id)
       |SELECT path, count(*) AS n_users FROM p GROUP BY path
       |ORDER BY n_users DESC NULLS LAST, path ASC NULLS LAST""".stripMargin
+
+  /** e09: per-type event-rate anomaly detection — 30-minute bucket
+    * counts z-scored against the trailing 30 buckets of the SAME type
+    * (exact power sums in the moving frame; the z expression is the
+    * same bit-identical rational+sqrt form as q50, so the |z| > 2
+    * boundary is portable). One count shuffle + one window shuffle on
+    * event_type; the trailing frame excludes the current bucket so a
+    * spike can't mask itself. Buckets with an incomplete trailing
+    * history or zero variance are excluded (nd = 30, std > 0).
+    */
+  def e09Anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    val trail = Window.partitionBy(col("event_type"))
+      .orderBy(col("ws").asc_nulls_last)
+      .rowsBetween(-30, -1)
+    val mean = col("sx").cast("double") / col("nd").cast("double")
+    counts
+      .withColumn("nd", count(col("n")).over(trail))
+      .withColumn("sx", sum(col("n")).over(trail))
+      .withColumn("sxx", sum(col("n") * col("n")).over(trail))
+      .filter(col("nd") === 30)
+      .withColumn("std", sqrt(col("sxx").cast("double") / col("nd").cast("double")
+        - mean * mean))
+      .filter(col("std") > 0.0)
+      .select(col("ws"), col("event_type"), col("n"),
+        ((col("n").cast("double") - mean) / col("std")).as("z"))
+      .withColumn("is_anomaly", when(abs(col("z")) > 2.0, 1L).otherwise(0L))
+      .orderBy(col("ws").asc_nulls_last, col("event_type").asc_nulls_last)
+  }
+
+  val e09Sql: String =
+    """WITH c AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT ws, event_type, n,
+      |    CAST(count(n) OVER t AS BIGINT) AS nd,
+      |    CAST(sum(n) OVER t AS BIGINT) AS sx,
+      |    CAST(sum(n * n) OVER t AS BIGINT) AS sxx
+      |  FROM c
+      |  WINDOW t AS (PARTITION BY event_type ORDER BY ws ASC NULLS LAST
+      |    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+      |s AS (
+      |  SELECT ws, event_type, n,
+      |    CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE) AS mean,
+      |    sqrt(CAST(sxx AS DOUBLE) / CAST(nd AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))) AS std
+      |  FROM w WHERE nd = 30)
+      |SELECT ws, event_type, n,
+      |  (CAST(n AS DOUBLE) - mean) / std AS z,
+      |  CASE WHEN abs((CAST(n AS DOUBLE) - mean) / std) > 2.0 THEN CAST(1 AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS is_anomaly
+      |FROM s WHERE std > 0.0
+      |ORDER BY ws ASC NULLS LAST, event_type ASC NULLS LAST""".stripMargin
+
+  /** e10: trailing-window distinct counts — "distinct users in the
+    * last 7 days, per day": an operator Spark's window functions can't
+    * express (no COUNT(DISTINCT) over a frame). Composed scalably
+    * instead: distinct (day, user) pairs first (collapses the fact
+    * table to its key grid), then a bounded range join day ↔ trailing
+    * days — each day joins at most 7 daily partitions, so the pair
+    * expansion is calendar-sized, never fact-sized — and a final
+    * count-distinct per day.
+    */
+  def e10TrailingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val cal = daily.select(col("day").as("d")).distinct()
+    cal.join(daily,
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(
+        countDistinct(col("user_id")).as("u7"),
+        countDistinct(when(col("day") === col("d"), col("user_id"))).as("u1"))
+      .orderBy(col("d").asc_nulls_last)
+  }
+
+  val e10Sql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |cal AS (SELECT DISTINCT day AS d FROM daily)
+      |SELECT d,
+      |  count(DISTINCT user_id) AS u7,
+      |  count(DISTINCT CASE WHEN day = d THEN user_id END) AS u1
+      |FROM cal JOIN daily ON day BETWEEN d - 6 AND d
+      |GROUP BY d ORDER BY d ASC NULLS LAST""".stripMargin
 }

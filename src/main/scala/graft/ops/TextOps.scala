@@ -413,4 +413,57 @@ object TextOps {
       |  length(trim(regexp_replace(regexp_replace(lower(messy),
       |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS len_after
       |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** t11: intra-document repetition scoring — the Gopher-style quality
+    * rule: the fraction of a document's 3-gram occurrences that are
+    * duplicates. Spam/templated docs score high and get filtered before
+    * training. The fixture text is repetition-free, so a spam phrase is
+    * deterministically injected (doc_id % 4 copies) to exercise the
+    * boundary in both engines. Pure per-row array work — no shuffle;
+    * the ratio is rational (int diff / int count, one double division)
+    * so it is bit-exact across engines.
+    */
+  def t11Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("messy", trim(concat(col("text"), lit(" "),
+        expr("repeat('buy now click here ', CAST(doc_id % 4 AS INT))"))))
+      .withColumn("tk", split(col("messy"), " "))
+      .withColumn("tri", expr(
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2), " +
+          "i -> array_join(slice(tk, i, 3), ' ')) ELSE slice(tk, 1, 0) END"))
+      .select(
+        col("doc_id"),
+        size(col("tri")).as("n_tri"),
+        size(array_distinct(col("tri"))).as("n_uniq"),
+        when(size(col("tri")) > 0,
+          (size(col("tri")) - size(array_distinct(col("tri")))).cast("double")
+            / size(col("tri")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .withColumn("is_repetitive",
+        when(col("dup_frac") >= 0.05, 1L).otherwise(0L))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val t11Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    trim(text || ' ' || repeat('buy now click here ', CAST(doc_id % 4 AS INT))) AS messy
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(messy, ' ') AS tk FROM m),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) >= 3
+      |      THEN list_transform(range(1, len(tk) - 1),
+      |        i -> list_aggregate(tk[i:i+2], 'string_agg', ' '))
+      |      ELSE [] END AS tri
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(tri) AS BIGINT) AS n_tri,
+      |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_uniq,
+      |  CASE WHEN len(tri) > 0
+      |    THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS dup_frac,
+      |  CASE WHEN (CASE WHEN len(tri) > 0
+      |    THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+      |    ELSE CAST(0.0 AS DOUBLE) END) >= 0.05 THEN 1 ELSE 0 END AS is_repetitive
+      |FROM g ORDER BY doc_id ASC NULLS LAST""".stripMargin
 }
