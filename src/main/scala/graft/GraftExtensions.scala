@@ -20,6 +20,7 @@ import graft.functions.{DotProductDouble, Md5Hash32, MinhashSignature, SortedInt
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((

@@ -274,4 +274,37 @@ object Aggs {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
       |LIMIT 10""".stripMargin
+
+  /** q53: PER-KEY top-k via the native two-phase operator
+    * (graft.plans.TopKPerKey — logical node + strategy + partial/final
+    * SparkPlans): top 3 lineitems by price within each
+    * (returnflag, linestatus) group. The window row_number form this
+    * replaces shuffles every fact row; the native operator's map-side
+    * bounded heaps shuffle at most k rows per key per partition. The
+    * (price, orderkey, linenumber) order is total, so the cut is
+    * deterministic and the DuckDB window oracle reproduces it exactly.
+    */
+  def q53NativeTopK(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      keyCols = Seq(col("l_returnflag"), col("l_linestatus")),
+      orderCols = Seq(col("l_extendedprice").desc_nulls_last,
+        col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last),
+      k = 3)
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last,
+        col("l_extendedprice").desc_nulls_last, col("l_orderkey").asc_nulls_last)
+
+  val q53Sql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |      ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC NULLS LAST,
+      |        l_linenumber ASC NULLS LAST) AS rn
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice
+      |FROM r WHERE rn <= 3
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST,
+      |  l_extendedprice DESC NULLS LAST, l_orderkey ASC NULLS LAST""".stripMargin
 }

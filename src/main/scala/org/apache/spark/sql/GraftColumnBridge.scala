@@ -12,6 +12,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion (ColumnNodeToExpressionConverter).
+    * ExpressionUtils.expression wraps lazily, which is fine inside a
+    * normal plan (the analyzer converts it) but leaks non-serializable
+    * internal column nodes when the expression is stored in a CUSTOM
+    * logical node — e.g. a `.desc_nulls_last` sort column must become a
+    * catalyst SortOrder here, not at analysis time.
+    */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Apply a SparkSessionExtensions' injected functions to an existing
     * session's registry (normally this happens only at session build;
     * tests use this to exercise the extension against a shared
@@ -19,4 +29,24 @@ object GraftColumnBridge {
     */
   def registerInto(ext: SparkSessionExtensions, spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** Build a DataFrame from a custom logical plan (the private[sql]
+    * Dataset.ofRows) — how extension libraries surface custom
+    * LogicalPlan operators behind a plain DataFrame API.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a live session (the
+    * config-time path is GraftExtensions.injectPlannerStrategy; this
+    * covers sessions built without the extension config, mirroring
+    * GraftFunctions.register).
+    */
+  def ensureStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
 }

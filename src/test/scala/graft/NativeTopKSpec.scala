@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopKPerKey
+import graft.ops.Tables
+
+/** The native two-phase per-key top-k operator: result equivalence
+  * with the window row_number form it replaces, the partial-below-
+  * exchange/final-above plan shape that makes it a constant-factor
+  * shuffle, and the small-group edge (k > group size).
+  */
+class NativeTopKSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("native top-k equals the window row_number form") {
+    val src = Tables.lineitem(spark, sf).select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val native = TopKPerKey.topKPerKey(src,
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(col("l_extendedprice").desc_nulls_last,
+          col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last),
+        k = 5)
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("l_extendedprice").desc_nulls_last,
+        col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+    val windowed = src.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(native == windowed,
+      s"missing=${(windowed -- native).take(3)} extra=${(native -- windowed).take(3)}")
+  }
+
+  test("plans as final over exchange over partial (map-side heaps cut the shuffle)") {
+    val df = TopKPerKey.topKPerKey(
+      Tables.orders(spark, sf).select(col("o_orderpriority"), col("o_orderkey"))
+        .repartition(4), // multi-partition child, so clustering needs a real exchange
+      Seq(col("o_orderpriority")), Seq(col("o_orderkey").asc_nulls_last), 2)
+    // executedPlan, not sparkPlan: EnsureRequirements (which inserts
+    // the clustering exchange the Final node demands) runs in the
+    // preparation phase
+    val plan = df.queryExecution.executedPlan.toString
+    val finalIdx = plan.indexOf("GraftTopKPerKeyFinal")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("GraftTopKPerKeyPartial")
+    assert(finalIdx >= 0 && exIdx > finalIdx && partialIdx > exIdx,
+      s"expected Final -> Exchange -> Partial:\n$plan")
+  }
+
+  test("k larger than the group returns the whole group, once") {
+    import spark.implicits._
+    val src = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      .repartition(4) // spread rows so partial heaps span partitions
+    val out = TopKPerKey.topKPerKey(src, Seq(col("k")), Seq(col("v").asc), 10)
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(out == Seq(("a", 1), ("a", 2), ("b", 3)))
+  }
+}
