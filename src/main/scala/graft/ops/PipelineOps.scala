@@ -182,4 +182,52 @@ object PipelineOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM o GROUP BY 1, 2
       |ORDER BY lang ASC NULLS LAST, bin ASC NULLS LAST""".stripMargin
+
+  /** p08: quality-weighted (importance) sampling — the corpus-balance
+    * step after scoring: each document's ACCEPTANCE RATE is
+    * proportional to its t02 quality score (rate = quality·80 %,
+    * per-row, not per-stratum like p04). Membership stays a pure
+    * portable hash of doc_id against floor(quality·8000) in a
+    * [0, 10000) bucket space, so the sample is reproducible under
+    * retries/growth AND the acceptance threshold is bit-exact on both
+    * engines (the quality expression is t02's fixed-form double).
+    * Per-row filter, no shuffle.
+    */
+  def p08QualitySample(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nTok = size(col("toks")).cast("double")
+    val nStop = size(filter(col("toks"),
+      t => t.isInCollection(Seq("the", "a", "and", "of", "to")))).cast("double")
+    val nDist = size(array_distinct(col("toks"))).cast("double")
+    val lenFactor = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+    val quality = lit(0.4) * (nDist / nTok) + lit(0.4) * lenFactor +
+      lit(0.2) * (nStop / nTok)
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality", quality)
+      .filter(PortableHash.tokenHash32(col("doc_id").cast("string")) % 10000 <
+        floor(col("quality") * lit(8000.0)).cast("bigint"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val p08Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_factor
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |    0.4 * (n_dist / n_tok) + 0.4 * len_factor + 0.2 * (n_stop / n_tok) AS quality
+       |  FROM m)
+       |SELECT doc_id, lang, quality FROM q
+       |WHERE $h % 10000 < CAST(floor(quality * 8000.0) AS BIGINT)
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
 }

@@ -30,6 +30,13 @@ object GraftColumnBridge {
   def registerInto(ext: SparkSessionExtensions, spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
 
+  /** Resolve an extensions object's injected planner strategies
+    * (private[sql] buildPlannerStrategies) — lets tests assert the
+    * config-time wiring without building a whole new session.
+    */
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession): Seq[execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
   /** Build a DataFrame from a custom logical plan (the private[sql]
     * Dataset.ofRows) — how extension libraries surface custom
     * LogicalPlan operators behind a plain DataFrame API.

@@ -36,6 +36,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sig.length == graft.functions.PortableHash.MinhashK)
   }
 
+  test("extension wires the TopKPerKey planner strategy (config-time path)") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftColumnBridge.plannerStrategies(ext, spark)
+      .contains(graft.plans.TopKPerKeyStrategy))
+  }
+
   test("IntersectSizeRewrite rule replaces size(array_intersect) with the merge kernel") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
