@@ -295,7 +295,14 @@ object Dedup {
     * Oracle: recursive-CTE transitive closure (the edge set is small
     * by construction — band collisions only).
     */
-  def d06DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def d06DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dedupLabels(spark, sfDir)
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  /** The unsorted cluster assignment (doc_id, cluster_id, cluster_n)
+    * shared by d06 (census) and d11 (keep-best selection).
+    */
+  private def dedupLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = d02MinhashLsh(spark, sfDir).select(col("id1"), col("id2"))
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
@@ -321,14 +328,14 @@ object Dedup {
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_n"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
-      .orderBy(col("doc_id").asc_nulls_last)
   }
 
   // `edges AS MATERIALIZED`: without it DuckDB inlines the whole
   // minhash CTE chain into the recursive step and re-evaluates it per
   // closure iteration (observed: timeout at sf0.1 vs 72 s with it).
-  val d06Sql: String =
-    s"""WITH RECURSIVE $d02Ctes,
+  // Shared by d06 (census) and d11 (keep-best).
+  private def labelCtes: String =
+    s"""RECURSIVE $d02Ctes,
        |edges AS MATERIALIZED (
        |  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.25
        |  UNION ALL SELECT id2, id1 FROM est WHERE est_jaccard >= 0.25),
@@ -340,12 +347,64 @@ object Dedup {
        |  SELECT d.doc_id,
        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-       |  GROUP BY d.doc_id)
+       |  GROUP BY d.doc_id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY cluster_id)""".stripMargin
+
+  val d06Sql: String =
+    s"""WITH $labelCtes
        |SELECT l.doc_id, l.cluster_id, s.cluster_n
-       |FROM labels l JOIN (
-       |  SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY cluster_id) s
-       |  ON l.cluster_id = s.cluster_id
+       |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
        |ORDER BY l.doc_id ASC NULLS LAST""".stripMargin
+
+  /** d11: semantic-dedup keep-best — the step that turns cluster
+    * assignments into a deduplicated corpus: per near-dup cluster keep
+    * exactly one representative, the HIGHEST-quality member (t02's
+    * bit-exact score; doc_id breaks ties), instead of an arbitrary
+    * first copy. Composes d06's distributed components with a per-
+    * cluster argmax window — one extra shuffle on cluster_id over the
+    * label table (doc-count rows, not pair rows).
+    */
+  def d11SemanticKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = Tables.documents(spark, sfDir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), (
+        lit(0.4) * (size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")).cast("double")) +
+        lit(0.4) * least(length(col("text")).cast("double") / lit(500.0), lit(1.0)) +
+        lit(0.2) * (size(filter(col("toks"),
+          t => t.isInCollection(Seq("the", "a", "and", "of", "to")))).cast("double")
+          / size(col("toks")).cast("double"))).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc_nulls_last)
+    dedupLabels(spark, sfDir)
+      .join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("cluster_n"), col("quality"))
+      .orderBy(col("cluster_id").asc_nulls_last)
+  }
+
+  val d11Sql: String =
+    s"""WITH $labelCtes,
+       |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       |    + 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |    + 0.2 * (CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE)) AS quality
+       |  FROM t),
+       |r AS (
+       |  SELECT l.cluster_id, l.doc_id, s.cluster_n, q.quality,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality DESC NULLS LAST, l.doc_id ASC NULLS LAST) AS rn
+       |  FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+       |  JOIN q ON q.doc_id = l.doc_id)
+       |SELECT cluster_id, doc_id AS keep_doc_id, cluster_n, quality
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster_id ASC NULLS LAST""".stripMargin
 
   /** SimHash: 32-bit locality-sensitive signature. Tokens exploded once
     * (hash computed once per token), then 32 conditional sums per doc —
