@@ -88,6 +88,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle analytics aggregate on xxhash64 keys, not raw strings") {
+    // the d08/d09/t08/t09 production shape: the wide-key count shuffle
+    // must key on the 8-byte hash — a regression to string keys would
+    // still be CORRECT, so only the plan can catch it
+    Seq("d08_boilerplate", "d09_contamination", "t08_bigrams", "t09_tfidf")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan.toString
+        assert(plan.contains("xxhash64"),
+          s"$name no longer aggregates on the hashed shingle key")
+      }
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
