@@ -351,4 +351,42 @@ object EventOps {
       |  count(DISTINCT CASE WHEN day = d THEN user_id END) AS u1
       |FROM cal JOIN daily ON day BETWEEN d - 6 AND d
       |GROUP BY d ORDER BY d ASC NULLS LAST""".stripMargin
+
+  /** e11: last-touch conversion attribution — for every purchase, the
+    * user's most recent PRECEDING non-purchase event (the touch that
+    * gets marketing credit). One window shuffle on user_id; the
+    * ignore-nulls last_value over an unbounded-to-previous frame is
+    * the standard formulation, and (ts, event_id) is a total order so
+    * the attributed touch is deterministic. Purchases with no prior
+    * touch stay NULL (both engines).
+    */
+  def e11Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchId = when(col("event_type") =!= "purchase", col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("touch_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_event", last(touchId, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event"),
+        col("touch_event"), col("touch_type"))
+      .orderBy(col("purchase_event").asc_nulls_last)
+  }
+
+  val e11Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS touch_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER w AS touch_event
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id AS purchase_event, touch_event, touch_type
+      |FROM t WHERE event_type = 'purchase'
+      |ORDER BY purchase_event ASC NULLS LAST""".stripMargin
 }
