@@ -107,6 +107,60 @@ class StatefulSpec extends AnyFunSuite {
         s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
   }
 
+  test("anomaly state machine: completeness gate, trailing-30 window, eviction") {
+    import graft.streaming.StatefulAnomaly
+    import graft.streaming.StatefulAnomaly.{AnomState, Ev => AEv}
+    val b = StatefulAnomaly.BucketUs
+    def tsOf(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // 32 buckets: counts alternate 1/2 (variance in the trailing
+    // window), bucket 31 is a spike of 40
+    val evs = (0 until 31).flatMap(i =>
+      Seq.fill(1 + i % 2)(AEv("x", tsOf(i * b)))) ++
+      (0 until 40).map(_ => AEv("x", tsOf(31 * b)))
+    // watermark midway: only buckets 0..29 complete → no verdicts yet
+    // (bucket 30 is the first with 30 predecessors but is incomplete)
+    val (out1, s1) = StatefulAnomaly.advance(evs,
+      AnomState(Map.empty, Long.MinValue, 0L), wmUs = 30 * b)
+    assert(out1.isEmpty && s1.emittedThrough == 29 * b)
+    // watermark past everything: bucket 30 (n=1 vs mean 1.5, std 0.5 →
+    // z=-1, no flag) and the spike bucket 31 (n=40 → z=77, flagged)
+    val (out2, s2) = StatefulAnomaly.advance(Nil, s1, wmUs = 40 * b)
+    assert(out2.map(_.ws_us) == Seq(30 * b, 31 * b), out2)
+    assert(out2.map(_.is_anomaly) == Seq(0L, 1L), out2)
+    assert(out2.last.n == 40 && out2.last.z > 50.0)
+    // eviction keeps exactly the trailing 30 + counts the dropped
+    assert(s2.counts.size == 30 && s2.dropped == 2)
+  }
+
+  test("streaming stateful anomaly == batch e09 on the complete-bucket prefix") {
+    import graft.streaming.StatefulAnomaly
+    val streamed = StatefulAnomaly.runToCompletion(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(streamed.nonEmpty, "anomaly stream emitted nothing")
+    // the final watermark: max event time minus the 1h delay; every
+    // bucket ending at or before it must have been emitted
+    val wmUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0) -
+      3600L * 1000000L
+    val batch = EventOps.e09Anomaly(spark, sf)
+      .select(unix_micros(col("ws").cast("timestamp")).as("ws_us"),
+        col("event_type"), col("n"), col("z"), col("is_anomaly"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .filter(_._1 + StatefulAnomaly.BucketUs <= wmUs)
+      .map { case (ws, et, n, z, a) => (et, ws, n, z, a) }
+      .toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+  }
+
   test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
     import spark.implicits._
     val ds = Tables.lineitem(spark, sf)
