@@ -278,11 +278,14 @@ object Aggs {
   /** q53: PER-KEY top-k via the native two-phase operator
     * (graft.plans.TopKPerKey — logical node + strategy + partial/final
     * SparkPlans): top 3 lineitems by price within each
-    * (returnflag, linestatus) group. The window row_number form this
-    * replaces shuffles every fact row; the native operator's map-side
-    * bounded heaps shuffle at most k rows per key per partition. The
-    * (price, orderkey, linenumber) order is total, so the cut is
-    * deterministic and the DuckDB window oracle reproduces it exactly.
+    * (returnflag, linestatus) group. Map-side bounded heaps ship at
+    * most k rows per key per partition — shuffle parity with Spark's
+    * InferWindowGroupLimit rank-filter rewrite, without the
+    * per-partition sorts or the post-shuffle Window pass (see
+    * TopKPerKey's scaladoc and NativeTopKSpec's measured three-way
+    * comparison). The (price, orderkey, linenumber) order is total, so
+    * the cut is deterministic and the DuckDB window oracle reproduces
+    * it exactly.
     */
   def q53NativeTopK(spark: SparkSession, sfDir: String): DataFrame =
     graft.plans.TopKPerKey.topKPerKey(

@@ -12,15 +12,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.GraftColumnBridge
 
 /** Native per-key top-k — the whole-operator extension tier (logical
-  * node → planner strategy → physical operators), for the one ranking
-  * shape Spark's built-ins leave on the table: `row_number() OVER
-  * (PARTITION BY key ORDER BY ord) <= k` shuffles EVERY row to its
-  * key's reducer before discarding all but k. This operator keeps a
-  * bounded heap per key on the map side, so the shuffle carries at
-  * most k rows per key per input partition — on a 100 TB fact table
-  * with bounded key cardinality that's a constant-factor shuffle, not
-  * a data-sized one (the same partial/final split Spark applies to
-  * aggregates, applied to ranking).
+  * node → planner strategy → physical operators). The naive
+  * `row_number() OVER (PARTITION BY key ORDER BY ord) <= k` shuffles
+  * EVERY row to its key's reducer before discarding all but k; Spark's
+  * own InferWindowGroupLimit rescues exactly that rank-predicate
+  * pattern with per-partition SORT + limit. This operator achieves the
+  * same bounded shuffle (≤ k rows per key per input partition —
+  * NativeTopKSpec measures parity on the clustering exchange) with
+  * bounded HEAPS instead: O(n log k) per partition vs the sort's
+  * O(n log n), no post-shuffle Window pass, and — being an operator
+  * rather than a filter-pattern matcher — it applies to any k-per-key
+  * selection a caller requests directly.
   *
   * Semantics: for each distinct key, the first k rows of that key's
   * group under `order` (ties broken by the order itself — pass a total

@@ -58,6 +58,60 @@ class NativeTopKSpec extends AnyFunSuite {
       s"expected Final -> Exchange -> Partial:\n$plan")
   }
 
+  /** Shuffle-bytes comparison on the CLUSTERING exchange (the
+    * RoundRobin repartition is shared by all three plans and excluded):
+    * the native operator must match the bounded shuffle Spark's own
+    * InferWindowGroupLimit achieves for rank-predicate filters, and
+    * both must be far below the naive window form (rule disabled),
+    * which ships every fact row. What the native operator adds over
+    * the built-in rule: bounded HEAPS instead of per-partition sorts
+    * (O(n log k) vs O(n log n)), and applicability to any k-per-key
+    * selection, not just filters the rank-predicate pattern matcher
+    * recognizes.
+    */
+  test("native top-k shuffle: parity with InferWindowGroupLimit, << naive window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def clusteringBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+          e.metrics.get("dataSize").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // metrics on the static plan
+    try {
+      val src = Tables.lineitem(spark, sf).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .repartition(8) // several map partitions, so partial limiting matters
+      val order = Seq(col("l_extendedprice").desc_nulls_last,
+        col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(order: _*)
+      def windowForm = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+
+      val native = clusteringBytes(TopKPerKey.topKPerKey(src,
+        Seq(col("l_returnflag"), col("l_linestatus")), order, k = 3))
+      val optimized = clusteringBytes(windowForm)
+      val naive = try {
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+        clusteringBytes(windowForm)
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+
+      info(s"native=$native optimized-window=$optimized naive-window=$naive bytes")
+      assert(native > 0 && optimized > 0 && naive > 0)
+      assert(native <= optimized * 2,
+        s"native ($native) should match the group-limited window's shuffle ($optimized)")
+      assert(native * 3 < naive,
+        s"native ($native) should be far below the naive window's shuffle ($naive)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("k larger than the group returns the whole group, once") {
     import spark.implicits._
     val src = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
