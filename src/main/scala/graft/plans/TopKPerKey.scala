@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.GraftColumnBridge
 
 /** Native per-key top-k — the whole-operator extension tier (logical
@@ -46,6 +47,18 @@ case class TopKPerKey(
   * requires clustering by the keys (EnsureRequirements inserts the
   * hash exchange) and produces the exact per-key result from the
   * partial candidates.
+  *
+  * Memory bound: the partial phase caps its key map at
+  * `spark.graft.topk.maxPartialKeys` (default 65536) keys per
+  * partition — rows of keys beyond the cap pass through un-heaped
+  * (they lose the map-side reduction, never correctness: the final
+  * clustered phase re-selects exactly). Without the cap, a
+  * high-keys-per-partition input would grow the map without limit —
+  * Spark's own partial hash aggregates degrade similarly (they fall
+  * back to sort-based passthrough); this is the same shape. The
+  * partial is thus O(cap · k) rows of memory regardless of input.
+  * A row already holding a heap keeps heaping past the cap, so the
+  * reduction still applies to the (hot, by first-seen) resident keys.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
@@ -66,30 +79,57 @@ case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numPassThrough" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through un-heaped (partial key cap reached)"),
+    "numHeapKeys" -> SQLMetrics.createMetric(sparkContext,
+      "heap keys held, summed over partitions"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    // Final phase is clustered and must be exact over its whole key set;
+    // its memory is O(output) by construction (≤ k rows per key survive
+    // the partials). Only the map-side phase needs — and gets — a cap.
+    val maxKeys =
+      if (partial) conf.getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
+      else Int.MaxValue
+    val passMetric = longMetric("numPassThrough")
+    val keysMetric = longMetric("numHeapKeys")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "less" = earlier in the requested order; the queue dequeues the
       // WORST kept row first, so eviction is O(log k)
       val ord = RowOrdering.create(sortOrder, childOutput)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      // Lazily interleaved: rows either fold into a bounded heap (and
+      // emit nothing now) or — new key past the cap — pass through
+      // immediately, so cap overflow adds zero buffering.
+      val passThrough = iter.filter { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
             if (h.size < kLocal) h += row.copy()
             else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
+            false
           case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            h += row.copy()
-            heaps.put(key.copy(), h)
+            if (heaps.size >= maxKeys) { passMetric += 1; true }
+            else {
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              h += row.copy()
+              heaps.put(key.copy(), h)
+              false
+            }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // ++ evaluates its right side only after passThrough drains, at
+      // which point the heaps are complete
+      passThrough ++ {
+        keysMetric += heaps.size
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
     }, preservesPartitioning = true)
   }
 }
