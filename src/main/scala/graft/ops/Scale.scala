@@ -123,7 +123,8 @@ object Scale {
   def gridSelfJoinPairs(
       a: DataFrame, b: DataFrame, blockCols: Seq[String],
       idLeft: String, idRight: String,
-      rowsPerCell: Int, maxCells: Int = 16): DataFrame = {
+      rowsPerCell: Int, maxCells: Int = 16,
+      maxCensusBlocks: Int = 1 << 20): DataFrame = {
     val sizesDf = a.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__bn"))
     // stats-then-choose, the AQE pattern at the operator level: the
     // block census is a column-pruned scan + tiny agg, collected ONCE
@@ -133,10 +134,23 @@ object Scale {
     // runs twice. When no block exceeds the cap the plain join plan
     // (no Generate, no extra broadcast) is strictly better — measured
     // 2x on this corpus — so the grid engages only under real skew.
-    val census = sizesDf.collect()
+    //
+    // The census itself is cardinality-guarded: collecting through
+    // limit(cap + 1) bounds driver memory BY CONSTRUCTION (a
+    // near-unique block key can't flood the driver — at most cap + 1
+    // rows ever arrive), and when the limit is not hit the limited
+    // collect IS the complete census, so the guard costs zero extra
+    // jobs. Past the cap we fall back to the plain join: blocks
+    // outnumbering cap mean block keys are fine-grained relative to
+    // the corpus, which is the no-skew regime the plain branch is for
+    // (and a census that big could not be broadcast anyway).
+    val census = sizesDf.limit(maxCensusBlocks + 1).collect()
     val bnIdx = sizesDf.schema.fieldIndex("__bn")
-    val maxBlock = if (census.isEmpty) 0L else census.iterator.map(_.getLong(bnIdx)).max
-    if (maxBlock <= rowsPerCell) {
+    val censusOverflow = census.length > maxCensusBlocks
+    val maxBlock =
+      if (census.isEmpty || censusOverflow) 0L
+      else census.iterator.map(_.getLong(bnIdx)).max
+    if (censusOverflow || maxBlock <= rowsPerCell) {
       a.join(b, blockCols).filter(col(idLeft) < col(idRight))
     } else {
       import org.apache.spark.sql.Row

@@ -95,4 +95,39 @@ class GridPropertySpec extends AnyFunSuite {
     assert(maxCell * 10 <= hotBlockPairs,
       s"grid gives <10x reduction: $maxCell vs $hotBlockPairs")
   }
+
+  /** Census cardinality guard: a near-unique block key must not flood
+    * the driver. The census is collected through limit(cap + 1), so at
+    * most cap + 1 rows can ever reach the driver by construction; past
+    * the cap the operator falls back to the plain join (no Generate)
+    * with the pair set unchanged. Blocks here are sized to EXCEED
+    * rowsPerCell, proving it is the census guard — not the skew
+    * check — that picks the plain branch.
+    */
+  test("census guard: near-unique block key skips the census, same pairs, no grid") {
+    import spark.implicits._
+    // 50 blocks of 3 rows each: every block is over rowsPerCell=1, so
+    // without the guard the grid would engage on all of them
+    val rows = (0 until 150).map(i => (i.toLong, s"blk${i / 3}"))
+    val df = rows.toDF("id", "blk")
+    val a = df.select(col("id").as("id1"), col("blk"))
+    val b = df.select(col("id").as("id2"), col("blk"))
+    val guarded = Scale.gridSelfJoinPairs(a, b, Seq("blk"), "id1", "id2",
+      rowsPerCell = 1, maxCells = 8, maxCensusBlocks = 10)
+    assert(!guarded.queryExecution.executedPlan.toString.contains("Generate"),
+      "guard tripped but the grid path (Generate) was still planned")
+    val plainSet = a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    val guardedSet = guarded
+      .select(least(col("id1"), col("id2")), greatest(col("id1"), col("id2")))
+      .as[(Long, Long)].collect().toSet
+    assert(guardedSet == plainSet,
+      s"missing=${(plainSet -- guardedSet).take(3)} extra=${(guardedSet -- plainSet).take(3)}")
+
+    // and below the cap the grid still engages (guard is not always-plain)
+    val ungated = Scale.gridSelfJoinPairs(a, b, Seq("blk"), "id1", "id2",
+      rowsPerCell = 1, maxCells = 8, maxCensusBlocks = 1000)
+    assert(ungated.queryExecution.executedPlan.toString.contains("Generate"),
+      "with a roomy census cap the same input must take the grid path")
+  }
 }
