@@ -323,12 +323,34 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).isEmpty
+      // `next` is eagerly materialized and references nothing from the
+      // previous round, and the convergence check above was this
+      // round's last read of `labels` — free its checkpoint blocks now.
+      // Without this, every round's (and every rerun's) label snapshot
+      // stays resident until GC finds it, which is executor-storage
+      // creep on a long-running cluster (observed as growing repeat-run
+      // times in the bench).
+      freeLocalCheckpoint(labels)
       labels = next
     }
+    edges.unpersist(false)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_n"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
   }
+
+  /** Drop a localCheckpoint'd DataFrame's materialized blocks. A
+    * checkpointed frame plans to a `LogicalRDD` over the materialized
+    * RDD; unpersisting that RDD frees its storage immediately instead
+    * of waiting for the ContextCleaner to notice the reference died.
+    * Only call once the frame can never be read again — the lineage
+    * behind a local checkpoint is gone by design.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   // `edges AS MATERIALIZED`: without it DuckDB inlines the whole
   // minhash CTE chain into the recursive step and re-evaluates it per
