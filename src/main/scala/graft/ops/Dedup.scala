@@ -199,6 +199,28 @@ object Dedup {
     * and no full-signature comparison happens until after blocking.
     */
   def d02MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val (docsigs, pairs) = minhashBandPairs(spark, sfDir)
+    pairs
+      .join(docsigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(docsigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / lit(MinhashK.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.25)
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  /** The MinHash signature table and the distinct band-collision pair
+    * set (id1 < id2) — d02's blocking stage, factored out because it is
+    * ALSO the production candidate generator for exact-verify dedup
+    * (d04b): LSH proposes, an exact measure disposes. The returned
+    * signature frame is persisted (two or three downstream lookups);
+    * pairs are ids only — wide signature arrays never travel through
+    * the distinct shuffle.
+    */
+  private def minhashBandPairs(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     // one md5 per TOKEN (not per shingle string); shingles combine the
     // three token hashes arithmetically — same signal, ~3× less
@@ -231,15 +253,7 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()
-    pairs
-      .join(docsigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-      .join(docsigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        (aggregate(zip_with(col("sig1"), col("sig2"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
-          .cast("double") / lit(MinhashK.toDouble)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.25)
-      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+    (docsigs, pairs)
   }
 
   /** The d02 CTE chain (no WITH prefix) — shared by d02Sql and the
@@ -522,6 +536,54 @@ object Dedup {
       |FROM pairs
       |WHERE CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) >= 0.5
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
+
+  /** d04b: exact-Jaccard near-dup with MINHASH-BAND candidates — the
+    * production shape of d04. d04 verifies every pair inside a
+    * (lang, length) block, paying the Σb² pair expansion; here LSH
+    * proposes (d02's band-collision pairs — sub-quadratic by
+    * construction) and the exact token-set Jaccard disposes. The
+    * verify stage joins candidate ids back to sorted distinct-token
+    * arrays and runs the codegen'd linear merge per CANDIDATE, so
+    * total work is O(docs + candidates), not O(Σblock²). At 100 TB
+    * this is the variant you run: banding parameters — not corpus
+    * shape — bound the candidate count. Recall relative to exhaustive
+    * d04 is the LSH collision probability (tunable via bands×rows);
+    * the oracle runs the identical propose+verify pipeline, so the
+    * gate is exact.
+    */
+  def d04bJaccardVerified(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, cands) = minhashBandPairs(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_sort(array_distinct(toks)).as("ts"))
+    cands
+      .join(d.select(col("doc_id").as("id1"), col("ts").as("ts1")), Seq("id1"))
+      .join(d.select(col("doc_id").as("id2"), col("ts").as("ts2")), Seq("id2"))
+      .withColumn("n_common", expr("graft_intersect_size(ts1, ts2)"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("ts1")) + size(col("ts2")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      // see d04: keep the token arrays out of the presentation sort's
+      // range-sampling re-execution
+      .localCheckpoint(false)
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  val d04bSql: String =
+    s"""WITH $d02Ctes,
+       |d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+       |  FROM documents),
+       |verified AS (
+       |  SELECT id1, id2,
+       |    len(list_intersect(a.ts, b.ts)) AS n_common,
+       |    len(a.ts) AS n1, len(b.ts) AS n2
+       |  FROM pairs JOIN d a ON a.doc_id = id1 JOIN d b ON b.doc_id = id2)
+       |SELECT id1, id2,
+       |  CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) AS jaccard
+       |FROM verified
+       |WHERE CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) >= 0.5
+       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
 
   /** Embedding-cosine near-dup: label-blocked pairs, exact double
     * left-fold dot product (identical accumulation order on both
