@@ -38,6 +38,10 @@ class StatefulSpec extends AnyFunSuite {
   }
 
   test("streaming stateful sessions agree with the batch gap formulation") {
+    checkSessionsMatchBatch()
+  }
+
+  private def checkSessionsMatchBatch(): Unit = {
     val streamed = StatefulSessions.runToCompletion(spark, sf)
       .select(col("user_id"), col("session_start_us"), col("n_events"), col("total_value"))
       .collect()
@@ -137,6 +141,10 @@ class StatefulSpec extends AnyFunSuite {
   }
 
   test("streaming stateful anomaly == batch e09 on the complete-bucket prefix") {
+    checkAnomalyMatchesBatch()
+  }
+
+  private def checkAnomalyMatchesBatch(): Unit = {
     import graft.streaming.StatefulAnomaly
     val streamed = StatefulAnomaly.runToCompletion(spark, sf)
       .collect()
@@ -159,6 +167,22 @@ class StatefulSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streamed=${streamed.size} batch=${batch.size} " +
         s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+  }
+
+  /** Heap state is the first casualty on a real cluster — production
+    * stateful queries run RocksDB-backed state. Both
+    * flatMapGroupsWithState twins must produce batch-identical output
+    * under the RocksDB provider too: state (de)serialization round-
+    * trips through the store's binary format instead of living as JVM
+    * objects, which is exactly where encoder mismatches would surface.
+    */
+  test("stateful sessions + anomaly match batch under the RocksDB state store") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      checkSessionsMatchBatch()
+      checkAnomalyMatchesBatch()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
