@@ -101,6 +101,30 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  /** e10's day↔trailing-days range join is only calendar-sized work
+    * because the CALENDAR side broadcasts: a silent flip to a
+    * non-broadcast nested loop (or to broadcasting the fact-derived
+    * daily side) would re-introduce an O(fact) single-node pass at
+    * scale. Correctness would not change, so only the plan can catch
+    * the regression.
+    */
+  test("e10's range join broadcasts the calendar side") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val plan = graft.ops.EventOps.e10TrailingDistinct(spark, sf)
+      .queryExecution.sparkPlan
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size == 1, s"expected exactly one broadcast range join:\n$plan")
+    val build = bnlj.head.buildSide match {
+      case BuildLeft => bnlj.head.left
+      case BuildRight => bnlj.head.right
+    }
+    // the calendar relation is the single-column distinct-day frame
+    assert(build.output.map(_.name) == Seq("d"),
+      s"build side must be the calendar (output 'd'), got " +
+        s"${build.output.map(_.name).mkString(",")}:\n$plan")
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
