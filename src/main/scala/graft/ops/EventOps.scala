@@ -389,4 +389,116 @@ object EventOps {
       |SELECT user_id, event_id AS purchase_event, touch_event, touch_type
       |FROM t WHERE event_type = 'purchase'
       |ORDER BY purchase_event ASC NULLS LAST""".stripMargin
+
+  /** e12: time-to-conversion distribution — for each converting user,
+    * minutes from their FIRST view to their first purchase at-or-after
+    * it, bucketed into the funnel-latency histogram product teams
+    * actually read. Two hash aggregations on user_id and one join —
+    * the per-user frames collapse the fact table before anything is
+    * compared, so the join input is users, not events. Lag is integer
+    * microsecond arithmetic (µs diff, integer-divide to minutes) —
+    * exact on both engines; no timestamp subtraction semantics in
+    * play.
+    */
+  def e12ConversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val lagMin = expr("(unix_micros(CAST(first_purchase AS TIMESTAMP)) - " +
+      "unix_micros(CAST(first_view AS TIMESTAMP))) div 60000000")
+    firstView
+      .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("ts")).as("first_purchase"))
+      .select(col("user_id"), lagMin.as("lag_min"))
+      .groupBy(
+        when(col("lag_min") < 60, "0-1h")
+          .when(col("lag_min") < 360, "1-6h")
+          .when(col("lag_min") < 1440, "6-24h")
+          .otherwise("1d+").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("lag_min")).as("total_lag_min"))
+      .orderBy(col("bucket").asc_nulls_last)
+  }
+
+  val e12Sql: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(ts) AS first_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |fp AS (
+      |  SELECT e.user_id, fv.first_view, min(e.ts) AS first_purchase
+      |  FROM fv JOIN events e USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      |  GROUP BY e.user_id, fv.first_view),
+      |l AS (
+      |  SELECT user_id,
+      |    (epoch_us(first_purchase) - epoch_us(first_view)) // 60000000 AS lag_min
+      |  FROM fp)
+      |SELECT CASE WHEN lag_min < 60 THEN '0-1h'
+      |            WHEN lag_min < 360 THEN '1-6h'
+      |            WHEN lag_min < 1440 THEN '6-24h'
+      |            ELSE '1d+' END AS bucket,
+      |  count(*) AS n_users, CAST(sum(lag_min) AS BIGINT) AS total_lag_min
+      |FROM l GROUP BY 1
+      |ORDER BY bucket ASC NULLS LAST""".stripMargin
+
+  /** e13: RFM user segmentation — recency (days since the user's last
+    * event, anchored to the corpus max day so the query is
+    * deterministic), frequency (events), monetary (decimal-exact value
+    * sum), classified against FIXED thresholds rather than global
+    * ntile quantiles: threshold segmentation is one per-user aggregate
+    * plus a per-row CASE (no global window — a global ntile would
+    * serialize all users through one task at 100 TB, the exact shape
+    * the plan audit forbids). The anchor is a one-row aggregate
+    * broadcast against the per-user frame.
+    */
+  def e13RfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_day"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(18, 4))).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor_day"), col("last_day")))
+    val seg = concat(
+      when(col("recency_days") <= 0, "R2").when(col("recency_days") <= 1, "R1")
+        .otherwise("R0"),
+      when(col("freq") >= 75, "F2").when(col("freq") >= 60, "F1").otherwise("F0"),
+      when(col("monetary") >= 4000, "M2").when(col("monetary") >= 2800, "M1")
+        .otherwise("M0"))
+    perUser
+      .groupBy(seg.as("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("total_events"),
+        sum(col("monetary")).cast("double").as("total_value"))
+      .orderBy(col("segment").asc_nulls_last)
+  }
+
+  val e13Sql: String =
+    """WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor_day FROM events),
+      |u AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS freq,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS monetary
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id, freq, monetary,
+      |    datediff('day', last_day, anchor_day) AS recency_days
+      |  FROM u CROSS JOIN a),
+      |s AS (
+      |  SELECT
+      |    (CASE WHEN recency_days <= 0 THEN 'R2'
+      |          WHEN recency_days <= 1 THEN 'R1' ELSE 'R0' END) ||
+      |    (CASE WHEN freq >= 75 THEN 'F2'
+      |          WHEN freq >= 60 THEN 'F1' ELSE 'F0' END) ||
+      |    (CASE WHEN monetary >= 4000 THEN 'M2'
+      |          WHEN monetary >= 2800 THEN 'M1' ELSE 'M0' END) AS segment,
+      |    freq, monetary
+      |  FROM r)
+      |SELECT segment, count(*) AS n_users,
+      |  CAST(sum(freq) AS BIGINT) AS total_events,
+      |  CAST(sum(monetary) AS DOUBLE) AS total_value
+      |FROM s GROUP BY segment
+      |ORDER BY segment ASC NULLS LAST""".stripMargin
 }

@@ -230,4 +230,163 @@ object PipelineOps {
        |WHERE $h % 10000 < CAST(floor(quality * 8000.0) AS BIGINT)
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
+
+  private val ChunkW = 32 // context-window tokens per chunk
+  private val ChunkS = 24 // stride (W - S = 8 tokens of overlap)
+
+  /** p09: document chunking with overlap — the retrieval/packing
+    * primitive that turns documents into fixed-width context windows:
+    * W-token chunks every S tokens (trailing W−S tokens repeat into
+    * the next chunk so no boundary context is lost). Chunk count is
+    * derived with integer arithmetic (1 + ceil((n−W)/S) via int
+    * division — no float rounding at the seam), then one generator
+    * expands chunk indices and a slice projects each window. Per-row
+    * generate + slice, no shuffle except the presentation sort; at
+    * 100 TB chunking is embarrassingly parallel and output size is
+    * input × ~W/S.
+    */
+  def p09ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= ChunkW, lit(1)).otherwise(
+          expr(s"(n_tok - $ChunkW + ${ChunkS - 1}) div $ChunkS") + 1))
+      .select(col("doc_id"), col("lang"), col("tk"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk", slice(col("tk"),
+        (col("chunk_idx") * ChunkS + 1).cast("int"), lit(ChunkW)))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      // generator output feeds a global sort: checkpoint so the range
+      // sampler re-reads 5 scalar columns, not the re-run generator
+      .localCheckpoint(false)
+      .orderBy(col("doc_id").asc_nulls_last, col("chunk_idx").asc_nulls_last)
+
+  val p09Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, tk,
+       |    unnest(range(0, CASE WHEN n_tok <= $ChunkW THEN 1
+       |      ELSE (n_tok - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END)) AS chunk_idx
+       |  FROM t)
+       |SELECT doc_id, lang, chunk_idx,
+       |  len(tk[chunk_idx * $ChunkS + 1 : chunk_idx * $ChunkS + $ChunkW]) AS n_chunk_tok,
+       |  list_aggregate(tk[chunk_idx * $ChunkS + 1 : chunk_idx * $ChunkS + $ChunkW],
+       |    'string_agg', ' ') AS chunk_text
+       |FROM c
+       |ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""".stripMargin
+
+  /** p10: temperature-tempered domain mixing — the corpus-composition
+    * step: rebalance per-domain (language) mass toward the rare
+    * domains by sampling domain d at rate min(1, t·√(max_n/n_d)) — the
+    * α = 0.5 temperature reweighting, expressed WITHOUT cross-domain
+    * sums so every arithmetic step (cast, divide, sqrt, multiply,
+    * least, floor) is a single correctly-rounded IEEE op on both
+    * engines. √ is exact IEEE (never pow(x, 0.5), which isn't).
+    * Membership is the portable doc_id hash against an integer
+    * threshold — reproducible under retries, repartitioning, and
+    * growth, and bit-replayable by the oracle. The domain-rate table
+    * is one tiny aggregate broadcast against the corpus: no extra
+    * shuffle at 100 TB beyond the audit's own group-by.
+    */
+  def p10TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val maxN = counts.agg(max(col("n_total")).as("max_n"))
+    val rates = counts.crossJoin(broadcast(maxN))
+      .withColumn("rate", least(lit(1.0),
+        lit(0.5) * sqrt(col("max_n").cast("double") / col("n_total").cast("double"))))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("kept",
+        PortableHash.tokenHash32(col("doc_id").cast("string")) % 1000000 <
+          floor(col("rate") * lit(1000000.0)).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_total"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        max(col("rate")).as("rate"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val p10Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+       |m AS (SELECT max(n_total) AS max_n FROM c),
+       |r AS (
+       |  SELECT lang, n_total,
+       |    least(CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE) *
+       |      sqrt(CAST(max_n AS DOUBLE) / CAST(n_total AS DOUBLE))) AS rate
+       |  FROM c CROSS JOIN m)
+       |SELECT d.lang, max(r.n_total) AS n_total,
+       |  count(CASE WHEN $h % 1000000 <
+       |    CAST(floor(r.rate * CAST(1000000.0 AS DOUBLE)) AS BIGINT) THEN 1 END) AS n_kept,
+       |  max(r.rate) AS rate
+       |FROM documents d JOIN r USING (lang)
+       |GROUP BY d.lang
+       |ORDER BY d.lang ASC NULLS LAST""".stripMargin
+  }
+
+  /** p11: token-budget corpus selection — the data-selection step when
+    * compute, not data, is the constraint: per language, admit
+    * documents in descending quality order until the token budget is
+    * spent (greedy selection, the standard practical policy). One
+    * window pass per lang partition: running token sum in
+    * (quality desc, doc_id) order, keep rows whose cumulative count
+    * stays within budget. Quality is t02/p08's fixed-form double —
+    * identical on both engines, so the admission order and the cut
+    * line are bit-reproducible. At 100 TB this is a sort within each
+    * lang partition, no global ordering anywhere.
+    */
+  def p11TokenBudget(spark: SparkSession, sfDir: String,
+      budget: Int = 5000): DataFrame = {
+    val nTok = size(col("toks")).cast("double")
+    val nStop = size(filter(col("toks"),
+      t => t.isInCollection(Seq("the", "a", "and", "of", "to")))).cast("double")
+    val nDist = size(array_distinct(col("toks"))).cast("double")
+    val lenFactor = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+    val quality = lit(0.4) * (nDist / nTok) + lit(0.4) * lenFactor +
+      lit(0.2) * (nStop / nTok)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality", quality)
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"), col("quality"))
+      .orderBy(col("lang").asc_nulls_last, col("doc_id").asc_nulls_last)
+  }
+
+  val p11Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) AS n_stop,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+      |    CAST(len(toks) AS DOUBLE) AS n_tok_d,
+      |    CAST(len(toks) AS BIGINT) AS n_tok,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_factor
+      |  FROM t),
+      |q AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    0.4 * (n_dist / n_tok_d) + 0.4 * len_factor + 0.2 * (n_stop / n_tok_d) AS quality
+      |  FROM m),
+      |c AS (
+      |  SELECT lang, doc_id, n_tok, quality,
+      |    CAST(sum(n_tok) OVER (PARTITION BY lang
+      |      ORDER BY quality DESC NULLS LAST, doc_id ASC NULLS LAST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |  FROM q)
+      |SELECT lang, doc_id, n_tok, cum_tok, quality FROM c
+      |WHERE cum_tok <= 5000
+      |ORDER BY lang ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin
 }

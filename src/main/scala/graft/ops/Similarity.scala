@@ -296,4 +296,51 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
        |WHERE rank <= $K
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+
+  private val RangeTau = 0.25
+
+  /** s04: cosine RANGE search — "every neighbor at least τ similar",
+    * the radius-query complement of top-k (dedup sweeps and
+    * retrieval-recall audits want a threshold, not a count). Same
+    * broadcast-queries / streaming-corpus shape as s01 — bounded query
+    * set replicated to every corpus partition, no corpus shuffle, no
+    * per-query ranking pass at all (the threshold is a row filter, so
+    * unlike top-k there is no window/ordering state) — making range
+    * search the cheapest exact similarity scan at 100 TB. The same
+    * exact left-fold dot product keeps the τ comparison bit-identical
+    * on both engines.
+    */
+  def s04RangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine("qv", "cv", col("qn"), col("cn")))
+      .filter(col("cosine") >= RangeTau)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      // scalar output only; the broadcast-join kernel must not be
+      // re-run by the presentation sort's range sampling
+      .localCheckpoint(false)
+      .orderBy(col("query_id").asc_nulls_last, col("neighbor_id").asc_nulls_last)
+  }
+
+  val s04Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cosine FROM scored
+       |WHERE cosine >= $RangeTau
+       |ORDER BY query_id ASC NULLS LAST, neighbor_id ASC NULLS LAST""".stripMargin
 }

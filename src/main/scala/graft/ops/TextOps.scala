@@ -466,4 +466,41 @@ object TextOps {
       |    THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
       |    ELSE CAST(0.0 AS DOUBLE) END) >= 0.05 THEN 1 ELSE 0 END AS is_repetitive
       |FROM g ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** t12: vocabulary richness — the lexical-diversity quality signal
+    * (low type/token ratio ⇒ templated or spammy text; high hapax
+    * fraction ⇒ natural prose): per-document type count, token count,
+    * hapax (frequency-1) count, and the two rational ratios. Shaped as
+    * explode → (doc, token) count → per-doc aggregate: the shuffle
+    * keys on (doc_id, token), so at 100 TB word-frequency skew spreads
+    * across reducers by construction (no per-row O(n²) array
+    * counting). Ratios are single double divisions of exact ints —
+    * bit-equal on both engines.
+    */
+  def t12VocabRichness(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tok").cast("double")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_frac"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val t12Sql: String =
+    """WITH pt AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |  GROUP BY doc_id, tok),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_types,
+      |    count(CASE WHEN c = 1 THEN 1 END) AS n_hapax
+      |  FROM pt GROUP BY doc_id)
+      |SELECT doc_id, n_tok, n_types, n_hapax,
+      |  CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+      |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
+      |FROM a ORDER BY doc_id ASC NULLS LAST""".stripMargin
 }
