@@ -199,8 +199,23 @@ object Dedup {
     * and no full-signature comparison happens until after blocking.
     */
   def d02MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val (docsigs, est) = d02Scored(spark, sfDir)
+    // eagerly materialize the (narrow) pair estimates, then drop the
+    // signature cache — without this every run leaks the full sig
+    // frame into executor storage until GC notices (the d06 rep-growth
+    // class)
+    val out = est.localCheckpoint(true)
+    docsigs.unpersist(false)
+    out.orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  /** d02's scored candidate pairs BEFORE the presentation sort, plus
+    * the live docsigs cache handle so callers can free it once their
+    * derived frame is materialized.
+    */
+  private def d02Scored(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val (docsigs, pairs) = minhashBandPairs(spark, sfDir)
-    pairs
+    val est = pairs
       .join(docsigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(docsigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .select(col("id1"), col("id2"),
@@ -208,7 +223,7 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
           .cast("double") / lit(MinhashK.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.25)
-      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+    (docsigs, est)
   }
 
   /** The MinHash signature table and the distinct band-collision pair
@@ -317,10 +332,16 @@ object Dedup {
     * shared by d06 (census) and d11 (keep-best selection).
     */
   private def dedupLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = d02MinhashLsh(spark, sfDir).select(col("id1"), col("id2"))
+    val (docsigs, est) = d02Scored(spark, sfDir)
+    val pairs = est.select(col("id1"), col("id2"))
+    // edges is read every propagation round: eager-checkpoint it once
+    // (narrow id pairs), then the minhash/signature machinery behind
+    // it — including the docsigs cache — is dead and freed NOW, not
+    // whenever GC finds it
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    docsigs.unpersist(true)
     var labels = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
@@ -347,10 +368,17 @@ object Dedup {
       freeLocalCheckpoint(labels)
       labels = next
     }
-    edges.unpersist(false)
+    freeLocalCheckpoint(edges) // immediate, not ContextCleaner-async
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_n"))
-    labels.join(sizes, Seq("cluster_id"))
+    // materialize the (3-column, doc-count) result eagerly so the
+    // FINAL labels snapshot can be freed too — the last piece of the
+    // rep-over-rep storage creep; the result checkpoint is the only
+    // block set a finished run leaves behind
+    val result = labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+      .localCheckpoint(true)
+    freeLocalCheckpoint(labels)
+    result
   }
 
   /** Drop a localCheckpoint'd DataFrame's materialized blocks. A
@@ -552,10 +580,10 @@ object Dedup {
     * gate is exact.
     */
   def d04bJaccardVerified(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, cands) = minhashBandPairs(spark, sfDir)
+    val (docsigs, cands) = minhashBandPairs(spark, sfDir)
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_sort(array_distinct(toks)).as("ts"))
-    cands
+    val out = cands
       .join(d.select(col("doc_id").as("id1"), col("ts").as("ts1")), Seq("id1"))
       .join(d.select(col("doc_id").as("id2"), col("ts").as("ts2")), Seq("id2"))
       .withColumn("n_common", expr("graft_intersect_size(ts1, ts2)"))
@@ -563,10 +591,13 @@ object Dedup {
         (size(col("ts1")) + size(col("ts2")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
-      // see d04: keep the token arrays out of the presentation sort's
-      // range-sampling re-execution
-      .localCheckpoint(false)
-      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+      // EAGER checkpoint (vs the lazy one d04 uses): it still keeps
+      // the token arrays out of the presentation sort's range-sampling
+      // re-execution, and materializing now lets the docsigs cache be
+      // dropped here instead of leaking into executor storage per run
+      .localCheckpoint(true)
+    docsigs.unpersist(false)
+    out.orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
   val d04bSql: String =

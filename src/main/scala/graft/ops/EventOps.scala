@@ -412,11 +412,13 @@ object EventOps {
       .groupBy(col("user_id"), col("first_view"))
       .agg(min(col("ts")).as("first_purchase"))
       .select(col("user_id"), lagMin.as("lag_min"))
+      // ordinal prefixes so the histogram's lexicographic sort IS the
+      // semantic latency order
       .groupBy(
-        when(col("lag_min") < 60, "0-1h")
-          .when(col("lag_min") < 360, "1-6h")
-          .when(col("lag_min") < 1440, "6-24h")
-          .otherwise("1d+").as("bucket"))
+        when(col("lag_min") < 60, "1_0-1h")
+          .when(col("lag_min") < 360, "2_1-6h")
+          .when(col("lag_min") < 1440, "3_6-24h")
+          .otherwise("4_1d+").as("bucket"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("lag_min")).as("total_lag_min"))
       .orderBy(col("bucket").asc_nulls_last)
@@ -435,10 +437,10 @@ object EventOps {
       |  SELECT user_id,
       |    (epoch_us(first_purchase) - epoch_us(first_view)) // 60000000 AS lag_min
       |  FROM fp)
-      |SELECT CASE WHEN lag_min < 60 THEN '0-1h'
-      |            WHEN lag_min < 360 THEN '1-6h'
-      |            WHEN lag_min < 1440 THEN '6-24h'
-      |            ELSE '1d+' END AS bucket,
+      |SELECT CASE WHEN lag_min < 60 THEN '1_0-1h'
+      |            WHEN lag_min < 360 THEN '2_1-6h'
+      |            WHEN lag_min < 1440 THEN '3_6-24h'
+      |            ELSE '4_1d+' END AS bucket,
       |  count(*) AS n_users, CAST(sum(lag_min) AS BIGINT) AS total_lag_min
       |FROM l GROUP BY 1
       |ORDER BY bucket ASC NULLS LAST""".stripMargin

@@ -94,22 +94,52 @@ object PipelineOps {
        |ORDER BY lang ASC NULLS LAST, split ASC NULLS LAST""".stripMargin
   }
 
+  /** doc_ids per p06 prefix bucket: per-(lang, bucket) work is ≤ this
+    * by pigeonhole (doc_id div is monotone), while bucket COUNT grows
+    * with the corpus — the cardinality shape a distributed prefix sum
+    * needs. At 1e9 docs the offset table is ~4M rows (a few tens of
+    * MB): still broadcastable; past that, swap the broadcast for a
+    * plain shuffle join on (lang, bkt) — the two-phase math is
+    * unchanged.
+    */
+  private val PackBucket = 256
+
   /** p06: sequence packing — assign documents (in stable doc_id order,
     * per lang) to fixed token-budget bins by their running START
-    * offset: bin = floor((cumsum − n) / budget). This is the
-    * distributed form of context-window packing: one window pass per
-    * lang partition, no driver loop; a doc whose start falls in a bin
-    * belongs to it (documents are never split). Output is the per-bin
-    * manifest a shard writer consumes.
+    * offset: bin = floor((cumsum − n) / budget); a doc whose start
+    * falls in a bin belongs to it (documents are never split). Output
+    * is the per-bin manifest a shard writer consumes.
+    *
+    * The running offset is a TWO-PHASE distributed prefix sum, never a
+    * per-lang window over the fact table (lang has ~5 values — a
+    * single-key window is one task per language at scale): (1) bucket
+    * docs by doc_id range and collapse the fact table to per-(lang,
+    * bucket) token partials; (2) prefix-sum the tiny bucket table per
+    * lang (sub-fact-sized window input); (3) broadcast the bucket
+    * start offsets back and run the exact window only WITHIN each
+    * (lang, bucket) — a partition key whose cardinality grows with the
+    * data and whose per-partition size is bounded by the bucket width.
+    * Long addition is exact, so the result is bit-identical to the
+    * single-window form the oracle states.
     */
   def p06SequencePacking(spark: SparkSession, sfDir: String,
       budget: Int = 4096): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("bkt", expr(s"doc_id div $PackBucket"))
+      .select(col("lang"), col("bkt"), col("doc_id"), col("n_tok"))
+    val wPrefix = Window.partitionBy(col("lang"))
+      .orderBy(col("bkt").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("bkt_off", sum(col("btok")).over(wPrefix) - col("btok"))
+      .select(col("lang"), col("bkt"), col("bkt_off"))
+    val wIn = Window.partitionBy(col("lang"), col("bkt"))
       .orderBy(col("doc_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
-      .withColumn("n_tok", size(split(col("text"), " ")))
-      .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+    base.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("off", col("bkt_off") + sum(col("n_tok")).over(wIn) - col("n_tok"))
       .withColumn("bin", expr(s"off div $budget"))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -332,19 +362,41 @@ object PipelineOps {
        |ORDER BY d.lang ASC NULLS LAST""".stripMargin
   }
 
+  /** p11's token budget — one constant interpolated into BOTH the
+    * Scala plan and the oracle SQL, so they cannot silently diverge.
+    */
+  private val P11Budget = 5000
+
+  /** quality bands for p11's pre-prune: floor(quality·32). Band order
+    * refines quality order (equal qualities land in the same band), so
+    * whole low bands can be discarded before any per-row ordering.
+    */
+  private val P11Bands = 32
+
   /** p11: token-budget corpus selection — the data-selection step when
     * compute, not data, is the constraint: per language, admit
     * documents in descending quality order until the token budget is
-    * spent (greedy selection, the standard practical policy). One
-    * window pass per lang partition: running token sum in
-    * (quality desc, doc_id) order, keep rows whose cumulative count
-    * stays within budget. Quality is t02/p08's fixed-form double —
-    * identical on both engines, so the admission order and the cut
-    * line are bit-reproducible. At 100 TB this is a sort within each
-    * lang partition, no global ordering anywhere.
+    * spent (greedy selection, the standard practical policy). Quality
+    * is t02/p08's fixed-form double — identical on both engines, so
+    * the admission order and the cut line are bit-reproducible.
+    *
+    * The greedy cut does NOT need a running sum over the whole corpus
+    * (lang has ~5 values — a per-lang window over the fact table is
+    * one task per language at scale). Two-phase: (1) collapse the fact
+    * table to per-(lang, quality-band) token partials and prefix-sum
+    * that tiny table in descending band order; (2) keep only bands
+    * whose START offset is inside the budget — every row of a later
+    * band has cum_tok > budget by construction, so dropping them
+    * cannot change the answer; (3) broadcast the surviving (lang,
+    * band) keys back as a semi-filter and run the exact window over
+    * the pruned remainder, whose size is bounded by budget tokens plus
+    * one boundary band (corpus/32) — sub-fact-sized regardless of
+    * corpus growth. Because every dropped row follows every kept row
+    * in (quality desc, doc_id) order, the running sum over kept rows
+    * IS the global running sum on those rows: the output is
+    * bit-identical to the single-window form the oracle states.
     */
-  def p11TokenBudget(spark: SparkSession, sfDir: String,
-      budget: Int = 5000): DataFrame = {
+  def p11TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     val nTok = size(col("toks")).cast("double")
     val nStop = size(filter(col("toks"),
       t => t.isInCollection(Seq("the", "a", "and", "of", "to")))).cast("double")
@@ -352,21 +404,32 @@ object PipelineOps {
     val lenFactor = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
     val quality = lit(0.4) * (nDist / nTok) + lit(0.4) * lenFactor +
       lit(0.2) * (nStop / nTok)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+    val scored = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("quality", quality)
       .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("band", floor(col("quality") * P11Bands).cast("int"))
+      .select(col("lang"), col("band"), col("doc_id"), col("n_tok"), col("quality"))
+    val wBand = Window.partitionBy(col("lang"))
+      .orderBy(col("band").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBands = scored.groupBy(col("lang"), col("band"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("band_start", sum(col("btok")).over(wBand) - col("btok"))
+      .filter(col("band_start") < P11Budget)
+      .select(col("lang"), col("band"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(keptBands), Seq("lang", "band"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .filter(col("cum_tok") <= budget)
+      .filter(col("cum_tok") <= P11Budget)
       .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"), col("quality"))
       .orderBy(col("lang").asc_nulls_last, col("doc_id").asc_nulls_last)
   }
 
   val p11Sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
       |m AS (
       |  SELECT doc_id, lang,
@@ -387,6 +450,6 @@ object PipelineOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
       |  FROM q)
       |SELECT lang, doc_id, n_tok, cum_tok, quality FROM c
-      |WHERE cum_tok <= 5000
+      |WHERE cum_tok <= $P11Budget
       |ORDER BY lang ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin
 }

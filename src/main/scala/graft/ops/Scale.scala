@@ -148,9 +148,25 @@ object Scale {
     val bnIdx = sizesDf.schema.fieldIndex("__bn")
     val censusOverflow = census.length > maxCensusBlocks
     val maxBlock =
-      if (census.isEmpty || censusOverflow) 0L
+      if (census.isEmpty) 0L
+      else if (censusOverflow)
+        // the census is too big to broadcast, but skew detection only
+        // needs ONE scalar: max block size via a partial-aggregated
+        // max — bounded driver memory no matter how many blocks exist
+        sizesDf.agg(max(col("__bn"))).collect()(0).getLong(0)
       else census.iterator.map(_.getLong(bnIdx)).max
     if (censusOverflow || maxBlock <= rowsPerCell) {
+      if (censusOverflow && maxBlock > rowsPerCell)
+        // >maxCensusBlocks blocks AND a hot one among them: the grid
+        // cannot engage (its cell map would not broadcast), so the
+        // plain join runs with a known-skewed O(maxBlock²) pair blowup
+        // on one key — surface it instead of failing silently; AQE
+        // skew-join split is the remaining line of defense here
+        org.slf4j.LoggerFactory.getLogger("graft.ops.Scale").warn(
+          s"gridSelfJoinPairs: census overflowed ($maxCensusBlocks blocks) " +
+            s"but a hot block of $maxBlock rows (> $rowsPerCell) exists — " +
+            "falling back to the plain join UNDER SKEW; consider a finer " +
+            "block key")
       a.join(b, blockCols).filter(col(idLeft) < col(idRight))
     } else {
       import org.apache.spark.sql.Row

@@ -130,13 +130,63 @@ object Windows {
   /** ntile + percent_rank + cume_dist: customer account-balance
     * quartiles within each nation.
     */
+  /** ntile/percent_rank/cume_dist per nation — re-shaped in round 5
+    * after the plan audit's bounded-key window rule caught the naive
+    * form: `PARTITION BY c_nationkey` over the whole customer table is
+    * 25 fixed keys, i.e. 1/25 of the corpus through ONE task at scale.
+    *
+    * All three analytics derive from the per-nation RANK under a total
+    * order (c_custkey breaks acctbal ties, so rank = row_number), and
+    * rank distributes as a two-level prefix sum over balance buckets:
+    * level 1 = $200 buckets (≤55/nation, a BOUNDED table whose prefix
+    * window is trivially small), level 2 = $1 buckets (occupied-key
+    * count grows with the data; its prefix runs within each level-1
+    * bucket). The exact per-row window then runs only WITHIN each
+    * (nation, dollar) bucket and adds the broadcast offsets. ntile's
+    * first-(N mod n)-buckets-get-one-extra split and the
+    * percent_rank/cume_dist divisions are restated explicitly from
+    * (rank, N) — bit-identical to the built-ins under a total order.
+    */
   def q25WindowNtile(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("l2", floor(col("c_acctbal")))
+      .withColumn("l1", floor(col("c_acctbal") / 200))
+    val l2Counts = cust.groupBy(col("c_nationkey"), col("l1"), col("l2"))
+      .agg(count(lit(1)).as("n2"))
+    val wL2 = Window.partitionBy(col("c_nationkey"), col("l1"))
+      .orderBy(col("l2").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wL1 = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("l1").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l1Off = l2Counts.groupBy(col("c_nationkey"), col("l1"))
+      .agg(sum(col("n2")).as("n1"))
+      .withColumn("l1_off", sum(col("n1")).over(wL1) - col("n1"))
+      .select(col("c_nationkey"), col("l1"), col("l1_off"))
+    val offs = l2Counts
+      .withColumn("off_in_l1", sum(col("n2")).over(wL2) - col("n2"))
+      .join(broadcast(l1Off), Seq("c_nationkey", "l1"))
+      .select(col("c_nationkey"), col("l2"),
+        (col("l1_off") + col("off_in_l1")).as("l2_off"))
+    val totals = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("nn"))
+    val wIn = Window.partitionBy(col("c_nationkey"), col("l2"))
       .orderBy(col("c_acctbal").asc_nulls_last, col("c_custkey").asc_nulls_last)
-    Tables.customer(spark, sfDir)
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    cust
+      .join(broadcast(offs), Seq("c_nationkey", "l2"))
+      .join(broadcast(totals), Seq("c_nationkey"))
+      .withColumn("rnk", col("l2_off") + row_number().over(wIn))
+      // ntile(4): the first (N mod 4) quartiles hold (N div 4 + 1) rows
+      .withColumn("qq", expr("nn div 4"))
+      .withColumn("rr", expr("nn % 4"))
+      .withColumn("quartile",
+        when(col("rnk") <= col("rr") * (col("qq") + 1),
+          expr("(rnk - 1) div (qq + 1) + 1"))
+        .otherwise(expr("rr + (rnk - rr * (qq + 1) - 1) div greatest(qq, 1) + 1"))
+        .cast("int"))
+      .withColumn("pct_rank", when(col("nn") === 1, lit(0.0))
+        .otherwise((col("rnk") - 1).cast("double") / (col("nn") - 1).cast("double")))
+      .withColumn("cume", col("rnk").cast("double") / col("nn").cast("double"))
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
         col("quartile"), col("pct_rank"), col("cume"))
       .orderBy(col("c_nationkey").asc_nulls_last, col("c_acctbal").asc_nulls_last,

