@@ -234,20 +234,32 @@ object Dedup {
     * pairs are ids only — wide signature arrays never travel through
     * the distinct shuffle.
     */
-  private def minhashBandPairs(
-      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  /** Word-3-gram shingle hashes (mod P) per document — the shared
+    * similarity domain of d02/d04/d04b. One md5 per TOKEN (not per
+    * shingle string); shingles combine the three token hashes
+    * arithmetically — same signal, ~3× less hashing. Documents under
+    * 3 tokens have no shingles and are excluded.
+    */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // one md5 per TOKEN (not per shingle string); shingles combine the
-    // three token hashes arithmetically — same signal, ~3× less
-    // hashing — and the 16-permutation signature is one fused codegen
-    // pass (graft_minhash) instead of 16 interpreted array walks
-    val docsigs = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .filter(size(split(col("text"), " ")) >= 3)
       .withColumn("th", transform(split(col("text"), " "),
         t => tokenHash32(t) % lit(P)))
       .withColumn("sh", expr(
         s"transform(sequence(1, size(th) - 2), " +
           s"i -> ((th[i-1] * 8191 + th[i]) % $P * 8191 + th[i+1]) % $P)"))
+  }
+
+  private def minhashBandPairs(
+      spark: SparkSession, sfDir: String,
+      nBands: Int = 4, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    // the 16-permutation signature is one fused codegen pass
+    // (graft_minhash) instead of 16 interpreted array walks; the
+    // banding split of the same signature is the caller's
+    // recall/candidate-count knob (d02 audits at 4×4, d04b proposes
+    // at 8×2)
+    val docsigs = shingled(spark, sfDir)
       .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
       // referenced three times below (bands + two signature lookups);
       // persist so the hash pipeline runs once per action, not thrice
@@ -256,8 +268,9 @@ object Dedup {
     val bands = docsigs.select(
       col("doc_id"),
       posexplode(expr(
-        s"transform(sequence(0, 3), b -> " +
-          s"aggregate(slice(sig, b * 4 + 1, 4), 0L, (acc, x) -> (acc * 31 + x) % ${P}))"))
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"aggregate(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), 0L, " +
+          s"(acc, x) -> (acc * 31 + x) % ${P}))"))
         .as(Seq("band", "band_key")))
 
     // narrow pair dedup first (ids only), then attach signatures —
@@ -509,23 +522,30 @@ object Dedup {
        |FROM bits ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
 
-  /** N-gram (token-set) Jaccard with candidate blocking: only pairs in
-    * the same (lang, length-bucket) block are compared; Jaccard is
-    * computed from distinct-token set sizes. Pair generation goes
-    * through the grid-salted self-join (`Scale.gridSelfJoinPairs`), so
-    * a hot block is split across cells² tasks instead of landing on
-    * one — same result set, bounded per-task pair count. `rowsPerCell`
-    * is exposed for the spec that forces splitting on small fixtures.
+  /** N-gram (3-gram shingle-set) Jaccard with candidate blocking —
+    * Broder's resemblance, the standard document near-dup measure:
+    * only pairs in the same (lang, length-bucket) block are compared;
+    * Jaccard is computed over distinct word-3-gram shingle-hash sets
+    * (round 5: previously distinct single tokens, a bag-of-words
+    * similarity so loose on template-generated corpora that most pairs
+    * qualified — ordered shingles discriminate, and put d04's verify
+    * metric in the SAME space d04b's MinHash proposer searches). Pair
+    * generation goes through the grid-salted self-join
+    * (`Scale.gridSelfJoinPairs`), so a hot block is split across
+    * cells² tasks instead of landing on one — same result set, bounded
+    * per-task pair count. `rowsPerCell` is exposed for the spec that
+    * forces splitting on small fixtures.
     */
   def d04NgramJaccard(spark: SparkSession, sfDir: String,
       rowsPerCell: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // sort+dedup ONCE per row; pair scoring is then a codegen'd linear
-    // merge (graft_intersect_size) instead of a per-pair hash set
-    val d = Tables.documents(spark, sfDir)
+    // merge (graft_intersect_size, bigint form) instead of a per-pair
+    // hash set
+    val d = shingled(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("len_bucket"),
-        array_sort(array_distinct(toks)).as("ts"))
+        array_sort(array_distinct(col("sh"))).as("ts"))
     val a = d.select(col("doc_id").as("id1"), col("lang"), col("len_bucket"), col("ts").as("ts1"))
     val b = d.select(col("doc_id").as("id2"), col("lang"), col("len_bucket"), col("ts").as("ts2"))
     Scale.gridSelfJoinPairs(a, b, Seq("lang", "len_bucket"), "id1", "id2",
@@ -548,11 +568,27 @@ object Dedup {
       .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
+  /** The shingle-set CTE shared by d04's and d04b's oracles: distinct
+    * word-3-gram shingle hashes per document (same arithmetic as the
+    * engine's `shingled`).
+    */
+  private def shingleSetCte: String =
+    s"""th0 AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    list_transform(string_split(text, ' '),
+       |      t -> ${tokenHash32Sql("t")} % ${P}) AS th
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |dsets AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    list_distinct(list_transform(range(1, len(th) - 1),
+       |      i -> ((th[i] * 8191 + th[i+1]) % ${P} * 8191 + th[i+2]) % ${P})) AS ts
+       |  FROM th0)""".stripMargin
+
   val d04Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-      |    list_distinct(string_split(text, ' ')) AS ts
-      |  FROM documents),
+    s"""WITH $shingleSetCte,
+      |d AS (
+      |  SELECT doc_id, lang, n_chars // 100 AS len_bucket, ts FROM dsets),
       |pairs AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang,
       |    len(list_intersect(a.ts, b.ts)) AS n_common,
@@ -568,21 +604,29 @@ object Dedup {
   /** d04b: exact-Jaccard near-dup with MINHASH-BAND candidates — the
     * production shape of d04. d04 verifies every pair inside a
     * (lang, length) block, paying the Σb² pair expansion; here LSH
-    * proposes (d02's band-collision pairs — sub-quadratic by
-    * construction) and the exact token-set Jaccard disposes. The
-    * verify stage joins candidate ids back to sorted distinct-token
-    * arrays and runs the codegen'd linear merge per CANDIDATE, so
-    * total work is O(docs + candidates), not O(Σblock²). At 100 TB
-    * this is the variant you run: banding parameters — not corpus
-    * shape — bound the candidate count. Recall relative to exhaustive
-    * d04 is the LSH collision probability (tunable via bands×rows);
-    * the oracle runs the identical propose+verify pipeline, so the
-    * gate is exact.
+    * proposes and the exact token-set Jaccard disposes. The verify
+    * stage joins candidate ids back to sorted distinct-token arrays
+    * and runs the codegen'd linear merge per CANDIDATE, so total work
+    * is O(docs + candidates), not O(Σblock²). At 100 TB this is the
+    * variant you run: banding parameters — not corpus shape — bound
+    * the candidate count.
+    *
+    * The proposer works in the SAME metric space the verifier decides
+    * in — both sides are distinct word-3-gram shingle sets (round 5:
+    * the verify previously used single-token sets, so the proposer's
+    * collision probability said nothing about the verify threshold
+    * and recall was asserted nowhere). The 16-permutation signature is
+    * shared with d02, re-banded 8 bands × 2 rows, which puts the
+    * collision probability at the 0.5 verify threshold at
+    * 1-(1-0.5²)⁸ ≈ 0.90, rising steeply above it; `DedupLshSpec` pins
+    * the realized recall against exhaustive-d04 truth on the fixture.
+    * The oracle replays the identical propose+verify pipeline, so the
+    * driver gate stays exact.
     */
   def d04bJaccardVerified(spark: SparkSession, sfDir: String): DataFrame = {
-    val (docsigs, cands) = minhashBandPairs(spark, sfDir)
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_sort(array_distinct(toks)).as("ts"))
+    val (docsigs, cands) = minhashBandPairs(spark, sfDir, nBands = 8, rowsPerBand = 2)
+    val d = shingled(spark, sfDir)
+      .select(col("doc_id"), array_sort(array_distinct(col("sh"))).as("ts"))
     val out = cands
       .join(d.select(col("doc_id").as("id1"), col("ts").as("ts1")), Seq("id1"))
       .join(d.select(col("doc_id").as("id2"), col("ts").as("ts2")), Seq("id2"))
@@ -601,10 +645,33 @@ object Dedup {
   }
 
   val d04bSql: String =
-    s"""WITH $d02Ctes,
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      t -> ${tokenHash32Sql("t")} % ${P}) AS th
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(th) - 1),
+       |      i -> ((th[i] * 8191 + th[i+1]) % ${P} * 8191 + th[i+2]) % ${P}) AS hashes
+       |  FROM th),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, ${MinhashK + 1}),
+       |      i -> list_min(list_transform(hashes, h -> (${aSqlList}[i] * h + ${bSqlList}[i]) % ${P}))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*2+1 : b*2+2]),
+       |      (acc, x) -> (acc * 31 + x) % ${P}) AS band_key
+       |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS bs(b)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
        |d AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-       |  FROM documents),
+       |  SELECT doc_id, list_distinct(hashes) AS ts FROM sh),
        |verified AS (
        |  SELECT id1, id2,
        |    len(list_intersect(a.ts, b.ts)) AS n_common,

@@ -53,4 +53,32 @@ class DedupLshSpec extends AnyFunSuite {
     assert(recallLsh >= recallLabel,
       f"LSH blocking recall $recallLsh%.3f < label blocking recall $recallLabel%.3f")
   }
+
+  /** VERDICT r4 #4: d04b's recall against exhaustive-d04 truth,
+    * pinned. Both sides verify the SAME metric (distinct 3-gram
+    * shingle-set Jaccard ≥ 0.5), so recall is exactly the
+    * band-collision probability of the 8×2 split of the 16-hash
+    * signature: 1-(1-s²)⁸ ≈ 0.90 at s = 0.5 and → 1 above it. The
+    * fixture's true pairs all sit well above the threshold, so
+    * realized recall pins at 1.0; the bands×rows tradeoff is the
+    * knob (d02's 4×4 split of the same signature would collide at
+    * only 1-(1-s⁴)⁴ ≈ 0.23 at s = 0.5 — the round-4 shape this spec
+    * exists to prevent regressing to).
+    */
+  test("d04b candidate recall vs exhaustive d04 truth at the 0.5 threshold") {
+    import spark.implicits._
+    // truth restricted to d04's declared blocking (same lang + length
+    // bucket); d04b proposes across blocks, so intersect before
+    // scoring
+    val truth = Dedup.d04NgramJaccard(spark, sfDir)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    assert(truth.size >= 5, s"fixture truth too small (${truth.size}) — vacuous")
+    val verified = Dedup.d04bJaccardVerified(spark, sfDir)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    val recall = (truth & verified).size.toDouble / truth.size
+    info(f"d04-truth=${truth.size} d04b=${verified.size} recall=$recall%.3f")
+    assert(recall == 1.0,
+      f"d04b recall vs exhaustive truth regressed to $recall%.3f " +
+        "(missed: " + (truth -- verified).take(3) + ") — check the bands×rows split")
+  }
 }
