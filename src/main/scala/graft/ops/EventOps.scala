@@ -62,11 +62,19 @@ object EventOps {
     * a linear scan per user. Comparison is in exact epoch microseconds
     * on both engines.
     */
-  def e03Sessions(spark: SparkSession, sfDir: String): DataFrame = {
+  def e03Sessions(spark: SparkSession, sfDir: String): DataFrame =
+    e03SessionsOf(Tables.events(spark, sfDir))
+
+  /** e03 over an arbitrary events frame — the entry point the
+    * day-partitioned-layout spec (`EventLayoutSpec`) drives against a
+    * `Sinks.writePartitioned` directory, where a day predicate on the
+    * source prunes at the directory level before any row is read.
+    */
+  def e03SessionsOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, sfDir)
+    events
       .withColumn("us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("new_session",
         when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000L, 1)
