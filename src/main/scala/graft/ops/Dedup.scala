@@ -79,10 +79,10 @@ object Dedup {
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
   /** The 5-token shingle set of a document's token array (shared by
-    * d08/d09). slice(tk,1,0) = typed empty array; bare array() is
-    * array<null>.
+    * d08/d09 and p12's decontamination). slice(tk,1,0) = typed empty
+    * array; bare array() is array<null>.
     */
-  private val shingles5 = expr(
+  private[ops] val shingles5 = expr(
     "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4), " +
       "i -> array_join(slice(tk, i, 5), ' ')) ELSE slice(tk, 1, 0) END")
 

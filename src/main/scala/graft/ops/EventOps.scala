@@ -486,6 +486,48 @@ object EventOps {
       .orderBy(col("segment").asc_nulls_last)
   }
 
+  /** e14: activity streaks — per user, the longest run of CONSECUTIVE
+    * active days (plus streak count and total active days), the
+    * engagement metric behind retention dashboards. Gaps-and-islands:
+    * collapse events to distinct (user, day) first — the fact table
+    * reduces to ≤ users×days rows before any ordering — then
+    * day_number − row_number() is constant exactly within a
+    * consecutive run, so a per-user count per constant group measures
+    * each streak. Integer date arithmetic only; the one window runs on
+    * the collapsed frame, partitioned by a key that grows with the
+    * data.
+    */
+  def e14ActiveStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc_nulls_last)
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id").asc_nulls_last)
+  }
+
+  val e14Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    datediff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day ASC NULLS LAST) AS grp
+      |  FROM days),
+      |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+      |  CAST(sum(len) AS BIGINT) AS n_active_days
+      |FROM s GROUP BY user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin
+
   val e13Sql: String =
     """WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor_day FROM events),
       |u AS (

@@ -362,6 +362,72 @@ object PipelineOps {
        |ORDER BY d.lang ASC NULLS LAST""".stripMargin
   }
 
+  /** p12: decontaminated train split — d09 DETECTS train/test leakage;
+    * this is the pipeline step that acts on it: train documents
+    * sharing ANY 5-token shingle with a test document are dropped, and
+    * the output is the per-lang audit (train total, contaminated,
+    * clean, surviving tokens) a corpus build reports. Scale shape:
+    * shingles travel as 8-byte xxhash64 keys through one distinct and
+    * one equi-join shuffle (never strings); the contaminated-id set —
+    * bounded by the train-doc count, typically far smaller — comes
+    * back to the fact table as a join the optimizer can broadcast.
+    * Same hash-bucket split as p05/d09, so membership is reproducible
+    * under re-runs and growth.
+    */
+  def p12DecontaminatedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bucket = PortableHash.tokenHash32(col("doc_id").cast("string")) % 100
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val sh = docs
+      .select(col("doc_id"), col("split"), explode(Dedup.shingles5).as("shingle"))
+      .select(col("doc_id"), col("split"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    val testSh = sh.filter(col("split") === "test").select(col("sh")).distinct()
+    val contaminated = sh.filter(col("split") === "train")
+      .join(testSh, "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    docs.filter(col("split") === "train")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        count(col("hit")).as("n_contaminated"),
+        count(when(col("hit").isNull, 1)).as("n_clean"),
+        sum(when(col("hit").isNull, size(col("tk")))).as("clean_tokens"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val p12Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |s AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    unnest(CASE WHEN len(tk) >= 5
+       |      THEN list_transform(range(1, len(tk) - 3),
+       |        i -> list_aggregate(tk[i:i+4], 'string_agg', ' '))
+       |      ELSE [] END) AS shingle
+       |  FROM t),
+       |test_sh AS (SELECT DISTINCT shingle FROM s WHERE split = 'test'),
+       |bad AS (
+       |  SELECT DISTINCT s.doc_id FROM s JOIN test_sh USING (shingle)
+       |  WHERE s.split = 'train')
+       |SELECT t.lang, count(*) AS n_train,
+       |  count(bad.doc_id) AS n_contaminated,
+       |  count(CASE WHEN bad.doc_id IS NULL THEN 1 END) AS n_clean,
+       |  CAST(sum(CASE WHEN bad.doc_id IS NULL THEN len(tk) END) AS BIGINT) AS clean_tokens
+       |FROM t LEFT JOIN bad USING (doc_id)
+       |WHERE t.split = 'train'
+       |GROUP BY t.lang
+       |ORDER BY t.lang ASC NULLS LAST""".stripMargin
+  }
+
   /** p11's token budget — one constant interpolated into BOTH the
     * Scala plan and the oracle SQL, so they cannot silently diverge.
     */

@@ -503,4 +503,65 @@ object TextOps {
       |  CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
       |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
       |FROM a ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** t13: bigram language-model score — the corpus-statistical quality
+    * signal (a perplexity proxy): per document, the mean conditional
+    * bigram probability C(w₁w₂)/C(w₁·) under the corpus's own MLE
+    * bigram model. Fluent/templated text scores high; shuffled or
+    * out-of-domain text scores low. Kept log-free on purpose: every
+    * per-row value is ONE IEEE division of exact integer counts, and
+    * the per-document mean folds those values in explicit position
+    * order (sorted struct array, left fold) — bit-identical on both
+    * engines, where a log/exp round-trip would be at the mercy of
+    * libm. Scale shape: bigrams travel as 8-byte xxhash64 keys through
+    * two count shuffles and one fact-side equi-join; the per-doc
+    * collapse is a hash aggregate whose state is one bounded array per
+    * document.
+    */
+  def t13NgramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+          .as(Seq("pos", "b")))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        xxhash64(col("b.w1")).as("h1"), xxhash64(col("b.w1"), col("b.w2")).as("h12"))
+    val cBg = bg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    val cPre = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    bg.join(cBg, Seq("h12")).join(cPre, Seq("h1"))
+      .withColumn("r", col("c12").cast("double") / col("c1").cast("double"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        collect_list(struct(col("pos"), col("r"))).as("lst"))
+      .withColumn("sum_r", aggregate(
+        transform(sort_array(col("lst")), x => x.getField("r")),
+        lit(0.0), (a, x) => a + x))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (col("sum_r") / col("n_bigrams").cast("double")).as("lm_score"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val t13Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, lang, i AS pos, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM t, unnest(range(1, len(tk))) AS u(i)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |j AS (
+      |  SELECT bg.doc_id, bg.lang, bg.pos,
+      |    CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS r
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+      |s AS (
+      |  SELECT doc_id, lang, count(*) AS n_bigrams,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_sort(list({'pos': pos, 'r': r})), x -> x.r)),
+      |      (a, b) -> a + b) AS sum_r
+      |  FROM j GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_bigrams, sum_r / n_bigrams AS lm_score
+      |FROM s ORDER BY doc_id ASC NULLS LAST""".stripMargin
 }
