@@ -528,9 +528,14 @@ object TextOps {
           .as(Seq("pos", "b")))
       .select(col("doc_id"), col("lang"), col("pos"),
         xxhash64(col("b.w1")).as("h1"), xxhash64(col("b.w1"), col("b.w2")).as("h12"))
-    val cBg = bg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
-    val cPre = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-    bg.join(cBg, Seq("h12")).join(cPre, Seq("h1"))
+    // ONE counting pass over the exploded fact: bigram counts first,
+    // then prefix counts as a rollup of the (distinct-bigram-sized)
+    // count table — C(w1·) = Σ_w2 C(w1w2) — instead of a second
+    // fact-table aggregation; the model join then attaches both counts
+    // keyed on the bigram hash
+    val cBg = bg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c12"))
+    val cPre = cBg.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+    bg.join(cBg.join(cPre, Seq("h1")), Seq("h1", "h12"))
       .withColumn("r", col("c12").cast("double") / col("c1").cast("double"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -152,16 +152,22 @@ object Windows {
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
       .withColumn("l2", floor(col("c_acctbal")))
       .withColumn("l1", floor(col("c_acctbal") / 200))
+    // one stats pass over the fact (lazily checkpointed so its three
+    // consumers share the materialization instead of re-scanning the
+    // fact table); level-1 sums and per-nation totals are rollups of
+    // this collapsed table
     val l2Counts = cust.groupBy(col("c_nationkey"), col("l1"), col("l2"))
       .agg(count(lit(1)).as("n2"))
+      .localCheckpoint(false)
     val wL2 = Window.partitionBy(col("c_nationkey"), col("l1"))
       .orderBy(col("l2").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wL1 = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("l1").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val l1Off = l2Counts.groupBy(col("c_nationkey"), col("l1"))
+    val l1 = l2Counts.groupBy(col("c_nationkey"), col("l1"))
       .agg(sum(col("n2")).as("n1"))
+    val l1Off = l1
       .withColumn("l1_off", sum(col("n1")).over(wL1) - col("n1"))
       .select(col("c_nationkey"), col("l1"), col("l1_off"))
     val offs = l2Counts
@@ -169,7 +175,7 @@ object Windows {
       .join(broadcast(l1Off), Seq("c_nationkey", "l1"))
       .select(col("c_nationkey"), col("l2"),
         (col("l1_off") + col("off_in_l1")).as("l2_off"))
-    val totals = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("nn"))
+    val totals = l1.groupBy(col("c_nationkey")).agg(sum(col("n1")).as("nn"))
     val wIn = Window.partitionBy(col("c_nationkey"), col("l2"))
       .orderBy(col("c_acctbal").asc_nulls_last, col("c_custkey").asc_nulls_last)
     cust
