@@ -47,10 +47,16 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
 
-  /** Streaming deduplication: dropDuplicates on a business key with a
-    * watermark bounding the dedup state — the streaming twin of exact
-    * dedup (d01): at 100 TB/day the watermark is what keeps the seen-
-    * keys state finite.
+  /** Streaming deduplication on a business key — the streaming twin of
+    * exact dedup (d01). `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates`: with the event-time column absent from the
+    * dedup keys, plain dropDuplicates never expires its seen-keys
+    * state (the watermark only evicts keys whose event-time column is
+    * part of the key set), which at 100 TB/day is an unbounded state
+    * store. The within-watermark variant guarantees dedup of events
+    * arriving within the watermark delay of each other and expires
+    * each key's state afterward — finite state by construction, the
+    * semantics a streaming ingest dedup actually wants.
     */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
@@ -60,7 +66,7 @@ object StreamingOps {
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp"))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Stream-static join: the event stream enriched against the static
     * customer dimension (user_id = c_custkey). The static side is
