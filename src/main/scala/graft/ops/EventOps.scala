@@ -245,17 +245,30 @@ object EventOps {
     * by the slice, not the history), one count shuffle on path.
     * Determinism: struct sort on (ts, event_id) is a total order.
     */
-  def e07EventPaths(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  def e07EventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    // first 5 events per user via the native per-key top-k operator
+    // (round 5): the previous collect_list-then-slice aggregated a
+    // user's ENTIRE event history into one buffer before keeping 5 —
+    // O(per-user events) aggregation state, a power-user hazard at
+    // scale. The top-k operator holds O(5) per key map-side and ships
+    // ≤ 5 rows per user through the shuffle; the path array after it
+    // is bounded by construction.
+    val first5 = graft.plans.TopKPerKey.topKPerKey(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      Seq(col("user_id")),
+      Seq(col("ts").asc_nulls_last, col("event_id").asc_nulls_last), 5)
+    first5
       .groupBy(col("user_id"))
       .agg(array_join(
         transform(
-          slice(array_sort(collect_list(
-            struct(col("ts"), col("event_id"), col("event_type")))), 1, 5),
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
           s => s.getField("event_type")), ">").as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc_nulls_last, col("path").asc_nulls_last)
+  }
 
   val e07Sql: String =
     """WITH r AS (
