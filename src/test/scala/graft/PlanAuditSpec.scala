@@ -206,6 +206,19 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${build.output.map(_.name).mkString(",")}:\n$plan")
   }
 
+  /** e07 must keep its first-5-per-user selection on the native top-k
+    * operator: a regression to collect_list-then-slice would be
+    * result-identical but rebuild O(per-user events) aggregation
+    * buffers — only the plan can catch it.
+    */
+  test("e07 plans the native per-key top-k (bounded per-user state)") {
+    val plan = graft.ops.EventOps.e07EventPaths(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPerKeyFinal") &&
+        plan.contains("GraftTopKPerKeyPartial"),
+      s"e07 no longer plans the native top-k:\n$plan")
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
