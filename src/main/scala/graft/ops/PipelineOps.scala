@@ -428,6 +428,68 @@ object PipelineOps {
        |ORDER BY t.lang ASC NULLS LAST""".stripMargin
   }
 
+  /** p13: epoch-based upsampling — p10's complement: rare domains are
+    * balanced UP to the largest domain's mass by repeating documents
+    * (the "epochs per source" knob of real data mixtures), capped at
+    * 4 epochs per the standard repeat-tolerance rule. Each doc gets
+    * floor(r) full copies plus one more iff its portable hash lands
+    * under the fractional remainder — so the replicated corpus is
+    * reproducible under retries/growth and the oracle can replay it
+    * bit-for-bit. The rate table is one tiny broadcast; replication is
+    * a per-row generator (output size = input × effective epochs, the
+    * op's actual product); the audit census is one partial-aggregated
+    * count shuffle.
+    */
+  def p13EpochMix(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val maxN = counts.agg(max(col("n")).as("target"))
+    val rates = counts.crossJoin(broadcast(maxN))
+      .withColumn("r", least(lit(4.0),
+        col("target").cast("double") / col("n").cast("double")))
+      .withColumn("fullv", floor(col("r")).cast("long"))
+      .withColumn("ft",
+        floor((col("r") - floor(col("r"))) * lit(1000000.0)).cast("long"))
+      .select(col("lang"), col("fullv"), col("ft"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("copies", col("fullv") +
+        when(PortableHash.tokenHash32(col("doc_id").cast("string")) % 1000000
+          < col("ft"), 1L).otherwise(0L))
+      .select(col("lang"), col("doc_id"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        max(col("epoch")).as("max_epochs"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val p13Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |m AS (SELECT max(n) AS target FROM c),
+       |r AS (
+       |  SELECT lang,
+       |    least(CAST(4.0 AS DOUBLE), CAST(target AS DOUBLE) / CAST(n AS DOUBLE)) AS r
+       |  FROM c CROSS JOIN m),
+       |r2 AS (
+       |  SELECT lang, CAST(floor(r) AS BIGINT) AS fullv,
+       |    CAST(floor((r - floor(r)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS ft
+       |  FROM r),
+       |d AS (
+       |  SELECT d.lang, d.doc_id,
+       |    r2.fullv + (CASE WHEN $h % 1000000 < r2.ft THEN 1 ELSE 0 END) AS copies
+       |  FROM documents d JOIN r2 USING (lang)),
+       |e AS (
+       |  SELECT lang, doc_id, unnest(range(1, copies + 1)) AS epoch FROM d)
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_copies,
+       |  CAST(max(epoch) AS BIGINT) AS max_epochs
+       |FROM e GROUP BY lang
+       |ORDER BY lang ASC NULLS LAST""".stripMargin
+  }
+
   /** p11's token budget — one constant interpolated into BOTH the
     * Scala plan and the oracle SQL, so they cannot silently diverge.
     */
