@@ -97,10 +97,12 @@ object PipelineOps {
   /** doc_ids per p06 prefix bucket: per-(lang, bucket) work is ≤ this
     * by pigeonhole (doc_id div is monotone), while bucket COUNT grows
     * with the corpus — the cardinality shape a distributed prefix sum
-    * needs. At 1e9 docs the offset table is ~4M rows (a few tens of
-    * MB): still broadcastable; past that, swap the broadcast for a
-    * plain shuffle join on (lang, bkt) — the two-phase math is
-    * unchanged.
+    * needs. The offset table holds one row per occupied (lang,
+    * bucket): ~N/256 buckets × interleaved langs, i.e. ~2e7 rows at
+    * 1e9 docs — past the ~1e8-doc point where that stops being
+    * broadcast-friendly, widen the bucket or swap the broadcast for a
+    * plain shuffle join on (lang, bkt); the two-phase math is
+    * unchanged either way.
     */
   private val PackBucket = 256
 

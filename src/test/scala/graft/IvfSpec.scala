@@ -21,6 +21,31 @@ class IvfSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** ANN recall pinned against brute-force truth, the same discipline
+    * as d10/d04b: s02's banded multi-probe (4 bands × 2 planes,
+    * round 5 — the old single 8-plane bucket measured 0.04 here) and
+    * s03's nprobe=1 IVF each trade a known recall for their bounded
+    * candidate sets. A silent parameter or banding regression moves
+    * these numbers; the oracle cannot see it because it replays the
+    * same pipeline.
+    */
+  test("s02/s03 recall vs brute-force truth is pinned") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val truth = pairs(Similarity.s01KnnBrute(spark, sf))
+    val lsh = pairs(Similarity.s02KnnLsh(spark, sf))
+    val ivf = pairs(Similarity.s03KnnIvf(spark, sf))
+    def recall(a: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) => (a.getOrElse(q, Set.empty) & t).size }.sum.toDouble /
+        truth.map(_._2.size).sum
+    val (rLsh, rIvf) = (recall(lsh), recall(ivf))
+    info(f"s02 banded-LSH recall=$rLsh%.3f  s03 IVF(nprobe=1) recall=$rIvf%.3f")
+    assert(rLsh == 0.8, f"s02 recall moved: $rLsh%.3f (pinned 0.800)")
+    assert(rIvf == 0.44, f"s03 recall moved: $rIvf%.3f (pinned 0.440)")
+  }
+
   test("nprobe=2 candidate sets dominate nprobe=1 (top-1 cosine never worse)") {
     val one = Similarity.s03KnnIvf(spark, sf, nprobe = 1)
       .filter(col("rank") === 1)
