@@ -147,8 +147,15 @@ object Similarity {
     * nprobe > 1 unions candidate sets without duplicate neighbors —
     * same plan, bigger candidate list.
     */
+  /** s03's default probe width — one constant in BOTH the Scala plan
+    * and the oracle SQL (round 5: 2, up from 1 — the second-closest
+    * cell lifts fixture recall 0.44 → the IvfSpec-pinned value for a
+    * bounded 2× candidate cost, the standard IVF quality knob).
+    */
+  private val S03Nprobe = 2
+
   def s03KnnIvf(spark: SparkSession, sfDir: String,
-      nprobe: Int = 1, codebook: Option[DataFrame] = None): DataFrame = {
+      nprobe: Int = S03Nprobe, codebook: Option[DataFrame] = None): DataFrame = {
     val e = prepared(spark, sfDir)
     val cents = codebook.getOrElse(
       e.filter(col("vec_id") % 100 === 0)
@@ -190,19 +197,22 @@ object Similarity {
        |      list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cents.cv[i])),
        |      (acc, x) -> acc + x) / (n.nrm * cents.cn) AS cscore
        |  FROM n CROSS JOIN cents),
+       |cells AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC NULLS LAST, cent_id ASC NULLS LAST) AS crn
+       |  FROM scored_cells),
        |assigned AS (
-       |  SELECT vec_id, cent_id AS cell, v, nrm FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY cscore DESC NULLS LAST, cent_id ASC NULLS LAST) AS crn
-       |    FROM scored_cells)
-       |  WHERE crn = 1),
+       |  SELECT vec_id, cent_id AS cell, v, nrm FROM cells WHERE crn = 1),
+       |probed AS (
+       |  SELECT vec_id, cent_id AS cell, v, nrm FROM cells
+       |  WHERE crn <= $S03Nprobe AND vec_id < $NQueries),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
        |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
-       |  FROM assigned q JOIN assigned c ON q.cell = c.cell
-       |    AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |  FROM probed q JOIN assigned c ON q.cell = c.cell
+       |    AND q.vec_id <> c.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine, cell,
        |    row_number() OVER (PARTITION BY query_id
