@@ -199,19 +199,19 @@ object Dedup {
     * and no full-signature comparison happens until after blocking.
     */
   def d02MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val (docsigs, est) = d02Scored(spark, sfDir)
-    // eagerly materialize the (narrow) pair estimates, then drop the
-    // signature cache — without this every run leaks the full sig
-    // frame into executor storage until GC notices (the d06 rep-growth
-    // class)
-    val out = est.localCheckpoint(true)
-    docsigs.unpersist(false)
-    out.orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+    val (_, est) = d02Scored(spark, sfDir)
+    // lazy checkpoint: the narrow pair estimates are materialized once
+    // at first action (keeping the sig-attach joins out of the
+    // presentation sort's range-sampling re-execution) and
+    // construction stays plan-only for audit tooling; the signature
+    // cache behind it is freed by the next dedup run (see
+    // minhashBandPairs)
+    est.localCheckpoint(false)
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
   /** d02's scored candidate pairs BEFORE the presentation sort, plus
-    * the live docsigs cache handle so callers can free it once their
-    * derived frame is materialized.
+    * the live docsigs cache handle.
     */
   private def d02Scored(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val (docsigs, pairs) = minhashBandPairs(spark, sfDir)
@@ -251,19 +251,40 @@ object Dedup {
           s"i -> ((th[i-1] * 8191 + th[i]) % $P * 8191 + th[i+1]) % $P)"))
   }
 
+  /** The previous run's signature cache, freed at the NEXT dedup-query
+    * entry instead of eagerly: query construction stays lazy (plan
+    * tooling builds frames without executing them) while executor
+    * storage holds at most one signature cache at a time — the
+    * bounded form of the round-4 leak fix. Unpersisting a cache is
+    * always safe; a late reader just recomputes from lineage.
+    */
+  private val prevSigCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def minhashBandPairs(
       spark: SparkSession, sfDir: String,
-      nBands: Int = 4, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+      nBands: Int = 4, rowsPerBand: Int = 4,
+      withTokenSets: Boolean = false): (DataFrame, DataFrame) = {
+    val old = prevSigCache.getAndSet(null)
+    if (old != null) old.unpersist(false)
     // the 16-permutation signature is one fused codegen pass
     // (graft_minhash) instead of 16 interpreted array walks; the
     // banding split of the same signature is the caller's
     // recall/candidate-count knob (d02 audits at 4×4, d04b proposes
-    // at 8×2)
-    val docsigs = shingled(spark, sfDir)
-      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
-      // referenced three times below (bands + two signature lookups);
-      // persist so the hash pipeline runs once per action, not thrice
+    // at 8×2). withTokenSets additionally caches the sorted distinct
+    // shingle sets so d04b's verify side reuses THIS hashing pass
+    // instead of re-running it over the corpus.
+    val base = shingled(spark, sfDir)
+    val projected =
+      if (withTokenSets)
+        base.select(col("doc_id"), expr("graft_minhash(sh)").as("sig"),
+          array_sort(array_distinct(col("sh"))).as("ts"))
+      else base.select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
+    // referenced three times below (bands + two signature lookups);
+    // persist so the hash pipeline runs once per action, not thrice
+    val docsigs = projected
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prevSigCache.set(docsigs)
 
     val bands = docsigs.select(
       col("doc_id"),
@@ -624,10 +645,14 @@ object Dedup {
     * driver gate stays exact.
     */
   def d04bJaccardVerified(spark: SparkSession, sfDir: String): DataFrame = {
-    val (docsigs, cands) = minhashBandPairs(spark, sfDir, nBands = 8, rowsPerBand = 2)
-    val d = shingled(spark, sfDir)
-      .select(col("doc_id"), array_sort(array_distinct(col("sh"))).as("ts"))
-    val out = cands
+    val (docsigs, cands) =
+      minhashBandPairs(spark, sfDir, nBands = 8, rowsPerBand = 2,
+        withTokenSets = true)
+    // the verify arrays come from the SAME cached hashing pass that
+    // built the signatures (withTokenSets) — not a second corpus-wide
+    // shingle computation
+    val d = docsigs.select(col("doc_id"), col("ts"))
+    cands
       .join(d.select(col("doc_id").as("id1"), col("ts").as("ts1")), Seq("id1"))
       .join(d.select(col("doc_id").as("id2"), col("ts").as("ts2")), Seq("id2"))
       .withColumn("n_common", expr("graft_intersect_size(ts1, ts2)"))
@@ -635,13 +660,12 @@ object Dedup {
         (size(col("ts1")) + size(col("ts2")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
-      // EAGER checkpoint (vs the lazy one d04 uses): it still keeps
-      // the token arrays out of the presentation sort's range-sampling
-      // re-execution, and materializing now lets the docsigs cache be
-      // dropped here instead of leaking into executor storage per run
-      .localCheckpoint(true)
-    docsigs.unpersist(false)
-    out.orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+      // lazy checkpoint, like d04: keeps the token arrays out of the
+      // presentation sort's range-sampling re-execution while leaving
+      // construction plan-only; the signature cache is freed by the
+      // next dedup run (see minhashBandPairs)
+      .localCheckpoint(false)
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
   }
 
   val d04bSql: String =

@@ -246,11 +246,19 @@ object Similarity {
          |      (a, x) -> a + x) > 0.0 THEN ${1L << i} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** s02's banding split of the 8-plane family — shared constants in
+    * BOTH the Scala plan and the oracle SQL (a caller-tunable split
+    * would silently diverge from the fixed oracle, and nBands ×
+    * planesPerBand must not exceed the 8 planes).
+    */
+  private val S02Bands = 4
+  private val S02PlanesPerBand = 2
+
   /** LSH-banded approximate top-k: a candidate is any vector agreeing
     * with the query on ALL plane signs of at least one band.
     */
-  def s02KnnLsh(spark: SparkSession, sfDir: String,
-      planesPerBand: Int = 2, nBands: Int = 4): DataFrame = {
+  def s02KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val (planesPerBand, nBands) = (S02PlanesPerBand, S02Bands)
     // round 5: banded multi-probe. The previous single bucket ANDed
     // all 8 plane signs, whose collision probability at this fixture's
     // neighbor cosines left ~0.04 recall vs brute truth; 4 bands × 2
@@ -301,8 +309,8 @@ object Similarity {
     }.reduce(_ + _)
 
   val s02Sql: String = {
-    val bandSelects = (0 until 4).map(bd =>
-      s"""SELECT vec_id, $bd AS band, CAST(${bandSqlTerms(bd, 2)} AS BIGINT) AS bkt
+    val bandSelects = (0 until S02Bands).map(bd =>
+      s"""SELECT vec_id, $bd AS band, CAST(${bandSqlTerms(bd, S02PlanesPerBand)} AS BIGINT) AS bkt
          |  FROM n""".stripMargin).mkString("\n  UNION ALL ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -63,6 +63,13 @@ class PlanAuditSpec extends AnyFunSuite {
     * pre-collapsed (sub-fact-sized, < 2500 rows) or fixed-size inputs
     * are exempt — the legitimate low-cardinality forms (e08/e09's
     * time-bucket grids, p06/p11's per-bucket prefix tables).
+    *
+    * Known blind spot: a localCheckpoint truncates the logical plan to
+    * a LogicalRDD leaf, so a window that ran INSIDE a checkpointed
+    * segment is invisible here. Today every declared query's windows
+    * sit above its checkpoints (checkpoints hold narrow scalar
+    * outputs); keep it that way, or extend this rule, when adding
+    * checkpoints below windows.
     */
   private def boundedKeyWindowViolations(
       build: String => org.apache.spark.sql.DataFrame): Seq[String] = {
