@@ -379,6 +379,9 @@ object Dedup {
     var labels = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
+    // `labelsCk` is the checkpointed frame whose blocks get freed;
+    // `labels` may be a projection over it
+    var labelsCk = labels
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -386,21 +389,26 @@ object Dedup {
       val msgs = edges
         .join(labels, edges("id1") === labels("doc_id"))
         .select(col("id2").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(msgs)
+      // the previous label rides along as `__old` through the min
+      // aggregate (msgs rows carry null; max ignores them), so the
+      // convergence check is a filter over THIS round's checkpoint —
+      // no per-round labels⋈next join
+      val nextCk = labels
+        .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("__old"))
+        .unionByName(msgs.withColumn("__old", lit(null).cast("long")))
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"), max(col("__old")).as("__old"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      // `next` is eagerly materialized and references nothing from the
-      // previous round, and the convergence check above was this
-      // round's last read of `labels` — free its checkpoint blocks now.
+      converged = nextCk.filter(col("cluster_id") =!= col("__old")).isEmpty
+      // `nextCk` is eagerly materialized and references nothing from
+      // the previous round — free the old snapshot's blocks now.
       // Without this, every round's (and every rerun's) label snapshot
       // stays resident until GC finds it, which is executor-storage
       // creep on a long-running cluster (observed as growing repeat-run
       // times in the bench).
-      freeLocalCheckpoint(labels)
-      labels = next
+      freeLocalCheckpoint(labelsCk)
+      labelsCk = nextCk
+      labels = nextCk.drop("__old")
     }
     freeLocalCheckpoint(edges) // immediate, not ContextCleaner-async
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_n"))
@@ -411,7 +419,7 @@ object Dedup {
     val result = labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
       .localCheckpoint(true)
-    freeLocalCheckpoint(labels)
+    freeLocalCheckpoint(labelsCk)
     result
   }
 
