@@ -214,6 +214,22 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${build.output.map(_.name).mkString(",")}:\n$plan")
   }
 
+  /** The round-5 two-phase re-shapes hinge on their tiny offset/prune
+    * tables BROADCASTING back to the fact side (p06 bucket offsets,
+    * p11 surviving bands, q25 rank offsets + totals): a silent flip to
+    * a shuffle join would re-shuffle the fact table and erase the
+    * point of the re-shape without changing results.
+    */
+  test("two-phase prefix-sum queries broadcast their offset/prune tables") {
+    Seq("p06_sequence_packing", "p11_token_budget", "q25_window_ntile")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.sparkPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name lost its broadcast offset join:\n$plan")
+      }
+  }
+
   /** e07 must keep its first-5-per-user selection on the native top-k
     * operator: a regression to collect_list-then-slice would be
     * result-identical but rebuild O(per-user events) aggregation
