@@ -135,6 +135,34 @@ object Stats {
     * (for the final per-group count). The |x−μ| > 2σ comparison is on
     * bit-identical doubles, so the boundary is portable.
     */
+  /** q54: equi-width histogram — the data-profiling primitive (price
+    * distribution per return flag, $10k bins, under/overflow clamped
+    * into the edge bins). Binning is ONE IEEE division + floor on each
+    * row — bit-identical on both engines — and the histogram itself is
+    * a partial-aggregated count shuffle whose key count is fixed by
+    * the bin count, not the data: the cheapest possible profile of a
+    * 100 TB column.
+    */
+  def q54Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = least(greatest(
+      floor(col("l_extendedprice").cast("double") / lit(10000.0)), lit(0.0)),
+      lit(9.0)).cast("int")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("bin").asc_nulls_last)
+  }
+
+  val q54Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(least(greatest(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0), 0.0), 9.0) AS INT) AS bin,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY l_returnflag ASC NULLS LAST, bin ASC NULLS LAST""".stripMargin
+
   def q50Outliers(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val stats = li.groupBy(col("l_returnflag"))
