@@ -125,8 +125,14 @@ object PipelineOps {
     * single-window form the oracle states.
     */
   def p06SequencePacking(spark: SparkSession, sfDir: String,
-      budget: Int = 4096): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+      budget: Int = 4096): DataFrame =
+    p06Of(Tables.documents(spark, sfDir), budget)
+
+  /** p06 over an arbitrary documents frame — the entry point the
+    * prefix-sum equivalence property test drives with random inputs.
+    */
+  def p06Of(docs: DataFrame, budget: Int): DataFrame = {
+    val base = docs
       .withColumn("n_tok", size(split(col("text"), " ")))
       .withColumn("bkt", expr(s"doc_id div $PackBucket"))
       .select(col("lang"), col("bkt"), col("doc_id"), col("n_tok"))
@@ -526,7 +532,14 @@ object PipelineOps {
     * IS the global running sum on those rows: the output is
     * bit-identical to the single-window form the oracle states.
     */
-  def p11TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+  def p11TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    p11Of(Tables.documents(spark, sfDir), P11Budget)
+
+  /** p11 over an arbitrary documents frame and budget — the entry
+    * point the prefix-sum equivalence property test drives with random
+    * inputs (the declared query stays on the oracle-shared constant).
+    */
+  def p11Of(docs: DataFrame, budget: Int): DataFrame = {
     val nTok = size(col("toks")).cast("double")
     val nStop = size(filter(col("toks"),
       t => t.isInCollection(Seq("the", "a", "and", "of", "to")))).cast("double")
@@ -534,7 +547,7 @@ object PipelineOps {
     val lenFactor = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
     val quality = lit(0.4) * (nDist / nTok) + lit(0.4) * lenFactor +
       lit(0.2) * (nStop / nTok)
-    val scored = Tables.documents(spark, sfDir)
+    val scored = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("quality", quality)
       .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -546,14 +559,14 @@ object PipelineOps {
     val keptBands = scored.groupBy(col("lang"), col("band"))
       .agg(sum(col("n_tok")).as("btok"))
       .withColumn("band_start", sum(col("btok")).over(wBand) - col("btok"))
-      .filter(col("band_start") < P11Budget)
+      .filter(col("band_start") < budget)
       .select(col("lang"), col("band"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc_nulls_last, col("doc_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored.join(broadcast(keptBands), Seq("lang", "band"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .filter(col("cum_tok") <= P11Budget)
+      .filter(col("cum_tok") <= budget)
       .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"), col("quality"))
       .orderBy(col("lang").asc_nulls_last, col("doc_id").asc_nulls_last)
   }
