@@ -147,8 +147,15 @@ object Windows {
     * percent_rank/cume_dist divisions are restated explicitly from
     * (rank, N) — bit-identical to the built-ins under a total order.
     */
-  def q25WindowNtile(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.customer(spark, sfDir)
+  def q25WindowNtile(spark: SparkSession, sfDir: String): DataFrame =
+    q25Of(Tables.customer(spark, sfDir))
+
+  /** q25 over an arbitrary customer frame — the entry point the
+    * distributed-rank equivalence property test drives with random
+    * inputs (N-mod-4 edges, singleton nations, boundary balances).
+    */
+  def q25Of(customers: DataFrame): DataFrame = {
+    val cust = customers
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
       .withColumn("l2", floor(col("c_acctbal")))
       .withColumn("l1", floor(col("c_acctbal") / 200))

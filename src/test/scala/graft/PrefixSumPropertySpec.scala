@@ -70,6 +70,37 @@ class PrefixSumPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q25 two-level distributed rank == native ntile/percent_rank/cume_dist") {
+    import graft.ops.Windows
+    (1 to 4).foreach { trial =>
+      import spark.implicits._
+      // group sizes hit every N mod 4 class, including N=1 and N<4;
+      // balances include negatives, exact $200 boundaries, and ties
+      val n = 3 + rnd.nextInt(120)
+      val cust = (0 until n).map { i =>
+        val bal = Seq(
+          rnd.nextInt(11000) - 1000.0,
+          (rnd.nextInt(55) * 200).toDouble, // exact l1 boundary
+          rnd.nextInt(20) / 2.0             // dense ties
+        )(rnd.nextInt(3))
+        (rnd.nextInt(5).toLong, i.toLong, bal)
+      }.toDF("c_nationkey", "c_custkey", "c_acctbal")
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc_nulls_last, col("c_custkey").asc_nulls_last)
+      val naive = cust
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          col("quartile"), col("pct_rank"), col("cume"))
+        .collect().map(_.toSeq).toSet
+      val twoLevel = Windows.q25Of(cust).collect().map(_.toSeq).toSet
+      assert(twoLevel == naive,
+        s"trial $trial n=$n: missing=${(naive -- twoLevel).take(3)} " +
+          s"extra=${(twoLevel -- naive).take(3)}")
+    }
+  }
+
   test("p11 band-pruned budget selection == naive per-lang running window") {
     (1 to 4).foreach { trial =>
       val docs = randomDocs(40 + rnd.nextInt(400))
