@@ -35,6 +35,40 @@ object Multimodal {
         col("lang").as("lang"),
         octet_length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
 
+  /** m05: payload dedup by content digest — the media counterpart of
+    * d01: a simulated double-ingest (re-delivered assets are the norm
+    * in media pipelines) collapses on sha-256 of the raw payload
+    * BYTES, keeping the lexicographically first (ingest, doc_id) copy
+    * per (digest, modality). One hash shuffle keyed on the 32-byte
+    * digest; payloads never travel — only their digests and byte
+    * counts do, which is what makes exact media dedup affordable at
+    * 100 TB.
+    */
+  def m05PayloadDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = mediaTable(spark, sfDir)
+    val ingests = media.withColumn("ingest", lit("a"))
+      .unionByName(media.withColumn("ingest", lit("b")))
+    ingests
+      .groupBy(sha2(col("payload"), 256).as("digest"), col("meta.mime").as("mime"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("ingest"), col("doc_id"))).as("keep"),
+        sum(col("meta.n_bytes")).as("total_bytes"))
+      .select(col("digest"), col("mime"), col("n_copies"),
+        col("keep.ingest").as("keep_ingest"), col("keep.doc_id").as("keep_doc_id"),
+        col("total_bytes"))
+      .orderBy(col("digest").asc_nulls_last)
+  }
+
+  val m05Sql: String =
+    """WITH ingests AS (
+      |  SELECT 'a' AS ingest, doc_id, text FROM documents
+      |  UNION ALL SELECT 'b', doc_id, text FROM documents)
+      |SELECT sha256(text) AS digest, 'text/plain' AS mime, count(*) AS n_copies,
+      |  min(ingest) AS keep_ingest, min(doc_id) AS keep_doc_id,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM ingests GROUP BY 1, 2
+      |ORDER BY digest ASC NULLS LAST""".stripMargin
+
   /** m01: declarative byte-feature extraction — payload length, header
     * bytes, content digest, and a "frame sample" (every 64th byte of
     * the hex stream — the moral equivalent of sampling video frames).
