@@ -169,44 +169,139 @@ object Multimodal {
       |FROM c
       |ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""".stripMargin
 
-  /** Decoded "media" features, one row per payload. */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int,
-      byte_sum_mod: Long, decoder: String)
+  /** Decoded GIMG features, one row per payload. */
+  final case class GimgFeatures(
+      doc_id: Long, width: Int, height: Int, n_pixels: Int, n_data: Int,
+      px_sum: Long, px_wsum: Long, px_min: Int, px_max: Int,
+      px_mean: Double, decoder: String)
 
-  /** m02 (spec-tested, no SQL oracle — imperative decode path): the
-    * mapPartitions decode stage. A real deployment swaps
-    * [[stubDecode]] for an actual codec (JNI/ONNX/pandas batch); the
-    * batching, schema, and partitioning stay identical.
+  /** GIMG v1: a fixed-layout uncompressed "image" format, so the decode
+    * stage is a REAL binary parse (magic, version, big-endian header
+    * fields, packed pixel plane, zero padding) rather than a stub, while
+    * staying deterministic enough that a SQL oracle can recompute the
+    * decoded features from the source bytes.
+    *
+    * Layout (all multi-byte fields big-endian):
+    *   bytes 0-3   magic "GIMG"
+    *   byte  4     version (1)
+    *   bytes 5-6   width  (u16)
+    *   bytes 7-8   height (u16)
+    *   bytes 9-12  n_data (u32) — meaningful pixels; the rest is padding
+    *   bytes 13-   width*height pixel bytes (n_data data, then zeros)
     */
-  def m02DecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+  object GimgCodec {
+    val Magic: Array[Byte] = "GIMG".getBytes("US-ASCII")
+    val Version: Byte = 1
+    val HeaderLen: Int = 13
+    val Width: Int = 16
+
+    def decode(id: Long, bytes: Array[Byte]): GimgFeatures = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"gimg: $msg for doc_id=$id")
+      if (bytes.length < HeaderLen) fail("payload shorter than header")
+      var i = 0
+      while (i < 4) {
+        if (bytes(i) != Magic(i)) fail("bad magic")
+        i += 1
+      }
+      if (bytes(4) != Version) fail(s"unsupported version ${bytes(4)}")
+      val bb = java.nio.ByteBuffer.wrap(bytes, 5, 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val width = bb.getShort & 0xffff
+      val height = bb.getShort & 0xffff
+      val nData = bb.getInt
+      val nPixels = width * height
+      if (bytes.length != HeaderLen + nPixels)
+        fail(s"length ${bytes.length} != header + $width x $height plane")
+      if (nData < 1 || nData > nPixels) fail(s"n_data $nData out of range")
+      var sum = 0L; var wsum = 0L; var mn = 256; var mx = -1
+      var j = 0
+      while (j < nData) {
+        val v = bytes(HeaderLen + j) & 0xff
+        sum += v
+        wsum += (j + 1).toLong * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        j += 1
+      }
+      while (j < nPixels) {
+        if (bytes(HeaderLen + j) != 0) fail(s"nonzero padding at pixel $j")
+        j += 1
+      }
+      GimgFeatures(id, width, height, nPixels, nData, sum, wsum, mn, mx,
+        sum.toDouble / nData, "gimg-v1")
+    }
+  }
+
+  /** Declarative GIMG v1 ENCODER: header fields via hex/lpad/unhex
+    * (u16/u32 big-endian), pixel plane = the utf-8 bytes of the text,
+    * zero-padded to a whole width-16 raster. Pure built-ins, stays in
+    * whole-stage codegen — the 100 TB shape for bulk media re-encode.
+    */
+  def gimgMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = GimgCodec.Width
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .withColumn("n", octet_length(col("data")))
+      .withColumn("h", expr(s"(n + ${w - 1}) div $w"))
+      .select(col("doc_id"), concat(
+        lit(GimgCodec.Magic),
+        lit(Array(GimgCodec.Version)),
+        unhex(lpad(hex(lit(w)), 4, "0")),
+        unhex(lpad(hex(col("h")), 4, "0")),
+        unhex(lpad(hex(col("n")), 8, "0")),
+        col("data"),
+        unhex(repeat(lit("00"), (col("h") * w - col("n")).cast("int")))
+      ).as("payload"))
+  }
+
+  /** m02: the media decode stage — encode every document payload into
+    * GIMG v1, then parse it back per-partition. The decode runs in
+    * mapPartitions by design: a real deployment swaps [[GimgCodec]] for
+    * a JNI/ONNX codec and keeps the batching, schema, and partitioning
+    * (per-partition init amortizes decoder-context setup exactly like a
+    * mapInPandas batch on a Python stack). Features are content-derived
+    * (positional weighted sum pins byte ORDER, not just multiset), so
+    * the DuckDB oracle re-derives them from the same source bytes — a
+    * full hash-exact correctness gate on the decode path.
+    */
+  def m02MediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, sfDir)
+    val media = gimgMedia(spark, sfDir)
       // even payload spread before the expensive stage; on a cluster
       // this is the knob that keeps decoder utilization flat
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("payload"))
     media.as[(Long, Array[Byte])].mapPartitions { rows =>
       // per-partition init happens ONCE here (decoder context/model)
-      val decoder = StubDecoder
+      val decoder = GimgCodec
       rows.map { case (id, bytes) => decoder.decode(id, bytes) }
     }.toDF()
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  /** STUB: deterministic fake decoder. Replace with a real codec to
-    * productionize; signature and batch shape are the contract.
+  /** Oracle: recompute the decoded features from the source text. The
+    * fixture corpus is ASCII (verified: octet_length(encode(text)) ==
+    * length(text) at every SF), so ord(char) == pixel byte.
     */
-  object StubDecoder {
-    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-      val sum = bytes.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 1000000007L)
-      MediaFeatures(
-        doc_id = id,
-        n_bytes = bytes.length,
-        first_byte = if (bytes.nonEmpty) bytes.head & 0xff else -1,
-        last_byte = if (bytes.nonEmpty) bytes.last & 0xff else -1,
-        byte_sum_mod = sum,
-        decoder = "stub-v0")
-    }
-  }
+  val m02Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> ord(substr(text, CAST(i AS INT), 1))) AS px,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> i * ord(substr(text, CAST(i AS INT), 1))) AS wpx
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(16 AS INT) AS width,
+      |  CAST((n + 15) // 16 AS INT) AS height,
+      |  CAST(((n + 15) // 16) * 16 AS INT) AS n_pixels,
+      |  CAST(n AS INT) AS n_data,
+      |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+      |  CAST(list_sum(wpx) AS BIGINT) AS px_wsum,
+      |  CAST(list_min(px) AS INT) AS px_min,
+      |  CAST(list_max(px) AS INT) AS px_max,
+      |  CAST(list_sum(px) AS DOUBLE) / n AS px_mean,
+      |  'gimg-v1' AS decoder
+      |FROM t ORDER BY doc_id ASC NULLS LAST""".stripMargin
 }

@@ -57,17 +57,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("m02 decode stub: features match payload bytes") {
-    val out = Multimodal.m02DecodeStub(spark, sf).collect()
+  test("m02 media decode: parsed GIMG features match source bytes") {
+    val out = Multimodal.m02MediaDecode(spark, sf).collect()
     assert(out.length == 500)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     out.take(20).foreach { r =>
-      val text = docs(r.getLong(0))
-      assert(r.getInt(1) == text.getBytes("UTF-8").length)
-      assert(r.getInt(2) == (text.getBytes("UTF-8").head & 0xff))
-      assert(r.getString(5) == "stub-v0")
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8").map(_ & 0xff)
+      assert(r.getInt(1) == 16)                                 // width
+      assert(r.getInt(4) == bytes.length)                       // n_data
+      assert(r.getInt(3) == r.getInt(1) * r.getInt(2))          // n_pixels
+      assert(r.getLong(5) == bytes.map(_.toLong).sum)           // px_sum
+      assert(r.getLong(6) == bytes.zipWithIndex                 // px_wsum
+        .map { case (v, i) => (i + 1).toLong * v }.sum)
+      assert(r.getString(10) == "gimg-v1")
     }
   }
 

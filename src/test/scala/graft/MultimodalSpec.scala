@@ -36,4 +36,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("non-ASCII payload"),
       s"unexpected error: ${ex.getMessage}")
   }
+
+  // --- GIMG v1 codec: declarative encode <-> imperative decode ---
+
+  /** Hand-rolled reference encoder, independent of the Spark one. */
+  private def gimgBytes(text: String, w: Int = 16): Array[Byte] = {
+    val data = text.getBytes("UTF-8")
+    val h = (data.length + w - 1) / w
+    val bb = java.nio.ByteBuffer.allocate(13 + w * h)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("GIMG".getBytes("US-ASCII")).put(1.toByte)
+      .putShort(w.toShort).putShort(h.toShort).putInt(data.length)
+      .put(data)
+    bb.array() // remaining plane bytes stay zero = padding
+  }
+
+  test("gimg: declarative Spark encoder emits the exact reference layout") {
+    import spark.implicits._
+    val texts = Seq("hello gimg world!", "x", "a" * 16, "b" * 17, "c" * 577)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("gimg").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val encoded = Multimodal.gimgMedia(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(java.util.Arrays.equals(encoded(i.toLong), gimgBytes(t)),
+        s"payload mismatch for '$t'")
+    }
+  }
+
+  test("gimg: decode(encode(x)) recovers exact content features") {
+    val t = "The quick brown fox jumps over the lazy dog 0123456789"
+    val f = Multimodal.GimgCodec.decode(7L, gimgBytes(t))
+    val bytes = t.getBytes("UTF-8").map(_ & 0xff)
+    assert(f.width == 16 && f.height == (t.length + 15) / 16)
+    assert(f.n_pixels == f.width * f.height && f.n_data == t.length)
+    assert(f.px_sum == bytes.map(_.toLong).sum)
+    assert(f.px_wsum == bytes.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum)
+    assert(f.px_min == bytes.min && f.px_max == bytes.max)
+    assert(f.px_mean == bytes.map(_.toLong).sum.toDouble / t.length)
+    assert(f.decoder == "gimg-v1")
+  }
+
+  test("gimg: corrupted inputs fail fast, not silently") {
+    val good = gimgBytes("corruption test payload")
+    def mutated(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
+    // bad magic
+    var ex = intercept[IllegalArgumentException] {
+      Multimodal.GimgCodec.decode(1L, mutated { b => b(0) = 'X'.toByte; b })
+    }
+    assert(ex.getMessage.contains("bad magic"))
+    // wrong version
+    ex = intercept[IllegalArgumentException] {
+      Multimodal.GimgCodec.decode(1L, mutated { b => b(4) = 9.toByte; b })
+    }
+    assert(ex.getMessage.contains("unsupported version"))
+    // truncated plane
+    ex = intercept[IllegalArgumentException] {
+      Multimodal.GimgCodec.decode(1L, good.dropRight(1))
+    }
+    assert(ex.getMessage.contains("plane"))
+    // nonzero padding (last plane byte is padding for this text length)
+    ex = intercept[IllegalArgumentException] {
+      Multimodal.GimgCodec.decode(1L, mutated { b => b(b.length - 1) = 1.toByte; b })
+    }
+    assert(ex.getMessage.contains("padding"))
+  }
 }
