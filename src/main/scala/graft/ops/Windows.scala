@@ -159,35 +159,48 @@ object Windows {
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
       .withColumn("l2", floor(col("c_acctbal")))
       .withColumn("l1", floor(col("c_acctbal") / 200))
-    // one stats pass over the fact (lazily checkpointed so its three
-    // consumers share the materialization instead of re-scanning the
-    // fact table); level-1 sums and per-nation totals are rollups of
-    // this collapsed table
-    val l2Counts = cust.groupBy(col("c_nationkey"), col("l1"), col("l2"))
-      .agg(count(lit(1)).as("n2"))
-      .localCheckpoint(false)
+    // ONE stats pass over the fact feeding a single linear chain — the
+    // round-5 shape computed l2Counts twice (or paid a checkpoint) and
+    // re-shuffled a separate level-1 rollup; most of q25's cost is
+    // per-stage fixed overhead, so the re-shape below removes stages:
+    //  - `off_in_l1` (prefix) and `n1` (group total) come from the SAME
+    //    Window node (same partition+order spec, different frames);
+    //  - the level-1 table then needs NO shuffle: the window output is
+    //    already hash-partitioned by (nation, l1), which satisfies the
+    //    groupBy's clustering requirement;
+    //  - per-nation prefix `l1_off` and total `nn` share the tiny
+    //    level-1 window node and ride one broadcast back.
+    val l2Counts = sharedL2Counts(
+      cust.groupBy(col("c_nationkey"), col("l1"), col("l2"))
+        .agg(count(lit(1)).as("n2")))
     val wL2 = Window.partitionBy(col("c_nationkey"), col("l1"))
       .orderBy(col("l2").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wL2All = Window.partitionBy(col("c_nationkey"), col("l1"))
+      .orderBy(col("l2").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wL1 = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("l1").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val l1 = l2Counts.groupBy(col("c_nationkey"), col("l1"))
-      .agg(sum(col("n2")).as("n1"))
-    val l1Off = l1
-      .withColumn("l1_off", sum(col("n1")).over(wL1) - col("n1"))
-      .select(col("c_nationkey"), col("l1"), col("l1_off"))
-    val offs = l2Counts
+    val wL1All = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("l1").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bucketed = l2Counts
       .withColumn("off_in_l1", sum(col("n2")).over(wL2) - col("n2"))
+      .withColumn("n1", sum(col("n2")).over(wL2All))
+    val l1Off = bucketed
+      .groupBy(col("c_nationkey"), col("l1")).agg(max(col("n1")).as("n1"))
+      .withColumn("l1_off", sum(col("n1")).over(wL1) - col("n1"))
+      .withColumn("nn", sum(col("n1")).over(wL1All))
+      .select(col("c_nationkey"), col("l1"), col("l1_off"), col("nn"))
+    val offs = bucketed
       .join(broadcast(l1Off), Seq("c_nationkey", "l1"))
       .select(col("c_nationkey"), col("l2"),
-        (col("l1_off") + col("off_in_l1")).as("l2_off"))
-    val totals = l1.groupBy(col("c_nationkey")).agg(sum(col("n1")).as("nn"))
+        (col("l1_off") + col("off_in_l1")).as("l2_off"), col("nn"))
     val wIn = Window.partitionBy(col("c_nationkey"), col("l2"))
       .orderBy(col("c_acctbal").asc_nulls_last, col("c_custkey").asc_nulls_last)
     cust
       .join(broadcast(offs), Seq("c_nationkey", "l2"))
-      .join(broadcast(totals), Seq("c_nationkey"))
       .withColumn("rnk", col("l2_off") + row_number().over(wIn))
       // ntile(4): the first (N mod 4) quartiles hold (N div 4 + 1) rows
       .withColumn("qq", expr("nn div 4"))
@@ -204,6 +217,26 @@ object Windows {
         col("quartile"), col("pct_rank"), col("cume"))
       .orderBy(col("c_nationkey").asc_nulls_last, col("c_acctbal").asc_nulls_last,
         col("c_custkey").asc_nulls_last)
+  }
+
+  /** One-slot cache registry for q25's collapsed stats table: the
+    * cache cuts the DAG diamond at l2Counts (Spark plans an unshared
+    * subtree once per consumer — without it the fact scan + partial
+    * aggregate run twice), and each new q25 build frees the previous
+    * build's blocks so bench reps / property-test iterations don't
+    * accrete cached RDDs. The cache sits BELOW every window node on
+    * purpose: PlanAuditSpec's bounded-key-window rule cannot see
+    * through a materialization boundary, so windows must stay visible
+    * above it. Not correctness-bearing: an unpersist under a running
+    * query just recomputes.
+    */
+  private val prevL2Counts =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def sharedL2Counts(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val old = prevL2Counts.getAndSet(cached)
+    if (old ne null) old.unpersist(false)
+    cached
   }
 
   val q25Sql: String =
