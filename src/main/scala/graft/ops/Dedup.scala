@@ -363,9 +363,22 @@ object Dedup {
       .orderBy(col("doc_id").asc_nulls_last)
 
   /** The unsorted cluster assignment (doc_id, cluster_id, cluster_n)
-    * shared by d06 (census) and d11 (keep-best selection).
+    * shared by d06 (census) and d11 (keep-best selection), memoized per
+    * (SparkContext, corpus dir): the two queries are ~80% the same
+    * computation (signatures → bands → pairs → propagation), and the
+    * result is an eagerly-materialized checkpoint of doc-count rows —
+    * tiny, safe to keep for the session, and identical on reuse (the
+    * whole pipeline is deterministic), so d11 after d06 pays only its
+    * own argmax. Keyed by SparkContext so a restarted session can't
+    * serve frames whose backing RDDs died with the old context.
     */
-  private def dedupLabels(spark: SparkSession, sfDir: String): DataFrame = {
+  private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+  private def dedupLabels(spark: SparkSession, sfDir: String): DataFrame =
+    labelsMemo.computeIfAbsent((spark.sparkContext, sfDir),
+      _ => computeDedupLabels(spark, sfDir))
+
+  private def computeDedupLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val (docsigs, est) = d02Scored(spark, sfDir)
     val pairs = est.select(col("id1"), col("id2"))
     // edges is read every propagation round: eager-checkpoint it once
@@ -435,6 +448,93 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Log-rounds connected components: alternating large-star /
+    * small-star contraction (the Two-Phase algorithm of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", 2014).
+    *
+    * The production labeler ([[computeDedupLabels]]) uses min-label
+    * propagation, which converges in graph-DIAMETER rounds — the right
+    * trade for near-dup graphs, whose clusters are dense and shallow
+    * (LSH bands connect all members of a dup group to each other
+    * within a hop or two). This variant converges in O(log² n) rounds
+    * REGARDLESS of diameter: each large-star hangs every
+    * larger-than-center neighbor directly off its neighborhood
+    * minimum, each small-star contracts the remaining chains, so even
+    * an adversarial path graph collapses exponentially fast. It is the
+    * safe choice when cluster shape is unknown (e.g. chained
+    * plagiarism graphs); property-tested equivalent to a local
+    * union-find ground truth in `CcPropertySpec`.
+    *
+    * Both phases are hash-shuffles keyed on node ids (a groupBy min +
+    * an equi-join back) — no collect, no adjacency lists in driver
+    * memory; per-round state is an eagerly-checkpointed canonical edge
+    * list whose previous snapshot is freed immediately, mirroring the
+    * storage hygiene of the min-label loop.
+    *
+    * @param nodes one row per node, column `doc_id`
+    * @param edges undirected edges, columns `id1`, `id2`
+    * @return (doc_id, cluster_id) with cluster_id = component minimum
+    */
+  def ccTwoPhase(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 40): DataFrame = {
+    var e = edges
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = e.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      // large-star: for every node u, m = min(N(u) ∪ {u}); every
+      // STRICTLY LARGER neighbor v re-attaches as (m, v)
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(min(col("v")).as("mnv"))
+        .select(col("u"), least(col("u"), col("mnv")).as("m"))
+      val large = adj.join(mins, Seq("u"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star: for every node u over its SMALLER neighbors,
+      // m = min(N_small(u)); u and each small neighbor re-attach to m
+      val adjS = large.select(col("b").as("u"), col("a").as("v"))
+      val minsS = adjS.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = adjS.join(minsS, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .unionByName(minsS.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("a"),
+          greatest(col("x"), col("m")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      freeLocalCheckpoint(large)
+      // converged when the canonical edge set is a fixpoint (counts
+      // equal and no new-side remainder — both sides are distinct sets)
+      converged = small.count() == e.count() &&
+        small.exceptAll(e).isEmpty
+      freeLocalCheckpoint(e)
+      e = small
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccTwoPhase: no fixpoint after $maxRounds rounds")
+    // fixpoint = disjoint stars centered at component minima: every
+    // non-center node carries exactly its (center, node) edge
+    val centers = e.select(col("b").as("doc_id"), col("a").as("cl"))
+      .groupBy(col("doc_id")).agg(min(col("cl")).as("cl"))
+    // materialize the labels BEFORE freeing the edge snapshot they read
+    val labels = nodes.select(col("doc_id"))
+      .join(centers, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(true)
+    freeLocalCheckpoint(e)
+    labels
+  }
 
   // `edges AS MATERIALIZED`: without it DuckDB inlines the whole
   // minhash CTE chain into the recursive step and re-evaluates it per
