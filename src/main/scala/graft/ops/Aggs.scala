@@ -52,7 +52,13 @@ object Aggs {
     * ScalaTest spec pins the estimate within 5% of exact instead.
     */
   def q14ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    q14Of(Tables.lineitem(spark, sfDir))
+
+  /** q14 over an arbitrary lineitem frame — the entry point the
+    * sketch-merge property test drives with re-partitioned inputs.
+    */
+  def q14Of(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       // checkpoint before the presentation sort: the HLL sketch merge

@@ -116,7 +116,13 @@ object Stats {
     * estimate within 5% of the exact q38-style value.
     */
   def q52ApproxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    q52Of(Tables.lineitem(spark, sfDir))
+
+  /** q52 over an arbitrary lineitem frame — the entry point the
+    * sketch-merge property test drives with re-partitioned inputs.
+    */
+  def q52Of(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
