@@ -18,7 +18,13 @@ object TextOps {
     * length (integer sum ÷ count in double — same value both engines).
     */
   def t01TokenStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    t01Of(Tables.documents(spark, sfDir))
+
+  /** t01 over an arbitrary documents frame — the entry point the
+    * partitioned-layout spec drives against a lang-partitioned store.
+    */
+  def t01Of(documents: DataFrame): DataFrame =
+    documents
       .withColumn("toks", tokens)
       .select(
         col("doc_id"),
