@@ -190,6 +190,99 @@ object Dedup {
        |ORDER BY train_doc ASC NULLS LAST""".stripMargin
   }
 
+  /** d12: exact repeated-substring dedup, the suffix-run formulation —
+    * the training-data-dedup standard (cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022): any substring
+    * of ≥ 5 tokens that occurs MORE THAN ONCE corpus-wide is duplicated
+    * text, and per document the union of its duplicated 5-token
+    * shingles forms maximal token runs (a repeated 50-token paragraph
+    * is ONE span, not 46 overlapping shingles — the distinction from
+    * d08, which reports the shingle multiset).
+    *
+    * Scale shape: occurrences shuffle as (doc_id, pos, xxhash64)
+    * triples — shingle strings never travel; multiplicity is one
+    * hashed-key count shuffle; the run merge is a gaps-and-islands
+    * window partitioned by doc_id (key count grows with the corpus);
+    * span text rejoins only for surviving spans. No doc×doc
+    * comparisons anywhere — cost is corpus-token-linear, the property
+    * that makes substring-level dedup feasible at 100 TB where a
+    * suffix array is not.
+    */
+  def d12SubstringRuns(spark: SparkSession, sfDir: String,
+      minOcc: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).withColumn("tk", toks)
+    val occ = docs
+      .select(col("doc_id"), posexplode(shingles5).as(Seq("p0", "shingle")))
+      .select(col("doc_id"), (col("p0") + 1).as("s"),
+        xxhash64(col("shingle")).as("sh"))
+    val dup = occ.groupBy(col("sh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .select(col("sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s").asc_nulls_last)
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val spans = occ.join(dup, "sh")
+      .select(col("doc_id"), col("s"), (col("s") + 4).as("e"))
+      .withColumn("new_run",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
+      .withColumn("run", sum(col("new_run")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+    spans.join(docs.select(col("doc_id"), col("tk")), Seq("doc_id"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("span_ntok"),
+        array_join(expr("slice(tk, span_start, span_end - span_start + 1)"), " ")
+          .as("span_text"))
+      // double-execute defense: a survivor-span-sized shuffle between
+      // the rejoin kernel and the presentation sort bounds the range
+      // sampler's re-execution via shuffle reuse — chosen over a
+      // localCheckpoint here because a checkpoint truncates the logical
+      // plan and would blind the xxhash64/window plan-audit rules
+      .repartition(col("doc_id"))
+      .orderBy(col("doc_id").asc_nulls_last, col("span_start").asc_nulls_last)
+  }
+
+  val d12Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(tk) >= 5
+      |      THEN list_transform(range(1, len(tk) - 3),
+      |        i -> {'p': i, 'sh': list_aggregate(tk[i:i+4], 'string_agg', ' ')})
+      |      ELSE [] END) AS u
+      |  FROM t),
+      |occ AS (SELECT doc_id, CAST(u.p AS BIGINT) AS st, u.sh AS shingle FROM s),
+      |dup AS (SELECT shingle FROM occ GROUP BY shingle HAVING count(*) >= 2),
+      |hits AS (
+      |  SELECT o.doc_id, o.st, o.st + 4 AS e
+      |  FROM occ o JOIN dup d USING (shingle)),
+      |marked AS (
+      |  SELECT doc_id, st, e,
+      |    CASE WHEN max(e) OVER wp IS NULL OR st > max(e) OVER wp + 1
+      |      THEN 1 ELSE 0 END AS new_run
+      |  FROM hits
+      |  WINDOW wp AS (PARTITION BY doc_id ORDER BY st
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |runs AS (
+      |  SELECT doc_id, st, e,
+      |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY st
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM marked),
+      |spans AS (
+      |  SELECT doc_id, run, min(st) AS span_start, max(e) AS span_end
+      |  FROM runs GROUP BY doc_id, run)
+      |SELECT sp.doc_id,
+      |  CAST(span_start AS INT) AS span_start,
+      |  CAST(span_end AS INT) AS span_end,
+      |  CAST(span_end - span_start + 1 AS INT) AS span_ntok,
+      |  array_to_string(tk[CAST(span_start AS INT):CAST(span_end AS INT)], ' ') AS span_text
+      |FROM spans sp JOIN t USING (doc_id)
+      |ORDER BY doc_id ASC NULLS LAST, span_start ASC NULLS LAST""".stripMargin
+
   /** MinHash signatures + LSH banding: word-3-gram shingles → 16
     * portable minhashes → 4 bands of 4 → band-bucket self-join →
     * signature-agreement estimate per candidate pair.

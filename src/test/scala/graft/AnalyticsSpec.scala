@@ -57,6 +57,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("d12 merges overlapping duplicated shingles into one maximal span") {
+    import spark.implicits._
+    // two docs share a 12-token paragraph; doc 3 is all-unique filler.
+    // The suffix-run answer is ONE 12-token span per sharing doc — not
+    // eight overlapping 5-token shingles — and nothing for doc 3.
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $para u4 u5", "en", "src", 0L),
+      (2L, s"v1 $para v2 v3 v4 v5", "en", "src", 0L),
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("d12").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = Dedup.d12SubstringRuns(spark, dir).collect()
+    assert(spans.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // doc 1: paragraph at token 4..15; doc 2: at 2..13
+    assert(spans.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 4, 15), (2L, 2, 13)))
+    spans.foreach { r =>
+      assert(r.getInt(3) == 12)
+      assert(r.getString(4) == para)
+    }
+  }
+
   test("m02 media decode: parsed GIMG features match source bytes") {
     val out = Multimodal.m02MediaDecode(spark, sf).collect()
     assert(out.length == 500)

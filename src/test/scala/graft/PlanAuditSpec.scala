@@ -180,7 +180,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the d08/d09/t08/t09 production shape: the wide-key count shuffle
     // must key on the 8-byte hash — a regression to string keys would
     // still be CORRECT, so only the plan can catch it
-    Seq("d08_boilerplate", "d09_contamination", "t08_bigrams", "t09_tfidf",
+    Seq("d08_boilerplate", "d09_contamination", "d12_substring_runs",
+        "t08_bigrams", "t09_tfidf",
         "p12_decontaminated_split", "t13_ngram_lm_score")
       .foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sf)
