@@ -344,6 +344,227 @@ object Similarity {
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
   }
 
+  /** s05 PQ geometry: 8 subspaces × 8 dims over the 64-dim vectors,
+    * ADC shortlist of 50 per query before exact re-rank. Sub-codebooks
+    * sample every 10th corpus id capped at 256 entries — genuinely
+    * 8-bit codes, and a resolution independent of the coarse cell
+    * count (the real-PQ property; the first cut reused the ≤5 coarse
+    * centroids per subspace and its ADC was too coarse to shortlist the
+    * true neighbors — recall 0.14). Constants are shared by the Scala
+    * plan and the oracle SQL.
+    */
+  private val S05M = 8
+  private val S05SubDim = 8
+  private val S05Rerank = 50
+  private val S05CbStride = 10
+  private val S05CbMaxId = 10 * 256
+
+  /** Per-subspace slices (m, 16-dim subvector) of a vector column. */
+  private def subSlices(c: Column): Column =
+    array((0 until S05M).map(m =>
+      struct(lit(m).as("m"),
+        slice(c, m * S05SubDim + 1, S05SubDim).as("sv"))): _*)
+
+  /** s05: IVF-PQ with exact re-rank — the standard memory ladder past
+    * plain IVF at 100 TB: corpus vectors are product-quantized to
+    * `S05M` sub-codebook ids (4 bytes/vector here vs 512 for the raw
+    * doubles), queries probe their `nprobe` nearest cells and score
+    * candidates from CODES ONLY (asymmetric distance: the query
+    * subvector dotted with each candidate's sub-centroid), and only the
+    * ADC shortlist of `S05Rerank` rejoins full-precision vectors for
+    * the exact final ranking. At scale the candidate scan therefore
+    * touches a few bytes per vector instead of the embedding itself.
+    *
+    * Everything is deterministic so DuckDB can replay it: the coarse
+    * codebook is s03's every-100th-id sample, each subspace's
+    * sub-codebook is the coarse centroids' own subvectors, PQ
+    * assignment is exact-L2 argmin with id tie-breaks, and the two
+    * double folds that cross engines (ADC sum over subspaces, shortlist
+    * norm) run in sorted-subspace order on both sides (the repo's
+    * deterministic-fold discipline). Recall vs brute-force truth is
+    * pinned in IvfSpec next to s02/s03.
+    */
+  def s05KnnIvfPq(spark: SparkSession, sfDir: String,
+      nprobe: Int = S03Nprobe): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = assignCells(e, cents)
+    val assigned = scored.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+    // sub-codebooks: (subspace, code, sub-centroid, its squared norm)
+    val subcb = e
+      .filter(col("vec_id") % S05CbStride === 0 && col("vec_id") < S05CbMaxId)
+      .select(col("vec_id").as("code"), explode(subSlices(col("v"))).as("s"))
+      .select(col("s.m").as("m"), col("code"), col("s.sv").as("sc"))
+      .withColumn("scn2", expr("graft_dot(sc, sc)"))
+    // PQ encode: per (vector, subspace) the exact-L2-nearest sub-
+    // centroid; ties to the smaller code. The argmin is a row_number
+    // window (deterministic on both engines) keyed by (vec_id, m) —
+    // a key family that grows with the corpus.
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc_nulls_last, col("code").asc_nulls_last)
+    val codes = assigned
+      .select(col("vec_id"), col("cell"), explode(subSlices(col("v"))).as("s"))
+      .select(col("vec_id"), col("cell"), col("s.m").as("m"), col("s.sv").as("vm"))
+      .join(broadcast(subcb.select(col("m"), col("code"), col("sc"))), Seq("m"))
+      .withColumn("d2", aggregate(
+        zip_with(col("vm"), col("sc"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    // query side: probe cells (s03 shape) + per-subspace query slices
+    val qv = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = scored.filter(col("crn") <= nprobe && col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val qSub = qv.select(col("query_id"), explode(subSlices(col("qv"))).as("s"))
+      .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qvm"))
+    // ADC: score candidates from codes only; the per-candidate sums
+    // fold in sorted-subspace order so the doubles are bit-identical
+    // across engines and partitionings
+    val adParts = broadcast(probes)
+      .join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("m"), col("code"))
+      .join(broadcast(subcb), Seq("m", "code"))
+      .join(broadcast(qSub), Seq("query_id", "m"))
+      .withColumn("ad", expr("graft_dot(qvm, sc)"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    val shortlist = adParts
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("ad")))).as("ads"),
+        sort_array(collect_list(struct(col("m"), col("scn2")))).as("sns"))
+      .withColumn("approx_dot",
+        expr("aggregate(ads, CAST(0.0 AS DOUBLE), (a, s) -> a + s.ad)"))
+      .withColumn("anorm2",
+        expr("aggregate(sns, CAST(0.0 AS DOUBLE), (a, s) -> a + s.scn2)"))
+      .join(broadcast(qv.select(col("query_id"), col("qn"))), Seq("query_id"))
+      .withColumn("ascore", col("approx_dot") / (col("qn") * sqrt(col("anorm2"))))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= S05Rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: only the shortlist rejoins full-precision vectors
+    val cFull = e.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv2"), col("nrm").as("cn2"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    shortlist
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cFull, Seq("neighbor_id"))
+      .withColumn("cosine", expr("graft_dot(qv, cv2)") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s05Sql: String = {
+    val ms = s"SELECT unnest(range(0, $S05M)) AS m"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0),
+       |scored_cells AS (
+       |  SELECT n.vec_id, cents.cent_id, n.v, n.nrm,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cents.cv[i])),
+       |      (acc, x) -> acc + x) / (n.nrm * cents.cn) AS cscore
+       |  FROM n CROSS JOIN cents),
+       |cells AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC NULLS LAST, cent_id ASC NULLS LAST) AS crn
+       |  FROM scored_cells),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell, v FROM cells WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM cells
+       |  WHERE crn <= $S03Nprobe AND vec_id < $NQueries),
+       |qn AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+       |  WHERE vec_id < $NQueries),
+       |subcb AS (
+       |  SELECT mm.m, vec_id AS code,
+       |    v[$S05SubDim*mm.m+1 : $S05SubDim*(mm.m+1)] AS sc,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v[$S05SubDim*mm.m+1 : $S05SubDim*(mm.m+1)],
+       |        x -> x * x)), (a, x) -> a + x) AS scn2
+       |  FROM n CROSS JOIN ($ms) mm
+       |  WHERE vec_id % $S05CbStride = 0 AND vec_id < $S05CbMaxId),
+       |vsub AS (
+       |  SELECT a.vec_id, a.cell, mm.m,
+       |    a.v[$S05SubDim*mm.m+1 : $S05SubDim*(mm.m+1)] AS vm
+       |  FROM assigned a CROSS JOIN ($ms) mm),
+       |dist AS (
+       |  SELECT vs.vec_id, vs.cell, vs.m, s.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, ${S05SubDim + 1}),
+       |        i -> (vs.vm[i] - s.sc[i]) * (vs.vm[i] - s.sc[i]))),
+       |      (a, x) -> a + x) AS d2
+       |  FROM vsub vs JOIN subcb s ON vs.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, cell, m, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d2 ASC NULLS LAST, code ASC NULLS LAST) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |qsub AS (
+       |  SELECT q.query_id, mm.m,
+       |    q.qv[$S05SubDim*mm.m+1 : $S05SubDim*(mm.m+1)] AS qvm
+       |  FROM qn q CROSS JOIN ($ms) mm),
+       |adp AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, c.m,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, ${S05SubDim + 1}),
+       |        i -> qs.qvm[i] * s.sc[i])), (a, x) -> a + x) AS ad,
+       |    s.scn2
+       |  FROM probes p
+       |  JOIN codes c ON c.cell = p.cell AND c.vec_id <> p.query_id
+       |  JOIN subcb s ON s.m = c.m AND s.code = c.code
+       |  JOIN qsub qs ON qs.query_id = p.query_id AND qs.m = c.m),
+       |short AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_sort(list({'m': m, 'ad': ad})),
+       |        s -> s.ad)), (a, x) -> a + x) AS approx_dot,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_sort(list({'m': m, 'scn2': scn2})),
+       |        s -> s.scn2)), (a, x) -> a + x) AS anorm2
+       |  FROM adp GROUP BY query_id, neighbor_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT sh.query_id, sh.neighbor_id,
+       |      row_number() OVER (PARTITION BY sh.query_id
+       |        ORDER BY sh.approx_dot / (q.qn * sqrt(sh.anorm2)) DESC NULLS LAST,
+       |          sh.neighbor_id ASC NULLS LAST) AS arn
+       |    FROM short sh JOIN qn q ON q.query_id = sh.query_id)
+       |  WHERE arn <= $S05Rerank),
+       |reranked AS (
+       |  SELECT sl.query_id, sl.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.qn * c.nrm) AS cosine
+       |  FROM shortlist sl
+       |  JOIN qn q ON q.query_id = sl.query_id
+       |  JOIN n c ON c.vec_id = sl.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM reranked)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+  }
+
   private val RangeTau = 0.25
 
   /** s04: cosine RANGE search — "every neighbor at least τ similar",

@@ -37,13 +37,35 @@ class IvfSpec extends AnyFunSuite {
     val truth = pairs(Similarity.s01KnnBrute(spark, sf))
     val lsh = pairs(Similarity.s02KnnLsh(spark, sf))
     val ivf = pairs(Similarity.s03KnnIvf(spark, sf))
+    val pq = pairs(Similarity.s05KnnIvfPq(spark, sf))
     def recall(a: Map[Long, Set[Long]]): Double =
       truth.map { case (q, t) => (a.getOrElse(q, Set.empty) & t).size }.sum.toDouble /
         truth.map(_._2.size).sum
-    val (rLsh, rIvf) = (recall(lsh), recall(ivf))
-    info(f"s02 banded-LSH recall=$rLsh%.3f  s03 IVF(nprobe=2) recall=$rIvf%.3f")
+    val (rLsh, rIvf, rPq) = (recall(lsh), recall(ivf), recall(pq))
+    info(f"s02 banded-LSH recall=$rLsh%.3f  s03 IVF(nprobe=2) recall=$rIvf%.3f  " +
+      f"s05 IVF-PQ recall=$rPq%.3f")
     assert(rLsh == 0.8, f"s02 recall moved: $rLsh%.3f (pinned 0.800)")
     assert(rIvf == 0.64, f"s03 recall moved: $rIvf%.3f (pinned 0.640)")
+    // PQ scores candidates from 8-byte codes; the exact re-rank of its
+    // 50-deep ADC shortlist recovers 91% of s03's full-precision
+    // recall (0.58 / 0.64) — the documented price of never touching
+    // candidate embeddings until the re-rank
+    assert(rPq == 0.58, f"s05 recall moved: $rPq%.3f (pinned 0.580)")
+  }
+
+  test("s05's exact re-rank never reports a cosine above s03's per-rank value") {
+    // both probe the same cells; PQ can only lose candidates at the
+    // ADC shortlist, so per (query, rank) its exact cosine is <= IVF's
+    val ivf = Similarity.s03KnnIvf(spark, sf)
+      .select(col("query_id"), col("rank"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.s05KnnIvfPq(spark, sf)
+      .select(col("query_id"), col("rank"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(pq.keySet == ivf.keySet)
+    pq.foreach { case (k, c) =>
+      assert(c <= ivf(k) + 1e-12, s"$k: PQ cosine $c exceeds IVF ${ivf(k)}")
+    }
   }
 
   test("nprobe=2 candidate sets dominate nprobe=1 (top-1 cosine never worse)") {
