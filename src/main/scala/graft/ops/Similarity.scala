@@ -399,21 +399,29 @@ object Similarity {
       .select(col("s.m").as("m"), col("code"), col("s.sv").as("sc"))
       .withColumn("scn2", expr("graft_dot(sc, sc)"))
     // PQ encode: per (vector, subspace) the exact-L2-nearest sub-
-    // centroid; ties to the smaller code. The argmin is a row_number
-    // window (deterministic on both engines) keyed by (vec_id, m) —
-    // a key family that grows with the corpus.
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc_nulls_last, col("code").asc_nulls_last)
+    // centroid; ties to the smaller code. The argmin is a
+    // min(struct(d2, code)) aggregate — lexicographic struct ordering
+    // gives exactly the smallest-distance-then-smallest-code
+    // semantics, with a map-side partial combine instead of sorting
+    // corpus × subspaces × codebook rows through a window; and since
+    // the cell-assignment window already hash-partitioned the corpus
+    // by vec_id, the groupBy needs no exchange at all.
+    // d2 expands to |vm|² + |sc|² − 2·⟨vm, sc⟩ so the only per-pair
+    // work is one codegen'd native dot product (an interpreted
+    // zip_with/aggregate fold here measured ~4 s at sf0.1 — higher-
+    // order functions don't enter whole-stage codegen); the squared
+    // norms are per-subvector and per-code, computed once each
     val codes = assigned
       .select(col("vec_id"), col("cell"), explode(subSlices(col("v"))).as("s"))
       .select(col("vec_id"), col("cell"), col("s.m").as("m"), col("s.sv").as("vm"))
-      .join(broadcast(subcb.select(col("m"), col("code"), col("sc"))), Seq("m"))
-      .withColumn("d2", aggregate(
-        zip_with(col("vm"), col("sc"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+      .withColumn("vmn2", expr("graft_dot(vm, vm)"))
+      .join(broadcast(subcb.select(col("m"), col("code"), col("sc"), col("scn2"))),
+        Seq("m"))
+      .withColumn("d2",
+        col("vmn2") + col("scn2") - lit(2.0) * expr("graft_dot(vm, sc)"))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"), col("best.code").as("code"))
     // query side: probe cells (s03 shape) + per-subspace query slices
     val qv = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -502,14 +510,16 @@ object Similarity {
        |  WHERE vec_id % $S05CbStride = 0 AND vec_id < $S05CbMaxId),
        |vsub AS (
        |  SELECT a.vec_id, a.cell, mm.m,
-       |    a.v[$S05SubDim*mm.m+1 : $S05SubDim*(mm.m+1)] AS vm
+       |    a.v[$S05SubDim*mm.m+1 : $S05SubDim*(mm.m+1)] AS vm,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(a.v[$S05SubDim*mm.m+1 : $S05SubDim*(mm.m+1)],
+       |        x -> x * x)), (a, x) -> a + x) AS vmn2
        |  FROM assigned a CROSS JOIN ($ms) mm),
        |dist AS (
        |  SELECT vs.vec_id, vs.cell, vs.m, s.code,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    vs.vmn2 + s.scn2 - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(1, ${S05SubDim + 1}),
-       |        i -> (vs.vm[i] - s.sc[i]) * (vs.vm[i] - s.sc[i]))),
-       |      (a, x) -> a + x) AS d2
+       |        i -> vs.vm[i] * s.sc[i])), (a, x) -> a + x) AS d2
        |  FROM vsub vs JOIN subcb s ON vs.m = s.m),
        |codes AS (
        |  SELECT vec_id, cell, m, code FROM (
