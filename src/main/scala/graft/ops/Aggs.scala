@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -304,6 +305,44 @@ object Aggs {
       k = 3)
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last,
         col("l_extendedprice").desc_nulls_last, col("l_orderkey").asc_nulls_last)
+
+  /** q55: percent-of-total contribution — each (flag, status) cell's
+    * revenue share of its flag's total, the BI staple behind every
+    * "top contributors" panel. One partial-aggregated fact shuffle
+    * collapses to a 6-row table; the share window runs over THAT
+    * (sub-fact-sized, so the bounded partition key is fine at any
+    * scale). Revenue stays exact DECIMAL through the aggregation AND
+    * the window total (decimal addition is associative — a double sum
+    * here would be partition-order-nondeterministic), with one IEEE
+    * division into doubles at the end.
+    */
+  def q55PercentOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("rev"),
+        count(lit(1)).as("n"))
+      .withColumn("flag_rev", sum(col("rev")).over(w))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("flag_rev").cast("double"))
+          .as("share_of_flag"))
+      .orderBy(col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+  }
+
+  val q55Sql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, n,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+      |    AS share_of_flag
+      |FROM a
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
 
   val q53Sql: String =
     """WITH r AS (

@@ -498,6 +498,63 @@ object PipelineOps {
        |ORDER BY lang ASC NULLS LAST""".stripMargin
   }
 
+  /** p14: curriculum ordering — the deterministic training order a
+    * curriculum-learning run consumes: documents are staged into
+    * quality phases (clean/easy material first) by FIXED score
+    * thresholds — no global ntile, so no single-task window at any
+    * scale — and shuffled within each phase by the portable 32-bit
+    * hash (reproducible across retries and cluster sizes, and
+    * domain-interleaving by construction since the hash ignores lang/
+    * source clumping). (phase, order_key, doc_id) is a total order:
+    * a trainer reads the output in that order, no further sort state
+    * needed. Entirely per-row — the only shuffle is the presentation
+    * sort.
+    */
+  def p14CurriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks,
+      t => t.isInCollection(Seq("the", "a", "and", "of", "to")))).cast("double")
+    val nDist = size(array_distinct(toks)).cast("double")
+    val lenFactor = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+    val quality = lit(0.4) * (nDist / nTok) + lit(0.4) * lenFactor +
+      lit(0.2) * (nStop / nTok)
+    Tables.documents(spark, sfDir)
+      .withColumn("quality", quality)
+      .withColumn("phase",
+        when(col("quality") >= 0.8, 1)
+          .when(col("quality") >= 0.6, 2)
+          .when(col("quality") >= 0.4, 3)
+          .otherwise(4))
+      .withColumn("order_key",
+        PortableHash.tokenHash32(col("doc_id").cast("string")))
+      .select(col("phase"), col("order_key"), col("doc_id"),
+        col("lang"), col("quality"))
+      .orderBy(col("phase").asc_nulls_last, col("order_key").asc_nulls_last,
+        col("doc_id").asc_nulls_last)
+  }
+
+  val p14Sql: String = {
+    val h = PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       |    + 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |    + 0.2 * (CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+       |             / CAST(len(toks) AS DOUBLE)) AS quality
+       |  FROM t)
+       |SELECT
+       |  CAST(CASE WHEN quality >= 0.8 THEN 1 WHEN quality >= 0.6 THEN 2
+       |            WHEN quality >= 0.4 THEN 3 ELSE 4 END AS INT) AS phase,
+       |  $h AS order_key,
+       |  doc_id, lang, quality
+       |FROM q
+       |ORDER BY phase ASC NULLS LAST, order_key ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin
+  }
+
   /** p11's token budget — one constant interpolated into BOTH the
     * Scala plan and the oracle SQL, so they cannot silently diverge.
     */

@@ -575,6 +575,99 @@ object Similarity {
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
   }
 
+  /** s06 banding: the 8-plane family split 2 bands × 4 planes (16
+    * buckets/band — finer than s02's query-side split, because here
+    * BOTH join sides are the whole corpus and bucket size² drives the
+    * pair count). k = 3 neighbors per vector.
+    */
+  private val S06Bands = 2
+  private val S06PlanesPerBand = 4
+  private val S06K = 3
+
+  /** s06: all-corpus kNN JOIN — the batch neighbor-graph build behind
+    * corpus-level near-dup sweeps and kNN-graph clustering: every
+    * vector gets its top-3 cosine neighbors, not just a bounded query
+    * set. The s01/s02 broadcast-the-queries shape cannot do this (the
+    * "query" side IS the corpus), so candidates come from a banded
+    * LSH self-join — the shuffle key is (band, bucket), pair count is
+    * Σ bucket², never n² — and the per-vector selection runs on the
+    * native TopKPerKey operator: map-side bounded heaps ship ≤ k rows
+    * per (vector, partition) instead of sorting the full candidate
+    * set through a window. Recall is the banding trade (deterministic
+    * pipeline — the oracle replays it exactly, so correctness is
+    * hash-exact regardless).
+    */
+  def s06KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val bandsArr = array((0 until S06Bands).map(bd =>
+      struct(lit(bd).as("band"),
+        bandBucketExpr(col("v"), bd, S06PlanesPerBand).as("bkt"))): _*)
+    val banded = e.withColumn("bb", explode(bandsArr))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    // candidate ids dedupe across bands BEFORE vectors attach (the
+    // minhash-band-pairs shape: wide arrays never ride the distinct)
+    val cand = banded.select(col("vec_id").as("src_id"), col("band"), col("bkt"))
+      .join(banded.select(col("vec_id").as("neighbor_id"), col("band"), col("bkt")),
+        Seq("band", "bkt"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"))
+      .distinct()
+    val sv = e.select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("sn"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
+      col("nrm").as("cn2"))
+    val scoredPairs = cand
+      .join(sv, Seq("src_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine", expr("graft_dot(sv, cv2)") / (col("sn") * col("cn2")))
+      .select(col("src_id"), col("neighbor_id"), col("cosine"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scoredPairs,
+      keyCols = Seq(col("src_id")),
+      orderCols = Seq(col("cosine").desc_nulls_last,
+        col("neighbor_id").asc_nulls_last),
+      k = S06K)
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("src_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("src_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s06Sql: String = {
+    val bandSelects = (0 until S06Bands).map(bd =>
+      s"""SELECT vec_id, $bd AS band, CAST(${bandSqlTerms(bd, S06PlanesPerBand)} AS BIGINT) AS bkt
+         |  FROM n""".stripMargin).mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS src_id, c.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.bkt = c.bkt
+       |  WHERE q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.src_id, cand.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.src_id
+       |  JOIN n c ON c.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT src_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT src_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $S06K
+       |ORDER BY src_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+  }
+
   private val RangeTau = 0.25
 
   /** s04: cosine RANGE search — "every neighbor at least τ similar",

@@ -189,6 +189,52 @@ object Stats {
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
+  /** q56: robust outlier detection via MAD (median absolute
+    * deviation) — q50's mean/σ flags blow up when the outliers
+    * themselves inflate σ; the breakdown-resistant form centers on the
+    * exact median and scales by MAD. Three passes over the fact
+    * (median → MAD → flag count), each a group-cardinality-sized
+    * broadcast back — the honest exact-MAD plan; the 100 TB variant
+    * swaps `percentile` for the mergeable approx sketch (q52) without
+    * changing shape. Interpolated medians and the |x−med| > 3·MAD
+    * boundary are computed identically on both engines (q38
+    * precedent), so the flag counts are exact.
+    */
+  def q56MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_q"))
+    val mad = li.join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(abs(l_quantity - med_q), 0.5)").as("mad_q"),
+        max(col("med_q")).as("med_q"))
+    li.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("l_quantity") - col("med_q")) >
+          lit(3.0) * col("mad_q"), 1)).as("n_outliers"),
+        max(col("med_q")).as("med_q"),
+        max(col("mad_q")).as("mad_q"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  val q56Sql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_q
+      |  FROM lineitem GROUP BY l_returnflag),
+      |mad AS (
+      |  SELECT l.l_returnflag,
+      |    quantile_cont(abs(l.l_quantity - m.med_q), 0.5) AS mad_q,
+      |    max(m.med_q) AS med_q
+      |  FROM lineitem l JOIN med m USING (l_returnflag)
+      |  GROUP BY l.l_returnflag)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  count(CASE WHEN abs(l.l_quantity - m.med_q) > 3.0 * m.mad_q THEN 1 END)
+      |    AS n_outliers,
+      |  max(m.med_q) AS med_q, max(m.mad_q) AS mad_q
+      |FROM lineitem l JOIN mad m USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag ASC NULLS LAST""".stripMargin
+
   val q50Sql: String =
     """WITH s AS (
       |  SELECT l_returnflag,
