@@ -169,6 +169,39 @@ object Multimodal {
       |FROM c
       |ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""".stripMargin
 
+  /** m06: cross-modal integrity — the multimodal-pipeline hygiene
+    * check before any paired text↔embedding training run: every
+    * document should carry exactly one embedding and vice versa; the
+    * full-outer join surfaces BOTH orphan directions in one pass, and
+    * the per-lang census localizes where coverage is missing (at the
+    * fixture's sf0.1, 3 of 5 thousand docs have no vector — a real
+    * finding, not a vacuous all-zeros check). Shuffle shape: one
+    * full-outer equi-join on the id (both sides keyed), then a
+    * 5-key census — the q43 FK-integrity discipline applied across
+    * modalities.
+    */
+  def m06ModalityIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+      .groupBy(coalesce(col("lang"), lit("<no-doc>")).as("lang"))
+      .agg(count(col("doc_id")).as("n_docs"),
+        count(col("vec_id")).as("n_vecs"),
+        count(when(col("vec_id").isNull, 1)).as("n_docs_without_vec"),
+        count(when(col("doc_id").isNull, 1)).as("n_vecs_without_doc"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val m06Sql: String =
+    """SELECT coalesce(d.lang, '<no-doc>') AS lang,
+      |  count(d.doc_id) AS n_docs,
+      |  count(e.vec_id) AS n_vecs,
+      |  count(CASE WHEN e.vec_id IS NULL THEN 1 END) AS n_docs_without_vec,
+      |  count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS n_vecs_without_doc
+      |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY 1
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
+
   /** Decoded GIMG features, one row per payload. */
   final case class GimgFeatures(
       doc_id: Long, width: Int, height: Int, n_pixels: Int, n_data: Int,

@@ -56,4 +56,52 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** q57: TPC-H Q3 analogue (shipping priority) — the composite
+    * headline shape a real analytics workload runs: selective dim
+    * filter (one market segment of five) BROADCAST into the orders
+    * fact, that join filtered and joined into lineitem, an exact-
+    * decimal revenue aggregate per order, and a global top-10 that
+    * plans as TakeOrderedAndProject (per-partition top-k + driver
+    * merge of 10-row heaps — never a full sort). Two fact shuffles
+    * total at any scale: the o⋈l equi-join and the revenue groupBy
+    * (which reuses the join's orderkey clustering).
+    */
+  def q57ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("o_orderdate").asc_nulls_last,
+        col("l_orderkey").asc_nulls_last)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
+  val q57Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS LAST, l_orderkey ASC NULLS LAST
+      |LIMIT 10""".stripMargin
 }
