@@ -244,6 +244,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"e07 no longer plans the native top-k:\n$plan")
   }
 
+  /** s06's per-vector selection must stay on the native top-k: a
+    * regression to a plain window over the full candidate set would be
+    * result-identical but ship every candidate row through the
+    * exchange instead of ≤ k per vector per partition.
+    */
+  test("s06 plans the native per-key top-k over its candidate pairs") {
+    val plan = graft.ops.Similarity.s06KnnJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPerKeyFinal") &&
+        plan.contains("GraftTopKPerKeyPartial"),
+      s"s06 no longer plans the native top-k:\n$plan")
+  }
+
+  /** q57's global top-10 must plan as TakeOrderedAndProject
+    * (per-partition bounded heaps + driver merge); a silent flip to a
+    * full range-partitioned sort would re-introduce an O(n log n)
+    * global shuffle for a 10-row answer.
+    */
+  test("q57's top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val plan = graft.ops.Relational.q57ShippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q57 lost its TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"q57 plans a global range sort for a LIMIT 10:\n$plan")
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
