@@ -566,4 +566,46 @@ object EventOps {
       |  CAST(sum(monetary) AS DOUBLE) AS total_value
       |FROM s GROUP BY segment
       |ORDER BY segment ASC NULLS LAST""".stripMargin
+
+  /** e15: event-transition (Markov) matrix — the product-analytics
+    * staple behind flow diagrams and next-step prediction: for every
+    * consecutive event pair within a user's timeline, the transition
+    * count and conditional probability P(to | from). One fact window
+    * (per-user lead, key count grows with users) collapses to an
+    * event-type² table — bounded by the type vocabulary, not the
+    * data — whose row-probability window is collapsed-table-sized.
+    * Counts are exact longs; each probability is a single IEEE
+    * division, so the matrix is bit-identical across engines.
+    */
+  def e15TransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    val wFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(wFrom).cast("double"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .orderBy(col("from_type").asc_nulls_last, col("to_type").asc_nulls_last)
+  }
+
+  val e15Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM t
+      |ORDER BY from_type ASC NULLS LAST, to_type ASC NULLS LAST""".stripMargin
 }
