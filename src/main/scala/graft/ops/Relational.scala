@@ -104,4 +104,144 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS LAST, l_orderkey ASC NULLS LAST
       |LIMIT 10""".stripMargin
+
+  /** q58: TPC-H Q2 analogue (cheapest supplier per part) — the argmin
+    * join, run as k=1 on the native [[graft.plans.TopKPerKey]]
+    * operator. The obvious `min(struct(price, suppkey))` aggregate
+    * plans as a SortAggregate (struct buffers are not hash-agg
+    * compatible) and sorts the whole fact per partition; the native
+    * operator instead keeps ONE candidate row per part in the partial
+    * phase, shuffles only those survivors (≤ |parts| rows per input
+    * partition), and streams the final phase — the shape that holds at
+    * 100 TB. The (price, suppkey) composite order is the deterministic
+    * tie-break (lowest suppkey wins at equal price). The supplier
+    * attribute join happens AFTER the argmin collapse, on |parts|
+    * rows, with the dim broadcast. `unit_price` is one IEEE division
+    * per row — bit-portable to the DuckDB oracle (sums of doubles
+    * would not be; there are none here).
+    */
+  def q58CheapestSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_suppkey"))
+    graft.plans.TopKPerKey.topKPerKey(li,
+        keyCols = Seq(col("l_partkey")),
+        orderCols = Seq(col("unit_price").asc_nulls_last,
+          col("l_suppkey").asc_nulls_last),
+        k = 1)
+      .select(col("l_partkey").as("partkey"),
+        col("l_suppkey").as("suppkey"),
+        col("unit_price").as("best_price"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("suppkey") === col("s_suppkey"))
+      .select(col("partkey"), col("suppkey"), col("s_name"), col("best_price"))
+      .orderBy(col("partkey").asc_nulls_last)
+  }
+
+  val q58Sql: String =
+    """WITH u AS (
+      |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT l_partkey, l_suppkey, unit_price,
+      |         row_number() OVER (PARTITION BY l_partkey
+      |                            ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+      |  FROM u
+      |)
+      |SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name, unit_price AS best_price
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rn = 1
+      |ORDER BY partkey ASC NULLS LAST""".stripMargin
+
+  /** q59: TPC-H Q8 analogue (market share) — per order-year, the share
+    * of total order value contributed by customers of one region. One
+    * conditional-aggregation pass: the region tag rides a two-hop
+    * broadcast (nation ⋈ region collapsed to a custkey→flag dim), the
+    * orders fact shuffles once on custkey for the customer join, and
+    * both the target and total sums come out of the SAME two-phase
+    * aggregate on `yr` (5-ish groups) — not two scans, not a
+    * self-join. Sums are exact DECIMAL (order-independent across any
+    * partitioning); the share is one final IEEE division per year row.
+    */
+  def q59MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"),
+        "left")
+      .select(col("c_custkey"), col("n_nationkey").isNotNull.as("is_asia"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast(dec).as("price"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("yr"))
+      .agg(
+        sum(when(col("is_asia"), col("price")).otherwise(lit(0).cast(dec)))
+          .cast("double").as("asia_rev"),
+        sum(col("price")).cast("double").as("total_rev"))
+      .withColumn("share", col("asia_rev") / col("total_rev"))
+      .orderBy(col("yr").asc_nulls_last)
+  }
+
+  val q59Sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey,
+      |         (n_nationkey IS NOT NULL) AS is_asia
+      |  FROM customer
+      |  LEFT JOIN (
+      |    SELECT n_nationkey FROM nation
+      |    JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'ASIA'
+      |  ) a ON c_nationkey = n_nationkey
+      |), agg AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |    CAST(sum(CASE WHEN is_asia THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS asia_rev,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+      |  FROM orders JOIN cust ON o_custkey = c_custkey
+      |  GROUP BY 1
+      |)
+      |SELECT yr, asia_rev, total_rev, asia_rev / total_rev AS share
+      |FROM agg
+      |ORDER BY yr ASC NULLS LAST""".stripMargin
+
+  /** q60: TPC-H Q13 analogue (customer distribution) — how many
+    * customers placed exactly N qualifying orders, INCLUDING the
+    * zero-order customers an inner join would drop. Shape: aggregate
+    * the orders fact down to per-custkey counts FIRST (one shuffle,
+    * partial counts map-side), then left-join customer against that
+    * |customers|-sized result and coalesce the misses to 0 — the
+    * naive join-then-count would move every order row through the
+    * customer join before collapsing. The second aggregate (count per
+    * c_count) is over ≤ max-orders-per-customer distinct keys: tiny.
+    */
+  def q60CustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc_nulls_last, col("c_count").desc_nulls_last)
+  }
+
+  val q60Sql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, count(*) AS n_orders
+      |  FROM orders
+      |  WHERE o_orderpriority <> '1-URGENT'
+      |  GROUP BY o_custkey
+      |)
+      |SELECT coalesce(n_orders, 0) AS c_count, count(*) AS custdist
+      |FROM customer
+      |LEFT JOIN per_cust ON c_custkey = o_custkey
+      |GROUP BY 1
+      |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin
 }
