@@ -608,4 +608,67 @@ object EventOps {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM t
       |ORDER BY from_type ASC NULLS LAST, to_type ASC NULLS LAST""".stripMargin
+
+  /** e16: basket pair co-occurrence (market-basket association over
+    * event types, basket = one user-day). The scale discipline is the
+    * ORDER of collapse: the fact first collapses to DISTINCT
+    * (user, day, type) — so the self-join that forms pairs runs over
+    * baskets whose width is bounded by |event types|, Σ·basket² with
+    * basket ≤ |types|, never events². Both sides of the pair join
+    * arrive from the same distinct-collapse exchange (canonically
+    * identical scan+shuffle → AQE reuses it), the per-type and total
+    * basket counts are tiny broadcast/cross-joined stat frames, and
+    * support/lift are fixed-shape IEEE expressions over exact counts
+    * (the lift numerator multiplies as double, so there is no int64
+    * overflow at any corpus size).
+    */
+  def e16BasketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val baskets = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val pairs = baskets
+      .select(col("user_id"), col("day"), col("event_type").as("type_a"))
+      .join(baskets.select(col("user_id"), col("day"),
+        col("event_type").as("type_b")), Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("pair_baskets"))
+    val typeCounts = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("tb"))
+    val total = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("ea"),
+        col("tb").as("baskets_a"))), col("type_a") === col("ea"))
+      .join(broadcast(typeCounts.select(col("event_type").as("eb"),
+        col("tb").as("baskets_b"))), col("type_b") === col("eb"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("pair_baskets"),
+        col("baskets_a"), col("baskets_b"),
+        (col("pair_baskets").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        (col("pair_baskets").cast("double") * col("n_baskets").cast("double") /
+          (col("baskets_a").cast("double") * col("baskets_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("type_a").asc_nulls_last, col("type_b").asc_nulls_last)
+  }
+
+  val e16Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, c.event_type AS type_b, count(*) AS pair_baskets
+      |  FROM b a JOIN b c
+      |    ON a.user_id = c.user_id AND a.day = c.day AND a.event_type < c.event_type
+      |  GROUP BY 1, 2),
+      |tc AS (SELECT event_type, count(*) AS tb FROM b GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b))
+      |SELECT type_a, type_b, pair_baskets, a.tb AS baskets_a, c.tb AS baskets_b,
+      |  CAST(pair_baskets AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+      |  CAST(pair_baskets AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+      |    (CAST(a.tb AS DOUBLE) * CAST(c.tb AS DOUBLE)) AS lift
+      |FROM pairs
+      |JOIN tc a ON type_a = a.event_type
+      |JOIN tc c ON type_b = c.event_type
+      |CROSS JOIN tot
+      |ORDER BY type_a ASC NULLS LAST, type_b ASC NULLS LAST""".stripMargin
 }

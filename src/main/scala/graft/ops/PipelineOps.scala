@@ -652,4 +652,81 @@ object PipelineOps {
       |SELECT lang, doc_id, n_tok, cum_tok, quality FROM c
       |WHERE cum_tok <= $P11Budget
       |ORDER BY lang ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin
+
+  /** p15: consistent per-stratum k-sample — the k docs with the
+    * SMALLEST portable hash per language. Unlike rate-based p03/p04
+    * (whose sample size drifts with stratum size), this pins exactly k
+    * per stratum, and the hash order makes it CONSISTENT under corpus
+    * growth: adding docs can only displace the largest-hash member,
+    * never reshuffle the rest — the property that lets eval sets stay
+    * stable across ingest runs. Runs on the native
+    * [[graft.plans.TopKPerKey]] operator: O(k) state per stratum in
+    * the partial phase, only ≤ k·partitions survivor rows shuffle —
+    * the window-rank oracle formulation would sort every stratum.
+    */
+  def p15StratumSample(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h", PortableHash.tokenHash32(col("doc_id").cast("string")))
+    graft.plans.TopKPerKey.topKPerKey(docs,
+        keyCols = Seq(col("lang")),
+        orderCols = Seq(col("h").asc_nulls_last, col("doc_id").asc_nulls_last),
+        k = 20)
+      .select(col("lang"), col("doc_id"), col("h"))
+      .orderBy(col("lang").asc_nulls_last, col("h").asc_nulls_last,
+        col("doc_id").asc_nulls_last)
+  }
+
+  val p15Sql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |    ${PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, h,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY h ASC, doc_id ASC) AS rn
+       |  FROM h)
+       |SELECT lang, doc_id, h FROM r WHERE rn <= 20
+       |ORDER BY lang ASC NULLS LAST, h ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin
+
+  /** p16: shard manifest — the artifact a dataset RELEASE ships: docs
+    * assigned to fixed shards by portable hash, one manifest row per
+    * shard carrying row count, byte mass, id range, and an
+    * ORDER-INDEPENDENT content checksum (bit_xor of the portable
+    * 32-bit content hash — xor commutes, so the checksum is identical
+    * under any partitioning/merge order, the property that lets two
+    * independently-written replicas be compared shard-by-shard without
+    * re-reading payloads). One hash shuffle on the shard key; text
+    * never moves — only its 8-byte hash does.
+    */
+  def p16ShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir)
+      .select(
+        (PortableHash.tokenHash32(col("doc_id").cast("string")) % 8).as("shard"),
+        col("doc_id"), col("n_chars"),
+        PortableHash.tokenHash32(col("text")).as("ch"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(ch)").as("content_checksum"))
+      .orderBy(col("shard").asc_nulls_last)
+  }
+
+  val p16Sql: String =
+    s"""WITH h AS (
+       |  SELECT ${PortableHash.tokenHash32Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |    doc_id, n_chars,
+       |    ${PortableHash.tokenHash32Sql("text")} AS ch
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  bit_xor(ch) AS content_checksum
+       |FROM h GROUP BY shard
+       |ORDER BY shard ASC NULLS LAST""".stripMargin
 }

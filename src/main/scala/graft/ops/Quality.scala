@@ -140,4 +140,46 @@ object Quality {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM merged GROUP BY o_orderstatus
       |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+
+  /** q61: column profile — the per-column (null count, exact distinct
+    * count, null fraction) summary every ingest run records before a
+    * table goes live. ONE scan: all six null-counts and all six
+    * distinct-counts compute in a single multi-distinct aggregate
+    * (Catalyst plans the Expand + two-phase partial/final aggregation
+    * that makes N-way count-distinct a constant number of shuffles
+    * regardless of table size), then a `stack` unpivots the 1-row
+    * result into the long profile format — driver never sees data,
+    * only the 6-row profile. Min/max are deliberately NOT stringified:
+    * double→string formatting is engine-specific, so a portable
+    * profile keeps typed stats out of the text column.
+    */
+  def q61ColumnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.orders(spark, sfDir)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs =
+      cols.map(c => count(when(col(c).isNull, 1)).as(s"nn_$c")) ++
+      cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    val stackArgs = cols
+      .map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    src.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
+      .select(col("column_name"), col("n_nulls"), col("n_distinct"),
+        (col("n_nulls").cast("double") / col("n_rows").cast("double"))
+          .as("null_frac"))
+      .orderBy(col("column_name").asc_nulls_last)
+  }
+
+  val q61Sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map(c =>
+      s"""SELECT '$c' AS column_name,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(count(*) - count($c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS null_frac
+         |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC NULLS LAST")
+  }
 }

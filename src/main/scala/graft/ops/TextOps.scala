@@ -575,4 +575,65 @@ object TextOps {
       |  FROM j GROUP BY 1, 2)
       |SELECT doc_id, lang, n_bigrams, sum_r / n_bigrams AS lm_score
       |FROM s ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** t14: collocation extraction — per-language bigram association
+    * strength as LOG-FREE lift, `n_ab·T / (n_a·n_b)` (the monotone
+    * core of PMI without the libm `log` whose last-ulp rounding
+    * differs across engines; ranking by lift IS ranking by PMI).
+    * Three count aggregates (unigrams, bigrams, per-lang totals) —
+    * all hashed-key shuffles whose key spaces are vocabulary-sized,
+    * which by Heaps' law grows sublinearly in the corpus: at 100 TB
+    * the counts tables stay small enough that both attribute joins
+    * broadcast, so no fact-sized rows move after the explode. The
+    * lift arithmetic is a fixed-shape IEEE expression over exact
+    * integer counts (casts, two multiplies, one divide — identical
+    * bit pattern on both engines); counts never multiply as int64, so
+    * there is no overflow cliff at real corpus sizes.
+    */
+  def t14Collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = tokens
+    val docs = Tables.documents(spark, sfDir)
+    val uni = docs.select(col("lang"), explode(tk).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cu"))
+    val bi = docs.select(col("lang"), explode(zip_with(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("bg"))
+      .select(col("lang"), col("bg.ta").as("ta"), col("bg.tb").as("tb"))
+      .groupBy(col("lang"), col("ta"), col("tb")).agg(count(lit(1)).as("n"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("cu")).as("t_tokens"))
+    bi.filter(col("n") >= 5)
+      .join(broadcast(uni.select(col("lang").as("la"), col("tok").as("toka"),
+        col("cu").as("n_a"))), col("lang") === col("la") && col("ta") === col("toka"))
+      .join(broadcast(uni.select(col("lang").as("lb"), col("tok").as("tokb"),
+        col("cu").as("n_b"))), col("lang") === col("lb") && col("tb") === col("tokb"))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("ta"), col("tb"), col("n"), col("n_a"), col("n_b"),
+        (col("n").cast("double") * col("t_tokens").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("lang").asc_nulls_last, col("lift").desc_nulls_last,
+        col("ta").asc_nulls_last, col("tb").asc_nulls_last)
+  }
+
+  val t14Sql: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+      |uni AS (SELECT lang, unnest(tk) AS tok FROM t),
+      |cu AS (SELECT lang, tok, count(*) AS cu FROM uni GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(cu) AS BIGINT) AS t_tokens FROM cu GROUP BY 1),
+      |bg AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr
+      |  FROM t),
+      |cb AS (SELECT lang, pr[1] AS ta, pr[2] AS tb, count(*) AS n
+      |       FROM bg GROUP BY 1, 2, 3)
+      |SELECT cb.lang, ta, tb, n, a.cu AS n_a, b.cu AS n_b,
+      |  CAST(n AS DOUBLE) * CAST(t_tokens AS DOUBLE) /
+      |    (CAST(a.cu AS DOUBLE) * CAST(b.cu AS DOUBLE)) AS lift
+      |FROM cb
+      |JOIN cu a ON cb.lang = a.lang AND ta = a.tok
+      |JOIN cu b ON cb.lang = b.lang AND tb = b.tok
+      |JOIN tot ON cb.lang = tot.lang
+      |WHERE n >= 5
+      |ORDER BY cb.lang ASC NULLS LAST, lift DESC NULLS LAST,
+      |  ta ASC NULLS LAST, tb ASC NULLS LAST""".stripMargin
 }
