@@ -714,4 +714,74 @@ object Similarity {
        |SELECT query_id, neighbor_id, cosine FROM scored
        |WHERE cosine >= $RangeTau
        |ORDER BY query_id ASC NULLS LAST, neighbor_id ASC NULLS LAST""".stripMargin
+
+  /** Fixed-point scale for s07's cross-row component sums: 2^30. */
+  private val FxScale = 1073741824L
+
+  /** s07: label-centroid similarity — the cluster-quality matrix
+    * (pairwise cosine between per-label mean vectors) that tells a
+    * curator which classes are confusable. Cross-row float sums are
+    * partition-order-NONdeterministic in IEEE, so the centroid is
+    * defined in FIXED POINT: each component is floored to 2^-30
+    * resolution and summed as int64 (exact, order-independent,
+    * overflow-free below ~2^33 rows per label), then converted back to
+    * double with a fixed-shape division chain. Aggregation is
+    * per-(label, dim) — bounded keys, but a two-phase AGGREGATE
+    * (map-side partial collapse), not a window, so the shuffle carries
+    * |labels|·|dims| rows per partition regardless of corpus size.
+    * The 10-row centroid table self-joins under a broadcast for the
+    * 45 pairwise cosines; `graft_dot`'s index-order fold and DuckDB's
+    * list_reduce walk the same sequence, so the doubles match bitwise.
+    */
+  def s07CentroidSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fixed = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        floor(col("v").cast("double") * lit(FxScale.toDouble)).cast("long").as("fx"))
+    val centroids = fixed
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        ((col("sfx").cast("double") / lit(FxScale.toDouble)) /
+          col("n").cast("double")).as("cv"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("label"), expr("transform(pairs, x -> x.cv)").as("cvec"))
+      .withColumn("nrm", sqrt(expr("graft_dot(cvec, cvec)")))
+    val a = centroids.select(col("label").as("label_a"),
+      col("cvec").as("va"), col("nrm").as("na"))
+    val b = centroids.select(col("label").as("label_b"),
+      col("cvec").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("label_a").asc_nulls_last, col("label_b").asc_nulls_last)
+  }
+
+  val s07Sql: String =
+    s"""WITH e AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $FxScale) AS BIGINT) AS fx
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT label, dim, CAST(sum(fx) AS BIGINT) AS sfx, count(*) AS n
+       |  FROM e GROUP BY 1, 2),
+       |c AS (
+       |  SELECT label, dim,
+       |    (CAST(sfx AS DOUBLE) / $FxScale) / CAST(n AS DOUBLE) AS cv
+       |  FROM s),
+       |vecs AS (
+       |  SELECT label, list(cv ORDER BY dim ASC) AS cvec FROM c GROUP BY label),
+       |n AS (
+       |  SELECT label, cvec,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(cvec, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM vecs)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len(a.cvec) + 1), i -> a.cvec[i] * b.cvec[i])),
+       |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.label < b.label
+       |ORDER BY label_a ASC NULLS LAST, label_b ASC NULLS LAST""".stripMargin
 }
