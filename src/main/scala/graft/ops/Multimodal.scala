@@ -337,4 +337,61 @@ object Multimodal {
       |  CAST(list_sum(px) AS DOUBLE) / n AS px_mean,
       |  'gimg-v1' AS decoder
       |FROM t ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** m07: header-only media profile — the dual of m02. Where the
+    * decode stage walks every pixel byte in imperative per-partition
+    * code, profiling a media lake needs only the FIXED-OFFSET header:
+    * magic check plus big-endian u16/u16/u32 field extraction, all via
+    * `substring`/`hex`/`conv` built-ins that stay inside whole-stage
+    * codegen — 13 of each payload's bytes feed arithmetic, no codec in
+    * the plan at all. Aggregated to a (width, height) resolution
+    * histogram with byte mass and mean data density: the operator that
+    * answers "what is IN this 100 TB media bucket" at column-scan
+    * cost. The density ratio divides two exact int64 sums, once per
+    * output row. The oracle recomputes the same profile from the
+    * source text the payloads were encoded from — an end-to-end check
+    * that the binary header parse reads back exactly what the
+    * declarative encoder wrote.
+    */
+  def m07MediaProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val beU16 = (pos: Int) =>
+      conv(hex(substring(col("payload"), pos, 2)), 16, 10).cast("int")
+    val beU32 = (pos: Int) =>
+      conv(hex(substring(col("payload"), pos, 4)), 16, 10).cast("long")
+    gimgMedia(spark, sfDir)
+      .filter(substring(col("payload"), 1, 4) === lit(GimgCodec.Magic) &&
+        substring(col("payload"), 5, 1) === lit(Array(GimgCodec.Version)))
+      .select(
+        beU16(6).as("width"), beU16(8).as("height"), beU32(10).as("n_data"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("width"), col("height"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_data")).as("total_data"),
+        (sum(col("n_data")).cast("double") /
+          (sum(col("width").cast("long") * col("height").cast("long")))
+            .cast("double")).as("mean_density"))
+      .orderBy(col("width").asc_nulls_last, col("height").asc_nulls_last)
+  }
+
+  /** Oracle from the source text (same derivation path as m02Sql):
+    * width is fixed 16, height = ceil(n/16), payload bytes = 13 header
+    * + width·height plane, n_data = byte length of the text.
+    */
+  val m07Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(16 AS INT) AS width,
+      |    CAST((length(text) + 15) // 16 AS INT) AS height,
+      |    CAST(length(text) AS BIGINT) AS n_data,
+      |    CAST(13 + ((length(text) + 15) // 16) * 16 AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT width, height, count(*) AS n_files,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(sum(n_data) AS BIGINT) AS total_data,
+      |  CAST(sum(n_data) AS DOUBLE) /
+      |    CAST(sum(CAST(width AS BIGINT) * CAST(height AS BIGINT)) AS DOUBLE)
+      |    AS mean_density
+      |FROM t GROUP BY width, height
+      |ORDER BY width ASC NULLS LAST, height ASC NULLS LAST""".stripMargin
 }
