@@ -43,6 +43,26 @@ class FormatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ORC round-trip preserves values/types and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orders"
+    val src = Tables.orders(spark, sf)
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    val a = src.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the columnar ORC reader must receive both the predicate and the
+    // 2-column projection — same pushdown contract as the parquet scans
+    val q = back.filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,100000.0)]"), scan)
+    assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      scan)
+  }
+
   test("dirty CSV headers sanitize through the ingest pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dirty").toString + "/r"
     import spark.implicits._
