@@ -240,6 +240,36 @@ object Aggs {
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey ASC NULLS LAST""".stripMargin
 
+  /** q62: null-aware anti join — `NOT IN (subquery)` under ANSI
+    * three-valued logic, the classic correctness trap: a NULL probe is
+    * never "not in" anything (comparison is UNKNOWN), and one NULL in
+    * the list would empty the whole result. Both sides here are made
+    * nullable via `nullif`, so Catalyst cannot downgrade to a plain
+    * anti join: it plans the specialized single-column
+    * NULL-AWARE ANTI JOIN (broadcast, O(probe) with an O(1) null
+    * short-circuit) instead of the naive quadratic
+    * not-equal-nested-loop. The nation list stays dim-sized at any
+    * scale, so the broadcast NAAJ is the 100 TB shape. DuckDB applies
+    * the same ANSI semantics, so the oracle is (nearly) the same text.
+    */
+  def q62NotInNullAware(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer_ni")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation_ni")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_nationkey FROM graft_customer_ni
+        |WHERE nullif(c_nationkey, 7) NOT IN
+        |  (SELECT nullif(n_nationkey, 3) FROM graft_nation_ni
+        |   WHERE n_regionkey IN (0, 1) AND n_nationkey <> 3)
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin)
+  }
+
+  val q62Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE nullif(c_nationkey, 7) NOT IN
+      |  (SELECT nullif(n_nationkey, 3) FROM nation
+      |   WHERE n_regionkey IN (0, 1) AND n_nationkey <> 3)
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin
+
   /** q51: correlated LATERAL subquery — per-customer top-2 orders by
     * price. Catalyst decorrelates the LIMIT-inside-LATERAL into a
     * ranked window join (no per-row re-execution), which is exactly

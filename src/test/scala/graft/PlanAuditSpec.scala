@@ -27,6 +27,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** q62's whole point is the specialized operator: a plain LeftAnti
+    * hash join would KEEP the null-probe rows that ANSI `NOT IN` must
+    * drop. The formatted explain does not print the flag, so only this
+    * programmatic check can pin it.
+    */
+  test("q62's NOT IN plans the null-aware anti join (broadcast)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = graft.ops.Aggs.q62NotInNullAware(spark, sf)
+      .queryExecution.sparkPlan
+    val naaj = plan.collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.size == 1,
+      s"expected one null-aware broadcast anti join:\n$plan")
+  }
+
   test("q08 pre-aggregates orders BELOW the join (no post-join aggregate)") {
     // in the plan printout children follow parents, so "aggregate
     // below join" means the HashAggregate line comes after the Join
