@@ -609,6 +609,40 @@ object EventOps {
       |FROM t
       |ORDER BY from_type ASC NULLS LAST, to_type ASC NULLS LAST""".stripMargin
 
+  /** e17: seasonality profile — the (day-of-week × hour-of-day) load
+    * heat map behind capacity planning and anomaly baselines. One
+    * two-phase aggregate to a FIXED 168-cell grid (map-side partials
+    * collapse the fact before the shuffle regardless of corpus size),
+    * then the grand total rides back as a 1-row broadcast for the
+    * share column. Day-of-week is normalized to DuckDB's 0=Sunday
+    * convention (Spark's `dayofweek` is 1-based) so both engines
+    * bucket identically.
+    */
+  def e17Seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select((dayofweek(col("ts")) - lit(1)).as("dow"),
+        hour(col("ts")).as("hr"), col("value"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hr"), col("n"), col("total_value"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy(col("dow").asc_nulls_last, col("hr").asc_nulls_last)
+  }
+
+  val e17Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+      |SELECT dow, hr, n, total_value,
+      |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+      |FROM cells CROSS JOIN tot
+      |ORDER BY dow ASC NULLS LAST, hr ASC NULLS LAST""".stripMargin
+
   /** e16: basket pair co-occurrence (market-basket association over
     * event types, basket = one user-day). The scale discipline is the
     * ORDER of collapse: the fact first collapses to DISTINCT

@@ -232,6 +232,55 @@ object Relational {
       .orderBy(col("custdist").desc_nulls_last, col("c_count").desc_nulls_last)
   }
 
+  /** q63: cumulative daily revenue — the global running total that
+    * naively plans as ONE unpartitioned window over every order (the
+    * single-task scale-killer PlanAuditSpec bans outright). Re-shaped
+    * as the engine's standard two-phase prefix sum: (1) the fact
+    * collapses to per-day DECIMAL totals (two-phase hash aggregate —
+    * the only stage that sees fact-sized data); (2) the within-year
+    * prefix runs partitioned by year over the |days| table, whose
+    * per-partition size is bounded by the calendar (≤366 rows)
+    * regardless of corpus size; (3) the cross-year offsets come from a
+    * triangular self-join of the |years|-row totals table (broadcast
+    * NLJ over a handful of rows — no window at all). Decimal addition
+    * is exact and associative, so the result is bit-identical to the
+    * single-window form the oracle states.
+    */
+  def q63CumulativeDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("day_rev"))
+      .withColumn("yr", year(col("day")))
+    val wYear = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("yr")).orderBy(col("day").asc_nulls_last)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val yearTotals = daily.groupBy(col("yr")).agg(sum(col("day_rev")).as("y_rev"))
+    val yearOffsets = yearTotals.as("a")
+      .join(broadcast(yearTotals.as("b")), col("b.yr") < col("a.yr"), "left")
+      .groupBy(col("a.yr").as("yr"))
+      .agg(coalesce(sum(col("b.y_rev")), lit(0).cast(dec)).as("y_off"))
+    daily
+      .withColumn("in_year", sum(col("day_rev")).over(wYear))
+      .join(broadcast(yearOffsets), Seq("yr"))
+      .select(col("day"),
+        col("day_rev").cast("double").as("day_rev"),
+        (col("y_off") + col("in_year")).cast("double").as("cum_rev"))
+      .orderBy(col("day").asc_nulls_last)
+  }
+
+  val q63Sql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS day_rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, CAST(day_rev AS DOUBLE) AS day_rev,
+      |  CAST(sum(day_rev) OVER (ORDER BY day ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+      |FROM daily
+      |ORDER BY day ASC NULLS LAST""".stripMargin
+
   val q60Sql: String =
     """WITH per_cust AS (
       |  SELECT o_custkey, count(*) AS n_orders
