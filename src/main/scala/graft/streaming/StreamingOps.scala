@@ -183,6 +183,48 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** foreachBatch upsert body: DYNAMIC partition overwrite keyed by
+    * event_type. Replaying a batch rewrites exactly the partitions it
+    * touches with exactly the same rows — so sink retries after a
+    * failure are idempotent, which is the exactly-once recipe for
+    * sinks without transactional MERGE (a partitioned parquet/object-
+    * store table). Partitions the batch does not touch are never
+    * rewritten, so steady-state batches that update one type's windows
+    * do O(changed partitions) IO, not O(table).
+    */
+  def upsertBatch(batch: DataFrame, targetDir: String): Unit =
+    batch.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type")
+      .parquet(targetDir)
+
+  /** Streaming aggregate → foreachBatch idempotent upsert into a
+    * partitioned table: update output mode emits only the (window ×
+    * type) rows each micro-batch changed; [[upsertBatch]] merges them
+    * by overwriting the touched event_type partitions. The composition
+    * is the standard exactly-once sink pattern: source offsets +
+    * checkpoint give at-least-once batch delivery, and the idempotent
+    * write collapses replays.
+    */
+  def runForeachBatchUpsert(spark: SparkSession, sfDir: String,
+      targetDir: String, checkpointDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+      .select(col("event_type"), col("w.start").as("ws"), col("n"), col("total"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) => upsertBatch(b, targetDir) }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(targetDir)
+  }
+
   /** Run the stream to completion against the (finite) fixture and
     * return the materialized result from the in-memory sink.
     */

@@ -185,6 +185,41 @@ class StatefulSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("foreachBatch upsert sink: matches batch twin and replays idempotently") {
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val target = s"$base/target"
+    val got = StreamingOps.runForeachBatchUpsert(spark, sf, target, s"$base/ckpt")
+    // batch twin: same 6-hour tumbling aggregate over the same fixture
+    val want = Tables.events(spark, sf)
+      .groupBy(col("event_type"), window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total"))
+      .select(col("event_type"), col("w.start").as("ws"), col("n"), col("total"))
+    // the stream's ws lands as session-TZ timestamp, the batch twin's
+    // as timestamp_ntz (both UTC here): normalize before comparing
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("ws").cast("timestamp_ntz").as("ws"),
+        col("n"), col("total"))
+      .orderBy("event_type", "ws").collect().map(_.toSeq).toSeq
+    assert(canon(got) == canon(want))
+    // idempotence: re-applying the same batch (a sink retry) must leave
+    // the target byte-identical in content — dynamic overwrite rewrites
+    // the same partitions with the same rows
+    StreamingOps.upsertBatch(want, target)
+    assert(canon(spark.read.parquet(target)) == canon(want))
+    // and an update touching ONE partition must leave the others intact
+    StreamingOps.upsertBatch(want.filter(col("event_type") === "click")
+      .withColumn("n", col("n") + 1), target)
+    val after = spark.read.parquet(target)
+    assert(canon(after.filter(col("event_type") =!= "click")) ==
+      canon(want.filter(col("event_type") =!= "click")))
+    assert(canon(after.filter(col("event_type") === "click")) ==
+      canon(want.filter(col("event_type") === "click")
+        .withColumn("n", col("n") + 1)))
+  }
+
   test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
     import spark.implicits._
     val ds = Tables.lineitem(spark, sf)
