@@ -643,6 +643,65 @@ object EventOps {
       |FROM cells CROSS JOIN tot
       |ORDER BY dow ASC NULLS LAST, hr ASC NULLS LAST""".stripMargin
 
+  /** e18: time-weighted average (TWAP) — each reading holds until the
+    * user's next event that day, so the mean weights each value by its
+    * holding duration; the metric behind "average position/price/load
+    * over time" where plain AVG over-counts bursts. One lead window
+    * partitioned by (user, day) — a key whose cardinality GROWS with
+    * the data (the audit-safe window class) — then exact arithmetic
+    * throughout: the fixture's values are 2-decimal money-like, so
+    * value×duration products and their sums stay in DECIMAL (order-
+    * independent across any partitioning); the one double division per
+    * user-day happens after aggregation. Rows with no successor (last
+    * event of the day) carry zero duration and drop out of both sums,
+    * matching the right-open-interval convention.
+    *
+    * Numerics: the weighted sum runs ENTIRELY in int64 — values are
+    * 2-decimal money, so `cents × dur_us` is an exact integer product
+    * (≤ ~5e15 per interval; int64 headroom to ~1800 intervals-days per
+    * user-day even at max values) and integer sums are exact at any
+    * partitioning. The final `(Σ as double) / (Σ as double) / 100` is
+    * a chain of individually-rounded IEEE ops that both engines
+    * evaluate identically — unlike a wide-DECIMAL→double cast, which
+    * DuckDB double-rounds (observed last-ulp mismatches).
+    */
+  def e18TimeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("dur_us",
+        lead(unix_micros(col("ts").cast("timestamp")), 1).over(w) -
+          unix_micros(col("ts").cast("timestamp")))
+      .filter(col("dur_us").isNotNull && col("dur_us") > 0)
+      .withColumn("cents",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        sum(col("cents") * col("dur_us")).as("wsum"),
+        sum(col("dur_us")).as("tspan"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"), col("day"), col("n_intervals"),
+        (col("wsum").cast("double") / col("tspan").cast("double") / lit(100.0))
+          .as("twap"))
+      .orderBy(col("user_id").asc_nulls_last, col("day").asc_nulls_last)
+  }
+
+  val e18Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+      |      - epoch_us(ts) AS dur_us
+      |  FROM events)
+      |SELECT user_id, day, count(*) AS n_intervals,
+      |  CAST(CAST(sum(cents * dur_us) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / 100.0 AS twap
+      |FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
+      |GROUP BY user_id, day
+      |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin
+
   /** e16: basket pair co-occurrence (market-basket association over
     * event types, basket = one user-day). The scale discipline is the
     * ORDER of collapse: the fact first collapses to DISTINCT
