@@ -206,6 +206,78 @@ object Joins {
       .orderBy(col("event_id").asc_nulls_last)
   }
 
+  /** q64: interval join with NO equi key, made scalable by binning —
+    * "incident-shadowed purchases": purchases that happen within 10
+    * minutes after any error event, per day. The naive predicate
+    * (`p.ts BETWEEN e.ts AND e.ts + 10min`, no equality) can only plan
+    * as a nested-loop join — O(purchases × errors) compares and a
+    * broadcast ceiling on the window side. Re-keying both sides on a
+    * time BIN whose width equals the window length makes it a hash
+    * join: each 10-minute window overlaps at most 2 bins (exploded on
+    * the window side), each point lives in exactly 1, so every true
+    * pair shares a bin and the residual range predicate runs only
+    * within bin-matched groups. LEFT SEMI keeps a purchase once no
+    * matter how many incidents cover it — no post-join distinct. At
+    * 100 TB both sides shuffle by bin (a key whose cardinality grows
+    * with the covered time range) and no side needs to fit in memory;
+    * the e10 broadcast-calendar shape solves the small-side case, this
+    * solves the large×large one. Value sums ride int64 cents
+    * (exact at any partitioning, per e18); each output double is a
+    * single IEEE division.
+    */
+  def q64IntervalJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val binUs = 600000000L // 10-minute bins = the window length
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("pus"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("bin", expr(s"pus div ${binUs}L"))
+    val windows = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts").cast("timestamp")).as("st")).distinct()
+      .select(col("st"), explode(sequence(
+        expr(s"st div ${binUs}L"),
+        expr(s"(st + ${binUs - 1}L) div ${binUs}L"))).as("ebin"))
+    val shadowed = purchases.join(windows,
+      purchases("bin") === windows("ebin") &&
+        purchases("pus") >= windows("st") &&
+        purchases("pus") < windows("st") + lit(binUs),
+      "left_semi")
+    val perDayAll = purchases
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val perDayShadowed = shadowed
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("pre_shadowed"), sum(col("cents")).as("pre_cents"))
+    perDayAll.join(perDayShadowed, Seq("day"), "left_outer")
+      .select(col("day"), col("n_purchases"),
+        coalesce(col("pre_shadowed"), lit(0L)).as("n_shadowed"),
+        (coalesce(col("pre_shadowed"), lit(0L)).cast("double") /
+          col("n_purchases").cast("double")).as("shadow_rate"),
+        (coalesce(col("pre_cents"), lit(0L)).cast("double") / lit(100.0))
+          .as("shadowed_value"))
+      .orderBy(col("day").asc_nulls_last)
+  }
+
+  // the oracle states the SEMANTICS (existential interval predicate);
+  // the engine's binning is an implementation detail it must not leak
+  val q64Sql: String =
+    """WITH p AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    EXISTS (SELECT 1 FROM events e WHERE e.event_type = 'error'
+      |            AND epoch_us(p0.ts) >= epoch_us(e.ts)
+      |            AND epoch_us(p0.ts) < epoch_us(e.ts) + 600000000) AS hit
+      |  FROM events p0 WHERE event_type = 'purchase')
+      |SELECT day, count(*) AS n_purchases,
+      |  count(*) FILTER (WHERE hit) AS n_shadowed,
+      |  CAST(count(*) FILTER (WHERE hit) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS shadow_rate,
+      |  CAST(CAST(coalesce(sum(cents) FILTER (WHERE hit), 0) AS BIGINT) AS DOUBLE)
+      |    / 100.0 AS shadowed_value
+      |FROM p GROUP BY day
+      |ORDER BY day ASC NULLS LAST""".stripMargin
+
   // DuckDB has native ASOF JOIN; ties on o_orderdate are broken toward
   // the largest o_orderkey to mirror the window formulation above.
   val q11Sql: String =

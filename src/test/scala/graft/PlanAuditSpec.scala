@@ -231,6 +231,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${build.output.map(_.name).mkString(",")}:\n$plan")
   }
 
+  /** q64's whole point is that the no-equi-key interval predicate
+    * becomes a HASH join through bin keying: a regression that drops
+    * the bin equality (or an optimizer change that stops seeing it)
+    * would silently fall back to BroadcastNestedLoopJoin — result-
+    * identical, but O(points × windows) compares with a broadcast
+    * ceiling on the window side. Only the plan can catch it.
+    */
+  test("q64's interval semi join is a hash join on the bin key, not a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    val plan = graft.ops.Joins.q64IntervalJoinBinned(spark, sf)
+      .queryExecution.sparkPlan
+    val nlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nlj.isEmpty, s"q64 fell back to a nested-loop interval join:\n$plan")
+    val semi = plan.collect {
+      case j: BaseJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semi.size == 1 && semi.head.leftKeys.nonEmpty,
+      s"expected one equi (bin-keyed) semi join:\n$plan")
+  }
+
   /** The round-5 two-phase re-shapes hinge on their tiny offset/prune
     * tables BROADCASTING back to the fact side (p06 bucket offsets,
     * p11 surviving bands, q25 rank offsets + totals): a silent flip to
