@@ -394,4 +394,68 @@ object Multimodal {
       |    AS mean_density
       |FROM t GROUP BY width, height
       |ORDER BY width ASC NULLS LAST, height ASC NULLS LAST""".stripMargin
+
+  /** m08: byte-budget shard packing — the WebDataset-style write-side
+    * index of a media lake: stream payloads per language corpus in
+    * doc_id order into ~64 KiB shards and emit each doc's (shard,
+    * offset-in-shard) placement, the random-access index a shard
+    * reader seeks by. A doc belongs to the shard its START offset
+    * falls in (payloads are never split) — the virtual-offset
+    * convention p06 uses for token bins, applied to bytes.
+    *
+    * Scale shape: the running byte offset is the TWO-PHASE distributed
+    * prefix sum (doc_id-range buckets → tiny per-lang bucket-offset
+    * table → broadcast back → exact window only within (lang, bucket)),
+    * never a per-lang window over the fact table; the offset-in-shard
+    * rebase is a second window partitioned by (lang, shard) — a key
+    * whose cardinality grows with corpus bytes, so per-task work stays
+    * bounded by the shard budget. Integer arithmetic throughout: the
+    * result is bit-identical to the oracle's single-window form at any
+    * partitioning.
+    */
+  def m08ShardPack(spark: SparkSession, sfDir: String,
+      budget: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = 256 // doc_id-range bucket width for the phase-1 collapse
+    val base = mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("meta.lang").as("lang"),
+        col("meta.n_bytes").cast("long").as("n_bytes"))
+      .withColumn("bkt", expr(s"doc_id div $bucket"))
+    val wPrefix = Window.partitionBy(col("lang"))
+      .orderBy(col("bkt").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_bytes")).as("bbytes"))
+      .withColumn("bkt_off", sum(col("bbytes")).over(wPrefix) - col("bbytes"))
+      .select(col("lang"), col("bkt"), col("bkt_off"))
+    val wIn = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("doc_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShard = Window.partitionBy(col("lang"), col("shard"))
+    base.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("off",
+        col("bkt_off") + sum(col("n_bytes")).over(wIn) - col("n_bytes"))
+      .withColumn("shard", expr(s"off div $budget"))
+      .withColumn("offset_in_shard", col("off") - min(col("off")).over(wShard))
+      .select(col("doc_id"), col("lang"), col("n_bytes"), col("shard"),
+        col("offset_in_shard"))
+      .orderBy(col("lang").asc_nulls_last, col("doc_id").asc_nulls_last)
+  }
+
+  val m08Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, lang, n_bytes,
+      |    CAST(sum(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id ASC NULLS LAST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - n_bytes AS off
+      |  FROM t),
+      |s AS (SELECT *, off // 65536 AS shard FROM o)
+      |SELECT doc_id, lang, n_bytes, shard,
+      |  off - min(off) OVER (PARTITION BY lang, shard) AS offset_in_shard
+      |FROM s
+      |ORDER BY lang ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin
 }
