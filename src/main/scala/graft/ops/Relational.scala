@@ -281,6 +281,133 @@ object Relational {
       |FROM daily
       |ORDER BY day ASC NULLS LAST""".stripMargin
 
+  /** q65: TPC-H Q17 analogue (small-quantity revenue) — the correlated
+    * scalar-subquery shape: lines whose quantity is below 20% of their
+    * part's own average quantity, revenue per brand. The correlation
+    * decorrelates to aggregate-then-join: per-part thresholds come from
+    * ONE two-phase aggregate over the (brand-filtered) fact, then join
+    * back — never a per-row re-scan of the part's history. The brand
+    * filter broadcasts into BOTH passes, so only the two brands' lines
+    * ever shuffle. The threshold is `0.2 × (exact-decimal sum ÷ count)`
+    * — a fixed chain of individually-rounded IEEE ops both engines
+    * evaluate identically; the revenue sum is exact DECIMAL.
+    */
+  def q65SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val brands = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2"))
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+    val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (dsum(col("l_quantity")) / count(lit(1)).cast("double")))
+        .as("qty_cut"))
+    li.join(thresholds, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .groupBy(col("p_brand"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand").asc_nulls_last)
+  }
+
+  val q65Sql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand IN ('Brand#1', 'Brand#2')
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |                  / CAST(count(*) AS DOUBLE))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand ASC NULLS LAST""".stripMargin
+
+  /** q66: TPC-H Q21 analogue (sole-supplier faulted orders) — the
+    * multi-existential shape: per supplier, how many orders had a
+    * RETURNED line from them AND no line from any other supplier
+    * (`NOT EXISTS other-supplier line` in the oracle). Decorrelated to
+    * order-level aggregation: the fact collapses to distinct (order,
+    * supplier) pairs, one more aggregate on the SAME clustering (no
+    * second exchange) finds single-supplier orders and their lone
+    * supplier, and the returned-lines side semi-joins against that —
+    * the per-order existential never re-scans order history per row.
+    * Supplier names join AFTER the per-supplier collapse, broadcast.
+    */
+  def q66SoleSupplierFaults(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val soleOrders = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), min(col("l_suppkey")).as("lone_supp"))
+      .filter(col("n_supp") === 1)
+      .select(col("l_orderkey").as("so_orderkey"), col("lone_supp"))
+    val faulted = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(soleOrders,
+        col("l_orderkey") === col("so_orderkey") &&
+          col("l_suppkey") === col("lone_supp"))
+    faulted.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_faults"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name"), col("n_faults"))
+      .orderBy(col("n_faults").desc_nulls_last, col("suppkey").asc_nulls_last)
+  }
+
+  val q66Sql: String =
+    """SELECT s_suppkey AS suppkey, s_name,
+      |  count(DISTINCT l1.l_orderkey) AS n_faults
+      |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                  WHERE l2.l_orderkey = l1.l_orderkey
+      |                    AND l2.l_suppkey <> l1.l_suppkey)
+      |GROUP BY 1, 2
+      |ORDER BY n_faults DESC NULLS LAST, suppkey ASC NULLS LAST""".stripMargin
+
+  /** q67: TPC-H Q22 analogue (lapsed high-balance customers) — the
+    * scalar-subquery + anti-join composite: customers whose balance
+    * exceeds the positive-balance average but who placed no order
+    * since a cutoff, counted per nation. The global average is a
+    * one-row aggregate BROADCAST onto the customer scan (q19's
+    * join-against-aggregate form); the "no recent order" existential
+    * is a left-anti hash join against the date-filtered orders fact
+    * (filter pushed to the scan); the nation dim broadcasts for names.
+    * Balance sums are exact DECIMAL; the average is one division.
+    */
+  def q67LapsedHighBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1)).cast("double")).as("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("n_name").asc_nulls_last)
+  }
+
+  val q67Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT n_name, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer, a
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > a.avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n_name
+      |ORDER BY n_name ASC NULLS LAST""".stripMargin
+
   val q60Sql: String =
     """WITH per_cust AS (
       |  SELECT o_custkey, count(*) AS n_orders
