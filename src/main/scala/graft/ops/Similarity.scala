@@ -784,4 +784,69 @@ object Similarity {
        |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
        |FROM n a JOIN n b ON a.label < b.label
        |ORDER BY label_a ASC NULLS LAST, label_b ASC NULLS LAST""".stripMargin
+
+  /** s08: FILTERED exact kNN — retrieval under a metadata predicate
+    * ("nearest neighbors with the same label as the query"), the
+    * production RAG/search shape where a filter accompanies every
+    * query. The filter is not a post-hoc row filter on a top-k result
+    * (which under-fills k whenever the filter is selective — the
+    * classic filtered-ANN correctness bug): it becomes the JOIN KEY.
+    * Queries hash-join the corpus on `label`, so candidate generation
+    * only ever touches rows that pass the predicate — the equi-join
+    * form of pushing the filter into the index. Per-query selection
+    * then runs on the native [[graft.plans.TopKPerKey]] operator
+    * (bounded per-partition heaps, ≤ k rows per query per partition
+    * shuffled) rather than a full window sort. At 100 TB the label is
+    * the partition key of the filtered blocks; a selective filter
+    * SHRINKS the work instead of starving the result, and k stays
+    * exactly filled whenever the block has ≥ k members.
+    */
+  def s08FilteredKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val scored = broadcast(q).join(c, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine("qv", "cv", col("qn"), col("cn")))
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("cosine"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored,
+      keyCols = Seq(col("query_id")),
+      orderCols = Seq(col("cosine").desc_nulls_last,
+        col("neighbor_id").asc_nulls_last),
+      k = K)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("label"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s08Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.label = c.label
+       |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, label, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT query_id, label, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 }

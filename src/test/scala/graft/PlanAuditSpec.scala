@@ -293,6 +293,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"s06 no longer plans the native top-k:\n$plan")
   }
 
+  /** s08's filter must stay the JOIN KEY (a hash join on label) and
+    * its selection must stay on the native top-k: a regression to a
+    * post-filtered cross product or a full window sort would be
+    * result-identical on the fixture but lose both scale properties.
+    */
+  test("s08's filtered kNN joins on the label and plans the native top-k") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    val qe = graft.ops.Similarity.s08FilteredKnn(spark, sf).queryExecution
+    val nlj = qe.sparkPlan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nlj.isEmpty, s"s08 degraded to an unfiltered cross product:\n${qe.sparkPlan}")
+    val equi = qe.sparkPlan.collect {
+      case j: BaseJoinExec if j.leftKeys.nonEmpty => j
+    }
+    assert(equi.nonEmpty, s"s08 lost its label equi join:\n${qe.sparkPlan}")
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("GraftTopKPerKeyFinal") &&
+        plan.contains("GraftTopKPerKeyPartial"),
+      s"s08 no longer plans the native top-k:\n$plan")
+  }
+
   /** q57's global top-10 must plan as TakeOrderedAndProject
     * (per-partition bounded heaps + driver merge); a silent flip to a
     * full range-partitioned sort would re-introduce an O(n log n)
