@@ -225,6 +225,29 @@ object StreamingOps {
     spark.read.parquet(targetDir)
   }
 
+  /** Watermark-semantics probe stream: 10-minute tumbling counts with
+    * a 5-minute watermark over a MONITORED DIRECTORY (any parquet file
+    * that appears becomes input), append mode. Drive it with
+    * `maxFilesPerTrigger=1` and per-file modification times and each
+    * file is one micro-batch in a deterministic order — the harness
+    * `WatermarkSpec` uses to prove the late-data contract: a row whose
+    * window the watermark already closed is DROPPED (its count never
+    * retro-updates), and a window the watermark never passes is
+    * WITHHELD (append emits no partial result). These are the
+    * semantics that make streaming aggregation state finite at scale —
+    * asserted, not assumed.
+    */
+  def lateDataTumblingStream(spark: SparkSession, watchDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watchDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+
   /** Run the stream to completion against the (finite) fixture and
     * return the materialized result from the in-memory sink.
     */
