@@ -184,19 +184,23 @@ object StreamingOps {
   }
 
   /** foreachBatch upsert body: DYNAMIC partition overwrite keyed by
-    * event_type. Replaying a batch rewrites exactly the partitions it
-    * touches with exactly the same rows — so sink retries after a
-    * failure are idempotent, which is the exactly-once recipe for
-    * sinks without transactional MERGE (a partitioned parquet/object-
-    * store table). Partitions the batch does not touch are never
-    * rewritten, so steady-state batches that update one type's windows
-    * do O(changed partitions) IO, not O(table).
+    * the FULL aggregate key (event_type, ws). The overwrite unit must
+    * equal the update key: update output mode emits only the rows a
+    * micro-batch changed, so a coarser partitioning (event_type alone)
+    * would replace a whole type's directory with just that batch's
+    * changed windows, silently deleting every previously-committed
+    * window of the type. With one directory per (type, window) a
+    * replayed batch rewrites exactly the aggregates it carries and
+    * nothing else — idempotent retries AND no cross-window clobbering,
+    * the exactly-once recipe for sinks without transactional MERGE.
+    * Partition count stays bounded: |types| × (windows per retention
+    * horizon), the same cardinality the streaming state itself holds.
     */
   def upsertBatch(batch: DataFrame, targetDir: String): Unit =
     batch.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_type")
+      .partitionBy("event_type", "ws")
       .parquet(targetDir)
 
   /** Streaming aggregate → foreachBatch idempotent upsert into a
@@ -210,6 +214,38 @@ object StreamingOps {
   def runForeachBatchUpsert(spark: SparkSession, sfDir: String,
       targetDir: String, checkpointDir: String): DataFrame = {
     val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+      .select(col("event_type"), col("w.start").as("ws"), col("n"), col("total"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) => upsertBatch(b, targetDir) }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(targetDir)
+  }
+
+  /** Multi-micro-batch drive of the same aggregate→upsert pipeline over
+    * a MONITORED directory (one file per trigger). This is the shape a
+    * production deployment actually runs — update mode emits only the
+    * (type, window) rows each batch changed, so the sink sees DISJOINT
+    * window sets across batches; [[upsertBatch]]'s per-(type, window)
+    * overwrite must leave earlier batches' windows untouched. The spec
+    * drives ≥2 batches and asserts exactly that (the bug class this
+    * guards: a coarser partitionBy would make batch N delete batch
+    * N-1's windows of the same type).
+    */
+  def runForeachBatchUpsertFromDir(spark: SparkSession, watchDir: String,
+      targetDir: String, checkpointDir: String): DataFrame = {
+    val agg = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watchDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), window(col("ts"), "6 hours").as("w"))
       .agg(count(lit(1)).as("n"),

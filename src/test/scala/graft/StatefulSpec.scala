@@ -220,6 +220,56 @@ class StatefulSpec extends AnyFunSuite {
         .withColumn("n", col("n") + 1)))
   }
 
+  /** The data-loss class the upsert sink must exclude: update output
+    * mode emits only the (type, window) rows a micro-batch changed, so
+    * consecutive batches carry DISJOINT window sets. If the dynamic-
+    * overwrite unit were coarser than the update key (event_type
+    * alone), batch 2's write would replace the whole type partition
+    * with just batch 2's windows — silently deleting batch 1's. Drive
+    * two real micro-batches (maxFilesPerTrigger=1) whose windows don't
+    * overlap and assert every window survives.
+    */
+  test("foreachBatch upsert: earlier windows survive later micro-batches") {
+    import graft.streaming.StreamingOps
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft_fb_mb")
+    val watched = Files.createDirectory(base.resolve("watch"))
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC, micros
+    def atHour(h: Long): Long = (baseUs + h * 3600000000L) * 1000L // nanos
+    def writeFile(rows: Seq[(Long, Long, String)], name: String, mtimeMs: Long): Unit = {
+      val staging = Files.createTempDirectory("graft_fb_stage")
+      val df = spark.createDataFrame(
+        rows.map { case (id, ts, et) =>
+          org.apache.spark.sql.Row(id, ts, id, et, 1.0, "{}")
+        }.asJava,
+        StreamingOps.eventsSchema)
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file written"))
+      val target = watched.resolve(name)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      assert(target.toFile.setLastModified(mtimeMs))
+    }
+    // batch 1: windows W[00,06) for both types
+    writeFile(Seq((1L, atHour(1), "view"), (2L, atHour(2), "view"),
+      (3L, atHour(1), "click")), "b1.parquet", 1000000L)
+    // batch 2: window W[06,12) for view only — update mode emits ONLY
+    // this window; the sink must not clobber batch 1's view window
+    writeFile(Seq((4L, atHour(7), "view")), "b2.parquet", 2000000L)
+
+    val got = StreamingOps.runForeachBatchUpsertFromDir(spark,
+      watched.toString, s"$base/target", s"$base/ckpt")
+      .select(col("event_type"),
+        unix_micros(col("ws").cast("timestamp")).as("wus"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1) - baseUs) / 3600000000L, r.getLong(2)))
+      .toSet
+    assert(got == Set(("view", 0L, 2L), ("click", 0L, 1L), ("view", 6L, 1L)),
+      s"got $got")
+  }
+
   test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
     import spark.implicits._
     val ds = Tables.lineitem(spark, sf)
