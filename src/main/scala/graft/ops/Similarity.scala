@@ -222,11 +222,16 @@ object Similarity {
        |WHERE rank <= $K
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 
-  /** Deterministic pseudo-random hyperplanes (8 planes × 64 dims in
+  /** Deterministic pseudo-random hyperplanes (40 planes × 64 dims in
     * [-1, 1]) — literal constants, identical in the Scala plan and the
-    * SQL oracle by construction.
+    * SQL oracle by construction. The family is indexed, not shared
+    * state: s02/d10 draw planes 0–7 (fixed banding over a bounded
+    * query set, where bucket² never grows), while s06's
+    * growth-adaptive banding strides 20 planes per band so
+    * planes-per-band can scale with corpus size without re-deriving
+    * any other operator's buckets.
     */
-  private val NPlanes = 8
+  private val NPlanes = 40
   private val Dim = 64
   private[ops] val Planes: IndexedSeq[IndexedSeq[Double]] =
     (0 until NPlanes).map { p =>
@@ -236,11 +241,13 @@ object Similarity {
     }
 
   /** Per-band bucket terms for the oracle (one CASE per plane in the
-    * band, plane vector inlined as a literal list).
+    * band, plane vector inlined as a literal list). `base` is the
+    * first plane index of the band — callers with adaptive
+    * planes-per-band stride bands wider than ppb.
     */
-  private def bandSqlTerms(bd: Int, ppb: Int): String =
+  private def bandSqlTerms(base: Int, ppb: Int): String =
     (0 until ppb).map { i =>
-      val planeLit = Planes(bd * ppb + i).mkString("[", ", ", "]")
+      val planeLit = Planes(base + i).mkString("[", ", ", "]")
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, ${Dim + 1}), i -> v[i] * ${planeLit}[i])),
          |      (a, x) -> a + x) > 0.0 THEN ${1L << i} ELSE 0 END)""".stripMargin
@@ -270,7 +277,7 @@ object Similarity {
     val e = prepared(spark, sfDir)
     val bandsArr = array((0 until nBands).map(bd =>
       struct(lit(bd).as("band"),
-        bandBucketExpr(col("v"), bd, planesPerBand).as("bkt"))): _*)
+        bandBucketExpr(col("v"), bd * planesPerBand, planesPerBand).as("bkt"))): _*)
     val banded = e.withColumn("bb", explode(bandsArr))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
     val candIds = broadcast(banded.filter(col("vec_id") < NQueries)
@@ -297,11 +304,11 @@ object Similarity {
   }
 
   /** Per-band bucket: the sign pattern of `ppb` consecutive
-    * hyperplane projections from the shared plane family.
+    * hyperplane projections starting at plane index `base`.
     */
-  private def bandBucketExpr(v: Column, band: Int, ppb: Int): Column =
+  private def bandBucketExpr(v: Column, base: Int, ppb: Int): Column =
     (0 until ppb).map { i =>
-      val planeLit = array(Planes(band * ppb + i).map(lit): _*)
+      val planeLit = array(Planes(base + i).map(lit): _*)
       val dot = aggregate(
         zip_with(v, planeLit, (x, w) => x * w),
         lit(0.0), (a, x) => a + x)
@@ -310,7 +317,7 @@ object Similarity {
 
   val s02Sql: String = {
     val bandSelects = (0 until S02Bands).map(bd =>
-      s"""SELECT vec_id, $bd AS band, CAST(${bandSqlTerms(bd, S02PlanesPerBand)} AS BIGINT) AS bkt
+      s"""SELECT vec_id, $bd AS band, CAST(${bandSqlTerms(bd * S02PlanesPerBand, S02PlanesPerBand)} AS BIGINT) AS bkt
          |  FROM n""".stripMargin).mkString("\n  UNION ALL ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -359,7 +366,7 @@ object Similarity {
   private val S05CbStride = 10
   private val S05CbMaxId = 10 * 256
 
-  /** Per-subspace slices (m, 16-dim subvector) of a vector column. */
+  /** Per-subspace slices (m, S05SubDim-dim subvector) of a vector column. */
   private def subSlices(c: Column): Column =
     array((0 until S05M).map(m =>
       struct(lit(m).as("m"),
@@ -575,43 +582,85 @@ object Similarity {
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
   }
 
-  /** s06 banding: the 8-plane family split 2 bands × 4 planes (16
-    * buckets/band — finer than s02's query-side split, because here
-    * BOTH join sides are the whole corpus and bucket size² drives the
-    * pair count). k = 3 neighbors per vector.
+  /** s06 banding: 2 bands with GROWTH-ADAPTIVE planes-per-band. Both
+    * join sides are the whole corpus, so Σ bucket² drives the pair
+    * count — a fixed bucket space is a quadratic cliff (100× corpus →
+    * 100× per bucket → 10,000× pairs). ppb therefore scales with
+    * log₂(n): the smallest p with targetRows·2^p ≥ n, clamped to
+    * [4, 20], keeping the EXPECTED bucket near targetRows at any
+    * corpus size. The formula is integer-only (shift-and-compare, no
+    * floating log) so the SQL oracle replays it bit-exactly from the
+    * same count. Bands stride `S06MaxPpb` planes apart so each band's
+    * plane family is disjoint and stable as ppb grows. Beyond the
+    * clamp (n > 32·2^20 ≈ 33M per this constant set) residual bucket
+    * growth is handled by the second defense: the candidate self-join
+    * runs through `Scale.gridSelfJoinPairs`, which splits any hot
+    * bucket across cells² tasks. k = 3 neighbors per vector.
     */
   private val S06Bands = 2
-  private val S06PlanesPerBand = 4
+  private val S06MinPpb = 4
+  private val S06MaxPpb = 20
+  private val S06TargetBucketRows = 32L
+  private val S06RowsPerCell = 2000
   private val S06K = 3
+
+  /** Smallest p in [S06MinPpb, S06MaxPpb] with targetRows·2^p ≥ n —
+    * pure integer arithmetic, mirrored in s06Sql's range-scan CTE.
+    */
+  private[graft] def s06Ppb(n: Long): Int = {
+    val p = (0 to S06MaxPpb)
+      .find(p => (S06TargetBucketRows << p) >= n).getOrElse(S06MaxPpb)
+    math.min(S06MaxPpb, math.max(S06MinPpb, p))
+  }
 
   /** s06: all-corpus kNN JOIN — the batch neighbor-graph build behind
     * corpus-level near-dup sweeps and kNN-graph clustering: every
     * vector gets its top-3 cosine neighbors, not just a bounded query
     * set. The s01/s02 broadcast-the-queries shape cannot do this (the
     * "query" side IS the corpus), so candidates come from a banded
-    * LSH self-join — the shuffle key is (band, bucket), pair count is
-    * Σ bucket², never n² — and the per-vector selection runs on the
-    * native TopKPerKey operator: map-side bounded heaps ship ≤ k rows
-    * per (vector, partition) instead of sorting the full candidate
-    * set through a window. Recall is the banding trade (deterministic
-    * pipeline — the oracle replays it exactly, so correctness is
-    * hash-exact regardless).
+    * LSH self-join — the shuffle key is (band, bucket), the bucket
+    * space grows with the corpus (see S06 banding above), and the
+    * join itself is grid-governed (`Scale.gridSelfJoinPairs`) so a
+    * hot bucket splits across tasks instead of landing on one. The
+    * per-vector selection runs on the native TopKPerKey operator:
+    * map-side bounded heaps ship ≤ k rows per (vector, partition)
+    * instead of sorting the full candidate set through a window.
+    * Recall is the banding trade (deterministic pipeline — the oracle
+    * replays it exactly, so correctness is hash-exact regardless).
     */
-  def s06KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def s06KnnJoin(spark: SparkSession, sfDir: String): DataFrame =
+    s06KnnJoin(spark, sfDir, S06RowsPerCell)
+
+  /** `rowsPerCell` exposed for the spec that forces grid splitting on
+    * small fixtures (result must be invariant under it).
+    */
+  def s06KnnJoin(spark: SparkSession, sfDir: String,
+      rowsPerCell: Int): DataFrame = {
     val e = prepared(spark, sfDir)
+    // stats-then-choose, as the grid census does: one column-pruned
+    // count job picks the bucket granularity before the plan builds
+    val ppb = s06Ppb(Tables.embeddings(spark, sfDir).count())
     val bandsArr = array((0 until S06Bands).map(bd =>
       struct(lit(bd).as("band"),
-        bandBucketExpr(col("v"), bd, S06PlanesPerBand).as("bkt"))): _*)
+        bandBucketExpr(col("v"), bd * S06MaxPpb, ppb).as("bkt"))): _*)
     val banded = e.withColumn("bb", explode(bandsArr))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
     // candidate ids dedupe across bands BEFORE vectors attach (the
-    // minhash-band-pairs shape: wide arrays never ride the distinct)
-    val cand = banded.select(col("vec_id").as("src_id"), col("band"), col("bkt"))
-      .join(banded.select(col("vec_id").as("neighbor_id"), col("band"), col("bkt")),
-        Seq("band", "bkt"))
-      .filter(col("src_id") =!= col("neighbor_id"))
-      .select(col("src_id"), col("neighbor_id"))
+    // minhash-band-pairs shape: wide arrays never ride the distinct).
+    // The grid emits each unordered pair once (orientation arbitrary
+    // under cross-cell salting), so normalize, dedupe across bands,
+    // then mirror — the kNN graph is directed, every vector is a
+    // source.
+    val und = Scale.gridSelfJoinPairs(
+        banded.select(col("vec_id").as("src_id"), col("band"), col("bkt")),
+        banded.select(col("vec_id").as("neighbor_id"), col("band"), col("bkt")),
+        Seq("band", "bkt"), "src_id", "neighbor_id",
+        rowsPerCell = rowsPerCell)
+      .select(least(col("src_id"), col("neighbor_id")).as("lo"),
+        greatest(col("src_id"), col("neighbor_id")).as("hi"))
       .distinct()
+    val cand = und.select(col("lo").as("src_id"), col("hi").as("neighbor_id"))
+      .union(und.select(col("hi").as("src_id"), col("lo").as("neighbor_id")))
     val sv = e.select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("sn"))
     val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
       col("nrm").as("cn2"))
@@ -633,8 +682,15 @@ object Similarity {
   }
 
   val s06Sql: String = {
+    // adaptive ppb replayed in SQL: the full S06MaxPpb-plane bucket
+    // masked to its low ppb bits (plane i contributes exactly 2^i, so
+    // `% 2^ppb` drops planes ≥ ppb — bit-identical to the Scala plan
+    // building only the first ppb terms), with ppb derived from
+    // count(*) by the same integer shift-and-compare as s06Ppb
     val bandSelects = (0 until S06Bands).map(bd =>
-      s"""SELECT vec_id, $bd AS band, CAST(${bandSqlTerms(bd, S06PlanesPerBand)} AS BIGINT) AS bkt
+      s"""SELECT vec_id, $bd AS band,
+         |    CAST((${bandSqlTerms(bd * S06MaxPpb, S06MaxPpb)})
+         |      % (CAST(1 AS BIGINT) << (SELECT ppb FROM pp)) AS BIGINT) AS bkt
          |  FROM n""".stripMargin).mkString("\n  UNION ALL ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -644,6 +700,12 @@ object Similarity {
        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
        |  FROM e),
+       |pp AS (
+       |  SELECT LEAST(GREATEST(COALESCE(
+       |    (SELECT MIN(p) FROM range(0, ${S06MaxPpb + 1}) t(p)
+       |     WHERE ($S06TargetBucketRows * (CAST(1 AS BIGINT) << p))
+       |       >= (SELECT count(*) FROM embeddings)),
+       |    $S06MaxPpb), $S06MinPpb), $S06MaxPpb) AS ppb),
        |bands AS (
        |  $bandSelects),
        |cand AS (
