@@ -207,6 +207,17 @@ object Dedup {
     * comparisons anywhere — cost is corpus-token-linear, the property
     * that makes substring-level dedup feasible at 100 TB where a
     * suffix array is not.
+    *
+    * Collision tolerance (explicit, round 7): multiplicity counts key
+    * on xxhash64(shingle), so two DISTINCT shingles colliding in 64
+    * bits would fabricate a duplicate span (never lose one — errors
+    * are one-sided marks). By the birthday bound the first expected
+    * collision needs ~2³² distinct 5-gram shingles (terabytes of
+    * text), and the failure mode is an extra masked span, not
+    * corruption — the same deliberate trade d08/d09 make for keeping
+    * shingle strings out of the shuffle. A deployment needing
+    * exactness past that scale widens the key to 128 bits (two seeded
+    * xxhash64 columns), not to strings.
     */
   def d12SubstringRuns(spark: SparkSession, sfDir: String,
       minOcc: Int = 2): DataFrame = {
@@ -467,9 +478,14 @@ object Dedup {
     */
   private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), DataFrame]()
-  private def dedupLabels(spark: SparkSession, sfDir: String): DataFrame =
+  private def dedupLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    // entries keyed by a stopped context can neither be served nor
+    // freed by anything else — drop them here so restarted sessions
+    // don't accumulate dead plans for the JVM lifetime
+    labelsMemo.keySet.removeIf(_._1.isStopped)
     labelsMemo.computeIfAbsent((spark.sparkContext, sfDir),
       _ => computeDedupLabels(spark, sfDir))
+  }
 
   private def computeDedupLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val (docsigs, est) = d02Scored(spark, sfDir)

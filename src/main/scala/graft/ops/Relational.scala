@@ -327,29 +327,27 @@ object Relational {
     * multi-existential shape: per supplier, how many orders had a
     * RETURNED line from them AND no line from any other supplier
     * (`NOT EXISTS other-supplier line` in the oracle). Decorrelated to
-    * order-level aggregation: the fact collapses to distinct (order,
-    * supplier) pairs, one more aggregate on the SAME clustering (no
-    * second exchange) finds single-supplier orders and their lone
-    * supplier, and the returned-lines side semi-joins against that —
-    * the per-order existential never re-scans order history per row.
-    * Supplier names join AFTER the per-supplier collapse, broadcast.
+    * order-level aggregation — and the fact is shuffled ONCE (round
+    * 7; previously two independent distincts + a self-join): the pair
+    * collapse carries a `max(returnflag='R')` flag, so the order-level
+    * aggregate can read off both "single supplier" and "that
+    * supplier's lines include a return" from the same rows — when
+    * n_supp = 1 the order's only pair IS the lone supplier, making the
+    * returned-side semi-join redundant, not just shareable. Supplier
+    * names join AFTER the per-supplier collapse, broadcast.
     */
   def q66SoleSupplierFaults(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val soleOrders = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
       .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), min(col("l_suppkey")).as("lone_supp"))
-      .filter(col("n_supp") === 1)
-      .select(col("l_orderkey").as("so_orderkey"), col("lone_supp"))
-    val faulted = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      .join(soleOrders,
-        col("l_orderkey") === col("so_orderkey") &&
-          col("l_suppkey") === col("lone_supp"))
-    faulted.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_supp"), min(col("l_suppkey")).as("lone_supp"),
+        max(col("has_r")).as("has_r"))
+      .filter(col("n_supp") === 1 && col("has_r") === 1)
+      .groupBy(col("lone_supp"))
       .agg(count(lit(1)).as("n_faults"))
       .join(broadcast(Tables.supplier(spark, sfDir)),
-        col("l_suppkey") === col("s_suppkey"))
+        col("lone_supp") === col("s_suppkey"))
       .select(col("s_suppkey").as("suppkey"), col("s_name"), col("n_faults"))
       .orderBy(col("n_faults").desc_nulls_last, col("suppkey").asc_nulls_last)
   }
