@@ -636,4 +636,106 @@ object TextOps {
       |WHERE n >= 5
       |ORDER BY cb.lang ASC NULLS LAST, lift DESC NULLS LAST,
       |  ta ASC NULLS LAST, tb ASC NULLS LAST""".stripMargin
+
+  /** t15: BPE merge-rule TRAINING — the tokenizer vocab-build step
+    * every LLM corpus pipeline runs before t05-style application
+    * (Sennrich et al., "Neural Machine Translation of Rare Words with
+    * Subword Units", 2016). Each round merges the corpus-wide
+    * highest-frequency adjacent symbol pair (ties broken
+    * lexicographically — fully deterministic) and records the rule.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB even
+    * though it is iterative: the corpus is touched ONCE (t05's
+    * pre-tokenizer regex → explode → word-frequency collapse); every
+    * training round then runs on the word-frequency table, whose size
+    * is the VOCABULARY (Heaps' law: ~√corpus), not the corpus. Per
+    * round: one vocabulary-sized pair-count shuffle, one limit(1)
+    * scalar collect for the argmax decision (bounded driver traffic by
+    * construction — the grid-census pattern), and a codegen'd
+    * left-fold that rewrites each word's bounded-length symbol array
+    * in place (leftmost-greedy, the standard application order). The
+    * driver loop is control flow only; a lazy localCheckpoint per
+    * round stops the fold expressions from nesting nMerges deep in
+    * one plan (the kmeansCodebook / d06 lineage-cut pattern).
+    *
+    * SQL-inexpressible for the oracle (the loop's data-dependent
+    * argmax feeds the next round's plan — same class as
+    * kmeansCodebook), so the driver records a rows-only check and the
+    * contract lives in BpeSpec: hand-computed merge sequence on a
+    * controlled corpus, monotone non-increasing best-pair counts,
+    * run-to-run determinism, no residual merged pair after
+    * application, and train→apply consumption of t05's pre-tokens.
+    */
+  def t15BpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    t15BpeTrain(spark, sfDir, 20)
+
+  def t15BpeTrain(spark: SparkSession, sfDir: String, nMerges: Int): DataFrame = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(expr(s"regexp_extract_all(text, '$pat', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("split(w, '')").as("syms"), col("freq"))
+    bpeTrainOn(words, nMerges)
+  }
+
+  /** Training core over an arbitrary (syms: array<string>, freq: long)
+    * word table — the entry point BpeSpec drives with controlled
+    * frequencies.
+    */
+  private[graft] def bpeTrainOn(words0: DataFrame, nMerges: Int): DataFrame = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0.localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      round += 1
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("pair_n"))
+        .orderBy(col("pair_n").desc_nulls_last,
+          col("l").asc_nulls_last, col("r").asc_nulls_last)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, l + r, n))
+        words = words
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint(false)
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left", "right", "merged", "pair_n")
+      .orderBy(col("merge_rank").asc_nulls_last)
+  }
+
+  /** Leftmost-greedy single-merge rewrite of a symbol array: fold each
+    * symbol onto the accumulator, fusing when the accumulator's tail
+    * is `l` and the incoming symbol is `r` ("aaa" under (a,a) →
+    * [aa, a], never [a, aa]). Merge symbols are Column literals, not
+    * spliced SQL — token text can contain any character.
+    */
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      array(element_at(syms, 1)),
+      (acc, s) =>
+        when(element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Rank-ordered application of a learned merge table — the t05
+    * consumption path (train → apply): pre-tokens re-segment under the
+    * learned vocabulary.
+    */
+  private[graft] def applyMerges(syms: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => applyMerge(c, l, r) }
 }
