@@ -418,4 +418,238 @@ object Relational {
       |LEFT JOIN per_cust ON c_custkey = o_custkey
       |GROUP BY 1
       |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin
+
+  /** q68: TPC-H Q5 analogue (local supplier volume) — the multi-dim
+    * star with the region round-trip: revenue per nation where the
+    * CUSTOMER's nation equals the SUPPLIER's nation, suppliers limited
+    * to one region, orders to one year. Shape: region⋈nation collapse
+    * to a tiny broadcast dim, the region-filtered supplier slice rides
+    * onto lineitem (AQE picks broadcast at any realistic supplier
+    * cardinality — no forced hint, so a pathological supplier side
+    * degrades to shuffle instead of OOM), the date filter pushes to
+    * the orders scan, and the only fact-sized work is the two
+    * canonical shuffles: lineitem⋈orders on orderkey, then ⋈customer
+    * on (custkey + the nation-equality residual as a second equi key).
+    * Exact DECIMAL revenue.
+    */
+  def q68LocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val natEu = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(natEu), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("vol")).as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_last)
+  }
+
+  val q68Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
+
+  /** q69: TPC-H Q7 analogue (volume shipping) — bilateral trade
+    * between two nations by ship-year: supplier in one, customer in
+    * the other, either direction. The two-nation dim slices broadcast
+    * onto supplier and customer; the cross-direction condition is the
+    * residual `supp_nation <> cust_nation` AFTER both sides are
+    * restricted to the pair — equivalent to Q7's OR-of-two-orderings
+    * but keeps every join a plain equi join (no OR in any join
+    * condition, which would force a nested loop).
+    */
+  def q69VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+    li.join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(dsum(col("vol")).as("revenue"))
+      .orderBy(col("supp_nation").asc_nulls_last,
+        col("cust_nation").asc_nulls_last, col("yr").asc_nulls_last)
+  }
+
+  val q69Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS yr,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation ASC NULLS LAST, cust_nation ASC NULLS LAST,
+      |  yr ASC NULLS LAST""".stripMargin
+
+  /** q70: TPC-H Q9 analogue (product-type profit). The fixture has no
+    * partsupp/ps_supplycost, so cost is modeled as a constant fraction
+    * of the part's retail price (0.6 × p_retailprice × quantity) —
+    * preserving Q9's computational shape exactly: a part-dim filter
+    * pushed to the scan, per-line profit arithmetic, supplier-nation
+    * attribution, and the order-year join. Profit terms are computed
+    * in IEEE double per line (portable) and summed as exact DECIMAL.
+    */
+  def q70ProductTypeProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("n_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")).as("amount"))
+    li.join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("yr"))
+      .agg(dsum(col("amount")).as("profit"))
+      .orderBy(col("nation").asc_nulls_last, col("yr").desc_nulls_last)
+  }
+
+  val q70Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS profit
+      |FROM lineitem, part, supplier, orders, nation
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+      |  AND p_type = 'PROMO'
+      |GROUP BY 1, 2
+      |ORDER BY nation ASC NULLS LAST, yr DESC NULLS LAST""".stripMargin
+
+  /** q71: TPC-H Q10 analogue (returned-item ranking) — top 20
+    * customers by revenue lost to returns in one quarter. The
+    * returnflag and date filters push to the two fact scans; after the
+    * per-customer collapse the result is customer-cardinality, so the
+    * global top-20 runs as TakeOrderedAndProject (per-partition heaps,
+    * never a full sort), with custkey breaking revenue ties
+    * deterministically. Nation names broadcast onto the collapsed row.
+    */
+  def q71ReturnedItemRanking(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("vol")).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc_nulls_last)
+      .limit(20)
+  }
+
+  val q71Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS LAST
+      |LIMIT 20""".stripMargin
+
+  /** q72: TPC-H Q12 analogue (priority by lateness). The fixture has
+    * no l_shipmode/commitdate/receiptdate, so the "mode" axis is
+    * l_linestatus and "late" is shipped more than 60 days after the
+    * order date — preserving Q12's shape: a fact-fact equi join with a
+    * non-equi date residual, a ship-year scan filter, and the
+    * high/low-priority CASE split aggregated in one pass.
+    */
+  def q72LatePriorityCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    li.join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus").as("mode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+          .cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0).otherwise(1))
+          .cast("long").as("low_line_count"))
+      .orderBy(col("mode").asc_nulls_last)
+  }
+
+  val q72Sql: String =
+    """SELECT l_linestatus AS mode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1
+      |ORDER BY mode ASC NULLS LAST""".stripMargin
 }

@@ -327,6 +327,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q57 plans a global range sort for a LIMIT 10:\n$plan")
   }
 
+  /** Same contract for q71 (round 7, TPC-H Q10 analogue): the top-20
+    * over the per-customer collapse must be heap-based, and its two
+    * fact filters (returnflag, order-date quarter) must reach the
+    * scans as pushed filters, not post-scan.
+    */
+  test("q71's top-20 is TakeOrderedAndProject with pushed fact filters") {
+    val q = graft.ops.Relational.q71ReturnedItemRanking(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q71 lost its TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"q71 plans a global range sort for a LIMIT 20:\n$plan")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("l_returnflag")) ||
+      plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"q71's returnflag filter did not reach the lineitem scan:\n${scans.mkString("\n")}")
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
