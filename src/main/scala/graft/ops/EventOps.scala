@@ -764,4 +764,64 @@ object EventOps {
       |JOIN tc c ON type_b = c.event_type
       |CROSS JOIN tot
       |ORDER BY type_a ASC NULLS LAST, type_b ASC NULLS LAST""".stripMargin
+
+  /** e19: ordered conversion funnel (view → click → purchase) — the
+    * step-completion census e12's single-hop lag cannot express: each
+    * step counts only users whose step-k event happens STRICTLY AFTER
+    * their step-(k-1) completion time. The correlated "first X after
+    * my first Y" decorrelates to a chain of per-user min-aggregates:
+    * every stage is a type-filtered fact slice joined to the previous
+    * stage's (user, ts) collapse — same user_id shuffle key at every
+    * hop, so exchanges line up and each stage's input is one
+    * user-sized table, never fact×fact. The final census is three
+    * one-row aggregates cross-joined broadcast (scalar pattern);
+    * conversion rates are single IEEE divisions.
+    */
+  def e19Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("step1_users"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("step2_users"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("step3_users"))))
+      .select(col("step1_users"), col("step2_users"), col("step3_users"),
+        (col("step2_users").cast("double") / col("step1_users").cast("double"))
+          .as("conv_1_2"),
+        (col("step3_users").cast("double") / col("step2_users").cast("double"))
+          .as("conv_2_3"),
+        (col("step3_users").cast("double") / col("step1_users").cast("double"))
+          .as("conv_total"))
+  }
+
+  val e19Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(ts) AS t_click FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(ts) AS t_purchase FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT count(*) FROM v) AS step1_users,
+      |  (SELECT count(*) FROM c) AS step2_users,
+      |  (SELECT count(*) FROM p) AS step3_users,
+      |  CAST((SELECT count(*) FROM c) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM v) AS DOUBLE) AS conv_1_2,
+      |  CAST((SELECT count(*) FROM p) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM c) AS DOUBLE) AS conv_2_3,
+      |  CAST((SELECT count(*) FROM p) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM v) AS DOUBLE) AS conv_total""".stripMargin
 }

@@ -738,4 +738,43 @@ object TextOps {
   private[graft] def applyMerges(syms: Column,
       merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (l, r)) => applyMerge(c, l, r) }
+
+  /** t16: character-diversity quality score — Simpson's index
+    * 1 − Σ p_c² over each document's character distribution, the
+    * log-free stand-in for character entropy (same detection power for
+    * the repetitive/degenerate text a quality gate drops — "aaaa…"
+    * scores ~0 — without Shannon's log₂, whose libm rounding differs
+    * across engines; Σ n_c² / N² is integer-exact in both, one IEEE
+    * division at the end). Complements t02's length/punct ratios and
+    * t11's token-level repetition at the character level. Scale: one
+    * (doc, char)-keyed count shuffle (the t12 shape); the per-doc
+    * collapse then runs over alphabet-bounded rows (≤ ~100/doc).
+    */
+  def t16CharDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_chars_counted"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("doc_id"), col("n_chars_counted"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_chars_counted") * col("n_chars_counted")).cast("double"))
+          .as("simpson"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  val t16Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (
+      |  SELECT doc_id, ch, count(*) AS n FROM ch GROUP BY doc_id, ch),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_counted,
+      |    CAST(sum(n * n) AS BIGINT) AS sum_sq
+      |  FROM cc GROUP BY doc_id)
+      |SELECT doc_id, n_chars_counted,
+      |  1.0 - CAST(sum_sq AS DOUBLE)
+      |    / CAST(n_chars_counted * n_chars_counted AS DOUBLE) AS simpson
+      |FROM agg
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 }
