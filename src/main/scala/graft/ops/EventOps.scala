@@ -824,4 +824,54 @@ object EventOps {
       |    / CAST((SELECT count(*) FROM c) AS DOUBLE) AS conv_2_3,
       |  CAST((SELECT count(*) FROM p) AS DOUBLE)
       |    / CAST((SELECT count(*) FROM v) AS DOUBLE) AS conv_total""".stripMargin
+
+  /** e20: weekly retention cohorts — the product-analytics matrix:
+    * users grouped by first-activity week (cohort), each later week's
+    * active share of that cohort. Both engines truncate weeks to ISO
+    * Monday and the offset division is exact (Monday−Monday is a
+    * multiple of 7 days), so the matrix is bit-portable with no
+    * calendar UDF. Scale: the fact collapses to distinct
+    * (user, week) FIRST — everything downstream is user- or
+    * cohort-sized; cohort sizes broadcast back onto the matrix.
+    */
+  def e20RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ua = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts").cast("timestamp"))).as("week"))
+      .distinct()
+    val cohort = ua.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ua.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week").asc_nulls_last,
+        col("week_offset").asc_nulls_last)
+  }
+
+  val e20Sql: String =
+    """WITH ua AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM ua GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, ua.week) / 7 AS INT) AS week_offset,
+      |  count(*) AS n_active, cohort_size,
+      |  CAST(count(*) AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      |FROM ua JOIN cohort c ON ua.user_id = c.user_id
+      |JOIN sizes s ON c.cohort_week = s.cohort_week
+      |GROUP BY c.cohort_week, week_offset, cohort_size
+      |ORDER BY c.cohort_week ASC NULLS LAST, week_offset ASC NULLS LAST""".stripMargin
 }

@@ -911,4 +911,43 @@ object Similarity {
        |SELECT query_id, label, rank, neighbor_id, cosine FROM ranked
        |WHERE rank <= $K
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+
+  /** s09: ANN recall audit — retrieval quality as a QUERY, not just a
+    * spec: per query vector, how many of the exact brute-force top-k
+    * (s01, the truth) the banded-LSH index (s02) actually returned.
+    * This is the recurring production audit any ANN deployment runs
+    * after reindexing; both pipelines are deterministic, so the whole
+    * audit is oracle-replayable end to end (the oracle embeds the s01
+    * and s02 SQL as CTEs). Scale: both sides are query-set-sized
+    * (bounded) after their own pipelines; the audit join is
+    * (query, neighbor)-keyed over ≤ NQueries·k rows.
+    */
+  def s09AnnRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = s01KnnBrute(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = s02KnnLsh(spark, sfDir)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    brute.join(lsh,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("n2").isNotNull, 1).otherwise(0)).cast("long")
+        .as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(K.toDouble)).as("recall_at_k"))
+      .orderBy(col("query_id").asc_nulls_last)
+  }
+
+  val s09Sql: String =
+    s"""WITH brute AS ($s01Sql),
+       |lsh AS ($s02Sql)
+       |SELECT b.query_id,
+       |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / $K.0 AS recall_at_k
+       |FROM brute b LEFT JOIN lsh l
+       |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |GROUP BY b.query_id
+       |ORDER BY b.query_id ASC NULLS LAST""".stripMargin
 }
