@@ -874,4 +874,63 @@ object EventOps {
       |JOIN sizes s ON c.cohort_week = s.cohort_week
       |GROUP BY c.cohort_week, week_offset, cohort_size
       |ORDER BY c.cohort_week ASC NULLS LAST, week_offset ASC NULLS LAST""".stripMargin
+
+  /** e21: inter-arrival regularity (bot scoring) — automated clients
+    * fire on near-fixed timers, so the squared coefficient of variation
+    * of a user's inter-event gaps separates scripted traffic (CV² → 0)
+    * from organic bursts (CV² ≈ 1 for Poisson arrivals). One lag window
+    * per user (a key whose cardinality grows with the corpus), then a
+    * per-user aggregate over integer microsecond gaps.
+    *
+    * Cross-engine arithmetic: gaps are exact int64 µs; the power sums
+    * Σg and Σg² accumulate in DECIMAL(38,0) (g² ≤ ~7e24 for month-long
+    * gaps — past int64, inside 38 digits; HUGEINT on the oracle side),
+    * so CV² = (n·Σg² − (Σg)²) / (Σg)² is a single division of two
+    * exactly-computed integers — bit-identical in both engines, no
+    * variance-of-doubles accumulation order to disagree on.
+    */
+  def e21BotRegularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("g",
+        unix_micros(col("ts").cast("timestamp")) -
+          lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .filter(col("g").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(dec38)).as("sg"),
+        sum(col("g").cast(dec38) * col("g")).as("sg2"))
+      .filter(col("n_gaps") >= 20 && col("sg") > 0)
+      .select(
+        col("user_id"), col("n_gaps"),
+        (col("sg").cast("double") / col("n_gaps").cast("double") / lit(1000000.0))
+          .as("mean_gap_s"),
+        ((col("n_gaps").cast(dec38) * col("sg2") - col("sg") * col("sg"))
+          .cast("double") / (col("sg") * col("sg")).cast("double")).as("cv2"))
+      .withColumn("is_regular", when(col("cv2") < 0.25, lit(1)).otherwise(lit(0)))
+      .orderBy(col("user_id").asc_nulls_last)
+  }
+
+  val e21Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS g
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    sum(CAST(g AS HUGEINT)) AS sg,
+      |    sum(CAST(g AS HUGEINT) * g) AS sg2
+      |  FROM g WHERE g IS NOT NULL
+      |  GROUP BY user_id HAVING count(*) >= 20 AND sum(CAST(g AS HUGEINT)) > 0)
+      |SELECT user_id, n_gaps,
+      |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0 AS mean_gap_s,
+      |  CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE) AS cv2,
+      |  CASE WHEN CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE)
+      |    < 0.25 THEN 1 ELSE 0 END AS is_regular
+      |FROM s ORDER BY user_id ASC NULLS LAST""".stripMargin
 }

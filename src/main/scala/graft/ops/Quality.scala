@@ -182,4 +182,119 @@ object Quality {
          |FROM orders""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC NULLS LAST")
   }
+
+  /** q82: SCD Type-2 history build — the warehouse pattern that turns
+    * an entity change log into versioned dimension rows with validity
+    * intervals. Here the events stream is the change log (each event
+    * sets the user's current segment = event_type): consecutive
+    * duplicates collapse to change points, each change opens a version
+    * valid [its ts, next change's ts), and the last version per user is
+    * open-ended (`is_current`).
+    *
+    * Scale shape: both windows partition by user_id — a key whose
+    * cardinality grows with the corpus — and the second window runs
+    * over the already-collapsed change points. No join at all: the
+    * whole build is one shuffle on the natural key. The (ts, event_id)
+    * order makes every version boundary deterministic under ties.
+    */
+  def q82Scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("segment"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+      .orderBy(col("user_id").asc_nulls_last, col("version").asc_nulls_last)
+  }
+
+  val q82Sql: String =
+    """WITH chg AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS prev_type
+      |  FROM events),
+      |pts AS (
+      |  SELECT user_id, ts, event_id, event_type FROM chg
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS version,
+      |  event_type AS segment, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS valid_to,
+      |  CASE WHEN lead(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) IS NULL
+      |    THEN 1 ELSE 0 END AS is_current
+      |FROM pts
+      |ORDER BY user_id ASC NULLS LAST, version ASC NULLS LAST""".stripMargin
+
+  /** q83: CDC apply (I/U/D) — collapse a change-data-capture log to
+    * its per-key latest operation and apply it to a base snapshot in
+    * one pass: inserts for keys the snapshot lacks, updates override
+    * in place, deletes drop the row, untouched rows survive. q45's
+    * latest-wins upsert plus the two semantics MERGE adds (DELETE and
+    * the insert-vs-update distinction, audited in `action`).
+    *
+    * The change log is derived deterministically from orders (latest
+    * order per customer: status 'P' ⇒ DELETE, else UPSERT of the
+    * order's total as the new balance) against a snapshot missing
+    * every 4th customer, so all three paths are exercised. Scale
+    * shape: the log collapses FIRST via max(struct(date, key, …)) — a
+    * two-phase hash aggregate, no window over the fact — then one
+    * |keys|-sized full-outer join applies it; balances pass through
+    * untouched doubles, so no arithmetic portability surface at all.
+    */
+  def q83CdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val latest = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))).as("last"))
+      .select(col("o_custkey"),
+        when(col("last.o_orderstatus") === "P", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("last.o_totalprice").as("new_bal"))
+    val snap = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 4 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    snap.join(latest, col("c_custkey") === col("o_custkey"), "full")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("cdc-insert")).as("name"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("c_acctbal"))
+          .as("acctbal"),
+        when(col("op").isNull, lit("keep"))
+          .when(col("c_custkey").isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"))
+      .orderBy(col("custkey").asc_nulls_last)
+  }
+
+  val q83Sql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderstatus, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders),
+      |latest AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+      |    o_totalprice AS new_bal
+      |  FROM ranked WHERE rn = 1),
+      |snap AS (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 4 <> 0)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  coalesce(c_name, 'cdc-insert') AS name,
+      |  CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS acctbal,
+      |  CASE WHEN op IS NULL THEN 'keep'
+      |       WHEN c_custkey IS NULL THEN 'insert'
+      |       ELSE 'update' END AS action
+      |FROM snap FULL OUTER JOIN latest ON c_custkey = o_custkey
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY custkey ASC NULLS LAST""".stripMargin
 }

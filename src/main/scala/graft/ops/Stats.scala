@@ -251,4 +251,98 @@ object Stats {
       |  max(m.mean_q) AS mean_q, max(m.std_q) AS std_q
       |FROM lineitem l JOIN m USING (l_returnflag)
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag ASC NULLS LAST""".stripMargin
+
+  /** q84: revenue concentration — Gini coefficient and top-1%/10%
+    * shares of per-customer revenue, the whale-distribution summary
+    * behind quota and risk planning. Gini needs every customer's
+    * GLOBAL revenue rank (G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), x
+    * ascending), which naively plans the banned single-task global
+    * window. Re-shaped as the engine's two-level distributed rank
+    * (q25's machinery, value-bucketed):
+    *   level 2 = $1,000 revenue buckets — an OCCUPIED-key table whose
+    *     cardinality grows with the data (149 → 3,885 keys sf0.001→0.1),
+    *     so the per-row rank window inside each bucket survives the
+    *     cross-SF bounded-key audit;
+    *   level 1 = $20,000 buckets bound the level-2 prefix window's
+    *     partitions; cross-level-1 offsets come from a triangular
+    *     broadcast self-join of the tiny level-1 table (q63's pattern —
+    *     there is no outer partition key, and a global window over even
+    *     the bucket table is banned).
+    * Revenue is exact integer cents; rank×cents accumulates in
+    * DECIMAL(38,0) (HUGEINT on the oracle side — a 100 TB corpus
+    * overflows int64 products), so Gini and the shares are single
+    * divisions of exactly-computed integers — bit-identical across
+    * engines. The oracle states the naive global-window form.
+    */
+  def q84RevenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val pc = Tables.orders(spark, sfDir)
+      .withColumn("cents",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("l2", expr("cents div 100000"))
+      .withColumn("l1", expr("cents div 2000000"))
+    val l2Stats = pc.groupBy(col("l1"), col("l2"))
+      .agg(count(lit(1)).as("n2"))
+    val wL2 = Window.partitionBy(col("l1")).orderBy(col("l2").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = l2Stats
+      .withColumn("off_in_l1", sum(col("n2")).over(wL2) - col("n2"))
+    val l1Stats = l2Stats.groupBy(col("l1")).agg(sum(col("n2")).as("n1"))
+    val l1Off = l1Stats.as("a")
+      .join(broadcast(l1Stats.as("b")), col("b.l1") < col("a.l1"), "left")
+      .groupBy(col("a.l1").as("l1"))
+      .agg(coalesce(sum(col("b.n1")), lit(0L)).as("l1_off"))
+    val totals = l1Stats.agg(sum(col("n1")).as("nn"))
+    val offs = bucketed.join(broadcast(l1Off), Seq("l1"))
+      .select(col("l2"), (col("l1_off") + col("off_in_l1")).as("l2_off"))
+    val wIn = Window.partitionBy(col("l2"))
+      .orderBy(col("cents").asc_nulls_last, col("o_custkey").asc_nulls_last)
+    pc.join(broadcast(offs), Seq("l2"))
+      .withColumn("rnk", col("l2_off") + row_number().over(wIn))
+      .crossJoin(broadcast(totals))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(dec38)).as("tt"),
+        sum(col("rnk").cast(dec38) * col("cents")).as("ss"),
+        sum(when(col("rnk") > col("nn") - expr("nn div 10"), col("cents"))
+          .otherwise(lit(0L)).cast(dec38)).as("top10"),
+        sum(when(col("rnk") > col("nn") - expr("nn div 100"), col("cents"))
+          .otherwise(lit(0L)).cast(dec38)).as("top1"),
+        max(col("nn")).as("nn"))
+      .select(
+        col("n_customers"),
+        (col("tt").cast("double") / lit(100.0)).as("total_rev"),
+        ((lit(2).cast(dec38) * col("ss") -
+          (col("nn") + 1).cast(dec38) * col("tt")).cast("double") /
+          (col("nn").cast(dec38) * col("tt")).cast("double")).as("gini"),
+        (col("top1").cast("double") / col("tt").cast("double")).as("top1_share"),
+        (col("top10").cast("double") / col("tt").cast("double")).as("top10_share"))
+  }
+
+  val q84Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT o_custkey, cents,
+      |    row_number() OVER (ORDER BY cents ASC NULLS LAST,
+      |      o_custkey ASC NULLS LAST) AS rnk,
+      |    count(*) OVER () AS nn
+      |  FROM pc)
+      |SELECT count(*) AS n_customers,
+      |  CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0 AS total_rev,
+      |  CAST(2 * sum(CAST(rnk AS HUGEINT) * cents)
+      |       - (max(nn) + 1) * sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+      |    / CAST(max(nn) * sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS gini,
+      |  CAST(sum(CASE WHEN rnk > nn - nn // 100 THEN CAST(cents AS HUGEINT)
+      |        ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS top1_share,
+      |  CAST(sum(CASE WHEN rnk > nn - nn // 10 THEN CAST(cents AS HUGEINT)
+      |        ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS top10_share
+      |FROM r""".stripMargin
 }
