@@ -63,6 +63,57 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Morton (Z-order) interleave of two non-negative integer columns,
+    * 16 bits each — the multi-dimensional clustering key behind
+    * `writeZOrdered`. Bit-spreading uses the classic mask-and-shift
+    * ladder (public-domain bit trick, cf. "Bit Twiddling Hacks"), five
+    * codegen-friendly bitwise ops per operand — no UDF. Inputs are
+    * masked to their low 16 bits: the key is a LAYOUT key only (rows
+    * are clustered, never transformed), so truncation on >65535
+    * domains degrades locality, not correctness; callers with wider
+    * domains pre-scale (e.g. `col / width`) to 16 bits.
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(x0: org.apache.spark.sql.Column) = {
+      val x = x0.cast("long").bitwiseAND(lit(0xFFFFL))
+      val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered data-skipping layout — `writeSorted`'s answer when TWO
+    * columns carry selective predicates: a single-column sort gives
+    * one dimension perfect row-group locality and the other none,
+    * while clustering on the Morton interleave bounds BOTH columns'
+    * min/max ranges per row group, so either predicate alone skips
+    * groups at the reader (the OPTIMIZE ZORDER pattern from the lake
+    * engines, expressed as a plain range-partition + in-file sort —
+    * no custom writer). Files cover disjoint Z-ranges via the range
+    * exchange; groups inside each file are Z-contiguous.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      targetRowGroupBytes: Long = 128L << 20,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = zOrderKey(col(colA), col(colB))
+    df.repartitionByRange(z.asc)
+      .sortWithinPartitions(z.asc)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("parquet.block.size", targetRowGroupBytes)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** Bucketed + sorted table: both sides of a recurring equi join
     * bucketed by the join key join WITHOUT a shuffle (and without a
     * sort when also sorted). Requires the table catalog
