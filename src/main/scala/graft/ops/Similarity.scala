@@ -950,4 +950,79 @@ object Similarity {
        |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
        |GROUP BY b.query_id
        |ORDER BY b.query_id ASC NULLS LAST""".stripMargin
+
+  /** s10: bucket-diversified kNN — retrieval that returns at most ONE
+    * neighbor per semantic cell (the 8-plane sign signature), then the
+    * best K surviving cells per query. Plain top-k hands back
+    * near-duplicates of the same best match; the per-cell cap is the
+    * cheap declarative form of result diversification (the bucketed
+    * complement of greedy MMR, whose sequential argmax is not a join).
+    *
+    * Scale shape: both selection levels run on the native TopKPerKey
+    * operator — map-side bounded heaps, ≤ k rows per key per partition
+    * ever shuffled — first keyed (query, cell) at k=1 (the dedup),
+    * then (query) at k=K. Cells come from the same broadcast plane
+    * family the ANN index uses; ties break on neighbor_id at both
+    * levels, so the cascade is deterministic and oracle-replayable.
+    */
+  def s10DiversifiedKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.withColumn("cell", bandBucketExpr(col("v"), 0, 8))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine("qv", "cv", col("qn"), col("cn")))
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("cosine"))
+    val cellBest = graft.plans.TopKPerKey.topKPerKey(scored,
+      keyCols = Seq(col("query_id"), col("cell")),
+      orderCols = Seq(col("cosine").desc_nulls_last,
+        col("neighbor_id").asc_nulls_last),
+      k = 1)
+    val top = graft.plans.TopKPerKey.topKPerKey(cellBest,
+      keyCols = Seq(col("query_id")),
+      orderCols = Seq(col("cosine").desc_nulls_last,
+        col("neighbor_id").asc_nulls_last),
+      k = K)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("cell"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s10Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |cells AS (
+       |  SELECT vec_id, CAST(${bandSqlTerms(0, 8)} AS BIGINT) AS cell
+       |  FROM n),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, cl.cell AS cell, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+       |  JOIN cells cl ON cl.vec_id = c.vec_id),
+       |cellbest AS (
+       |  SELECT query_id, cell, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id, cell
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rn
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT query_id, cell, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM cellbest WHERE rn = 1)
+       |SELECT query_id, rank, cell, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 }

@@ -777,4 +777,43 @@ object TextOps {
       |    / CAST(n_chars_counted * n_chars_counted AS DOUBLE) AS simpson
       |FROM agg
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** t17: term burstiness (Church–Gale) — per (lang, term), collection
+    * frequency over document frequency: cf/df ≈ 1 marks terms that
+    * appear once wherever they appear (function-word behavior), while
+    * high cf/df marks "bursty" content terms that repeat heavily
+    * inside the documents that use them. The statistic drives
+    * stopword discovery and keyword weighting at corpus scale and
+    * complements t09's tf-idf (df alone) with the within-doc
+    * concentration axis.
+    *
+    * Scale shape: one explode + ONE vocabulary-sized aggregate — cf
+    * and exact df come from the same (lang, term) group (Catalyst
+    * plans the count-distinct Expand with partial aggregation, q61's
+    * pattern), so the fact-sized token stream shuffles once. Output
+    * is vocabulary-sized (Heaps' law keeps it far under the corpus).
+    * Burstiness is a single IEEE division of exact counts.
+    */
+  def t17TermBurstiness(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+      .select(col("lang"), col("term"), col("cf"), col("df"),
+        (col("cf").cast("double") / col("df").cast("double")).as("burstiness"))
+      .orderBy(col("lang").asc_nulls_last, col("burstiness").desc_nulls_last,
+        col("term").asc_nulls_last)
+
+  val t17Sql: String =
+    """WITH tok AS (
+      |  SELECT lang, doc_id, tok AS term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+      |s AS (
+      |  SELECT lang, term, count(*) AS cf, count(DISTINCT doc_id) AS df
+      |  FROM tok GROUP BY lang, term HAVING count(DISTINCT doc_id) >= 5)
+      |SELECT lang, term, cf, df,
+      |  CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+      |FROM s ORDER BY lang ASC NULLS LAST, burstiness DESC NULLS LAST,
+      |  term ASC NULLS LAST""".stripMargin
 }
