@@ -71,4 +71,74 @@ class FormatsSpec extends AnyFunSuite {
     val ingested = Ingest.sanitizeColumns(Ingest.readCsv(spark, dir))
     assert(ingested.columns.toSeq == Seq("автор_отзыва", "n_stars"))
   }
+
+  /** Malformed-row policy — the ingest decision every 100 TB CSV/JSON
+    * load makes once and lives with: PERMISSIVE quarantines the raw
+    * line in _corrupt_record (load everything, audit the residue),
+    * DROPMALFORMED silently sheds, FAILFAST aborts the job. All three
+    * must behave as declared — an engine that quietly coerces garbage
+    * corrupts the corpus downstream.
+    */
+  test("corrupt CSV rows: quarantine / drop / fail contracts") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val f = new java.io.PrintWriter(s"$dir/data.csv")
+    f.println("id,qty"); f.println("1,10"); f.println("2,not_a_number")
+    f.println("3,30"); f.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$dir/data.csv").cache() // cache: corrupt-column reads need the full row
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getString(2) == "2,not_a_number",
+      s"quarantine missed: ${bad.mkString}")
+    assert(permissive.filter(col("qty").isNull).count() == 1)
+    permissive.unpersist()
+
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(s"$dir/data.csv")
+    // collect, not count(): the count-only fast path parses no columns,
+    // so no row can be judged malformed and all 3 would be "counted"
+    val kept = dropped.collect()
+    assert(kept.length == 2 && kept.map(_.getLong(1)).sum == 40,
+      s"DROPMALFORMED kept ${kept.mkString(";")}")
+
+    val failing = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("header", "true").option("mode", "FAILFAST")
+        .csv(s"$dir/data.csv").collect()
+    }
+    // the malformed-record error arrives wrapped in FAILED_READ_FILE —
+    // assert on the cause chain, not the outer envelope
+    val chain = Iterator.iterate(failing: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.toLowerCase.contains("malformed"), chain)
+  }
+
+  /** Schema evolution on append — a corpus written over months gains
+    * columns; readers must see the union schema with nulls for files
+    * written before the column existed (`mergeSchema`), and the
+    * default fast path (first-file schema) must stay the default.
+    */
+  test("parquet mergeSchema unions evolved schemas across appends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "fr", 0.9)).toDF("doc_id", "lang", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "quality"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("quality").isNull).count() == 2,
+      "pre-evolution rows must surface null for the new column")
+    assert(merged.filter(col("quality") > 0.5).select(col("doc_id"))
+      .head.getLong(0) == 3L)
+  }
 }

@@ -313,6 +313,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"s08 no longer plans the native top-k:\n$plan")
   }
 
+  /** s10's diversification is BOTH selection levels on the native
+    * operator — the (query, cell) k=1 dedup and the (query) k=K cut.
+    * A regression to window sorts would keep fixture results identical
+    * but put two full per-query sorts back on the scored fact.
+    */
+  test("s10 plans two cascaded native top-k selections") {
+    val plan = graft.ops.Similarity.s10DiversifiedKnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val finals = "GraftTopKPerKeyFinal".r.findAllIn(plan).size
+    val partials = "GraftTopKPerKeyPartial".r.findAllIn(plan).size
+    assert(finals == 2 && partials == 2,
+      s"s10 expected 2 native top-k cascades, found $finals final / $partials partial:\n$plan")
+  }
+
   /** q57's global top-10 must plan as TakeOrderedAndProject
     * (per-partition bounded heaps + driver merge); a silent flip to a
     * full range-partitioned sort would re-introduce an O(n log n)
