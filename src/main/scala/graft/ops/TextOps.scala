@@ -752,6 +752,10 @@ object TextOps {
     */
   def t16CharDiversity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // Non-empty guard: Spark's split("") yields [""] on empty text
+      // while DuckDB's string_split yields []; excluding empty docs on
+      // both sides keeps the oracle parity off that edge entirely.
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
@@ -765,7 +769,8 @@ object TextOps {
 
   val t16Sql: String =
     """WITH ch AS (
-      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      |  WHERE length(text) > 0),
       |cc AS (
       |  SELECT doc_id, ch, count(*) AS n FROM ch GROUP BY doc_id, ch),
       |agg AS (

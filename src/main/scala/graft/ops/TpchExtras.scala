@@ -89,30 +89,35 @@ object TpchExtras {
           .filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // The threshold comparison stays in exact DECIMAL (value*1000 >
+    // total, identical to value > total*0.001) so borderline parts
+    // can't flip membership with double accumulation order; only the
+    // emitted column is cast to double.
     val perPart = Tables.lineitem(spark, sfDir)
       .join(natSup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("value_dec"))
     perPart
-      .join(broadcast(perPart.agg(
-        (sum(col("value")) * lit(0.001)).as("threshold"))))
-      .filter(col("value") > col("threshold"))
-      .select(col("l_partkey").as("partkey"), col("value"))
+      .join(broadcast(perPart.agg(sum(col("value_dec")).as("total_dec"))))
+      .filter(col("value_dec") * lit(1000) > col("total_dec"))
+      .select(col("l_partkey").as("partkey"),
+        col("value_dec").cast("double").as("value"))
       .orderBy(col("value").desc_nulls_last, col("partkey").asc_nulls_last)
   }
 
   val q75Sql: String =
     """WITH v AS (
       |  SELECT l_partkey,
-      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |      AS DOUBLE) AS value
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS value_dec
       |  FROM lineitem, supplier, nation
       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |    AND n_name = 'NATION_3'
       |  GROUP BY l_partkey)
-      |SELECT l_partkey AS partkey, value
+      |SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS value
       |FROM v
-      |WHERE value > (SELECT sum(value) * 0.001 FROM v)
+      |WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM v)
       |ORDER BY value DESC NULLS LAST, partkey ASC NULLS LAST""".stripMargin
 
   /** q76: TPC-H Q14 analogue (promo revenue share) — one month of

@@ -359,6 +359,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q71's returnflag filter did not reach the lineitem scan:\n${scans.mkString("\n")}")
   }
 
+  /** q84 consumes the per-customer aggregate `pc` in two branches (the
+    * bucket census and the final rank join). Spark plans the diamond
+    * twice, but the two scan→aggregate exchanges are canonically
+    * identical, so AQE must collapse the second into a ReusedExchange
+    * — otherwise the orders fact is scanned and shuffled twice. The
+    * executed plan only materializes reuse after an action, hence the
+    * collect() before the assertion.
+    */
+  test("q84's per-customer aggregate diamond is AQE-reused, not recomputed") {
+    val q = graft.ops.Stats.q84RevenueConcentration(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"q84's pc diamond executed without exchange reuse:\n$plan")
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
