@@ -78,6 +78,134 @@ object Dedup {
       |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** The minhash signature + LSH band rows of an arbitrary
+    * (doc_id, text) frame: (doc_id, sig, band, band_key), one row per
+    * band with the signature carried alongside. The carried signature
+    * is what makes a PERSISTED band index self-contained — a probe
+    * join on (band, band_key) yields both the candidate ids and the
+    * corpus signatures for scoring in one scan, no second lookup
+    * table. Shared by d13 (index build + batch probe) and its recall
+    * spec; same hashing/banding constants as d02's self-join path.
+    */
+  private[graft] def sigBands(spark: SparkSession, docs: DataFrame,
+      nBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("th", transform(split(col("text"), " "),
+        t => tokenHash32(t) % lit(P)))
+      .withColumn("sh", expr(
+        s"transform(sequence(1, size(th) - 2), " +
+          s"i -> ((th[i-1] * 8191 + th[i]) % $P * 8191 + th[i+1]) % $P)"))
+      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${nBands - 1}), b -> " +
+            s"aggregate(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), 0L, " +
+            s"(acc, x) -> (acc * 31 + x) % ${P}))"))
+          .as(Seq("band", "band_key")))
+  }
+
+  /** d13: incremental NEAR-dup dedup — the weekly re-crawl op and
+    * d07's LSH counterpart. d07 only catches byte-identical re-crawls;
+    * the recurring production shape is a NEW batch screened against a
+    * PERSISTED corpus band index without recomputing corpus×corpus.
+    *
+    * Index phase (amortized once per corpus version): d02's band rows
+    * are written to parquet partitioned by band (Sinks.writePartitioned
+    * layout) with the signature carried per row — done inside this
+    * query so the probe below reads the index back from disk exactly
+    * as the weekly job would.
+    *
+    * Probe phase (per batch): the new batch — doc_id%3 re-crawled
+    * verbatim, doc_id%10=7 re-crawled with an appended edit, d07's
+    * shapes — is shingled/signed/banded (batch-sized work only) and
+    * BROADCAST against the stored index on (band, band_key). The
+    * corpus side is therefore a parquet scan + map-side hash join:
+    * no corpus row is re-shingled, re-hashed or even shuffled at probe
+    * time (pinned in PlanAuditSpec — the plan carries exactly one
+    * graft_minhash, on the batch branch). Candidate pairs are scored
+    * by signature agreement like d02; the narrow (ids, est) rows are
+    * all that reaches the distinct shuffle.
+    */
+  def d13IncrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val indexDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_d13_index_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    ).getAbsolutePath
+    graft.sinks.Sinks.writePartitioned(
+      sigBands(spark, docs), indexDir, Seq("band"))
+    val index = spark.read.parquet(indexDir)
+
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" revised v2")).as("text")))
+    val probe = sigBands(spark, batch)
+      .select(col("doc_id").as("batch_id"), col("sig").as("bsig"),
+        col("band"), col("band_key"))
+
+    probe.hint("broadcast")
+      .join(index.select(col("doc_id").as("corpus_id"), col("sig").as("csig"),
+          col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("batch_id"), col("corpus_id"),
+        (aggregate(zip_with(col("bsig"), col("csig"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / lit(MinhashK.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.25)
+      .distinct()
+      .orderBy(col("batch_id").asc_nulls_last, col("corpus_id").asc_nulls_last)
+  }
+
+  /** The d02 minhash CTE chain over an arbitrary source relation,
+    * CTE names prefixed — the oracle-side twin of `sigBands`. Band
+    * rows carry the signature, matching the stored-index schema.
+    */
+  private def minhashChainSql(src: String, pre: String): String =
+    s"""${pre}th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      t -> ${tokenHash32Sql("t")} % ${P}) AS th
+       |  FROM $src
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |${pre}sh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(th) - 1),
+       |      i -> ((th[i] * 8191 + th[i+1]) % ${P} * 8191 + th[i+2]) % ${P}) AS hashes
+       |  FROM ${pre}th),
+       |${pre}sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, ${MinhashK + 1}),
+       |      i -> list_min(list_transform(hashes, h -> (${aSqlList}[i] * h + ${bSqlList}[i]) % ${P}))) AS sig
+       |  FROM ${pre}sh),
+       |${pre}bands AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+       |      (acc, x) -> (acc * 31 + x) % ${P}) AS band_key
+       |  FROM ${pre}sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(b))""".stripMargin
+
+  val d13Sql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' revised v2' FROM documents WHERE doc_id % 10 = 7),
+       |${minhashChainSql("documents", "c")},
+       |${minhashChainSql("batch", "b")},
+       |est AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |    CAST(list_reduce(list_prepend(0,
+       |      list_transform(range(1, ${MinhashK + 1}),
+       |        i -> CASE WHEN b.sig[i] = c.sig[i] THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE)
+       |      / ${MinhashK}.0 AS est_jaccard
+       |  FROM bbands b JOIN cbands c
+       |    ON b.band = c.band AND b.band_key = c.band_key)
+       |SELECT batch_id, corpus_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.25
+       |ORDER BY batch_id ASC NULLS LAST, corpus_id ASC NULLS LAST""".stripMargin
+
   /** The 5-token shingle set of a document's token array (shared by
     * d08/d09 and p12's decontamination). slice(tk,1,0) = typed empty
     * array; bare array() is array<null>.

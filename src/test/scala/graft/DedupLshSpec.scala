@@ -81,4 +81,54 @@ class DedupLshSpec extends AnyFunSuite {
       f"d04b recall vs exhaustive truth regressed to $recall%.3f " +
         "(missed: " + (truth -- verified).take(3) + ") — check the bands×rows split")
   }
+
+  /** VERDICT r7 #3: d13's incremental probe (stored band index + new
+    * batch) against the full non-incremental recompute — a self-join
+    * over corpus ∪ batch with the SAME 4×4 banding and the same 0.25
+    * estimate threshold, restricted to corpus×batch pairs. Both paths
+    * band identical signatures, so the incremental result must EQUAL
+    * the full recompute (recall 1.0, no extras), and it must contain
+    * the near-dups exact-hash d07 structurally misses (the ' revised
+    * v2' re-crawls).
+    */
+  test("d13 incremental probe equals the full corpus∪batch recompute") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" revised v2")).as("text")))
+    val union = docs.select(col("doc_id"), col("text")).unionByName(batch)
+    val bands = Dedup.sigBands(spark, union)
+    val full = bands.select(col("doc_id").as("id1"), col("sig").as("s1"),
+        col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("id2"), col("sig").as("s2"),
+          col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("id1") < lit(100000L) && col("id2") >= lit(100000L))
+      .select(col("id2").as("batch_id"), col("id1").as("corpus_id"),
+        (aggregate(zip_with(col("s1"), col("s2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / lit(16.0)).as("est"))
+      .filter(col("est") >= 0.25)
+      .select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty, "full recompute found no cross pairs — vacuous")
+
+    val incr = Dedup.d13IncrementalNearDup(spark, sfDir)
+      .select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    info(s"full=${full.size} incremental=${incr.size}")
+    assert(incr == full,
+      s"incremental != full recompute; missed=${(full -- incr).take(3)} " +
+        s"extra=${(incr -- full).take(3)}")
+    // the batch's verbatim re-crawls self-match their corpus twin...
+    assert(incr.exists { case (b, c) => b == c + 100000L },
+      "no verbatim re-crawl matched its corpus twin")
+    // ...and at least one EDITED re-crawl (exact-hash-invisible to
+    // d07) is caught as a near-dup of its original
+    assert(incr.exists { case (b, c) => b == c + 200000L },
+      "no edited re-crawl matched its original — the near-dup case d13 exists for")
+  }
 }

@@ -375,6 +375,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q84's pc diamond executed without exchange reuse:\n$plan")
   }
 
+  /** d13's contract is that the CORPUS side of the probe is the stored
+    * band index — a parquet scan feeding a broadcast hash join — and
+    * only the batch branch hashes text. One graft_minhash in the whole
+    * plan (the batch), an index FileScan, and no shuffle of the index:
+    * re-banding old rows at probe time would put a second minhash and
+    * an exchange on the corpus branch.
+    */
+  test("d13's corpus side is index scan + broadcast join, never re-banded") {
+    val q = graft.ops.Dedup.d13IncrementalNearDup(spark, sf)
+    // sparkPlan, not executedPlan: AQE's string form reprints the
+    // broadcast subtree and double-counts its scans
+    val leaves = q.queryExecution.sparkPlan.collectLeaves().map(_.toString)
+    // raw text is scanned exactly twice — the batch union's two
+    // branches; a corpus re-banding would add a third documents scan
+    val nRawScans = leaves.count(_.contains("documents.parquet"))
+    assert(nRawScans == 2,
+      s"expected exactly two raw documents scans (the batch union), got $nRawScans:\n${leaves.mkString("\n")}")
+    assert(leaves.exists(_.contains("graft_d13_index")),
+      s"d13's corpus side does not read the persisted band index:\n${leaves.mkString("\n")}")
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"d13's probe is not a broadcast join over the index:\n$plan")
+  }
+
   test("q01's lineitem scan reads only the needed columns") {
     // sparkPlan, not executedPlan: AQE wraps the latter into a single
     // AdaptiveSparkPlan leaf before execution
