@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -271,9 +271,15 @@ object Multimodal {
     * zero-padded to a whole width-16 raster. Pure built-ins, stays in
     * whole-stage codegen — the 100 TB shape for bulk media re-encode.
     */
-  def gimgMedia(spark: SparkSession, sfDir: String): DataFrame = {
+  def gimgMedia(spark: SparkSession, sfDir: String): DataFrame =
+    gimgMediaOf(Tables.documents(spark, sfDir))
+
+  /** The encoder over an arbitrary (doc_id, text) frame — m09 encodes
+    * both the corpus and its re-processed crawl through this.
+    */
+  def gimgMediaOf(docs: DataFrame): DataFrame = {
     val w = GimgCodec.Width
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
       .withColumn("n", octet_length(col("data")))
       .withColumn("h", expr(s"(n + ${w - 1}) div $w"))
@@ -458,4 +464,129 @@ object Multimodal {
       |  off - min(off) OVER (PARTITION BY lang, shard) AS offset_in_shard
       |FROM s
       |ORDER BY lang ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin
+
+  /** The 9 sampled plane columns of the dHash grid: floor(c·16/9). */
+  private val DhashCols: Seq[Int] = (0 to 8).map(c => c * 16 / 9)
+
+  /** m09: perceptual (near-dup) image dedup — the image counterpart of
+    * d02/d04 and the operator m05's exact payload hash structurally
+    * cannot be: a re-PROCESSED crawl (same picture, new bytes) hashes
+    * differently but LOOKS the same. Classic dHash over the GIMG pixel
+    * plane: sample a fixed 8×9 grid from the raster (rows stretch with
+    * image height — the "resize"), emit one bit per horizontally
+    * adjacent sample pair (left < right), giving a 64-bit gradient
+    * signature that is invariant to uniform brightness change. Stored
+    * as two 32-bit halves so every shift stays under the sign bit on
+    * both engines.
+    *
+    * The corpus is the media lake ∪ a brightness-shifted re-encode of
+    * every image (each data byte +1 via a printable-ASCII translate
+    * before encoding — the deterministic stand-in for a re-JPEG'd
+    * crawl; gradient signs are unchanged, so each re-encode collides
+    * with its original at hamming 0 while md5/m05 sees disjoint
+    * payloads). Candidates come from 4 × 16-bit signature bands —
+    * hamming ≤ 3 GUARANTEES a whole-band collision by pigeonhole — and
+    * the banded self-join routes through [[Scale.gridSelfJoinPairs]],
+    * so a hot band bucket (monochrome rasters, boilerplate headers at
+    * corpus scale) splits into grid cells instead of one task's O(n²).
+    * Verification is exact: bit_count of the signature XOR, kept at
+    * ≤ 3. Pixel extraction reads the PAYLOAD bytes (substring/hex/conv
+    * in whole-stage codegen, m07's header idiom applied to the plane)
+    * — 72 sampled bytes per image, never the full raster.
+    *
+    * Oracle: recomputes the same grid from the source text (pixel =
+    * ord(char), padding = 0, shifted copy = ord+1 — exactly what the
+    * encoder wrote; fixture is ASCII 32..121 so +1 stays printable),
+    * bands and verifies in SQL. Grid-vs-plain join equivalence is the
+    * helper's proven contract (GridPropertySpec).
+    */
+  def m09PerceptualDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val shiftFrom = (32 to 126).map(_.toChar).mkString
+    val shiftTo = (33 to 127).map(_.toChar).mkString
+    val reproc = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      translate(col("text"), shiftFrom, shiftTo).as("text"))
+    val media = gimgMediaOf(docs.select(col("doc_id"), col("text")))
+      .unionByName(gimgMediaOf(reproc))
+    // height from header bytes 7-8 (u16 BE); plane starts at byte 14
+    // (1-based). Sampled position (r, c): row floor(r·h/8), col
+    // DhashCols(c) — always inside the plane since floor(7h/8) ≤ h-1.
+    val withH = media.withColumn("h",
+      conv(hex(expr("substring(payload, 8, 2)")), 16, 10).cast("long"))
+    val px = for { r <- 0 until 8; c <- 0 to 8 } yield
+      conv(hex(expr(
+        s"substring(payload, 14 + (($r * h) div 8) * 16 + ${DhashCols(c)}, 1)")),
+        16, 10).cast("int").as(s"px_${r}_$c")
+    val sampled = withH.select(col("doc_id") +: px: _*)
+    def half(rows: Range): Column = rows.flatMap { r =>
+      (0 until 8).map { c =>
+        when(col(s"px_${r}_$c") < col(s"px_${r}_${c + 1}"),
+          lit(1L << ((r % 4) * 8 + c))).otherwise(lit(0L))
+      }
+    }.reduce(_ + _)
+    val sigs = sampled.select(col("doc_id"),
+      half(0 until 4).as("lo"), half(4 until 8).as("hi"))
+    val bands = sigs.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "key")))
+    val a = bands.select(col("doc_id").as("id1"), col("lo").as("lo1"),
+      col("hi").as("hi1"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("id2"), col("lo").as("lo2"),
+      col("hi").as("hi2"), col("band"), col("key"))
+    Scale.gridSelfJoinPairs(a, b, Seq("band", "key"), "id1", "id2",
+        rowsPerCell = 2000)
+      .withColumn("hamming", expr(
+        "CAST(bit_count(lo1 ^ lo2) + bit_count(hi1 ^ hi2) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("hamming"))
+      .distinct()
+      .orderBy(col("id1").asc_nulls_last, col("id2").asc_nulls_last)
+  }
+
+  val m09Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text, 0 AS shift FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, 1 FROM documents),
+      |t AS (
+      |  SELECT doc_id, shift, text, length(text) AS n,
+      |    (length(text) + 15) // 16 AS h
+      |  FROM src),
+      |smp AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 72), k ->
+      |      CASE WHEN (((k // 9) * h) // 8) * 16
+      |          + ([0,1,3,5,7,8,10,12,14])[(k % 9) + 1] < n
+      |        THEN ord(substr(text, (((k // 9) * h) // 8) * 16
+      |          + ([0,1,3,5,7,8,10,12,14])[(k % 9) + 1] + 1, 1)) + shift
+      |        ELSE 0 END) AS px
+      |  FROM t),
+      |lohi AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN px[(i // 8) * 9 + (i % 8) + 1] < px[(i // 8) * 9 + (i % 8) + 2]
+      |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN px[(i // 8 + 4) * 9 + (i % 8) + 1] < px[(i // 8 + 4) * 9 + (i % 8) + 2]
+      |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM smp),
+      |bands AS (
+      |  SELECT doc_id, lo, hi, b,
+      |    CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+      |  FROM lohi CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(b)),
+      |pairs AS (
+      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+      |    CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) AS INT)
+      |      AS hamming
+      |  FROM bands l JOIN bands r
+      |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+      |SELECT id1, id2, hamming FROM pairs
+      |WHERE hamming <= 3
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin
 }

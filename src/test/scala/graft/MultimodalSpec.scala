@@ -104,4 +104,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("padding"))
   }
+
+  /** VERDICT r7 #4: the perceptual dedup contract on a known near-dup
+    * pair class — every brightness-shifted re-encode must collide with
+    * its original at hamming 0 (dHash gradients are shift-invariant)
+    * even though the payload BYTES are pairwise distinct (m05's exact
+    * hash sees nothing). sf0.001 = 500 docs, so 500 twin pairs.
+    */
+  test("m09: brightness-shifted re-encodes are hamming-0 twins, invisible to exact hash") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val nDocs = graft.ops.Tables.documents(spark, sfDir).count()
+    val pairs = graft.ops.Multimodal.m09PerceptualDedup(spark, sfDir)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .as[(Long, Long, Int)].collect()
+    val twins = pairs.filter { case (a, b, _) => b == a + 100000L }
+    assert(twins.length == nDocs,
+      s"expected $nDocs shifted-twin pairs, found ${twins.length}")
+    assert(twins.forall(_._3 == 0),
+      s"a brightness shift moved the dHash: ${twins.filter(_._3 != 0).take(3).mkString(",")}")
+    // the same twin set under the EXACT payload hash: zero collisions
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val origH = graft.ops.Multimodal.gimgMediaOf(docs)
+      .select(col("doc_id"), md5(col("payload")).as("h"))
+    val shiftFrom = (32 to 126).map(_.toChar).mkString
+    val shiftTo = (33 to 127).map(_.toChar).mkString
+    val shiftH = graft.ops.Multimodal.gimgMediaOf(
+        docs.select(col("doc_id"),
+          translate(col("text"), shiftFrom, shiftTo).as("text")))
+      .select(col("doc_id"), md5(col("payload")).as("h2"))
+    val exactCollisions = origH.join(shiftH, Seq("doc_id"))
+      .filter(col("h") === col("h2")).count()
+    assert(exactCollisions == 0,
+      s"$exactCollisions shifted payloads hash-collide — the shift is not changing bytes")
+  }
 }
