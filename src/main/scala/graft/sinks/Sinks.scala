@@ -114,6 +114,88 @@ object Sinks {
       .parquet(path)
   }
 
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int, totalBytes: Long)
+
+  /** Small-file compaction — the lake-maintenance op every 100 TB
+    * pipeline schedules: streaming ingests and per-batch writes leave
+    * thousands of KB-sized files whose open/footer overhead dominates
+    * scans, so periodically bin-pack them toward `targetFileBytes`
+    * while PRESERVING the layout invariants readers rely on:
+    *
+    *  - `partitionCols` nonempty → each Hive partition's files merge
+    *    within that partition (directory pruning untouched);
+    *  - `sortCols` nonempty → rows are re-clustered exactly as
+    *    [[writeSorted]] wrote them (range-partitioned across files,
+    *    sorted within), so row-group min/max skipping KEEPS working
+    *    on the compacted layout;
+    *  - results are byte-identical rows — compaction is a file-count
+    *    knob only (proven in CompactionSpec).
+    *
+    * File sizing uses rows as the byte proxy: one metadata-cheap
+    * count + the listed byte total give bytes/row, and
+    * `maxRecordsPerFile` bounds each output file near the byte
+    * target. The rewrite stages into a sibling temp directory and
+    * swaps via delete+rename — the filesystem flavor of what a
+    * table-format lake does with a transaction-log commit (readers
+    * between the two renames see the old or new listing, not a mix,
+    * on a directory-rename filesystem; object stores want the
+    * log-based variant).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      partitionCols: Seq[String] = Seq.empty,
+      sortCols: Seq[String] = Seq.empty,
+      targetFileBytes: Long = 512L << 20,
+      targetRowGroupBytes: Long = 128L << 20): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles()
+    if (before.isEmpty) return CompactStats(0, 0, 0L)
+    val totalBytes = before.map(_.getLen).sum
+    val df = spark.read.parquet(path)
+    val totalRows = math.max(df.count(), 1L)
+    val bytesPerRow = math.max(totalBytes / totalRows, 1L)
+    val rowsPerFile = math.max(targetFileBytes / bytesPerRow, 1L)
+    val nFiles = math.max(
+      math.ceil(totalBytes.toDouble / targetFileBytes).toLong, 1L).toInt
+
+    val clustered =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(c => col(c).asc): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+
+    val tmp = new Path(p.getParent, p.getName + "_compact_tmp")
+    val w = clustered.write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", targetRowGroupBytes)
+      .option("maxRecordsPerFile", rowsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    // swap only after the rewrite committed
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    CompactStats(before.size, dataFiles().size, totalBytes)
+  }
+
   /** Bucketed + sorted table: both sides of a recurring equi join
     * bucketed by the join key join WITHOUT a shuffle (and without a
     * sort when also sorted). Requires the table catalog
