@@ -739,6 +739,113 @@ object TextOps {
       merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (l, r)) => applyMerge(c, l, r) }
 
+  /** The FROZEN production merge table: t15's deterministic training
+    * output on the sf0.001 corpus (20 rounds, rank order) — the
+    * tokenizer artifact a pipeline trains once and ships everywhere.
+    * BpeSpec pins this list equal to a fresh t15 run, so it cannot
+    * drift from the trainer silently.
+    */
+  private[graft] val FrozenMerges: Seq[(String, String)] = Seq(
+    " " -> "s", "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w",
+    "l" -> "u", "a" -> "r", "p" -> "ar", " " -> "a", " " -> "v",
+    "a" -> "s", " " -> "c", "m" -> "er", "a" -> "t", " " -> "f",
+    " " -> "t", " " -> "b", "a" -> "n", "c" -> "an", "lu" -> "m")
+
+  /** t18: train→apply subword segmentation — the consumption side of
+    * t15 exposed as a query. Each document is pre-tokenized with
+    * t05's regex, every pre-token's character sequence is re-segmented
+    * under [[FrozenMerges]] by rank-ordered leftmost-greedy rewrites
+    * (the standard BPE application order), and the per-document
+    * subword economy is emitted: pre-token count, raw symbol count,
+    * post-merge subword count, and the compression ratio the learned
+    * vocabulary buys.
+    *
+    * Scale shape: the 20-rule table compiles into ONE fused column
+    * expression (20 nested codegen'd folds — applyMerges), so the
+    * corpus is touched exactly once and the only shuffle is the
+    * per-document count collapse; there is no join against the merge
+    * table and nothing iterative at run time. The oracle replays the
+    * identical fold as a recursive-CTE state machine (DuckDB 1.0 has
+    * no list-accumulator reduce), one chain per pre-token, so the
+    * driver gate stays hash-exact.
+    */
+  def t18SubwordSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(text, '$pat', 0)")).as("w"))
+      .select(col("doc_id"), expr("split(w, '')").as("syms"),
+        expr("split(w, '')").as("cur"))
+    // one projection per rule, each referencing the previous rule's
+    // OUTPUT ATTRIBUTE: applyMerge uses its input ~3×, so inlining all
+    // 20 rules into one expression is a 3²⁰-node tree (measured: OOM
+    // in the optimizer). The attribute boundary keeps the plan linear
+    // — still a single pass over the corpus, 20 narrow projections
+    // deep, and CollapseProject leaves multi-use non-cheap producers
+    // alone.
+    val merged = FrozenMerges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("cur", applyMerge(col("cur"), l, r))
+    }
+    merged
+      .select(col("doc_id"), size(col("syms")).as("nc"),
+        size(col("cur")).as("ns"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pretok"),
+        sum(col("nc").cast("long")).as("n_chars"),
+        sum(col("ns").cast("long")).as("n_subwords"))
+      .select(col("doc_id"), col("n_pretok"), col("n_chars"),
+        col("n_subwords"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("compression"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val t18Sql: String = {
+    val mergeRows = FrozenMerges.zipWithIndex.map { case ((l, r), i) =>
+      s"(${i + 1}, '${l.replace("'", "''")}', '${r.replace("'", "''")}')"
+    }.mkString(", ")
+    val n = FrozenMerges.size
+    s"""WITH RECURSIVE merges(mrank, ml, mr) AS (
+       |  VALUES $mergeRows),
+       |raw AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS ws
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tid, ws
+       |  FROM raw),
+       |tsy AS (
+       |  SELECT doc_id, tid, string_split(ws[CAST(tid AS INT)], '') AS syms
+       |  FROM toks),
+       |step(doc_id, tid, mrank, acc, rest) AS (
+       |  SELECT doc_id, tid, 1, [syms[1]], syms[2:]
+       |  FROM tsy
+       |  UNION ALL
+       |  SELECT s.doc_id, s.tid,
+       |    CASE WHEN len(s.rest) > 0 THEN s.mrank ELSE s.mrank + 1 END,
+       |    CASE WHEN len(s.rest) > 0 THEN
+       |      CASE WHEN s.acc[-1] = m.ml AND s.rest[1] = m.mr
+       |        THEN s.acc[:len(s.acc) - 1] || [m.ml || m.mr]
+       |        ELSE s.acc || [s.rest[1]] END
+       |      ELSE [s.acc[1]] END,
+       |    CASE WHEN len(s.rest) > 0 THEN s.rest[2:] ELSE s.acc[2:] END
+       |  FROM step s JOIN merges m ON m.mrank = s.mrank
+       |  WHERE len(s.rest) > 0 OR s.mrank < $n),
+       |seg AS (
+       |  SELECT doc_id, tid, len(acc) AS ns,
+       |    len(acc) + CAST(list_sum(list_transform(acc, a -> length(a) - 1))
+       |      AS BIGINT) AS nc0
+       |  FROM step WHERE mrank = $n AND len(rest) = 0)
+       |SELECT doc_id,
+       |  count(*) AS n_pretok,
+       |  CAST(sum(nc0) AS BIGINT) AS n_chars,
+       |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+       |  CAST(sum(nc0) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS compression
+       |FROM seg
+       |GROUP BY doc_id
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
+
   /** t16: character-diversity quality score — Simpson's index
     * 1 − Σ p_c² over each document's character distribution, the
     * log-free stand-in for character entropy (same detection power for

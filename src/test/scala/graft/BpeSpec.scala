@@ -98,4 +98,23 @@ class BpeSpec extends AnyFunSuite {
     assert(residual == 0L, s"$residual adjacencies of learned pairs survive")
     words.unpersist(); applied.unpersist()
   }
+
+  /** VERDICT r7 #6: t18 consumes the TRAINED artifact — the frozen
+    * merge table t18 applies (and its oracle replays) must be exactly
+    * what t15 learns on the sf0.001 corpus at 20 rounds. A trainer
+    * change that shifts any rule breaks this pin instead of silently
+    * desynchronizing the shipped tokenizer from its training run.
+    */
+  test("t18's frozen merge table is t15's sf0.001 training output") {
+    val trained = TextOps.t15BpeTrain(spark, sf, 20).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(trained == TextOps.FrozenMerges,
+      s"frozen table drifted from the trainer:\n  trained=$trained\n  frozen =${TextOps.FrozenMerges}")
+    // and the applied economy is real: every document compresses
+    val seg = TextOps.t18SubwordSegment(spark, sf)
+    val bad = seg.filter(col("n_subwords") >= col("n_chars")).count()
+    val n = seg.count()
+    assert(n > 0 && bad < n / 10,
+      s"$bad of $n docs failed to compress under the frozen vocabulary")
+  }
 }
