@@ -89,5 +89,9 @@ object GraftFunctions {
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinhashSignature(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters",
+      exprs => MisraGriesAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
   }
 }

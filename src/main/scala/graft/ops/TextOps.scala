@@ -846,6 +846,36 @@ object TextOps {
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
 
+  /** t19: approximate per-language heavy-hitter terms — the vocabulary
+    * census t01 does exactly, re-done as a bounded-memory sketch for
+    * the 100 TB regime where even the Heaps'-law vocabulary is too
+    * wide to shuffle: the Misra-Gries `TypedImperativeAggregate`
+    * ([[graft.functions.MisraGriesAgg]]) holds ≤ `capacity` counters
+    * per partition, ships only those buffers through the partial→final
+    * merge, and carries its own deterministic error bound
+    * (err = (N − Σ est)/(capacity+1); any term above err is guaranteed
+    * present; estimates never overshoot). Estimates are
+    * partitioning-dependent (inherent to MG), so like q14/q52 the
+    * driver records a rows-only check and the contract lives in
+    * SketchMergeSpec: the bound above is asserted against exact t01
+    * truth at 1, 4 and 32 partitions.
+    */
+  def t19HeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    t19Of(Tables.documents(spark, sfDir), 64)
+
+  /** t19 over an arbitrary documents frame — the property-spec entry. */
+  private[graft] def t19Of(docs: DataFrame, capacity: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("lang"), explode(tokens).as("term"))
+      .groupBy(col("lang"))
+      .agg(expr(s"graft_heavy_hitters(term, $capacity)").as("hh"))
+      .select(col("lang"), col("hh.n").as("n_tokens"),
+        col("hh.err").as("err_bound"),
+        expr("slice(hh.items, 1, 10)").as("top_terms"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
   /** t16: character-diversity quality score — Simpson's index
     * 1 − Σ p_c² over each document's character distribution, the
     * log-free stand-in for character entropy (same detection power for

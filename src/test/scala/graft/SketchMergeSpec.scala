@@ -78,4 +78,53 @@ class SketchMergeSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** VERDICT r7 #8: the Misra-Gries heavy-hitters aggregate. Retained
+    * sets and estimates legitimately vary with partitioning; what must
+    * hold at EVERY partitioning (i.e. through every partial→merge
+    * shape) is the deterministic contract vs exact truth:
+    * never-overshoot, undershoot within the self-reported bound, and
+    * no term above the bound missing.
+    */
+  test("t19 Misra-Gries bound holds vs exact counts at 1, 4, and 32 partitions") {
+    import graft.ops.TextOps
+    val docs = Tables.documents(spark, sf)
+    val exact = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    val capacity = 64
+    partitionings.foreach { p =>
+      graft.functions.GraftFunctions.register(spark)
+      val sk = docs.repartition(p)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("lang"))
+        .agg(expr(s"graft_heavy_hitters(term, $capacity)").as("hh"))
+        .select(col("lang"), col("hh.n"), col("hh.err"), col("hh.items"))
+        .collect()
+      assert(sk.nonEmpty)
+      sk.foreach { row =>
+        val lang = row.getString(0)
+        val (n, err) = (row.getLong(1), row.getLong(2))
+        val truth = exact(lang)
+        assert(n == truth.values.sum, s"[$p/$lang] n=$n != ${truth.values.sum}")
+        val items = row.getSeq[org.apache.spark.sql.Row](3)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(items.size <= capacity)
+        items.foreach { case (t, est) =>
+          val tru = truth.getOrElse(t, 0L)
+          assert(est <= tru, s"[$p/$lang] '$t' overshoots: est=$est > true=$tru")
+          assert(tru - est <= err,
+            s"[$p/$lang] '$t' undershoots past the bound: true=$tru est=$est err=$err")
+        }
+        val missed = truth.filter { case (t, c) => c > err && !items.contains(t) }
+        assert(missed.isEmpty,
+          s"[$p/$lang] heavy terms above err=$err missing: ${missed.take(3)}")
+      }
+    }
+  }
 }
