@@ -270,6 +270,46 @@ class StatefulSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  /** VERDICT r7 #9: funnel state machine — pure-transition edges the
+    * stream path can't isolate: out-of-order fold, strict-inequality
+    * stage gates, cross-batch carryover.
+    */
+  test("funnel state machine: ordering, strict gates, carryover") {
+    import graft.streaming.StatefulFunnel
+    import graft.streaming.StatefulFunnel.{FEv, FunnelState}
+    def ev(t: Long, ty: String) = FEv(7L, new java.sql.Timestamp(t), ty)
+    // out-of-order arrival within a batch: the earlier view wins, the
+    // click between the two views qualifies against the EARLier one
+    val s1 = StatefulFunnel.advance(
+      Seq(ev(3000, "view"), ev(2000, "click"), ev(1000, "view")), None)
+    assert(s1 == FunnelState(Some(1000000L), Some(2000000L), None), s1)
+    // strict gate: click at exactly t_view does not advance
+    val s2 = StatefulFunnel.advance(
+      Seq(ev(1000, "view"), ev(1000, "click")), None)
+    assert(s2 == FunnelState(Some(1000000L), None, None), s2)
+    // carryover: purchase in a later batch closes the chain; a second
+    // earlier purchase cannot retro-lower a set stage
+    val s3 = StatefulFunnel.advance(Seq(ev(5000, "purchase")), Some(s1))
+    assert(s3 == FunnelState(Some(1000000L), Some(2000000L), Some(5000000L)), s3)
+    val s4 = StatefulFunnel.advance(Seq(ev(4000, "purchase")), Some(s3))
+    assert(s4 == s3, s4)
+  }
+
+  test("streaming funnel == batch e19 on the complete prefix") {
+    import graft.streaming.StatefulFunnel
+    val latest = StatefulFunnel.runToCompletion(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view_us")).as("tv"), max(col("t_click_us")).as("tc"),
+        max(col("t_purchase_us")).as("tp"))
+      .agg(count(col("tv")).as("s1"), count(col("tc")).as("s2"),
+        count(col("tp")).as("s3"))
+      .collect()(0)
+    val batch = EventOps.e19Funnel(spark, sf).collect()(0)
+    assert((latest.getLong(0), latest.getLong(1), latest.getLong(2)) ==
+      (batch.getLong(0), batch.getLong(1), batch.getLong(2)),
+      s"streaming funnel ${latest} != batch ${batch}")
+  }
+
   test("WeightedAvg aggregator matches sum(x*w)/sum(w)") {
     import spark.implicits._
     val ds = Tables.lineitem(spark, sf)
