@@ -760,39 +760,40 @@ object TextOps {
     * post-merge subword count, and the compression ratio the learned
     * vocabulary buys.
     *
-    * Scale shape: the 20-rule table compiles into ONE fused column
-    * expression (20 nested codegen'd folds — applyMerges), so the
-    * corpus is touched exactly once and the only shuffle is the
-    * per-document count collapse; there is no join against the merge
-    * table and nothing iterative at run time. The oracle replays the
-    * identical fold as a recursive-CTE state machine (DuckDB 1.0 has
-    * no list-accumulator reduce), one chain per pre-token, so the
-    * driver gate stays hash-exact.
+    * Scale shape — t15's Heaps'-law trick applied to the APPLY side:
+    * segmentation is a pure function of the pre-token string, so the
+    * 20-rule fold runs once per DISTINCT pre-token (vocabulary-sized,
+    * ~√corpus), never per occurrence (measured 25.7 s → sub-second at
+    * sf0.1 when the fold moved off the occurrence stream). The
+    * corpus-sized work is one (doc, word) count collapse; the segmented
+    * vocabulary broadcasts back onto it and the per-document economy
+    * is a weighted sum. Inside the vocabulary pass the rules apply as
+    * one projection per rule, each referencing the previous rule's
+    * OUTPUT ATTRIBUTE: applyMerge uses its input ~3×, so inlining all
+    * 20 rules into one expression is a 3²⁰-node tree (measured: OOM in
+    * the optimizer), while the attribute boundary keeps the plan
+    * linear and CollapseProject leaves multi-use non-cheap producers
+    * alone. The oracle replays the identical fold as a recursive-CTE
+    * state machine over the same distinct vocabulary (DuckDB 1.0 has
+    * no list-accumulator reduce), so the driver gate stays hash-exact.
     */
   def t18SubwordSegment(spark: SparkSession, sfDir: String): DataFrame = {
     val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
-    val base = Tables.documents(spark, sfDir)
+    val wc = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(expr(s"regexp_extract_all(text, '$pat', 0)")).as("w"))
-      .select(col("doc_id"), expr("split(w, '')").as("syms"),
-        expr("split(w, '')").as("cur"))
-    // one projection per rule, each referencing the previous rule's
-    // OUTPUT ATTRIBUTE: applyMerge uses its input ~3×, so inlining all
-    // 20 rules into one expression is a 3²⁰-node tree (measured: OOM
-    // in the optimizer). The attribute boundary keeps the plan linear
-    // — still a single pass over the corpus, 20 narrow projections
-    // deep, and CollapseProject leaves multi-use non-cheap producers
-    // alone.
-    val merged = FrozenMerges.foldLeft(base) { case (df, (l, r)) =>
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val vocab0 = wc.select(col("w")).distinct()
+      .select(col("w"), expr("split(w, '')").as("cur"))
+    val vocab = FrozenMerges.foldLeft(vocab0) { case (df, (l, r)) =>
       df.withColumn("cur", applyMerge(col("cur"), l, r))
-    }
-    merged
-      .select(col("doc_id"), size(col("syms")).as("nc"),
-        size(col("cur")).as("ns"))
+    }.select(col("w"), length(col("w")).cast("long").as("nc"),
+      size(col("cur")).cast("long").as("ns"))
+    wc.join(broadcast(vocab), Seq("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pretok"),
-        sum(col("nc").cast("long")).as("n_chars"),
-        sum(col("ns").cast("long")).as("n_subwords"))
+      .agg(sum(col("n")).as("n_pretok"),
+        sum(col("n") * col("nc")).as("n_chars"),
+        sum(col("n") * col("ns")).as("n_subwords"))
       .select(col("doc_id"), col("n_pretok"), col("n_chars"),
         col("n_subwords"),
         (col("n_chars").cast("double") / col("n_subwords").cast("double"))
@@ -807,21 +808,19 @@ object TextOps {
     val n = FrozenMerges.size
     s"""WITH RECURSIVE merges(mrank, ml, mr) AS (
        |  VALUES $mergeRows),
-       |raw AS (
-       |  SELECT doc_id,
-       |    regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS ws
-       |  FROM documents),
-       |toks AS (
-       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tid, ws
-       |  FROM raw),
+       |wc AS (
+       |  SELECT doc_id, w, count(*) AS n FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS w
+       |    FROM documents)
+       |  GROUP BY doc_id, w),
        |tsy AS (
-       |  SELECT doc_id, tid, string_split(ws[CAST(tid AS INT)], '') AS syms
-       |  FROM toks),
-       |step(doc_id, tid, mrank, acc, rest) AS (
-       |  SELECT doc_id, tid, 1, [syms[1]], syms[2:]
+       |  SELECT w, string_split(w, '') AS syms FROM (SELECT DISTINCT w FROM wc)),
+       |step(w, mrank, acc, rest) AS (
+       |  SELECT w, 1, [syms[1]], syms[2:]
        |  FROM tsy
        |  UNION ALL
-       |  SELECT s.doc_id, s.tid,
+       |  SELECT s.w,
        |    CASE WHEN len(s.rest) > 0 THEN s.mrank ELSE s.mrank + 1 END,
        |    CASE WHEN len(s.rest) > 0 THEN
        |      CASE WHEN s.acc[-1] = m.ml AND s.rest[1] = m.mr
@@ -832,16 +831,15 @@ object TextOps {
        |  FROM step s JOIN merges m ON m.mrank = s.mrank
        |  WHERE len(s.rest) > 0 OR s.mrank < $n),
        |seg AS (
-       |  SELECT doc_id, tid, len(acc) AS ns,
-       |    len(acc) + CAST(list_sum(list_transform(acc, a -> length(a) - 1))
-       |      AS BIGINT) AS nc0
+       |  SELECT w, CAST(len(acc) AS BIGINT) AS ns
        |  FROM step WHERE mrank = $n AND len(rest) = 0)
        |SELECT doc_id,
-       |  count(*) AS n_pretok,
-       |  CAST(sum(nc0) AS BIGINT) AS n_chars,
-       |  CAST(sum(ns) AS BIGINT) AS n_subwords,
-       |  CAST(sum(nc0) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS compression
-       |FROM seg
+       |  CAST(sum(n) AS BIGINT) AS n_pretok,
+       |  CAST(sum(n * length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n * ns) AS BIGINT) AS n_subwords,
+       |  CAST(sum(n * length(w)) AS DOUBLE) / CAST(sum(n * ns) AS DOUBLE)
+       |    AS compression
+       |FROM wc JOIN seg USING (w)
        |GROUP BY doc_id
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
