@@ -130,9 +130,14 @@ object Dedup {
     */
   def d13IncrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // Per-session unique component: two concurrent sessions on the
+    // same fixture (scalatest suite + driver run) must not share a
+    // directory — one side's Overwrite would delete parquet files out
+    // from under the other side's probe scan.
     val indexDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_d13_index_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      "graft_d13_index_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + spark.sparkContext.applicationId
     ).getAbsolutePath
     graft.sinks.Sinks.writePartitioned(
       sigBands(spark, docs), indexDir, Seq("band"))

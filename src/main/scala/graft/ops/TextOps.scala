@@ -861,7 +861,14 @@ object TextOps {
   def t19HeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
     t19Of(Tables.documents(spark, sfDir), 64)
 
-  /** t19 over an arbitrary documents frame — the property-spec entry. */
+  /** t19 over an arbitrary documents frame — the property-spec entry.
+    * Output is deliberately FLAT (one row per retained top-10 term,
+    * ranked): the driver's rows-only check sorts and hashes a pandas
+    * frame, and a nested array<struct> column is unsortable there
+    * (round-8 artifact recorded a TypeError instead of a row count).
+    * Flat (lang, rank, term, est) rows are also the more queryable
+    * shape — downstream joins/filters need no lateral explode.
+    */
   private[graft] def t19Of(docs: DataFrame, capacity: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
@@ -870,8 +877,11 @@ object TextOps {
       .agg(expr(s"graft_heavy_hitters(term, $capacity)").as("hh"))
       .select(col("lang"), col("hh.n").as("n_tokens"),
         col("hh.err").as("err_bound"),
-        expr("slice(hh.items, 1, 10)").as("top_terms"))
-      .orderBy(col("lang").asc_nulls_last)
+        posexplode(expr("slice(hh.items, 1, 10)")).as(Seq("pos", "item")))
+      .select(col("lang"), col("n_tokens"), col("err_bound"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("item.term").as("term"), col("item.est").as("est_count"))
+      .orderBy(col("lang").asc_nulls_last, col("rank").asc)
   }
 
   /** t16: character-diversity quality score — Simpson's index

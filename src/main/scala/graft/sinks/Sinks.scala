@@ -136,11 +136,19 @@ object Sinks {
     * count + the listed byte total give bytes/row, and
     * `maxRecordsPerFile` bounds each output file near the byte
     * target. The rewrite stages into a sibling temp directory and
-    * swaps via delete+rename — the filesystem flavor of what a
-    * table-format lake does with a transaction-log commit (readers
-    * between the two renames see the old or new listing, not a mix,
-    * on a directory-rename filesystem; object stores want the
-    * log-based variant).
+    * swaps by renaming the OLD directory aside first (path → _old,
+    * tmp → path, delete _old): `path` is absent only between two
+    * metadata renames, and a crash at any step leaves a complete
+    * copy of the data on disk (worst case under `_compact_old`,
+    * recoverable by hand). This is still only the filesystem
+    * approximation of a table-format transaction-log commit — a
+    * reader that lists in the rename gap can see a missing
+    * directory; object stores and concurrent readers want the
+    * log-based variant. Note also that the rewrite round-trips
+    * through `spark.read.parquet`, which re-infers Hive partition
+    * column TYPES from the directory values — a numeric-looking
+    * string partition value would come back typed numeric; keep
+    * partition values type-stable or pass an explicit schema.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -189,10 +197,17 @@ object Sinks {
       .option("maxRecordsPerFile", rowsPerFile)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
-    // swap only after the rewrite committed
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
+    // swap only after the rewrite committed: old aside, tmp in, old
+    // gone — `path` is never deleted before its replacement exists
+    val old = new Path(p.getParent, p.getName + "_compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // best-effort restore; data was never deleted
       throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    }
+    fs.delete(old, true)
     CompactStats(before.size, dataFiles().size, totalBytes)
   }
 
