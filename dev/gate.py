@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Mechanical bench gate (round 8+; see BASELINE.md "Round-8 re-baseline").
+"""Mechanical bench gate (round 8+; see BASELINE.md "Round-10 re-baseline").
 
 The raw 2x-vs-r4 gate stopped being meaningful once (a) the query count
 grew 56% past r4's surface and (b) the driver host settled into a
@@ -11,8 +11,9 @@ gate as executable arithmetic over a BENCH json:
     PASS iff s <= GATE_FACTOR * S_REF
 
 C_REF and S_REF come from the committed quiet-host full-suite artifact
-(default dev/bench_quiet_r9.json — a full `graft.Bench` run at sf0.1
-recorded on a calibration-quiet host; protocol in BASELINE.md).
+(default dev/bench_quiet_r10.json — a full `graft.Bench` run at sf0.1,
+32 cpus, reps=2, recorded round 10 on a calibration-quiet host;
+protocol in BASELINE.md "Round-10 re-baseline").
 GATE_FACTOR = 1.25 absorbs residual calibration nonlinearity; genuine
 per-query regressions are adjudicated with dev/ab.py, not this gate.
 
@@ -21,7 +22,7 @@ Usage: python3 dev/gate.py BENCH_rN.json [quiet_artifact.json]
 import json, os, statistics, sys
 
 GATE_FACTOR = 1.25
-DEFAULT_QUIET = os.path.join(os.path.dirname(__file__), "bench_quiet_r9.json")
+DEFAULT_QUIET = os.path.join(os.path.dirname(__file__), "bench_quiet_r10.json")
 
 
 def load_ref(quiet_path):
@@ -57,4 +58,6 @@ def main(path, quiet_path=DEFAULT_QUIET):
 
 
 if __name__ == "__main__":
+    if not 2 <= len(sys.argv) <= 3:
+        sys.exit("usage: python3 dev/gate.py BENCH_rN.json [quiet_artifact.json]")
     sys.exit(main(*sys.argv[1:]))

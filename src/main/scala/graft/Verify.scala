@@ -14,6 +14,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // inert on the current timestamp[us] events fixture; lets the
+      // same binary read pre-r9 TIMESTAMP(NANOS) fixtures as longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -17,6 +17,24 @@ import graft.functions.PortableHash._
   */
 object Dedup {
 
+  /** Dirs queued for recursive deletion at JVM exit (one hook total,
+    * registered lazily; adding a dir twice is a no-op).
+    */
+  private val tmpCleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val tmpCleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => tmpCleanupDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }))
+  private def registerTmpCleanup(dir: String): Unit = {
+    tmpCleanupHook
+    tmpCleanupDirs.add(dir): Unit
+  }
+
   private def toks: Column = split(col("text"), " ")
 
   /** Exact dedup over a simulated double-crawl (the fixture has no
@@ -139,6 +157,11 @@ object Dedup {
       "graft_d13_index_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
         "_" + spark.sparkContext.applicationId
     ).getAbsolutePath
+    // The returned frame scans the index lazily, so the dir must
+    // outlive this call; a shutdown hook (idempotent per dir) cleans
+    // it up at JVM exit so repeated single-suite JVMs don't leak one
+    // band-index directory per run.
+    registerTmpCleanup(indexDir)
     graft.sinks.Sinks.writePartitioned(
       sigBands(spark, docs), indexDir, Seq("band"))
     val index = spark.read.parquet(indexDir)

@@ -22,12 +22,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. The sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so the column arrives
-    * as a nanosecond long; normalize it to a microsecond TIMESTAMP_NTZ
-    * (the fixture's actual precision — DuckDB reads the same file
-    * truncated to micros, so the two engines see identical values).
+  /** `events.ts` has shipped in two physical shapes across fixture
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * only accepts as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (the sessions keep
+    * that conf; it is inert on non-nanos files) — and the current
+    * TIMESTAMP(MICROS), which arrives as a native timestamp. Branch on
+    * the arriving type and normalize both to microsecond TIMESTAMP_NTZ
+    * so every downstream operator sees identical values either way
+    * (DuckDB reads the same file at micros precision, so oracle
+    * comparisons line up). The streaming twin of this guard is
+    * `StreamingOps.eventsStream`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")

@@ -877,7 +877,10 @@ object TextOps {
       .agg(expr(s"graft_heavy_hitters(term, $capacity)").as("hh"))
       .select(col("lang"), col("hh.n").as("n_tokens"),
         col("hh.err").as("err_bound"),
-        posexplode(expr("slice(hh.items, 1, 10)")).as(Seq("pos", "item")))
+        // _outer: a lang with tokens but zero retained heavy hitters
+        // keeps its (n_tokens, err_bound) row with null term/rank
+        // rather than vanishing from the census
+        posexplode_outer(expr("slice(hh.items, 1, 10)")).as(Seq("pos", "item")))
       .select(col("lang"), col("n_tokens"), col("err_bound"),
         (col("pos") + 1).cast("int").as("rank"),
         col("item.term").as("term"), col("item.est").as("est_count"))

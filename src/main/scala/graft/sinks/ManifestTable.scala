@@ -1,0 +1,254 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Manifest-committed table — the object-store-safe commit protocol
+  * [[Sinks.compact]]'s directory-rename swap approximates (VERDICT r9
+  * "What's missing" #3). The idea is the transaction-log core of every
+  * lake table format (Delta/Iceberg/Hudi), reduced to its minimum:
+  *
+  *  - data files live under `<table>/data/s<version>-<uuid>/`, written
+  *    once and NEVER renamed or mutated;
+  *  - the table's visible state is a single JSON manifest
+  *    `<table>/_manifests/v<version>.json` listing the data files of
+  *    that snapshot;
+  *  - commit = atomically creating the NEXT manifest file (staged
+  *    write + rename-without-replace). Readers resolve the highest
+  *    version and read exactly its file list — there is no moment
+  *    where a reader can list a half-renamed directory, because
+  *    nothing is ever renamed over: a reader sees v(N) in full or
+  *    v(N+1) in full;
+  *  - superseded snapshots' files stay on disk until [[vacuum]], so a
+  *    reader that resolved v(N) keeps working while v(N+1) commits —
+  *    snapshot isolation by immutability, and a crash anywhere leaves
+  *    either the old table state (no new manifest) or the new one
+  *    (manifest committed), never a torn state;
+  *  - concurrent writers race on creating the same v(N+1) name; the
+  *    loser's rename fails (create-exclusive CAS) and its orphaned
+  *    snapshot dir is reclaimed by the next vacuum. Single-winner
+  *    commits without any lock service — the same optimistic
+  *    concurrency the real formats use.
+  *
+  * Object-store note: rename here moves ONE small manifest file, not
+  * the data. On stores whose rename is copy+delete this is a metadata
+  * put of a few KB (vs [[Sinks.compact]] renaming the whole data
+  * tree), and on stores with conditional-put the staged rename maps
+  * directly onto put-if-absent.
+  *
+  * Hive-partitioned layouts are preserved: data files keep their
+  * `col=value/` subpaths inside the snapshot dir and reads pass
+  * `basePath`, so partition columns and partition pruning work
+  * unchanged on a manifest table.
+  */
+object ManifestTable {
+
+  private val ManifestDir = "_manifests"
+
+  private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
+    val p = new Path(table)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(table: Path, version: Long): Path =
+    new Path(new Path(table, ManifestDir), f"v$version%012d.json")
+
+  /** Highest committed version, or 0 if the table does not exist yet. */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val (fs, p) = fsOf(spark, table)
+    val dir = new Path(p, ManifestDir)
+    if (!fs.exists(dir)) return 0L
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  private def listDataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += f
+    }
+    buf.toSeq
+  }
+
+  /** Serialize/parse the manifest. Hand-rolled like Bench's artifact:
+    * paths are uuid/part-file names (no quotes/backslashes to escape).
+    */
+  private def render(version: Long, files: Seq[String]): String =
+    files.map("\"" + _ + "\"")
+      .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+
+  private def parseFiles(json: String): Seq[String] = {
+    val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .getOrElse(throw new java.io.IOException(s"bad manifest: $json"))
+    m.group(1).split(",").iterator
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+  }
+
+  /** Stage + CAS-create the manifest for `version`. Returns false if a
+    * concurrent writer won the race for this version number.
+    */
+  private[graft] def commitManifest(fs: FileSystem, table: Path, version: Long,
+      relFiles: Seq[String]): Boolean = {
+    val target = manifestPath(table, version)
+    fs.mkdirs(target.getParent)
+    val staged = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(staged, false)
+    try out.write(render(version, relFiles).getBytes("UTF-8"))
+    finally out.close()
+    // rename-without-replace is the CAS: Hadoop FS contracts fail the
+    // rename when the destination exists (pre-check narrows the local
+    // RawLocalFileSystem, whose POSIX renameTo would overwrite)
+    if (fs.exists(target)) { fs.delete(staged, false); return false }
+    val won = fs.rename(staged, target)
+    if (!won) fs.delete(staged, false)
+    won
+  }
+
+  /** Write `df` as the next snapshot of `table` and commit it. The
+    * snapshot REPLACES the table contents (overwrite semantics — the
+    * compaction/rewrite commit unit); appends are a commit of
+    * old-files + new-files, see [[append]]. Returns the committed
+    * version. Throws if a concurrent writer claimed the version first
+    * (retry by re-reading, the standard optimistic loop).
+    */
+  def write(spark: SparkSession, df: DataFrame, table: String,
+      partitionCols: Seq[String] = Seq.empty,
+      maxRecordsPerFile: Long = 0L): Long = {
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    val next = base + 1
+    val snapDir = new Path(new Path(p, "data"),
+      s"s$next-${java.util.UUID.randomUUID()}")
+    var w = df.write.mode(SaveMode.ErrorIfExists)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(snapDir.toString)
+    val rel = listDataFiles(fs, snapDir)
+      .map(f => relativize(p, f.getPath)).sorted
+    if (!commitManifest(fs, p, next, rel))
+      throw new java.io.IOException(
+        s"manifest commit lost the race for v$next of $table; " +
+          "snapshot dir left for vacuum — re-read and retry")
+    next
+  }
+
+  /** Append `df`: new snapshot dir holds only the new files; the
+    * committed manifest is current-files + new-files.
+    */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    val existing =
+      if (base == 0) Seq.empty else currentFiles(spark, table, base)
+    val next = base + 1
+    val snapDir = new Path(new Path(p, "data"),
+      s"s$next-${java.util.UUID.randomUUID()}")
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(snapDir.toString)
+    val rel = (existing ++ listDataFiles(fs, snapDir)
+      .map(f => relativize(p, f.getPath))).sorted
+    if (!commitManifest(fs, p, next, rel))
+      throw new java.io.IOException(
+        s"manifest commit lost the race for v$next of $table; " +
+          "snapshot dir left for vacuum — re-read and retry")
+    next
+  }
+
+  private def relativize(table: Path, file: Path): String = {
+    val t = table.toUri.getPath.stripSuffix("/")
+    val f = file.toUri.getPath
+    require(f.startsWith(t + "/"), s"$file outside $table")
+    f.stripPrefix(t + "/")
+  }
+
+  /** The file list of `version` (default: current). */
+  def currentFiles(spark: SparkSession, table: String,
+      version: Long = -1L): Seq[String] = {
+    val (fs, p) = fsOf(spark, table)
+    val v = if (version > 0) version else currentVersion(spark, table)
+    require(v > 0, s"no committed version in $table")
+    val in = fs.open(manifestPath(p, v))
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseFiles(json)
+  }
+
+  /** Read a snapshot (default: current) — exactly the manifest's file
+    * list, `basePath` keeping Hive partition columns resolvable.
+    */
+  def read(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    val files = currentFiles(spark, table, version)
+    spark.read
+      .option("basePath", table)
+      .parquet(files.map(f => s"$table/$f"): _*)
+  }
+
+  /** Compact the current snapshot: bin-pack its files toward
+    * `targetFileBytes` into a NEW snapshot and commit — the
+    * object-store-safe twin of [[Sinks.compact]]. Readers of the old
+    * version are untouched (its files remain until vacuum), and the
+    * commit is one manifest create, not a directory rename window.
+    */
+  def compact(spark: SparkSession, table: String,
+      partitionCols: Seq[String] = Seq.empty,
+      targetFileBytes: Long = 512L << 20): Sinks.CompactStats = {
+    val (fs, p) = fsOf(spark, table)
+    val before = currentFiles(spark, table)
+    val totalBytes = before
+      .map(f => fs.getFileStatus(new Path(p, f)).getLen).sum
+    val df = read(spark, table)
+    val totalRows = math.max(df.count(), 1L)
+    val bytesPerRow = math.max(totalBytes / totalRows, 1L)
+    val v = write(spark, df, table, partitionCols,
+      maxRecordsPerFile = math.max(targetFileBytes / bytesPerRow, 1L))
+    Sinks.CompactStats(before.size, currentFiles(spark, table, v).size,
+      totalBytes)
+  }
+
+  /** Delete data files not referenced by the CURRENT manifest (old
+    * snapshots, lost-race orphans) and manifests older than it. The
+    * grace contract is the caller's: run vacuum only when no reader
+    * can still hold a superseded manifest.
+    */
+  def vacuum(spark: SparkSession, table: String): Int = {
+    val (fs, p) = fsOf(spark, table)
+    val v = currentVersion(spark, table)
+    require(v > 0, s"no committed version in $table")
+    val live = currentFiles(spark, table, v).toSet
+    val dataDir = new Path(p, "data")
+    var removed = 0
+    if (fs.exists(dataDir)) {
+      listDataFiles(fs, dataDir).foreach { f =>
+        if (!live.contains(relativize(p, f.getPath))) {
+          fs.delete(f.getPath, false); removed += 1
+        }
+      }
+      // drop snapshot dirs emptied of data files entirely
+      fs.listStatus(dataDir).foreach { d =>
+        if (d.isDirectory && listDataFiles(fs, d.getPath).isEmpty)
+          fs.delete(d.getPath, true): Unit
+      }
+    }
+    val mdir = new Path(p, ManifestDir)
+    fs.listStatus(mdir).foreach { m =>
+      val n = m.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".json") &&
+        n.stripPrefix("v").stripSuffix(".json").toLong < v)
+        fs.delete(m.getPath, false): Unit
+    }
+    removed
+  }
+}

@@ -204,8 +204,14 @@ object Sinks {
     if (!fs.rename(p, old))
       throw new java.io.IOException(s"compact: rename $p -> $old failed")
     if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // best-effort restore; data was never deleted
-      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+      // best-effort restore; data was never deleted — but if the
+      // restore ALSO fails the operator must know the only live copy
+      // now sits under _compact_old
+      val restored = fs.rename(old, p)
+      throw new java.io.IOException(
+        if (restored) s"compact: rename $tmp -> $p failed (original restored)"
+        else s"compact: rename $tmp -> $p failed AND restore failed — " +
+          s"the only live copy of the data is at $old")
     }
     fs.delete(old, true)
     CompactStats(before.size, dataFiles().size, totalBytes)

@@ -82,11 +82,8 @@ object StatefulAnomaly {
     */
   def anomalyStream(spark: SparkSession, sfDir: String): Dataset[AnomOut] = {
     import spark.implicits._
-    spark.readStream
-      .schema(StreamingOps.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    StreamingOps.eventsStream(spark, sfDir,
+      globFilter = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       .select(col("event_type"), col("ts"))
       .as[Ev]

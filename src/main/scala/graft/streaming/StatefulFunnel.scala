@@ -62,11 +62,8 @@ object StatefulFunnel {
 
   def funnelStream(spark: SparkSession, sfDir: String): Dataset[FunnelOut] = {
     import spark.implicits._
-    spark.readStream
-      .schema(StreamingOps.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    StreamingOps.eventsStream(spark, sfDir,
+      globFilter = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[FEv]

@@ -53,11 +53,8 @@ object StatefulSessions {
     */
   def sessionStream(spark: SparkSession, sfDir: String): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.readStream
-      .schema(StreamingOps.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    StreamingOps.eventsStream(spark, sfDir,
+      globFilter = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       // keep the watermarked ts column through the typed Dataset —
       // event-time timeout requires the watermark to survive the select

@@ -16,16 +16,63 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** The events schema as stored (ts is TIMESTAMP(NANOS) in parquet;
-    * with `nanosAsLong` the stream reads it as a long to normalize).
+  /** The events schema parameterized by how `ts` arrives. Fixtures have
+    * shipped `ts` in two physical shapes: TIMESTAMP(NANOS), which the
+    * vectorized reader only accepts as a long (`nanosAsLong`), and the
+    * current TIMESTAMP(MICROS), which arrives as a native timestamp.
+    * Streams must DECLARE their schema (no inference), so the declared
+    * type has to match what is on disk — declaring long over a micros
+    * file is not an error but silently wrong event times: the raw
+    * micros get divided by 1000 and every window lands in January 1970.
     */
-  val eventsSchema: StructType = StructType(Seq(
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Legacy nanos-as-long shape; test harnesses that synthesize their
+    * own event files write this shape (ids/times as raw longs).
+    */
+  def eventsSchema: StructType = eventsSchema(LongType)
+
+  /** Peek at the parquet footers in `dir` (batch read, metadata only)
+    * to learn how `ts` arrives there — the streaming twin of the
+    * defensive branch in [[graft.ops.Tables.events]]. Falls back to
+    * micros-timestamp (the current fixture shape) if the dir is empty,
+    * which only matters for a stream started before any file exists.
+    */
+  private def tsArrivalType(spark: SparkSession, dir: String,
+      globFilter: Option[String]): DataType =
+    try {
+      val r = globFilter.foldLeft(spark.read)((b, g) =>
+        b.option("pathGlobFilter", g))
+      r.parquet(dir).schema("ts").dataType
+    } catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+
+  /** Schema-adaptive streaming events source: declares the schema the
+    * files actually have and normalizes `ts` to a session-tz timestamp
+    * either way. Every streaming entry point reads through here so a
+    * fixture re-materialization with a different timestamp physical
+    * type cannot silently skew the event-time layer again.
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tsType = tsArrivalType(spark, dir, globFilter)
+    var reader = spark.readStream.schema(eventsSchema(tsType))
+    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    val df = reader.parquet(dir)
+    tsType match {
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Streaming tumbling 6-hour windows with a 1-hour watermark:
     * counts + sums per window × event type — mirrors
@@ -33,14 +80,9 @@ object StreamingOps {
     * state is bounded by (windows in watermark horizon) × |types|.
     */
   def tumblingStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      // the file-stream source monitors directories; the fixture is a
-      // single file, so monitor the sf dir filtered to the events file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    // the file-stream source monitors directories; the fixture is a
+    // single file, so monitor the sf dir filtered to the events file
+    eventsStream(spark, sfDir, globFilter = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -59,12 +101,7 @@ object StreamingOps {
     * semantics a streaming ingest dedup actually wants.
     */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    eventsStream(spark, sfDir, globFilter = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
@@ -77,11 +114,7 @@ object StreamingOps {
   def enrichedStream(spark: SparkSession, sfDir: String): DataFrame = {
     val customers = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    eventsStream(spark, sfDir, globFilter = Some("events.parquet"))
       .join(customers, col("user_id") === col("c_custkey"), "left")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
@@ -96,11 +129,7 @@ object StreamingOps {
     * watermark horizon — the form that survives an unbounded stream.
     */
   def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    eventsStream(spark, sfDir, globFilter = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -124,11 +153,7 @@ object StreamingOps {
   }
 
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    eventsStream(spark, sfDir, globFilter = Some("events.parquet"))
 
   /** Stream-stream interval join: views joined to the same user's
     * clicks within the following 30 minutes. Both sides carry
@@ -241,11 +266,7 @@ object StreamingOps {
     */
   def runForeachBatchUpsertFromDir(spark: SparkSession, watchDir: String,
       targetDir: String, checkpointDir: String): DataFrame = {
-    val agg = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(watchDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    val agg = eventsStream(spark, watchDir, maxFilesPerTrigger = Some(1))
       .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), window(col("ts"), "6 hours").as("w"))
       .agg(count(lit(1)).as("n"),
@@ -274,11 +295,7 @@ object StreamingOps {
     * asserted, not assumed.
     */
   def lateDataTumblingStream(spark: SparkSession, watchDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(watchDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    eventsStream(spark, watchDir, maxFilesPerTrigger = Some(1))
       .withWatermark("ts", "5 minutes")
       .groupBy(window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n"))

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sinks.ManifestTable
+import java.nio.file.Files
+
+/** Manifest-committed table: snapshot isolation, append, compaction,
+  * vacuum, and the commit CAS.
+  */
+class ManifestTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_manifest").resolve("t").toString
+
+  private def df(n: Int, tag: String) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, tag, i % 3)).toDF("id", "tag", "bucket")
+  }
+
+  test("write/read round-trip; overwrite bumps version; old snapshot readable") {
+    val t = freshTable()
+    val v1 = ManifestTable.write(spark, df(100, "a"), t)
+    assert(v1 == 1L)
+    assert(ManifestTable.read(spark, t).count() == 100)
+    val v2 = ManifestTable.write(spark, df(40, "b"), t)
+    assert(v2 == 2L)
+    // current = new snapshot; the superseded snapshot is STILL fully
+    // readable by version — its files were never touched by the commit
+    assert(ManifestTable.read(spark, t).count() == 40)
+    assert(ManifestTable.read(spark, t, version = 1).count() == 100)
+    assert(ManifestTable.read(spark, t)
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("append commits old-files + new-files") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(30, "a"), t)
+    val v = ManifestTable.append(spark, df(12, "b"), t)
+    assert(v == 2L)
+    val got = ManifestTable.read(spark, t).groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 30L, "b" -> 12L))
+  }
+
+  test("partitioned layout survives: partition column readable, pruning path intact") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(90, "a"), t, partitionCols = Seq("bucket"))
+    val r = ManifestTable.read(spark, t)
+    assert(r.columns.toSet == Set("id", "tag", "bucket"))
+    assert(r.filter(col("bucket") === 1).count() == 30)
+  }
+
+  test("compact reduces file count, preserves rows byte-identically") {
+    val t = freshTable()
+    // many small files: one per id via repartition
+    ManifestTable.write(spark, df(60, "a").repartition(20), t)
+    val filesBefore = ManifestTable.currentFiles(spark, t).size
+    assert(filesBefore >= 20)
+    val stats = ManifestTable.compact(spark, t)
+    assert(stats.filesBefore == filesBefore)
+    assert(stats.filesAfter < filesBefore)
+    val got = ManifestTable.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == (0 until 60).map(i => (i.toLong, "a", i % 3)))
+  }
+
+  test("vacuum removes superseded files; current snapshot intact") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(50, "a"), t)
+    ManifestTable.write(spark, df(20, "b"), t)
+    val removed = ManifestTable.vacuum(spark, t)
+    assert(removed > 0)
+    assert(ManifestTable.read(spark, t).count() == 20)
+    // the superseded manifest is gone too
+    assertThrows[Exception](ManifestTable.read(spark, t, version = 1))
+  }
+
+  test("commit CAS: a second writer racing the same version loses cleanly") {
+    val t = freshTable()
+    val v1files = {
+      ManifestTable.write(spark, df(10, "a"), t)
+      ManifestTable.currentFiles(spark, t)
+    }
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two writers race the SAME next version: exactly one commit wins,
+    // the loser's rename fails and its staged file is cleaned up
+    assert(ManifestTable.commitManifest(fs, p, 2L, v1files))
+    assert(!ManifestTable.commitManifest(fs, p, 2L, Seq.empty))
+    assert(ManifestTable.currentFiles(spark, t, version = 2) == v1files)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(p, "_manifests"))
+      .forall(!_.getPath.getName.contains(".tmp-")), "staged file leaked")
+    // a loser's orphaned snapshot dir is reclaimed by vacuum after the
+    // next successful commit
+    ManifestTable.write(spark, df(7, "c"), t)
+    assert(ManifestTable.vacuum(spark, t) > 0)
+    assert(ManifestTable.read(spark, t).count() == 7)
+  }
+}
