@@ -16,24 +16,7 @@ import graft.functions.PortableHash._
   * and are capped by the banding parameters.
   */
 object Dedup {
-
-  /** Dirs queued for recursive deletion at JVM exit (one hook total,
-    * registered lazily; adding a dir twice is a no-op).
-    */
-  private val tmpCleanupDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val tmpCleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => tmpCleanupDirs.forEach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(d))
-    }))
-  private def registerTmpCleanup(dir: String): Unit = {
-    tmpCleanupHook
-    tmpCleanupDirs.add(dir): Unit
-  }
+  import graft.sinks.Sinks.registerTmpCleanup
 
   private def toks: Column = split(col("text"), " ")
 

@@ -729,4 +729,43 @@ object PipelineOps {
        |  bit_xor(ch) AS content_checksum
        |FROM h GROUP BY shard
        |ORDER BY shard ASC NULLS LAST""".stripMargin
+
+  /** p17: manifest-table round-trip — the corpus driven through the
+    * FULL [[graft.sinks.ManifestTable]] commit protocol (initial
+    * snapshot of the even half partitioned by lang → APPEND of the odd
+    * half → COMPACT, three manifest versions) and read back through
+    * the current manifest for a per-lang census. The oracle is the
+    * same census on the source table directly, so a hash match proves
+    * every row survived write/append/compact exactly once — the
+    * oracle-gated twin of ManifestTableSpec's mechanism tests. The
+    * table dir is session-unique scratch (two concurrent sessions
+    * must not race each other's versions) and reclaimed at JVM exit.
+    */
+  def p17ManifestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_p17_manifest_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + spark.sparkContext.applicationId).getAbsolutePath
+    graft.sinks.Sinks.registerTmpCleanup(table)
+    graft.sinks.ManifestTable.write(spark,
+      docs.filter(col("doc_id") % 2 === 0), table, Seq("lang"))
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 === 1), table, Seq("lang"))
+    graft.sinks.ManifestTable.compact(spark, table, Seq("lang"))
+    graft.sinks.ManifestTable.read(spark, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val p17Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
 }

@@ -186,14 +186,26 @@ object ManifestTable {
   }
 
   /** Read a snapshot (default: current) — exactly the manifest's file
-    * list, `basePath` keeping Hive partition columns resolvable.
+    * list. Files are read PER SNAPSHOT DIR, each with its own
+    * `basePath`, then unioned by name: Spark's partition-structure
+    * parser walks each file's ancestors only until the first
+    * non-`key=value` segment, so a manifest spanning several snapshot
+    * dirs (one write + appends) discovers several bases that a single
+    * table-root basePath cannot bridge. Per-snapshot reads keep Hive
+    * partition columns resolvable AND partition-prunable in every
+    * branch of the union; live snapshot-dir count is small by
+    * construction (compaction collapses it to one).
     */
   def read(spark: SparkSession, table: String,
       version: Long = -1L): DataFrame = {
     val files = currentFiles(spark, table, version)
-    spark.read
-      .option("basePath", table)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    files.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      .map { case (snap, fs) =>
+        spark.read
+          .option("basePath", s"$table/$snap")
+          .parquet(fs.map(f => s"$table/$f"): _*)
+      }
+      .reduce(_.unionByName(_))
   }
 
   /** Compact the current snapshot: bin-pack its files toward

@@ -117,6 +117,27 @@ object Sinks {
   final case class CompactStats(
       filesBefore: Int, filesAfter: Int, totalBytes: Long)
 
+  /** Session-scratch dirs queued for recursive deletion at JVM exit
+    * (one hook total, registered lazily; adding a dir twice is a
+    * no-op) — for operators that materialize an index/table under
+    * java.io.tmpdir and read it lazily, so the dir must outlive the
+    * call but not the JVM.
+    */
+  private val tmpCleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val tmpCleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => tmpCleanupDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }))
+  private[graft] def registerTmpCleanup(dir: String): Unit = {
+    tmpCleanupHook
+    tmpCleanupDirs.add(dir): Unit
+  }
+
   /** Small-file compaction — the lake-maintenance op every 100 TB
     * pipeline schedules: streaming ingests and per-batch writes leave
     * thousands of KB-sized files whose open/footer overhead dominates

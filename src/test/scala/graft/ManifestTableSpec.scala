@@ -55,7 +55,24 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.write(spark, df(90, "a"), t, partitionCols = Seq("bucket"))
     val r = ManifestTable.read(spark, t)
     assert(r.columns.toSet == Set("id", "tag", "bucket"))
-    assert(r.filter(col("bucket") === 1).count() == 30)
+    val filtered = r.filter(col("bucket") === 1)
+    assert(filtered.count() == 30)
+    // the bucket predicate must reach the scan as a PARTITION filter
+    // and the pruned file index must expose exactly one bucket dir —
+    // the manifest's explicit file list does not defeat pruning
+    val scans = filtered.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(s => s.contains("PartitionFilters: [") &&
+        s.contains("bucket#")),
+      s"bucket predicate did not reach PartitionFilters:\n${scans.mkString("\n")}")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scanExecs = filtered.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scanExecs.nonEmpty, "expected a FileSourceScanExec")
+    assert(scanExecs.head.relation.location.listFiles(
+        scanExecs.head.partitionFilters, scanExecs.head.dataFilters).size == 1,
+      "expected exactly one surviving bucket partition after pruning")
   }
 
   test("compact reduces file count, preserves rows byte-identically") {
