@@ -37,9 +37,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * directly onto put-if-absent.
   *
   * Hive-partitioned layouts are preserved: data files keep their
-  * `col=value/` subpaths inside the snapshot dir and reads pass
-  * `basePath`, so partition columns and partition pruning work
-  * unchanged on a manifest table.
+  * `col=value/` subpaths inside the snapshot dir and [[read]] scans
+  * each snapshot dir under its own `basePath`, so partition columns
+  * and partition pruning work unchanged on a manifest table.
+  *
+  * Streaming: [[appendStreamBatch]]/[[streamInto]] record the folded
+  * micro-batch id in the manifest, making the log an exactly-once
+  * foreachBatch sink (replays collapse on the watermark check).
   */
 object ManifestTable {
 
@@ -78,10 +82,20 @@ object ManifestTable {
 
   /** Serialize/parse the manifest. Hand-rolled like Bench's artifact:
     * paths are uuid/part-file names (no quotes/backslashes to escape).
+    * `streamBatchId` (optional) is the highest streaming micro-batch
+    * folded into this snapshot — the idempotence watermark
+    * [[appendStreamBatch]] checks on replay.
     */
-  private def render(version: Long, files: Seq[String]): String =
+  private def render(version: Long, files: Seq[String],
+      streamBatchId: Option[Long]): String = {
+    val sb = streamBatchId.fold("")(id => s""","streamBatchId":$id""")
     files.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+      .mkString(s"""{"version":$version,"files":[""", ",", s"]$sb}")
+  }
+
+  private def parseStreamBatchId(json: String): Option[Long] =
+    """"streamBatchId":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
 
   private def parseFiles(json: String): Seq[String] = {
     val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
@@ -95,13 +109,13 @@ object ManifestTable {
     * concurrent writer won the race for this version number.
     */
   private[graft] def commitManifest(fs: FileSystem, table: Path, version: Long,
-      relFiles: Seq[String]): Boolean = {
+      relFiles: Seq[String], streamBatchId: Option[Long] = None): Boolean = {
     val target = manifestPath(table, version)
     fs.mkdirs(target.getParent)
     val staged = new Path(target.getParent,
       s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(staged, false)
-    try out.write(render(version, relFiles).getBytes("UTF-8"))
+    try out.write(render(version, relFiles, streamBatchId).getBytes("UTF-8"))
     finally out.close()
     // rename-without-replace is the CAS: Hadoop FS contracts fail the
     // rename when the destination exists (pre-check narrows the local
@@ -165,11 +179,69 @@ object ManifestTable {
     next
   }
 
+  /** Exactly-once streaming append: fold micro-batch `batchId` into
+    * the table UNLESS a snapshot already recorded a batch id >= it —
+    * the transactional-sink recipe (Delta's txn appId/version) on the
+    * manifest log. Structured Streaming's checkpoint guarantees
+    * at-least-once foreachBatch delivery with MONOTONE batch ids; the
+    * watermark check collapses replays, so a batch's rows land in the
+    * table exactly once even when the batch reruns after a crash
+    * between the data write and the checkpoint commit. (A replayed
+    * batch that already committed here leaves only an orphaned
+    * snapshot dir for vacuum.) Returns the committed version, or the
+    * current one when the batch was already folded in.
+    */
+  def appendStreamBatch(spark: SparkSession, df: DataFrame, table: String,
+      batchId: Long, partitionCols: Seq[String] = Seq.empty): Long = {
+    val committed = lastStreamBatchId(spark, table)
+    if (committed.exists(_ >= batchId))
+      return currentVersion(spark, table)
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    val existing =
+      if (base == 0) Seq.empty else currentFiles(spark, table, base)
+    val next = base + 1
+    val snapDir = new Path(new Path(p, "data"),
+      s"s$next-${java.util.UUID.randomUUID()}")
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(snapDir.toString)
+    val rel = (existing ++ listDataFiles(fs, snapDir)
+      .map(f => relativize(p, f.getPath))).sorted
+    if (!commitManifest(fs, p, next, rel, Some(batchId)))
+      throw new java.io.IOException(
+        s"manifest commit lost the race for v$next of $table; " +
+          "snapshot dir left for vacuum — re-read and retry")
+    next
+  }
+
+  /** Drive an append-mode stream into a manifest table: foreachBatch +
+    * [[appendStreamBatch]] — the composition that makes the manifest
+    * log a Structured Streaming exactly-once sink.
+    */
+  def streamInto(stream: DataFrame, table: String,
+      checkpointDir: String,
+      partitionCols: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendStreamBatch(b.sparkSession, b, table, id, partitionCols): Unit
+      }
+      .start()
+
   private def relativize(table: Path, file: Path): String = {
     val t = table.toUri.getPath.stripSuffix("/")
     val f = file.toUri.getPath
     require(f.startsWith(t + "/"), s"$file outside $table")
     f.stripPrefix(t + "/")
+  }
+
+  private def manifestJson(fs: FileSystem, table: Path, version: Long): String = {
+    val in = fs.open(manifestPath(table, version))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   /** The file list of `version` (default: current). */
@@ -178,11 +250,16 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     val v = if (version > 0) version else currentVersion(spark, table)
     require(v > 0, s"no committed version in $table")
-    val in = fs.open(manifestPath(p, v))
-    val json =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    parseFiles(json)
+    parseFiles(manifestJson(fs, p, v))
+  }
+
+  /** The streaming idempotence watermark of the current snapshot:
+    * highest micro-batch id folded in, or None for a batch-only table.
+    */
+  def lastStreamBatchId(spark: SparkSession, table: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, table)
+    val v = currentVersion(spark, table)
+    if (v == 0) None else parseStreamBatchId(manifestJson(fs, p, v))
   }
 
   /** Read a snapshot (default: current) — exactly the manifest's file
@@ -205,7 +282,12 @@ object ManifestTable {
           .option("basePath", s"$table/$snap")
           .parquet(fs.map(f => s"$table/$f"): _*)
       }
-      .reduce(_.unionByName(_))
+      // allowMissingColumns = add-column schema evolution: an appended
+      // snapshot may carry columns older snapshots lack; older rows
+      // surface them as null (the lake-format evolution contract).
+      // Dropping/retyping a column remains a rewrite (write()), as in
+      // the real formats' strictest mode.
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Compact the current snapshot: bin-pack its files toward

@@ -100,6 +100,64 @@ class ManifestTableSpec extends AnyFunSuite {
     assertThrows[Exception](ManifestTable.read(spark, t, version = 1))
   }
 
+  test("add-column schema evolution: old snapshots surface the new column as null") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t)
+    ManifestTable.append(spark,
+      df(5, "b").withColumn("score", col("id") * 2.0), t)
+    val r = ManifestTable.read(spark, t)
+    assert(r.columns.contains("score"))
+    assert(r.filter(col("score").isNull).count() == 10)
+    assert(r.filter(col("score").isNotNull).count() == 5)
+  }
+
+  test("exactly-once streaming append: replayed micro-batches fold in once") {
+    import java.nio.file.StandardCopyOption
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingOps
+    val base = Files.createTempDirectory("graft_mt_stream")
+    val watched = Files.createDirectory(base.resolve("watch"))
+    val table = base.resolve("table").toString
+    // two event files -> two micro-batches (maxFilesPerTrigger=1)
+    def writeFile(ids: Range, name: String, mtimeMs: Long): Unit = {
+      val staging = Files.createTempDirectory("graft_mt_stage")
+      val d = spark.createDataFrame(
+        ids.map(i => org.apache.spark.sql.Row(
+          i.toLong, i.toLong * 1000000000L, i.toLong, "view", 1.0, "{}")).asJava,
+        StreamingOps.eventsSchema)
+      d.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file"))
+      val target = watched.resolve(name)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      assert(target.toFile.setLastModified(mtimeMs))
+    }
+    writeFile(0 until 20, "b1.parquet", 1000000L)
+    writeFile(20 until 30, "b2.parquet", 2000000L)
+    val q = ManifestTable.streamInto(
+      StreamingOps.eventsStream(spark, watched.toString,
+        maxFilesPerTrigger = Some(1)),
+      table, base.resolve("ckpt").toString)
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(ManifestTable.read(spark, table).count() == 30)
+    assert(ManifestTable.lastStreamBatchId(spark, table).contains(1L))
+    // replay of an already-committed batch id is a no-op (the crash-
+    // between-write-and-checkpoint case)
+    val vBefore = ManifestTable.currentVersion(spark, table)
+    import spark.implicits._
+    val replay = (0 until 20).map(_.toLong).toDF("event_id")
+    assert(ManifestTable.appendStreamBatch(
+      spark, replay, table, batchId = 1L) == vBefore)
+    assert(ManifestTable.read(spark, table).count() == 30)
+    // the NEXT batch id still commits
+    val v = ManifestTable.appendStreamBatch(
+      spark, df(3, "x"), table, batchId = 2L)
+    assert(v == vBefore + 1)
+    assert(ManifestTable.lastStreamBatchId(spark, table).contains(2L))
+  }
+
   test("commit CAS: a second writer racing the same version loses cleanly") {
     val t = freshTable()
     val v1files = {
