@@ -312,16 +312,24 @@ object ManifestTable {
       totalBytes)
   }
 
-  /** Delete data files not referenced by the CURRENT manifest (old
-    * snapshots, lost-race orphans) and manifests older than it. The
-    * grace contract is the caller's: run vacuum only when no reader
-    * can still hold a superseded manifest.
+  /** Delete data files not referenced by the RETAINED manifests (the
+    * `keepVersions` most recent — default 1, current only) plus all
+    * older manifests. Lost-race orphan snapshot dirs are reclaimed the
+    * same way. `keepVersions > 1` is the time-travel retention window:
+    * readers pinned to any retained version keep working. The grace
+    * contract is the caller's: vacuum only when no reader can still
+    * hold a manifest older than the retained set.
     */
-  def vacuum(spark: SparkSession, table: String): Int = {
+  def vacuum(spark: SparkSession, table: String,
+      keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
     val (fs, p) = fsOf(spark, table)
     val v = currentVersion(spark, table)
     require(v > 0, s"no committed version in $table")
-    val live = currentFiles(spark, table, v).toSet
+    val retained = (math.max(1L, v - keepVersions + 1) to v)
+      .filter(ver => fs.exists(manifestPath(p, ver)))
+    val live = retained
+      .flatMap(ver => currentFiles(spark, table, ver)).toSet
     val dataDir = new Path(p, "data")
     var removed = 0
     if (fs.exists(dataDir)) {
@@ -340,7 +348,7 @@ object ManifestTable {
     fs.listStatus(mdir).foreach { m =>
       val n = m.getPath.getName
       if (n.startsWith("v") && n.endsWith(".json") &&
-        n.stripPrefix("v").stripSuffix(".json").toLong < v)
+        n.stripPrefix("v").stripSuffix(".json").toLong < retained.min)
         fs.delete(m.getPath, false): Unit
     }
     removed

@@ -100,6 +100,19 @@ class ManifestTableSpec extends AnyFunSuite {
     assertThrows[Exception](ManifestTable.read(spark, t, version = 1))
   }
 
+  test("vacuum keepVersions retains a time-travel window") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(50, "a"), t) // v1
+    ManifestTable.write(spark, df(20, "b"), t) // v2
+    ManifestTable.write(spark, df(9, "c"), t)  // v3
+    val removed = ManifestTable.vacuum(spark, t, keepVersions = 2)
+    assert(removed > 0) // v1's files reclaimed
+    // both retained versions still read in full
+    assert(ManifestTable.read(spark, t, version = 2).count() == 20)
+    assert(ManifestTable.read(spark, t).count() == 9)
+    assertThrows[Exception](ManifestTable.read(spark, t, version = 1))
+  }
+
   test("add-column schema evolution: old snapshots surface the new column as null") {
     val t = freshTable()
     ManifestTable.write(spark, df(10, "a"), t)

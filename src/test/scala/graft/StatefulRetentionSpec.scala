@@ -47,7 +47,21 @@ class StatefulRetentionSpec extends AnyFunSuite {
   }
 
   test("streaming retention matrix agrees with batch e20") {
-    val streamed = StatefulRetention.runToCompletion(spark, sf)
+    checkMatchesBatch("graft_stateful_retention")
+  }
+
+  /** Production stateful queries run RocksDB-backed state; the cohort
+    * state must round-trip the store's binary format identically.
+    */
+  test("streaming retention matches batch under the RocksDB state store") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try checkMatchesBatch("graft_stateful_retention_rocks")
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private def checkMatchesBatch(queryName: String): Unit = {
+    val streamed = StatefulRetention.runToCompletion(spark, sf, queryName)
       .collect()
       .map(r => (r.getDate(0).toString, r.getInt(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
