@@ -768,4 +768,56 @@ object PipelineOps {
       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       |FROM documents GROUP BY lang
       |ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  private val p18Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p18: incremental aggregate maintenance — the materialized-view
+    * refresh every 100 TB ETL runs instead of recomputing: an additive
+    * per-lang census is kept as a [[graft.sinks.ManifestTable]] and
+    * each arriving delta is folded in as
+    * `merge = (state ∪ agg(delta)) regrouped` — work is delta-sized
+    * plus AGG-sized (the state table has |lang| rows; the corpus is
+    * never rescanned), and every refresh is a manifest version, so MV
+    * state is auditable and rollback is `read(version = n-1)`. The
+    * query drives two refreshes (even half, then odd half) and returns
+    * the final state; the oracle computes the same census over the
+    * whole table in one shot, so a hash match proves
+    * fold(fold(∅, Δ₁), Δ₂) == agg(Δ₁ ∪ Δ₂) — the additivity contract.
+    * State tables are per-invocation scratch (refresh mutates state,
+    * so bench reps must not share one) reclaimed at JVM exit.
+    */
+  def p18IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_p18_aggstate_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + spark.sparkContext.applicationId +
+        "_" + p18Invocation.incrementAndGet()).getAbsolutePath
+    graft.sinks.Sinks.registerTmpCleanup(table)
+    def censusOf(d: DataFrame): DataFrame =
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    def refresh(delta: DataFrame): Unit = {
+      val deltaAgg = censusOf(delta)
+      val merged =
+        if (graft.sinks.ManifestTable.currentVersion(spark, table) == 0) deltaAgg
+        else graft.sinks.ManifestTable.read(spark, table)
+          .unionByName(deltaAgg)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_chars")).as("total_chars"))
+      graft.sinks.ManifestTable.write(spark, merged, table): Unit
+    }
+    refresh(docs.filter(col("doc_id") % 2 === 0))
+    refresh(docs.filter(col("doc_id") % 2 =!= 0))
+    graft.sinks.ManifestTable.read(spark, table)
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val p18Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
 }
