@@ -290,6 +290,38 @@ object ManifestTable {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Change-data-feed read (file-level): the rows in files ADDED
+    * between `fromVersion` (exclusive) and `toVersion` (inclusive,
+    * default current). For append-committed versions
+    * ([[append]]/[[appendStreamBatch]]) this is exactly the appended
+    * rows — the incremental-consumer contract (downstream jobs pull
+    * only the delta instead of re-reading the table). Rewrite commits
+    * ([[write]]/[[compact]]) re-add their whole content as "new"
+    * files; a consumer that must distinguish logical from physical
+    * change gates on the version kind it commits (e.g. only ever
+    * appends between CDF reads), the same discipline file-level CDF
+    * has in the real formats' cheapest mode.
+    */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion > 0) toVersion else currentVersion(spark, table)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"bad CDF range ($fromVersion, $to]")
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else currentFiles(spark, table, fromVersion).toSet
+    val added = currentFiles(spark, table, to).filterNot(before)
+    if (added.isEmpty)
+      return read(spark, table, to).limit(0)
+    added.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      .map { case (snap, fs) =>
+        spark.read
+          .option("basePath", s"$table/$snap")
+          .parquet(fs.map(f => s"$table/$f"): _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Compact the current snapshot: bin-pack its files toward
     * `targetFileBytes` into a NEW snapshot and commit — the
     * object-store-safe twin of [[Sinks.compact]]. Readers of the old

@@ -100,6 +100,25 @@ class ManifestTableSpec extends AnyFunSuite {
     assertThrows[Exception](ManifestTable.read(spark, t, version = 1))
   }
 
+  test("readChanges returns exactly the rows appended in the version range") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t)  // v1
+    ManifestTable.append(spark, df(4, "b"), t)  // v2
+    ManifestTable.append(spark, df(2, "c"), t)  // v3
+    // (v1, v3]: both appended slices, never the base snapshot
+    val d13 = ManifestTable.readChanges(spark, t, fromVersion = 1)
+    assert(d13.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("b" -> 4L, "c" -> 2L))
+    // (v2, v3]: only the last slice
+    val d23 = ManifestTable.readChanges(spark, t, fromVersion = 2, toVersion = 3)
+    assert(d23.select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("c"))
+    // (v3, v3]: empty, schema intact
+    val d33 = ManifestTable.readChanges(spark, t, fromVersion = 3)
+    assert(d33.count() == 0 && d33.columns.toSet == Set("id", "tag", "bucket"))
+    // from 0 = everything
+    assert(ManifestTable.readChanges(spark, t, fromVersion = 0).count() == 16)
+  }
+
   test("vacuum keepVersions retains a time-travel window") {
     val t = freshTable()
     ManifestTable.write(spark, df(50, "a"), t) // v1
