@@ -16,7 +16,6 @@ import graft.functions.PortableHash._
   * and are capped by the banding parameters.
   */
 object Dedup {
-  import graft.sinks.Sinks.registerTmpCleanup
 
   private def toks: Column = split(col("text"), " ")
 
@@ -135,16 +134,12 @@ object Dedup {
     // same fixture (scalatest suite + driver run) must not share a
     // directory — one side's Overwrite would delete parquet files out
     // from under the other side's probe scan.
-    val indexDir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_d13_index_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + spark.sparkContext.applicationId
-    ).getAbsolutePath
     // The returned frame scans the index lazily, so the dir must
-    // outlive this call; a shutdown hook (idempotent per dir) cleans
-    // it up at JVM exit so repeated single-suite JVMs don't leak one
-    // band-index directory per run.
-    registerTmpCleanup(indexDir)
+    // outlive this call; default-located scratch is reclaimed at JVM
+    // exit (spark.graft.scratchDir relocates it to shared storage on
+    // a real cluster).
+    val indexDir = graft.sinks.Sinks.sessionScratchPath(spark,
+      "d13_index_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_"))
     graft.sinks.Sinks.writePartitioned(
       sigBands(spark, docs), indexDir, Seq("band"))
     val index = spark.read.parquet(indexDir)

@@ -743,11 +743,8 @@ object PipelineOps {
     */
   def p17ManifestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val table = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_p17_manifest_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + spark.sparkContext.applicationId).getAbsolutePath
-    graft.sinks.Sinks.registerTmpCleanup(table)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p17_manifest_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_"))
     graft.sinks.ManifestTable.write(spark,
       docs.filter(col("doc_id") % 2 === 0), table, Seq("lang"))
     graft.sinks.ManifestTable.append(spark,
@@ -788,12 +785,9 @@ object PipelineOps {
     */
   def p18IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val table = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_p18_aggstate_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + spark.sparkContext.applicationId +
-        "_" + p18Invocation.incrementAndGet()).getAbsolutePath
-    graft.sinks.Sinks.registerTmpCleanup(table)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p18_aggstate_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p18Invocation.incrementAndGet())
     def censusOf(d: DataFrame): DataFrame =
       d.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),

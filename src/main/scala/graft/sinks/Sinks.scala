@@ -138,6 +138,25 @@ object Sinks {
     tmpCleanupDirs.add(dir): Unit
   }
 
+  /** Session-unique scratch location for operators that materialize an
+    * index/state table (d13's LSH band index, p17/p18's manifest
+    * tables). Base dir comes from `spark.graft.scratchDir` — on a real
+    * cluster set it to SHARED storage (the default java.io.tmpdir is
+    * driver-local and only correct on local[*]); default-located
+    * scratch is reclaimed at JVM exit, configured locations follow the
+    * deployment's own retention (they may be on object stores where a
+    * JVM hook is the wrong lifecycle).
+    */
+  private[graft] def sessionScratchPath(
+      spark: org.apache.spark.sql.SparkSession, name: String): String = {
+    val tmp = sys.props("java.io.tmpdir")
+    val base = spark.conf.get("spark.graft.scratchDir", tmp)
+    val dir = new org.apache.hadoop.fs.Path(base,
+      s"graft_${name}_${spark.sparkContext.applicationId}").toString
+    if (base == tmp) registerTmpCleanup(dir)
+    dir
+  }
+
   /** Small-file compaction — the lake-maintenance op every 100 TB
     * pipeline schedules: streaming ingests and per-batch writes leave
     * thousands of KB-sized files whose open/footer overhead dominates
