@@ -133,4 +133,31 @@ object StatefulRetention {
     finally q.stop()
     withRetention(spark.table(queryName))
   }
+
+  /** Production sink shape: update mode emits only the
+    * (cohort_week, week_offset) rows a micro-batch changed, and the
+    * foreachBatch body overwrites exactly those dynamic partitions —
+    * the same idempotent per-aggregate-key upsert contract as
+    * `StreamingOps.upsertBatch`, keyed on the full matrix key so a
+    * batch can never clobber another cohort-week's offsets. The
+    * partition count is calendar-bounded (cohorts × offsets), the
+    * cardinality the streaming state itself holds.
+    */
+  def runUpsertToCompletion(spark: SparkSession, sfDir: String,
+      targetDir: String, checkpointDir: String): DataFrame = {
+    val q = retentionStream(spark, sfDir).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cohort_week", "week_offset")
+          .parquet(targetDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    withRetention(spark.read.parquet(targetDir))
+  }
 }

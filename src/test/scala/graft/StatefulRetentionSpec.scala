@@ -60,6 +60,22 @@ class StatefulRetentionSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("foreachBatch dynamic-partition upsert sink matches batch e20") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ret_upsert")
+    val streamed = StatefulRetention.runUpsertToCompletion(
+      spark, sf, s"$base/target", s"$base/ckpt")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val batch = EventOps.e20RetentionCohorts(spark, sf)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(streamed == batch,
+      s"missing=${(batch.keySet -- streamed.keySet).take(3)} " +
+        s"extra=${(streamed.keySet -- batch.keySet).take(3)}")
+  }
+
   private def checkMatchesBatch(queryName: String): Unit = {
     val streamed = StatefulRetention.runToCompletion(spark, sf, queryName)
       .collect()
