@@ -138,6 +138,10 @@ object ManifestTable {
       maxRecordsPerFile: Long = 0L): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
+    // the streaming idempotence watermark survives batch commits —
+    // dropping it would let a replayed micro-batch re-append after an
+    // interleaved write/compact
+    val watermark = lastStreamBatchId(spark, table)
     val next = base + 1
     val snapDir = new Path(new Path(p, "data"),
       s"s$next-${java.util.UUID.randomUUID()}")
@@ -148,7 +152,7 @@ object ManifestTable {
       .parquet(snapDir.toString)
     val rel = listDataFiles(fs, snapDir)
       .map(f => relativize(p, f.getPath)).sorted
-    if (!commitManifest(fs, p, next, rel))
+    if (!commitManifest(fs, p, next, rel, watermark))
       throw new java.io.IOException(
         s"manifest commit lost the race for v$next of $table; " +
           "snapshot dir left for vacuum — re-read and retry")
@@ -162,6 +166,7 @@ object ManifestTable {
       partitionCols: Seq[String] = Seq.empty): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
+    val watermark = lastStreamBatchId(spark, table) // survives batch commits
     val existing =
       if (base == 0) Seq.empty else currentFiles(spark, table, base)
     val next = base + 1
@@ -172,7 +177,7 @@ object ManifestTable {
       .parquet(snapDir.toString)
     val rel = (existing ++ listDataFiles(fs, snapDir)
       .map(f => relativize(p, f.getPath))).sorted
-    if (!commitManifest(fs, p, next, rel))
+    if (!commitManifest(fs, p, next, rel, watermark))
       throw new java.io.IOException(
         s"manifest commit lost the race for v$next of $table; " +
           "snapshot dir left for vacuum — re-read and retry")
@@ -208,7 +213,8 @@ object ManifestTable {
       .parquet(snapDir.toString)
     val rel = (existing ++ listDataFiles(fs, snapDir)
       .map(f => relativize(p, f.getPath))).sorted
-    if (!commitManifest(fs, p, next, rel, Some(batchId)))
+    if (!commitManifest(fs, p, next, rel,
+        Some(math.max(batchId, committed.getOrElse(Long.MinValue)))))
       throw new java.io.IOException(
         s"manifest commit lost the race for v$next of $table; " +
           "snapshot dir left for vacuum — re-read and retry")

@@ -190,6 +190,19 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.lastStreamBatchId(spark, table).contains(2L))
   }
 
+  test("stream watermark survives batch commits: replay after compact is a no-op") {
+    val t = freshTable()
+    ManifestTable.appendStreamBatch(spark, df(8, "a"), t, batchId = 0L)
+    ManifestTable.appendStreamBatch(spark, df(4, "b"), t, batchId = 1L)
+    assert(ManifestTable.lastStreamBatchId(spark, t).contains(1L))
+    ManifestTable.compact(spark, t)
+    assert(ManifestTable.lastStreamBatchId(spark, t).contains(1L),
+      "compact dropped the streaming idempotence watermark")
+    val v = ManifestTable.currentVersion(spark, t)
+    assert(ManifestTable.appendStreamBatch(spark, df(4, "b"), t, batchId = 1L) == v)
+    assert(ManifestTable.read(spark, t).count() == 12)
+  }
+
   test("commit CAS: a second writer racing the same version loses cleanly") {
     val t = freshTable()
     val v1files = {
