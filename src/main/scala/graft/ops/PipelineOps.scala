@@ -747,8 +747,10 @@ object PipelineOps {
       "p17_manifest_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_"))
     graft.sinks.ManifestTable.write(spark,
       docs.filter(col("doc_id") % 2 === 0), table, Seq("lang"))
+    // =!= 0, not === 1: Spark's % returns -1 for negative ids, which
+    // would silently fall out of BOTH halves under === 1
     graft.sinks.ManifestTable.append(spark,
-      docs.filter(col("doc_id") % 2 === 1), table, Seq("lang"))
+      docs.filter(col("doc_id") % 2 =!= 0), table, Seq("lang"))
     graft.sinks.ManifestTable.compact(spark, table, Seq("lang"))
     graft.sinks.ManifestTable.read(spark, table)
       .groupBy(col("lang"))

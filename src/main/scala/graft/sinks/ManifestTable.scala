@@ -28,7 +28,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    loser's rename fails (create-exclusive CAS) and its orphaned
   *    snapshot dir is reclaimed by the next vacuum. Single-winner
   *    commits without any lock service — the same optimistic
-  *    concurrency the real formats use.
+  *    concurrency the real formats use. (Same-JVM writers additionally
+  *    serialize through a process-local monitor, because the local
+  *    filesystem's POSIX rename overwrites and would otherwise let two
+  *    in-process threads both report success; cross-process atomicity
+  *    is the filesystem contract's — HDFS rename and object-store
+  *    put-if-absent both refuse to replace.)
   *
   * Object-store note: rename here moves ONE small manifest file, not
   * the data. On stores whose rename is copy+delete this is a metadata
@@ -42,12 +47,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * and partition pruning work unchanged on a manifest table.
   *
   * Streaming: [[appendStreamBatch]]/[[streamInto]] record the folded
-  * micro-batch id in the manifest, making the log an exactly-once
-  * foreachBatch sink (replays collapse on the watermark check).
+  * micro-batch id PER TRANSACTION APP ID in the manifest (the Delta
+  * txn appId/version recipe), making the log an exactly-once
+  * foreachBatch sink: replays collapse on the watermark check, and two
+  * independent queries (or a query restarted with a fresh checkpoint
+  * under a new app id) cannot swallow each other's batches.
   */
 object ManifestTable {
 
   private val ManifestDir = "_manifests"
+
+  /** Serializes same-JVM commits; see the class doc's CAS note. */
+  private val commitMonitor = new Object
 
   private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -80,50 +91,105 @@ object ManifestTable {
     buf.toSeq
   }
 
-  /** Serialize/parse the manifest. Hand-rolled like Bench's artifact:
-    * paths are uuid/part-file names (no quotes/backslashes to escape).
-    * `streamBatchId` (optional) is the highest streaming micro-batch
-    * folded into this snapshot — the idempotence watermark
-    * [[appendStreamBatch]] checks on replay.
+  /** Manifest JSON, hand-rolled like Bench's artifact. Strings are
+    * percent-escaped for exactly the characters that would break the
+    * regex parse (`%`, `"`, `,`, `{`, `}`) — Spark's partition-path
+    * escaping leaves e.g. commas intact, so `lang=en,US` is a legal
+    * relative path and must survive the round-trip.
+    */
+  private def esc(s: String): String = s
+    .replace("%", "%25").replace("\"", "%22").replace(",", "%2C")
+    .replace("{", "%7B").replace("}", "%7D")
+
+  private def unesc(s: String): String = s
+    .replace("%7D", "}").replace("%7B", "{").replace("%2C", ",")
+    .replace("%22", "\"").replace("%25", "%")
+
+  /** `txns` maps a transaction app id to the highest streaming
+    * micro-batch folded in under that id — the per-query idempotence
+    * watermark [[appendStreamBatch]] checks on replay.
     */
   private def render(version: Long, files: Seq[String],
-      streamBatchId: Option[Long]): String = {
-    val sb = streamBatchId.fold("")(id => s""","streamBatchId":$id""")
-    files.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$version,"files":[""", ",", s"]$sb}")
+      txns: Map[String, Long]): String = {
+    val t =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + esc(k) + "\":" + v }
+        .mkString(""","txns":{""", ",", "}")
+    files.map("\"" + esc(_) + "\"")
+      .mkString(s"""{"version":$version,"files":[""", ",", s"]$t}")
   }
 
-  private def parseStreamBatchId(json: String): Option[Long] =
-    """"streamBatchId":(-?\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
+  private def parseTxns(json: String): Map[String, Long] =
+    """"txns":\{([^}]*)\}""".r.findFirstMatchIn(json) match {
+      case None => Map.empty
+      case Some(m) => m.group(1).split(",").iterator.filter(_.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          unesc(k.trim.stripPrefix("\"").stripSuffix("\"")) -> v.trim.toLong
+        }.toMap
+    }
 
   private def parseFiles(json: String): Seq[String] = {
     val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .getOrElse(throw new java.io.IOException(s"bad manifest: $json"))
     m.group(1).split(",").iterator
-      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .map(s => unesc(s.trim.stripPrefix("\"").stripSuffix("\"")))
       .filter(_.nonEmpty).toSeq
   }
 
   /** Stage + CAS-create the manifest for `version`. Returns false if a
-    * concurrent writer won the race for this version number.
+    * concurrent writer won the race for this version number. The
+    * staged file is deleted on every non-winning path, including
+    * exceptions (vacuum also sweeps stale staged files as a backstop
+    * for hard crashes).
     */
   private[graft] def commitManifest(fs: FileSystem, table: Path, version: Long,
-      relFiles: Seq[String], streamBatchId: Option[Long] = None): Boolean = {
-    val target = manifestPath(table, version)
-    fs.mkdirs(target.getParent)
-    val staged = new Path(target.getParent,
-      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(staged, false)
-    try out.write(render(version, relFiles, streamBatchId).getBytes("UTF-8"))
-    finally out.close()
-    // rename-without-replace is the CAS: Hadoop FS contracts fail the
-    // rename when the destination exists (pre-check narrows the local
-    // RawLocalFileSystem, whose POSIX renameTo would overwrite)
-    if (fs.exists(target)) { fs.delete(staged, false); return false }
-    val won = fs.rename(staged, target)
-    if (!won) fs.delete(staged, false)
-    won
+      relFiles: Seq[String], txns: Map[String, Long] = Map.empty): Boolean =
+    commitMonitor.synchronized {
+      val target = manifestPath(table, version)
+      fs.mkdirs(target.getParent)
+      val staged = new Path(target.getParent,
+        s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+      var committed = false
+      try {
+        val out = fs.create(staged, false)
+        try out.write(render(version, relFiles, txns).getBytes("UTF-8"))
+        finally out.close()
+        // rename-without-replace is the CAS: Hadoop FS contracts fail
+        // the rename when the destination exists (the monitor plus this
+        // pre-check cover the local RawLocalFileSystem, whose POSIX
+        // renameTo would overwrite)
+        if (fs.exists(target)) return false
+        committed = fs.rename(staged, target)
+        committed
+      } finally if (!committed) fs.delete(staged, false): Unit
+    }
+
+  /** Write `df` into a fresh snapshot dir for `version` and return the
+    * table-relative paths of its data files — the shared first half of
+    * every commit kind.
+    */
+  private def writeSnapshot(fs: FileSystem, p: Path, df: DataFrame,
+      version: Long, partitionCols: Seq[String],
+      maxRecordsPerFile: Long): Seq[String] = {
+    val snapDir = new Path(new Path(p, "data"),
+      s"s$version-${java.util.UUID.randomUUID()}")
+    var w = df.write.mode(SaveMode.ErrorIfExists)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(snapDir.toString)
+    listDataFiles(fs, snapDir).map(f => relativize(p, f.getPath)).sorted
+  }
+
+  private def commitOrThrow(fs: FileSystem, p: Path, table: String,
+      version: Long, files: Seq[String], txns: Map[String, Long]): Long = {
+    if (!commitManifest(fs, p, version, files, txns))
+      throw new java.io.IOException(
+        s"manifest commit lost the race for v$version of $table; " +
+          "snapshot dir left for vacuum — re-read and retry")
+    version
   }
 
   /** Write `df` as the next snapshot of `table` and commit it. The
@@ -131,32 +197,20 @@ object ManifestTable {
     * compaction/rewrite commit unit); appends are a commit of
     * old-files + new-files, see [[append]]. Returns the committed
     * version. Throws if a concurrent writer claimed the version first
-    * (retry by re-reading, the standard optimistic loop).
+    * (retry by re-reading, the standard optimistic loop). Streaming
+    * txn watermarks survive batch commits — dropping them would let a
+    * replayed micro-batch re-append after an interleaved
+    * write/compact.
     */
   def write(spark: SparkSession, df: DataFrame, table: String,
       partitionCols: Seq[String] = Seq.empty,
       maxRecordsPerFile: Long = 0L): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
-    // the streaming idempotence watermark survives batch commits —
-    // dropping it would let a replayed micro-batch re-append after an
-    // interleaved write/compact
-    val watermark = lastStreamBatchId(spark, table)
-    val next = base + 1
-    val snapDir = new Path(new Path(p, "data"),
-      s"s$next-${java.util.UUID.randomUUID()}")
-    var w = df.write.mode(SaveMode.ErrorIfExists)
-    if (maxRecordsPerFile > 0)
-      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(snapDir.toString)
-    val rel = listDataFiles(fs, snapDir)
-      .map(f => relativize(p, f.getPath)).sorted
-    if (!commitManifest(fs, p, next, rel, watermark))
-      throw new java.io.IOException(
-        s"manifest commit lost the race for v$next of $table; " +
-          "snapshot dir left for vacuum — re-read and retry")
-    next
+    val txns = streamTxns(spark, table)
+    val files = writeSnapshot(fs, p, df, base + 1, partitionCols,
+      maxRecordsPerFile)
+    commitOrThrow(fs, p, table, base + 1, files, txns)
   }
 
   /** Append `df`: new snapshot dir holds only the new files; the
@@ -166,76 +220,64 @@ object ManifestTable {
       partitionCols: Seq[String] = Seq.empty): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
-    val watermark = lastStreamBatchId(spark, table) // survives batch commits
+    val txns = streamTxns(spark, table)
     val existing =
       if (base == 0) Seq.empty else currentFiles(spark, table, base)
-    val next = base + 1
-    val snapDir = new Path(new Path(p, "data"),
-      s"s$next-${java.util.UUID.randomUUID()}")
-    val w = df.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(snapDir.toString)
-    val rel = (existing ++ listDataFiles(fs, snapDir)
-      .map(f => relativize(p, f.getPath))).sorted
-    if (!commitManifest(fs, p, next, rel, watermark))
-      throw new java.io.IOException(
-        s"manifest commit lost the race for v$next of $table; " +
-          "snapshot dir left for vacuum — re-read and retry")
-    next
+    val fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
+    commitOrThrow(fs, p, table, base + 1, (existing ++ fresh).sorted, txns)
   }
 
-  /** Exactly-once streaming append: fold micro-batch `batchId` into
-    * the table UNLESS a snapshot already recorded a batch id >= it —
-    * the transactional-sink recipe (Delta's txn appId/version) on the
-    * manifest log. Structured Streaming's checkpoint guarantees
-    * at-least-once foreachBatch delivery with MONOTONE batch ids; the
-    * watermark check collapses replays, so a batch's rows land in the
-    * table exactly once even when the batch reruns after a crash
-    * between the data write and the checkpoint commit. (A replayed
-    * batch that already committed here leaves only an orphaned
-    * snapshot dir for vacuum.) Returns the committed version, or the
-    * current one when the batch was already folded in.
+  /** Exactly-once streaming append: fold micro-batch `batchId` of the
+    * query identified by `txnAppId` into the table UNLESS this app's
+    * watermark already covers it — the transactional-sink recipe
+    * (Delta's txn appId/version) on the manifest log. Structured
+    * Streaming's checkpoint guarantees at-least-once foreachBatch
+    * delivery with MONOTONE batch ids per query; the per-app watermark
+    * collapses replays, so a batch's rows land exactly once even when
+    * it reruns after a crash between the data write and the checkpoint
+    * commit — while a DIFFERENT query (or the same pipeline restarted
+    * under a fresh checkpoint AND a fresh app id) starts from its own
+    * watermark instead of silently dropping batches. (A replayed batch
+    * that already committed leaves only an orphaned snapshot dir for
+    * vacuum.) Returns the committed version, or the current one when
+    * the batch was already folded in.
     */
   def appendStreamBatch(spark: SparkSession, df: DataFrame, table: String,
-      batchId: Long, partitionCols: Seq[String] = Seq.empty): Long = {
-    val committed = lastStreamBatchId(spark, table)
-    if (committed.exists(_ >= batchId))
+      batchId: Long, txnAppId: String = "default",
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    val txns = streamTxns(spark, table)
+    if (txns.get(txnAppId).exists(_ >= batchId))
       return currentVersion(spark, table)
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val existing =
       if (base == 0) Seq.empty else currentFiles(spark, table, base)
-    val next = base + 1
-    val snapDir = new Path(new Path(p, "data"),
-      s"s$next-${java.util.UUID.randomUUID()}")
-    val w = df.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(snapDir.toString)
-    val rel = (existing ++ listDataFiles(fs, snapDir)
-      .map(f => relativize(p, f.getPath))).sorted
-    if (!commitManifest(fs, p, next, rel,
-        Some(math.max(batchId, committed.getOrElse(Long.MinValue)))))
-      throw new java.io.IOException(
-        s"manifest commit lost the race for v$next of $table; " +
-          "snapshot dir left for vacuum — re-read and retry")
-    next
+    val fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
+    commitOrThrow(fs, p, table, base + 1, (existing ++ fresh).sorted,
+      txns + (txnAppId -> batchId))
   }
 
   /** Drive an append-mode stream into a manifest table: foreachBatch +
     * [[appendStreamBatch]] — the composition that makes the manifest
-    * log a Structured Streaming exactly-once sink.
+    * log a Structured Streaming exactly-once sink. The transaction app
+    * id defaults to the checkpoint location: stable across restarts of
+    * the same query, distinct across queries — pass an explicit
+    * `txnAppId` to survive a checkpoint relocation.
     */
   def streamInto(stream: DataFrame, table: String,
       checkpointDir: String,
-      partitionCols: Seq[String] = Seq.empty)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      partitionCols: Seq[String] = Seq.empty,
+      txnAppId: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+    val app = if (txnAppId.nonEmpty) txnAppId else checkpointDir
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendStreamBatch(b.sparkSession, b, table, id, partitionCols): Unit
+        appendStreamBatch(b.sparkSession, b, table, id, app,
+          partitionCols): Unit
       }
       .start()
+  }
 
   private def relativize(table: Path, file: Path): String = {
     val t = table.toUri.getPath.stripSuffix("/")
@@ -259,42 +301,53 @@ object ManifestTable {
     parseFiles(manifestJson(fs, p, v))
   }
 
-  /** The streaming idempotence watermark of the current snapshot:
-    * highest micro-batch id folded in, or None for a batch-only table.
+  /** The streaming idempotence watermarks of the current snapshot:
+    * per-txn-app highest micro-batch id folded in (empty for a
+    * batch-only table).
     */
-  def lastStreamBatchId(spark: SparkSession, table: String): Option[Long] = {
+  def streamTxns(spark: SparkSession, table: String): Map[String, Long] = {
     val (fs, p) = fsOf(spark, table)
     val v = currentVersion(spark, table)
-    if (v == 0) None else parseStreamBatchId(manifestJson(fs, p, v))
+    if (v == 0) Map.empty else parseTxns(manifestJson(fs, p, v))
   }
 
-  /** Read a snapshot (default: current) — exactly the manifest's file
-    * list. Files are read PER SNAPSHOT DIR, each with its own
-    * `basePath`, then unioned by name: Spark's partition-structure
-    * parser walks each file's ancestors only until the first
-    * non-`key=value` segment, so a manifest spanning several snapshot
-    * dirs (one write + appends) discovers several bases that a single
-    * table-root basePath cannot bridge. Per-snapshot reads keep Hive
-    * partition columns resolvable AND partition-prunable in every
-    * branch of the union; live snapshot-dir count is small by
-    * construction (compaction collapses it to one).
+  /** Convenience: the watermark of one txn app (default app). */
+  def lastStreamBatchId(spark: SparkSession, table: String,
+      txnAppId: String = "default"): Option[Long] =
+    streamTxns(spark, table).get(txnAppId)
+
+  /** Union `relFiles` grouped per snapshot dir, each under its own
+    * `basePath`: Spark's partition-structure parser walks each file's
+    * ancestors only until the first non-`key=value` segment, so a
+    * manifest spanning several snapshot dirs (one write + appends)
+    * discovers several bases that a single table-root basePath cannot
+    * bridge. Per-snapshot reads keep Hive partition columns resolvable
+    * AND partition-prunable in every branch of the union
+    * (`allowMissingColumns` = add-column schema evolution: older
+    * snapshots surface newer columns as null). An empty file list
+    * (e.g. a committed empty partitioned write) reads as an empty
+    * zero-column frame rather than crashing.
     */
-  def read(spark: SparkSession, table: String,
-      version: Long = -1L): DataFrame = {
-    val files = currentFiles(spark, table, version)
-    files.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+  private def unionSnapshots(spark: SparkSession, table: String,
+      relFiles: Seq[String]): DataFrame =
+    if (relFiles.isEmpty) spark.emptyDataFrame
+    else relFiles.groupBy(_.split("/").take(2).mkString("/")).toSeq
+      .sortBy(_._1)
       .map { case (snap, fs) =>
         spark.read
           .option("basePath", s"$table/$snap")
           .parquet(fs.map(f => s"$table/$f"): _*)
       }
-      // allowMissingColumns = add-column schema evolution: an appended
-      // snapshot may carry columns older snapshots lack; older rows
-      // surface them as null (the lake-format evolution contract).
-      // Dropping/retyping a column remains a rewrite (write()), as in
-      // the real formats' strictest mode.
       .reduce(_.unionByName(_, allowMissingColumns = true))
-  }
+
+  /** Read a snapshot (default: current) — exactly the manifest's file
+    * list; see [[unionSnapshots]] for the partition/evolution
+    * mechanics. Live snapshot-dir count is small by construction
+    * (compaction collapses it to one).
+    */
+  def read(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame =
+    unionSnapshots(spark, table, currentFiles(spark, table, version))
 
   /** Change-data-feed read (file-level): the rows in files ADDED
     * between `fromVersion` (exclusive) and `toVersion` (inclusive,
@@ -317,15 +370,8 @@ object ManifestTable {
       if (fromVersion == 0) Set.empty[String]
       else currentFiles(spark, table, fromVersion).toSet
     val added = currentFiles(spark, table, to).filterNot(before)
-    if (added.isEmpty)
-      return read(spark, table, to).limit(0)
-    added.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
-      .map { case (snap, fs) =>
-        spark.read
-          .option("basePath", s"$table/$snap")
-          .parquet(fs.map(f => s"$table/$f"): _*)
-      }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (added.isEmpty) read(spark, table, to).limit(0)
+    else unionSnapshots(spark, table, added)
   }
 
   /** Compact the current snapshot: bin-pack its files toward
@@ -352,18 +398,25 @@ object ManifestTable {
 
   /** Delete data files not referenced by the RETAINED manifests (the
     * `keepVersions` most recent — default 1, current only) plus all
-    * older manifests. Lost-race orphan snapshot dirs are reclaimed the
-    * same way. `keepVersions > 1` is the time-travel retention window:
-    * readers pinned to any retained version keep working. The grace
-    * contract is the caller's: vacuum only when no reader can still
-    * hold a manifest older than the retained set.
+    * older manifests and stale staged commit files. Lost-race orphan
+    * snapshot dirs are reclaimed the same way. `keepVersions > 1` is
+    * the time-travel retention window: readers pinned to any retained
+    * version keep working. `graceMs` protects IN-FLIGHT writers: a
+    * file younger than the grace is never deleted even if unreferenced
+    * (an append writes its snapshot BEFORE committing the manifest —
+    * without the grace, a vacuum racing that window would delete the
+    * files its commit is about to reference). Set it above the longest
+    * plausible write-to-commit latency; the reader-side grace contract
+    * stays the caller's: vacuum only when no reader can still hold a
+    * manifest older than the retained set.
     */
   def vacuum(spark: SparkSession, table: String,
-      keepVersions: Int = 1): Int = {
+      keepVersions: Int = 1, graceMs: Long = 0L): Int = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val (fs, p) = fsOf(spark, table)
     val v = currentVersion(spark, table)
     require(v > 0, s"no committed version in $table")
+    val cutoff = System.currentTimeMillis() - graceMs
     val retained = (math.max(1L, v - keepVersions + 1) to v)
       .filter(ver => fs.exists(manifestPath(p, ver)))
     val live = retained
@@ -372,22 +425,29 @@ object ManifestTable {
     var removed = 0
     if (fs.exists(dataDir)) {
       listDataFiles(fs, dataDir).foreach { f =>
-        if (!live.contains(relativize(p, f.getPath))) {
+        if (!live.contains(relativize(p, f.getPath)) &&
+          f.getModificationTime < cutoff) {
           fs.delete(f.getPath, false); removed += 1
         }
       }
       // drop snapshot dirs emptied of data files entirely
       fs.listStatus(dataDir).foreach { d =>
-        if (d.isDirectory && listDataFiles(fs, d.getPath).isEmpty)
+        if (d.isDirectory && listDataFiles(fs, d.getPath).isEmpty &&
+          d.getModificationTime < cutoff)
           fs.delete(d.getPath, true): Unit
       }
     }
     val mdir = new Path(p, ManifestDir)
     fs.listStatus(mdir).foreach { m =>
       val n = m.getPath.getName
-      if (n.startsWith("v") && n.endsWith(".json") &&
-        n.stripPrefix("v").stripSuffix(".json").toLong < retained.min)
-        fs.delete(m.getPath, false): Unit
+      val staleManifest = n.startsWith("v") && n.endsWith(".json") &&
+        n.stripPrefix("v").stripSuffix(".json").toLong < retained.min
+      // staged files orphaned by a hard crash between create and
+      // rename (commitManifest cleans its own failures up; this is
+      // the backstop)
+      val staleStaged = n.startsWith(".") && n.contains(".tmp-") &&
+        m.getModificationTime < cutoff
+      if (staleManifest || staleStaged) fs.delete(m.getPath, false): Unit
     }
     removed
   }

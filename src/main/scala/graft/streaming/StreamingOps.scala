@@ -57,11 +57,18 @@ object StreamingOps {
     * either way. Every streaming entry point reads through here so a
     * fixture re-materialization with a different timestamp physical
     * type cannot silently skew the event-time layer again.
+    *
+    * The peek binds the schema AT START: a stream started over an
+    * EMPTY directory gets the micros fallback, so a producer that will
+    * drop legacy nanos-as-long files into a watched dir after start
+    * must pin the type via `tsTypeOverride` (e.g. `Some(LongType)`) —
+    * streams cannot change schema mid-query.
     */
   def eventsStream(spark: SparkSession, dir: String,
       globFilter: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val tsType = tsArrivalType(spark, dir, globFilter)
+      maxFilesPerTrigger: Option[Int] = None,
+      tsTypeOverride: Option[DataType] = None): DataFrame = {
+    val tsType = tsTypeOverride.getOrElse(tsArrivalType(spark, dir, globFilter))
     var reader = spark.readStream.schema(eventsSchema(tsType))
     globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
     maxFilesPerTrigger.foreach(n =>

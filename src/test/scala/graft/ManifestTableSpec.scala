@@ -170,24 +170,46 @@ class ManifestTableSpec extends AnyFunSuite {
     val q = ManifestTable.streamInto(
       StreamingOps.eventsStream(spark, watched.toString,
         maxFilesPerTrigger = Some(1)),
-      table, base.resolve("ckpt").toString)
+      table, base.resolve("ckpt").toString, txnAppId = "q1")
     try q.processAllAvailable()
     finally q.stop()
     assert(ManifestTable.read(spark, table).count() == 30)
-    assert(ManifestTable.lastStreamBatchId(spark, table).contains(1L))
+    assert(ManifestTable.lastStreamBatchId(spark, table, "q1").contains(1L))
     // replay of an already-committed batch id is a no-op (the crash-
     // between-write-and-checkpoint case)
     val vBefore = ManifestTable.currentVersion(spark, table)
     import spark.implicits._
     val replay = (0 until 20).map(_.toLong).toDF("event_id")
     assert(ManifestTable.appendStreamBatch(
-      spark, replay, table, batchId = 1L) == vBefore)
+      spark, replay, table, batchId = 1L, txnAppId = "q1") == vBefore)
     assert(ManifestTable.read(spark, table).count() == 30)
     // the NEXT batch id still commits
     val v = ManifestTable.appendStreamBatch(
-      spark, df(3, "x"), table, batchId = 2L)
+      spark, df(3, "x"), table, batchId = 2L, txnAppId = "q1")
     assert(v == vBefore + 1)
-    assert(ManifestTable.lastStreamBatchId(spark, table).contains(2L))
+    assert(ManifestTable.lastStreamBatchId(spark, table, "q1").contains(2L))
+    // a DIFFERENT query's batch 0 is NOT swallowed by q1's watermark
+    val v2 = ManifestTable.appendStreamBatch(
+      spark, df(5, "y"), table, batchId = 0L, txnAppId = "q2")
+    assert(v2 == v + 1)
+    assert(ManifestTable.lastStreamBatchId(spark, table, "q2").contains(0L))
+    assert(ManifestTable.lastStreamBatchId(spark, table, "q1").contains(2L))
+  }
+
+  test("partition values with commas and quotes survive the manifest round-trip") {
+    import spark.implicits._
+    val t = freshTable()
+    val d = Seq((1L, "en,US"), (2L, "de\"x"), (3L, "plain"))
+      .toDF("id", "lang")
+    ManifestTable.write(spark, d, t, partitionCols = Seq("lang"))
+    ManifestTable.append(spark, Seq((4L, "en,US")).toDF("id", "lang"), t)
+    val got = ManifestTable.read(spark, t).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en,US" -> 2L, "de\"x" -> 1L, "plain" -> 1L), got)
+    // vacuum must not misparse the list into garbage paths and delete
+    // live data
+    ManifestTable.vacuum(spark, t)
+    assert(ManifestTable.read(spark, t).count() == 4)
   }
 
   test("stream watermark survives batch commits: replay after compact is a no-op") {
