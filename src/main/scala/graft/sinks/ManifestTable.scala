@@ -57,8 +57,13 @@ object ManifestTable {
 
   private val ManifestDir = "_manifests"
 
-  /** Serializes same-JVM commits; see the class doc's CAS note. */
-  private val commitMonitor = new Object
+  /** Serializes same-JVM commits PER TABLE; see the class doc's CAS
+    * note. Keyed on the table path so two tables never contend.
+    */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitMonitor(table: Path): Object =
+    commitMonitors.computeIfAbsent(table.toString, _ => new Object)
 
   private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -99,11 +104,11 @@ object ManifestTable {
     */
   private def esc(s: String): String = s
     .replace("%", "%25").replace("\"", "%22").replace(",", "%2C")
-    .replace("{", "%7B").replace("}", "%7D")
+    .replace("{", "%7B").replace("}", "%7D").replace(":", "%3A")
 
   private def unesc(s: String): String = s
-    .replace("%7D", "}").replace("%7B", "{").replace("%2C", ",")
-    .replace("%22", "\"").replace("%25", "%")
+    .replace("%3A", ":").replace("%7D", "}").replace("%7B", "{")
+    .replace("%2C", ",").replace("%22", "\"").replace("%25", "%")
 
   /** `txns` maps a transaction app id to the highest streaming
     * micro-batch folded in under that id — the per-query idempotence
@@ -122,9 +127,15 @@ object ManifestTable {
 
   private def parseTxns(json: String): Map[String, Long] =
     """"txns":\{([^}]*)\}""".r.findFirstMatchIn(json) match {
-      case None => Map.empty
+      case None =>
+        // manifests written before the per-app txn map carried a single
+        // "streamBatchId" — fold it into the default app so an upgrade
+        // does not drop the idempotence watermark
+        """"streamBatchId":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(m => Map("default" -> m.group(1).toLong)).getOrElse(Map.empty)
       case Some(m) => m.group(1).split(",").iterator.filter(_.nonEmpty)
         .map { kv =>
+          // keys are esc()'d (':' included), so the first ':' separates
           val Array(k, v) = kv.split(":", 2)
           unesc(k.trim.stripPrefix("\"").stripSuffix("\"")) -> v.trim.toLong
         }.toMap
@@ -146,7 +157,7 @@ object ManifestTable {
     */
   private[graft] def commitManifest(fs: FileSystem, table: Path, version: Long,
       relFiles: Seq[String], txns: Map[String, Long] = Map.empty): Boolean =
-    commitMonitor.synchronized {
+    commitMonitor(table).synchronized {
       val target = manifestPath(table, version)
       fs.mkdirs(target.getParent)
       val staged = new Path(target.getParent,
@@ -245,16 +256,37 @@ object ManifestTable {
   def appendStreamBatch(spark: SparkSession, df: DataFrame, table: String,
       batchId: Long, txnAppId: String = "default",
       partitionCols: Seq[String] = Seq.empty): Long = {
-    val txns = streamTxns(spark, table)
-    if (txns.get(txnAppId).exists(_ >= batchId))
-      return currentVersion(spark, table)
     val (fs, p) = fsOf(spark, table)
-    val base = currentVersion(spark, table)
-    val existing =
-      if (base == 0) Seq.empty else currentFiles(spark, table, base)
-    val fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
-    commitOrThrow(fs, p, table, base + 1, (existing ++ fresh).sorted,
-      txns + (txnAppId -> batchId))
+    var fresh: Seq[String] = null // snapshot written once, reused on retry
+    var attempts = 0
+    while (true) {
+      // version FIRST, then files+txns from THAT version's manifest —
+      // one consistent snapshot of table state. Any commit landing
+      // after this read changes the current version, so our CAS at
+      // base+1 fails and we retry with fresh state; reading txns from
+      // a different version than base could silently regress another
+      // query's watermark into the committed manifest.
+      val base = currentVersion(spark, table)
+      val json = if (base == 0) None else Some(manifestJson(fs, p, base))
+      val txns = json.map(parseTxns).getOrElse(Map.empty)
+      if (txns.get(txnAppId).exists(_ >= batchId))
+        return base // replay; an already-written snapshot is vacuum's
+      val existing = json.map(parseFiles).getOrElse(Seq.empty)
+      if (fresh == null)
+        fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
+      if (commitManifest(fs, p, base + 1, (existing ++ fresh).sorted,
+          txns + (txnAppId -> batchId)))
+        return base + 1
+      // lost the version race to a concurrent writer: the standard
+      // optimistic loop, re-reading state but REUSING the data files —
+      // a streaming query cannot hand "retry" to a caller
+      attempts += 1
+      if (attempts >= 50)
+        throw new java.io.IOException(
+          s"appendStreamBatch: lost the commit race $attempts times on " +
+            s"$table — livelock or misconfigured concurrent writers")
+    }
+    -1L // unreachable
   }
 
   /** Drive an append-mode stream into a manifest table: foreachBatch +
@@ -423,31 +455,47 @@ object ManifestTable {
       .flatMap(ver => currentFiles(spark, table, ver)).toSet
     val dataDir = new Path(p, "data")
     var removed = 0
+    // snapshot dirs whose files THIS pass deletes: removable once empty
+    // even though the deletions bump their mtime past the cutoff
+    val emptiedHere = scala.collection.mutable.Set.empty[String]
     if (fs.exists(dataDir)) {
       listDataFiles(fs, dataDir).foreach { f =>
         if (!live.contains(relativize(p, f.getPath)) &&
           f.getModificationTime < cutoff) {
           fs.delete(f.getPath, false); removed += 1
+          // the snapshot root is the direct child of data/
+          var d = f.getPath.getParent
+          while (d.getParent != null && d.getParent.getName != "data")
+            d = d.getParent
+          emptiedHere += d.toString: Unit
         }
       }
       // drop snapshot dirs emptied of data files entirely
       fs.listStatus(dataDir).foreach { d =>
         if (d.isDirectory && listDataFiles(fs, d.getPath).isEmpty &&
-          d.getModificationTime < cutoff)
+          (d.getModificationTime < cutoff ||
+            emptiedHere.contains(d.getPath.toString)))
           fs.delete(d.getPath, true): Unit
       }
     }
     val mdir = new Path(p, ManifestDir)
-    fs.listStatus(mdir).foreach { m =>
-      val n = m.getPath.getName
-      val staleManifest = n.startsWith("v") && n.endsWith(".json") &&
-        n.stripPrefix("v").stripSuffix(".json").toLong < retained.min
-      // staged files orphaned by a hard crash between create and
-      // rename (commitManifest cleans its own failures up; this is
-      // the backstop)
-      val staleStaged = n.startsWith(".") && n.contains(".tmp-") &&
-        m.getModificationTime < cutoff
-      if (staleManifest || staleStaged) fs.delete(m.getPath, false): Unit
+    // serialize with same-JVM commits so the staged-file backstop can
+    // never race a commit currently between create and rename
+    commitMonitor(p).synchronized {
+      fs.listStatus(mdir).foreach { m =>
+        val n = m.getPath.getName
+        val staleManifest = n.startsWith("v") && n.endsWith(".json") &&
+          n.stripPrefix("v").stripSuffix(".json").toLong < retained.min
+        // staged files orphaned by a hard crash between create and
+        // rename (commitManifest cleans its own failures up; this is
+        // the backstop) — swept only with a REAL age bound, so a
+        // cross-process in-flight commit's staged file survives a
+        // default-grace vacuum
+        val staleStaged = n.startsWith(".") && n.contains(".tmp-") &&
+          m.getModificationTime <
+            System.currentTimeMillis() - math.max(graceMs, 600000L)
+        if (staleManifest || staleStaged) fs.delete(m.getPath, false): Unit
+      }
     }
     removed
   }

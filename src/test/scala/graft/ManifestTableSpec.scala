@@ -212,6 +212,39 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 4)
   }
 
+  test("URI-shaped txn app ids (colons) round-trip; legacy streamBatchId manifests still honored") {
+    val t = freshTable()
+    // colons in the app id — streamInto's default is a checkpoint URI
+    val app = "file:/tmp/ckpt:q1"
+    ManifestTable.appendStreamBatch(spark, df(6, "a"), t, batchId = 0L,
+      txnAppId = app)
+    ManifestTable.appendStreamBatch(spark, df(3, "b"), t, batchId = 1L,
+      txnAppId = app)
+    assert(ManifestTable.lastStreamBatchId(spark, t, app).contains(1L))
+    val v = ManifestTable.currentVersion(spark, t)
+    assert(ManifestTable.appendStreamBatch(spark, df(3, "b"), t,
+      batchId = 1L, txnAppId = app) == v) // replay no-op
+    assert(ManifestTable.read(spark, t).count() == 9)
+
+    // a pre-txn-map manifest (single streamBatchId) maps to the
+    // default app, so an upgrade does not drop the watermark
+    val t2 = freshTable()
+    ManifestTable.write(spark, df(5, "a"), t2)
+    val p2 = new org.apache.hadoop.fs.Path(t2)
+    val fs = p2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ManifestTable.currentFiles(spark, t2)
+      .map("\"" + _ + "\"").mkString(",")
+    val legacy = new org.apache.hadoop.fs.Path(t2, "_manifests/v000000000002.json")
+    val out = fs.create(legacy, false)
+    out.write(s"""{"version":2,"files":[$files],"streamBatchId":7}"""
+      .getBytes("UTF-8")); out.close()
+    assert(ManifestTable.lastStreamBatchId(spark, t2).contains(7L))
+    val v2 = ManifestTable.currentVersion(spark, t2)
+    assert(ManifestTable.appendStreamBatch(spark, df(2, "x"), t2,
+      batchId = 7L) == v2) // already folded in per the legacy watermark
+    assert(ManifestTable.read(spark, t2).count() == 5)
+  }
+
   test("stream watermark survives batch commits: replay after compact is a no-op") {
     val t = freshTable()
     ManifestTable.appendStreamBatch(spark, df(8, "a"), t, batchId = 0L)
