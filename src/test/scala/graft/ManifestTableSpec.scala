@@ -93,7 +93,9 @@ class ManifestTableSpec extends AnyFunSuite {
     val t = freshTable()
     ManifestTable.write(spark, df(50, "a"), t)
     ManifestTable.write(spark, df(20, "b"), t)
-    val removed = ManifestTable.vacuum(spark, t)
+    // graceMs = 0: no concurrent writer in the test — the default is
+    // a 1h in-flight-writer grace that would skip everything here
+    val removed = ManifestTable.vacuum(spark, t, graceMs = 0L)
     assert(removed > 0)
     assert(ManifestTable.read(spark, t).count() == 20)
     // the superseded manifest is gone too
@@ -124,7 +126,7 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.write(spark, df(50, "a"), t) // v1
     ManifestTable.write(spark, df(20, "b"), t) // v2
     ManifestTable.write(spark, df(9, "c"), t)  // v3
-    val removed = ManifestTable.vacuum(spark, t, keepVersions = 2)
+    val removed = ManifestTable.vacuum(spark, t, keepVersions = 2, graceMs = 0L)
     assert(removed > 0) // v1's files reclaimed
     // both retained versions still read in full
     assert(ManifestTable.read(spark, t, version = 2).count() == 20)
@@ -208,7 +210,7 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(got == Map("en,US" -> 2L, "de\"x" -> 1L, "plain" -> 1L), got)
     // vacuum must not misparse the list into garbage paths and delete
     // live data
-    ManifestTable.vacuum(spark, t)
+    ManifestTable.vacuum(spark, t, graceMs = 0L)
     assert(ManifestTable.read(spark, t).count() == 4)
   }
 
@@ -258,6 +260,103 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 12)
   }
 
+  test("delta log: 50 appends commit O(delta) manifests, resolve through checkpoints") {
+    val t = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestTable.write(spark, df(4, "base").coalesce(1), t) // v1 (replace)
+    (1 to 50).foreach { i =>
+      ManifestTable.append(spark, df(2, s"a$i").coalesce(1), t)
+    }
+    assert(ManifestTable.currentVersion(spark, t) == 51L)
+    // per-commit manifest bytes are O(files added), NOT O(total files):
+    // every append added exactly one data file, so every delta manifest
+    // is the same few hundred bytes — the last must not be larger than
+    // 2x the first (the old full-list format grew linearly to ~50x)
+    def manifestLen(v: Long): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(t, f"_manifests/v$v%012d.json")).getLen
+    val first = manifestLen(2)
+    val last = manifestLen(51)
+    assert(last <= 2 * first,
+      s"append manifest grew with table size: v2=$first bytes, v51=$last bytes")
+    // checkpoints materialized on the interval (default 10)
+    val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(t, "_manifests"))
+      .map(_.getPath.getName).filter(n => n.startsWith("c") && n.endsWith(".json"))
+      .map(_.drop(1).stripSuffix(".json").toLong).sorted.toSeq
+    assert(ckpts.nonEmpty && ckpts.forall(_ % 10 == 0), ckpts)
+    // reads resolve the full table through checkpoint + delta suffix
+    assert(ManifestTable.read(spark, t).count() == 4 + 50 * 2)
+    assert(ManifestTable.currentFiles(spark, t).size == 51)
+    // time travel to a mid-log version (between checkpoints) is exact
+    assert(ManifestTable.read(spark, t, version = 27).count() == 4 + 26 * 2)
+    // CDF across a checkpoint boundary returns exactly the delta rows
+    assert(ManifestTable.readChanges(spark, t, fromVersion = 8, toVersion = 13)
+      .count() == 5 * 2)
+    // vacuum to a delta-committed floor: the floor gets a materialized
+    // checkpoint so every retained version resolves without the
+    // deleted prefix. In an append-only history every old file is
+    // still referenced by the current version — vacuum must delete
+    // ZERO data files even while pruning the log
+    assert(ManifestTable.vacuum(spark, t, keepVersions = 5, graceMs = 0L) == 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, "_manifests/c000000000047.json")))
+    assert(ManifestTable.read(spark, t, version = 47).count() == 4 + 46 * 2)
+    assert(ManifestTable.read(spark, t).count() == 4 + 50 * 2)
+    assertThrows[Exception](ManifestTable.read(spark, t, version = 46))
+  }
+
+  test("exactly-once survives compaction racing live appends") {
+    val t = freshTable()
+    ManifestTable.appendStreamBatch(spark, df(10, "b0"), t, batchId = 0L)
+    @volatile var appendErr: Throwable = null
+    val appender = new Thread(() => {
+      try (1 to 6).foreach { i =>
+        ManifestTable.appendStreamBatch(spark, df(5, s"b$i"), t,
+          batchId = i.toLong)
+        Thread.sleep(20)
+      } catch { case e: Throwable => appendErr = e }
+    })
+    appender.start()
+    // maintenance racing the live stream: compact's optimistic retry
+    // must either fold a concurrent append into the rewrite or lose
+    // its CAS and re-read — never silently drop the append's rows or
+    // its txn watermark
+    ManifestTable.compact(spark, t, maxAttempts = 20)
+    ManifestTable.compact(spark, t, maxAttempts = 20)
+    appender.join()
+    assert(appendErr == null, s"append thread failed: $appendErr")
+    ManifestTable.compact(spark, t, maxAttempts = 20)
+    // no loss, no duplication, watermark intact
+    assert(ManifestTable.read(spark, t).count() == 10 + 6 * 5)
+    assert(ManifestTable.lastStreamBatchId(spark, t).contains(6L))
+    // every batch id replays as a no-op against the compacted table
+    val v = ManifestTable.currentVersion(spark, t)
+    (0 to 6).foreach { i =>
+      assert(ManifestTable.appendStreamBatch(spark, df(1, "replay"), t,
+        batchId = i.toLong) == v, s"batch $i replayed as a real commit")
+    }
+    assert(ManifestTable.read(spark, t).count() == 10 + 6 * 5)
+  }
+
+  test("local-FS commit publish is hard-link create-exclusive (cross-process CAS)") {
+    // the manifest file must be a real file whose creation raced
+    // through createLink: committing the same version again fails even
+    // without the same-JVM monitor's help (simulated by a direct
+    // nio-level probe against the committed name)
+    val t = freshTable()
+    ManifestTable.write(spark, df(3, "a"), t)
+    val target = java.nio.file.Paths.get(t, "_manifests", "v000000000001.json")
+    assert(java.nio.file.Files.isRegularFile(target))
+    val probe = java.nio.file.Files.createTempFile("graft_cas", ".json")
+    try assertThrows[java.nio.file.FileAlreadyExistsException](
+      java.nio.file.Files.createLink(target, probe))
+    finally java.nio.file.Files.delete(probe)
+    // and no staged temp survives a committed write
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(t, "_manifests"))
+      .forall(!_.getPath.getName.contains(".tmp-")))
+  }
+
   test("commit CAS: a second writer racing the same version loses cleanly") {
     val t = freshTable()
     val v1files = {
@@ -276,7 +375,7 @@ class ManifestTableSpec extends AnyFunSuite {
     // a loser's orphaned snapshot dir is reclaimed by vacuum after the
     // next successful commit
     ManifestTable.write(spark, df(7, "c"), t)
-    assert(ManifestTable.vacuum(spark, t) > 0)
+    assert(ManifestTable.vacuum(spark, t, graceMs = 0L) > 0)
     assert(ManifestTable.read(spark, t).count() == 7)
   }
 }
