@@ -887,4 +887,137 @@ object PipelineOps {
     * the data.
     */
   val p19Sql: String = p17Sql
+
+  /** Census shared by the manifest p-queries: per-lang counts, char
+    * totals and id extremes — sensitive to any lost, duplicated or
+    * corrupted row.
+    */
+  private def langCensus(df: DataFrame): DataFrame = df
+    .groupBy(col("lang"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      min(col("doc_id")).as("min_doc_id"),
+      max(col("doc_id")).as("max_doc_id"))
+    .orderBy(col("lang").asc_nulls_last)
+
+  private def docIdBounds(docs: DataFrame): (Long, Long) = {
+    // two-value driver agg: the bounded, legitimate collect class
+    val r = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private val p20Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p20: FILE-LEVEL DATA SKIPPING through the manifest statistics —
+    * the corpus committed as range-localized files (repartitionByRange
+    * on doc_id gives every file a tight id range; each commit records
+    * footer min/max per file in its manifest), then a selective range
+    * read through [[graft.sinks.ManifestTable.readWhere]]: the
+    * bottom-decile id predicate resolves against the manifest ranges
+    * and SCANS ONLY the overlapping files — at 100 TB the difference
+    * between a metadata walk + a few files and a full-table scan. The
+    * oracle filters the source table directly, so a hash match proves
+    * pruning dropped no qualifying row; ManifestSkippingSpec pins the
+    * files-actually-skipped counts. Scratch is per-invocation.
+    */
+  def p20StatsSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p20_skip_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p20Invocation.incrementAndGet())
+    val (mn, mx) = docIdBounds(docs)
+    graft.sinks.ManifestTable.write(spark,
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    val cut = mn + (mx - mn) / 10
+    langCensus(graft.sinks.ManifestTable.readWhere(spark, table,
+      col("doc_id") <= cut))
+  }
+
+  val p20Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents
+      |WHERE doc_id <= (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 10
+      |                 FROM documents)
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  private val p21Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p21: row-level MERGE (upsert) on a manifest table, copy-on-write
+    * at file granularity — the CDC-apply primitive at lake scale. The
+    * even half of the corpus is committed range-localized; the merge
+    * source carries UPDATES (every doc_id % 4 == 0 row with n_chars
+    * bumped by 1000 — whole-row replacement) and INSERTS (the odd
+    * half). [[graft.sinks.ManifestTable.merge]] prunes to the files
+    * whose key ranges overlap the source, rewrites only the files that
+    * actually hold matched keys, lands the source as fresh files, and
+    * commits one add+remove delta. The oracle computes the expected
+    * final state from the source table in one expression, so a hash
+    * match proves update/insert/untouched rows all landed exactly
+    * once. Scratch is per-invocation (merge mutates table state).
+    */
+  def p21ManifestMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p21_merge_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p21Invocation.incrementAndGet())
+    graft.sinks.ManifestTable.write(spark,
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    val updates = docs.filter(col("doc_id") % 4 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val inserts = docs.filter(col("doc_id") % 2 =!= 0)
+    graft.sinks.ManifestTable.merge(spark,
+      updates.unionByName(inserts), table, Seq("doc_id"))
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  val p21Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+      |                ELSE n_chars END) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  private val p22Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p22: row-level DELETE on a manifest table, copy-on-write — GDPR
+    * erasure / retention pruning as a lake operation. The corpus is
+    * committed range-localized, then the bottom QUINTILE of ids is
+    * deleted: manifest statistics prune to the files whose ranges
+    * overlap the predicate, only the files actually containing
+    * matching rows are rewritten without them, and the commit is one
+    * add+remove delta — the files above the cut are never read,
+    * rewritten, or mentioned. The oracle keeps exactly the complement
+    * rows, so a hash match proves the delete removed everything it
+    * should and nothing it should not. Scratch is per-invocation.
+    */
+  def p22ManifestDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p22_delete_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p22Invocation.incrementAndGet())
+    val (mn, mx) = docIdBounds(docs)
+    graft.sinks.ManifestTable.write(spark,
+      docs.repartitionByRange(8, col("doc_id")), table)
+    val cut = mn + (mx - mn) / 5
+    graft.sinks.ManifestTable.delete(spark, table, col("doc_id") < cut)
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  val p22Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents
+      |WHERE doc_id >= (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 5
+      |                 FROM documents)
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 }

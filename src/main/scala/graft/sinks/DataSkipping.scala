@@ -1,0 +1,461 @@
+package graft.sinks
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level data skipping for [[ManifestTable]] — the metadata layer
+  * that makes a 100 TB table answer a selective query without touching
+  * 100 TB: every committed data file carries per-column min/max/null
+  * statistics in the manifest (the Delta `stats` / Iceberg
+  * `lower_bounds` recipe), and a predicate read resolves the file list,
+  * drops every file whose value ranges PROVE it cannot contain a
+  * matching row, and scans only the survivors. The pruned read then
+  * still applies the full predicate — pruning is an optimization with
+  * a one-sided contract: a kept file costs I/O, a wrongly dropped file
+  * would cost correctness, so every uncertainty resolves to "keep".
+  *
+  * Stats come from two places, both metadata-priced:
+  *
+  *  - '''parquet footers''' of the freshly committed files (min/max/
+  *    null-count per row group, merged per file) — O(footer) per file,
+  *    read once at commit time on a bounded thread pool, never again;
+  *  - '''partition directory values''' (`col=value/` path segments),
+  *    stored as degenerate min==max ranges — which makes Hive
+  *    partition pruning just a special case of range pruning here, and
+  *    lets a predicate mix partition and data columns in one walk.
+  *
+  * Only statistics parquet stores EXACTLY are trusted: integral types,
+  * floating point (non-finite extremes dropped), booleans, UTF-8
+  * strings (capped at [[MaxStringStat]] chars — a longer extreme is
+  * dropped rather than truncated, because a truncated max understates
+  * the range and would prune files that match), DATE (days) and
+  * TIMESTAMP(MICROS) (micros — exactly Catalyst's internal encodings,
+  * so literals compare raw). INT96, decimals, nested fields and
+  * NANOS timestamps get no stats — unprunable, never wrong.
+  *
+  * String order note: comparisons use [[UTF8String]]'s unsigned byte
+  * order — the same order parquet declares for UTF-8 min/max — not
+  * Java's UTF-16 `String.compareTo`, which disagrees beyond the BMP.
+  */
+object DataSkipping {
+
+  /** Per-column file statistics. `None` min/max with `nulls == rows`
+    * means an all-null column (prunable for value predicates); `None`
+    * otherwise means unknown (unprunable).
+    */
+  final case class ColStats(min: Option[Any], max: Option[Any],
+      nulls: Option[Long])
+
+  /** Per-file statistics: exact row count + per-column ranges. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** String min/max longer than this are dropped, not truncated (a
+    * truncated bound would lie about the range). 64 covers every key
+    * and category column; long text bodies are not skippable anyway.
+    */
+  val MaxStringStat = 64
+
+  // ---------------------------------------------------------------
+  // collection
+  // ---------------------------------------------------------------
+
+  /** Hive partition-path unescape (%-hex, the encoding Spark writes). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Collect [[FileStats]] for `relFiles` under `table`: parquet
+    * footer ranges merged across row groups, plus partition-dir values
+    * as min==max. Files that fail to parse yield no stats (kept by
+    * every prune — fail open). Footer reads run on a bounded pool:
+    * commit latency is O(files/parallelism) metadata reads. At real
+    * cluster scale the same collection can ride the write job itself;
+    * the manifest format is indifferent to who computed the stats.
+    */
+  def collect(conf: Configuration, table: Path,
+      relFiles: Seq[String]): Map[String, FileStats] = {
+    if (relFiles.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, relFiles.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = relFiles.map { rel =>
+        new java.util.concurrent.Callable[Option[(String, FileStats)]] {
+          def call(): Option[(String, FileStats)] =
+            try Some(rel -> statsOf(conf, new Path(table, rel), rel))
+            catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
+  /** Footer + partition stats of one file. */
+  private def statsOf(conf: Configuration, file: Path,
+      rel: String): FileStats = {
+    val in = HadoopInputFile.fromPath(file, conf)
+    val reader = ParquetFileReader.open(in)
+    val (rows, footerCols) =
+      try {
+        val footer = reader.getFooter
+        import scala.jdk.CollectionConverters._
+        val fields: Map[String, org.apache.parquet.schema.PrimitiveType] =
+          footer.getFileMetaData.getSchema.getFields.asScala
+            .collect { case t if t.isPrimitive => t.getName -> t.asPrimitiveType }
+            .toMap
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // merge per-column chunk statistics across row groups; a column
+        // missing stats in ANY chunk is unknown for the file
+        val acc = scala.collection.mutable.Map.empty[String, ColStats]
+        val bad = scala.collection.mutable.Set.empty[String]
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val pathArr = c.getPath.toArray
+          if (pathArr.length == 1) {
+            val name = pathArr(0)
+            if (!bad(name)) {
+              val s: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
+              fields.get(name) match {
+                case Some(field) if s != null && s.isNumNullsSet &&
+                    (!s.hasNonNullValue || supported(field)) =>
+                  val nulls = s.getNumNulls
+                  val (mn, mx) =
+                    if (s.hasNonNullValue)
+                      (typedValue(field, s.genericGetMin),
+                        typedValue(field, s.genericGetMax))
+                    else (None, None)
+                  // chunk had values but the type mapping refused them
+                  // (e.g. oversized string): unknown, not all-null
+                  if (s.hasNonNullValue && (mn.isEmpty || mx.isEmpty)) {
+                    bad += name; acc.remove(name): Unit
+                  } else acc(name) = acc.get(name) match {
+                    case None => ColStats(mn, mx, Some(nulls))
+                    case Some(prev) => ColStats(
+                      mergeBound(prev.min, mn, keepMin = true),
+                      mergeBound(prev.max, mx, keepMin = false),
+                      prev.nulls.map(_ + nulls))
+                  }
+                case _ => bad += name; acc.remove(name): Unit
+              }
+            }
+          }
+        }
+        (rows, acc.toMap)
+      } finally reader.close()
+    // partition segments: col=value dirs above the file name
+    val partCols = rel.split("/").dropRight(1).toSeq
+      .filter(_.contains("="))
+      .flatMap { seg =>
+        val k = seg.substring(0, seg.indexOf('='))
+        val raw = seg.substring(seg.indexOf('=') + 1)
+        if (raw == HiveNullPartition)
+          Some(k -> ColStats(None, None, Some(rows)))
+        else {
+          val v = unescapePath(raw)
+          Some(k -> ColStats(Some(v), Some(v), Some(0L)))
+        }
+      }
+    FileStats(rows, footerCols ++ partCols)
+  }
+
+  /** All-null merge identity: when one side is an all-null chunk its
+    * bound is None and the other side's bound stands.
+    */
+  private def mergeBound(a: Option[Any], b: Option[Any],
+      keepMin: Boolean): Option[Any] = (a, b) match {
+    case (None, x) => x
+    case (x, None) => x
+    case (Some(x), Some(y)) =>
+      cmpSameType(x, y) match {
+        case Some(c) => if ((c <= 0) == keepMin) Some(x) else Some(y)
+        case None => None
+      }
+  }
+
+  private def cmpSameType(x: Any, y: Any): Option[Int] = (x, y) match {
+    case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
+    case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
+    case (a: String, b: String) =>
+      Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+    case _ => None
+  }
+
+  /** Is this primitive column's statistic exactly representable in the
+    * stats model (and comparable against Catalyst literals raw)?
+    */
+  private def supported(f: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    val ann = f.getLogicalTypeAnnotation
+    f.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT32 => ann match {
+        case null => true
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case _ => false
+      }
+      case PrimitiveTypeName.INT64 => ann match {
+        case null => true
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
+      case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT |
+          PrimitiveTypeName.BOOLEAN => true
+      case PrimitiveTypeName.BINARY => ann match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+        case _ => false
+      }
+      case _ => false // INT96, FIXED_LEN_BYTE_ARRAY, decimals
+    }
+  }
+
+  /** Parquet statistic value → the stats model's canonical scalar
+    * (Long / Double / String / Boolean). None = not representable.
+    */
+  private def typedValue(f: org.apache.parquet.schema.PrimitiveType,
+      v: Any): Option[Any] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l.longValue)
+    case f2: java.lang.Float =>
+      val d = f2.doubleValue
+      if (java.lang.Double.isFinite(d)) Some(d) else None
+    case d: java.lang.Double =>
+      if (java.lang.Double.isFinite(d)) Some(d.doubleValue) else None
+    case b: java.lang.Boolean => Some(b.booleanValue)
+    case b: org.apache.parquet.io.api.Binary =>
+      val s = b.toStringUsingUTF8
+      if (s.length <= MaxStringStat) Some(s) else None
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------
+  // pruning
+  // ---------------------------------------------------------------
+
+  /** The Column DSL in Spark 4 deliberately builds UNRESOLVED
+    * function-call nodes (`'and('`>=`('id, 25), ...)`) rather than the
+    * typed comparison expressions — resolution normally happens in the
+    * analyzer against a plan. The pruning walk runs BEFORE any plan
+    * exists, so normalize the well-known boolean/comparison calls into
+    * their typed forms first; anything unrecognized stays as-is and
+    * fails open in [[may]].
+    */
+  private def norm(e: Expression): Expression = e match {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.lengthCompare(1) == 0 && !f.isDistinct =>
+      val args = f.arguments.map(norm)
+      (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), args) match {
+        case ("and", Seq(a, b)) => And(a, b)
+        case ("or", Seq(a, b)) => Or(a, b)
+        case ("not", Seq(a)) => Not(a)
+        case ("=" | "==", Seq(a, b)) => EqualTo(a, b)
+        case ("<=>", Seq(a, b)) => EqualNullSafe(a, b)
+        case (">", Seq(a, b)) => GreaterThan(a, b)
+        case (">=", Seq(a, b)) => GreaterThanOrEqual(a, b)
+        case ("<", Seq(a, b)) => LessThan(a, b)
+        case ("<=", Seq(a, b)) => LessThanOrEqual(a, b)
+        case ("in", a +: rest) if rest.nonEmpty => In(a, rest)
+        case ("isnull", Seq(a)) => IsNull(a)
+        case ("isnotnull", Seq(a)) => IsNotNull(a)
+        case ("startswith", Seq(a, b)) => StartsWith(a, b)
+        case _ => f.copy(arguments = args)
+      }
+    case other => other.mapChildren(norm)
+  }
+
+  /** May `pred` match any row of a file with `stats`? `None` stats
+    * (legacy manifest, failed footer) always keeps the file. The
+    * recursion returns false ONLY on proof of emptiness; every
+    * unsupported shape returns true.
+    */
+  def mayMatch(stats: Option[FileStats], pred: Expression): Boolean =
+    stats match {
+      case None => true
+      case Some(st) if st.rows == 0 => false
+      case Some(st) => may(st, pred)
+    }
+
+  private def may(st: FileStats, e: Expression): Boolean = e match {
+    case And(l, r) => may(st, l) && may(st, r)
+    case Or(l, r) => may(st, l) || may(st, r)
+    case EqualTo(a, b) => binary(st, a, b, "eq")
+    case EqualNullSafe(a, b) => binary(st, a, b, "eq")
+    case LessThan(a, b) => binary(st, a, b, "lt")
+    case LessThanOrEqual(a, b) => binary(st, a, b, "le")
+    case GreaterThan(a, b) => binary(st, a, b, "gt")
+    case GreaterThanOrEqual(a, b) => binary(st, a, b, "ge")
+    case In(a, list) => attrName(a) match {
+      case Some(n) =>
+        val lits = list.map(litValue)
+        if (lits.exists(_.isEmpty)) true
+        else lits.flatten.exists(v => leaf(st, n, v, "eq"))
+      case None => true
+    }
+    case InSet(a, set) => attrName(a) match {
+      case Some(n) => set.exists(v => leaf(st, n, v, "eq"))
+      case None => true
+    }
+    case IsNull(a) => attrName(a) match {
+      case Some(n) => st.cols.get(n) match {
+        case Some(ColStats(_, _, Some(nulls))) => nulls > 0
+        case _ => true
+      }
+      case None => true
+    }
+    case IsNotNull(a) => attrName(a) match {
+      case Some(n) => st.cols.get(n) match {
+        case Some(ColStats(_, _, Some(nulls))) => nulls < st.rows
+        case _ => true
+      }
+      case None => true
+    }
+    case StartsWith(a, p) => (attrName(a), litValue(p)) match {
+      case (Some(n), Some(prefix: UTF8String)) =>
+        st.cols.get(n) match {
+          case Some(ColStats(Some(mn: String), Some(mx: String), _)) =>
+            val pf = prefix.toString
+            val lo = UTF8String.fromString(mn.take(pf.length))
+            val hi = UTF8String.fromString(mx.take(pf.length))
+            lo.compareTo(prefix) <= 0 && hi.compareTo(prefix) >= 0
+          case Some(ColStats(None, None, Some(nulls))) => nulls < st.rows
+          case _ => true
+        }
+      case _ => true
+    }
+    case _ => true // Not(...) and anything else: fail open
+  }
+
+  private def binary(st: FileStats, l: Expression, r: Expression,
+      op: String): Boolean =
+    (attrName(l), litValue(r)) match {
+      case (Some(n), Some(v)) => leaf(st, n, v, op)
+      case _ => (attrName(r), litValue(l)) match {
+        case (Some(n), Some(v)) => leaf(st, n, v, flip(op))
+        case _ => true
+      }
+    }
+
+  private def flip(op: String): String = op match {
+    case "lt" => "gt"; case "le" => "ge"
+    case "gt" => "lt"; case "ge" => "le"; case o => o
+  }
+
+  /** Can `col op lit` hold for any row given the file's range? */
+  private def leaf(st: FileStats, col: String, lit: Any,
+      op: String): Boolean = st.cols.get(col) match {
+    case None => true
+    case Some(ColStats(None, None, Some(nulls))) =>
+      nulls < st.rows // all-null only if nulls == rows; else unknown bounds
+    case Some(ColStats(mnO, mxO, _)) =>
+      val mn = mnO.orNull
+      val mx = mxO.orNull
+      if (mn == null || mx == null) true
+      else op match {
+        case "eq" => cmpVals(mn, lit).forall(_ <= 0) &&
+          cmpVals(mx, lit).forall(_ >= 0)
+        case "lt" => cmpVals(mn, lit).forall(_ < 0)
+        case "le" => cmpVals(mn, lit).forall(_ <= 0)
+        case "gt" => cmpVals(mx, lit).forall(_ > 0)
+        case "ge" => cmpVals(mx, lit).forall(_ >= 0)
+        case _ => true
+      }
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Literal (or foldable, e.g. cast-wrapped literal) → its Catalyst
+    * internal value. None = not a constant or a null constant.
+    */
+  private def litValue(e: Expression): Option[Any] = e match {
+    case Literal(null, _) => None
+    case Literal(v, _) => Some(v)
+    case f if f.resolved && f.foldable && f.deterministic =>
+      try Option(f.eval(null)) catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    case _ => None
+  }
+
+  /** Compare a stats bound against a Catalyst literal value. None =
+    * incomparable (keeps the file). Partition-dir strings compare
+    * numerically against numeric literals (the partition value of a
+    * numeric column is its string rendering).
+    */
+  private def cmpVals(bound: Any, lit: Any): Option[Int] = (bound, lit) match {
+    case (a: Long, b: java.lang.Number) => numCmp(BigDecimal(a), b)
+    case (a: Double, b: java.lang.Number) => numCmp(BigDecimal(a), b)
+    case (a: String, b: UTF8String) =>
+      Some(UTF8String.fromString(a).compareTo(b))
+    case (a: String, b: java.lang.Number) =>
+      try numCmp(BigDecimal(a), b)
+      catch { case _: NumberFormatException => None }
+    case (a: Boolean, b: java.lang.Boolean) =>
+      Some(java.lang.Boolean.compare(a, b.booleanValue))
+    case (a: Long, b: UTF8String) =>
+      try Some(BigDecimal(a).compare(BigDecimal(b.toString)))
+      catch { case _: NumberFormatException => None }
+    case (a: Double, b: UTF8String) =>
+      try Some(BigDecimal(a).compare(BigDecimal(b.toString)))
+      catch { case _: NumberFormatException => None }
+    case (a: String, b: org.apache.spark.sql.types.Decimal) =>
+      try Some(BigDecimal(a).compare(b.toBigDecimal))
+      catch { case _: NumberFormatException => None }
+    case (a: Long, b: org.apache.spark.sql.types.Decimal) =>
+      Some(BigDecimal(a).compare(b.toBigDecimal))
+    case (a: Double, b: org.apache.spark.sql.types.Decimal) =>
+      Some(BigDecimal(a).compare(b.toBigDecimal))
+    case _ => None
+  }
+
+  private def numCmp(a: BigDecimal, b: java.lang.Number): Option[Int] =
+    b match {
+      case i: java.lang.Integer => Some(a.compare(BigDecimal(i.intValue)))
+      case l: java.lang.Long => Some(a.compare(BigDecimal(l.longValue)))
+      case s: java.lang.Short => Some(a.compare(BigDecimal(s.intValue)))
+      case y: java.lang.Byte => Some(a.compare(BigDecimal(y.intValue)))
+      case d: java.lang.Double =>
+        if (java.lang.Double.isFinite(d.doubleValue))
+          Some(a.compare(BigDecimal(d.doubleValue)))
+        else Some(-java.lang.Double.compare(d.doubleValue, 0)) // ±Inf: bound is finite
+      case f: java.lang.Float =>
+        val d = f.doubleValue
+        if (java.lang.Double.isFinite(d)) Some(a.compare(BigDecimal(d)))
+        else Some(-java.lang.Double.compare(d, 0))
+      case _ => None
+    }
+
+  /** The Catalyst expression behind a public [[org.apache.spark.sql.Column]]
+    * — EAGER conversion + [[norm]] so the pruning walk sees typed
+    * comparisons, not lazy column nodes or unresolved function calls.
+    * Normalized ONCE per predicate here; [[mayMatch]] then runs
+    * per-file on the shared tree.
+    */
+  def expressionOf(c: org.apache.spark.sql.Column): Expression =
+    norm(org.apache.spark.sql.GraftColumnBridge.eagerExpression(c))
+}

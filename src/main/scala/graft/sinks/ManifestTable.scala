@@ -2,7 +2,7 @@ package graft.sinks
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Manifest-committed table — the object-store-safe commit protocol
   * [[Sinks.compact]]'s directory-rename swap approximates (VERDICT r9
@@ -83,6 +83,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * manifest carries the FULL txn map (it is O(#streaming apps), tiny),
   * so the current watermarks always live in the latest manifest alone.
   *
+  * '''Data skipping.''' Every commit records per-file column
+  * statistics (parquet-footer min/max/null-count + partition-dir
+  * values, [[DataSkipping]]) in its manifest — O(files in the commit),
+  * the Delta `stats` recipe. [[readWhere]] resolves the snapshot and
+  * scans only the files whose ranges could satisfy the predicate;
+  * [[skippingReport]] exposes the (scanned, total) counts.
+  *
+  * '''Row-level operations.''' [[delete]] and [[merge]] are
+  * copy-on-write at FILE granularity: statistics prune to candidate
+  * files, one scan finds the files actually containing affected rows,
+  * only those are rewritten, and the commit is a delta manifest with
+  * BOTH `add` and `remove` lists — O(touched files), never O(table).
+  * Resolution replays deltas in version order (remove, then add) from
+  * the nearest base, so interleaved appends/deletes/upserts compose.
+  *
   * Manifests are Jackson-serialized JSON; file paths and txn app ids
   * round-trip through real JSON string escaping (format marker
   * `"fmt":2`). Pre-fmt-2 manifests (full list + percent-escaped
@@ -112,14 +127,32 @@ object ManifestTable {
 
   private val mapper = new ObjectMapper()
 
+  import DataSkipping.FileStats
+
   /** Parsed manifest: a self-basing full list (replace/checkpoint/
-    * legacy) or an append delta.
+    * legacy) or a delta (files added and/or removed). Every manifest
+    * also carries the full (tiny) txn-watermark map, the table's
+    * sticky partition-column metadata, and per-file column statistics
+    * for the files IT introduces (O(files in this commit), the Delta
+    * `stats` recipe — never O(table)).
     */
-  private sealed trait Manifest { def txns: Map[String, Long] }
+  private sealed trait Manifest {
+    def txns: Map[String, Long]
+    def stats: Map[String, FileStats]
+    def parts: Seq[String]
+  }
   private final case class Replace(files: Seq[String],
-      txns: Map[String, Long]) extends Manifest
-  private final case class Delta(add: Seq[String],
-      txns: Map[String, Long]) extends Manifest
+      stats: Map[String, FileStats], txns: Map[String, Long],
+      parts: Seq[String]) extends Manifest
+  private final case class Delta(add: Seq[String], remove: Seq[String],
+      stats: Map[String, FileStats], txns: Map[String, Long],
+      parts: Seq[String]) extends Manifest
+
+  /** A resolved snapshot: the complete file list of a version plus the
+    * per-file statistics that survived to it.
+    */
+  private final case class Snapshot(files: Seq[String],
+      stats: Map[String, FileStats])
 
   /** Serializes same-JVM commits PER TABLE — a fast path in front of
     * the filesystem CAS; see the class doc. Keyed on the table path so
@@ -182,18 +215,60 @@ object ManifestTable {
     .replace("%2C", ",").replace("%22", "\"").replace("%25", "%")
 
   private def renderNode(version: Long, listField: String,
-      files: Seq[String], txns: Map[String, Long]): String = {
+      files: Seq[String], txns: Map[String, Long],
+      stats: Map[String, FileStats] = Map.empty,
+      remove: Seq[String] = Seq.empty,
+      parts: Seq[String] = Seq.empty): String = {
     val root = mapper.createObjectNode()
     root.put("fmt", Fmt): Unit
     root.put("version", version): Unit
     val arr = root.putArray(listField)
     files.foreach(f => arr.add(f): Unit)
+    if (remove.nonEmpty) {
+      val r = root.putArray("remove")
+      remove.foreach(f => r.add(f): Unit)
+    }
+    if (parts.nonEmpty) {
+      val pn = root.putArray("parts")
+      parts.foreach(c => pn.add(c): Unit)
+    }
+    if (stats.nonEmpty) {
+      val sn = root.putObject("stats")
+      stats.toSeq.sortBy(_._1).foreach { case (file, fst) =>
+        val fn = sn.putObject(file)
+        fn.put("rows", fst.rows): Unit
+        if (fst.cols.nonEmpty) {
+          val cn = fn.putObject("cols")
+          fst.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+            val n = cn.putObject(c)
+            def putVal(field: String, v: Any): Unit = v match {
+              case l: Long => n.put(field, l): Unit
+              case d: Double => n.put(field, d): Unit
+              case s: String => n.put(field, s): Unit
+              case b: Boolean => n.put(field, b): Unit
+              case _ => ()
+            }
+            cs.min.foreach(putVal("min", _))
+            cs.max.foreach(putVal("max", _))
+            cs.nulls.foreach(x => n.put("nulls", x): Unit)
+          }
+        }
+      }
+    }
     if (txns.nonEmpty) {
       val t = root.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v): Unit }
     }
     mapper.writeValueAsString(root)
   }
+
+  private def jsonScalar(n: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
+    if (n == null) None
+    else if (n.isTextual) Some(n.asText())
+    else if (n.isBoolean) Some(n.asBoolean())
+    else if (n.isIntegralNumber) Some(n.asLong())
+    else if (n.isFloatingPointNumber) Some(n.asDouble())
+    else None
 
   private def parseManifest(json: String): Manifest = {
     val root =
@@ -217,10 +292,43 @@ object ManifestTable {
         Option(root.get("streamBatchId"))
           .map(n => Map("default" -> n.asLong())).getOrElse(Map.empty)
     }
+    val parts: Seq[String] = strings("parts").getOrElse(Seq.empty)
+    val stats: Map[String, FileStats] = Option(root.get("stats")) match {
+      case None => Map.empty
+      case Some(sn) =>
+        val b = Map.newBuilder[String, FileStats]
+        val it = sn.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val fn = e.getValue
+          val cols = Option(fn.get("cols")) match {
+            case None => Map.empty[String, DataSkipping.ColStats]
+            case Some(cn) =>
+              val cb = Map.newBuilder[String, DataSkipping.ColStats]
+              val cit = cn.properties().iterator()
+              while (cit.hasNext) {
+                val ce = cit.next()
+                val n = ce.getValue
+                cb += ce.getKey -> DataSkipping.ColStats(
+                  jsonScalar(n.get("min")), jsonScalar(n.get("max")),
+                  Option(n.get("nulls")).map(_.asLong()))
+              }
+              cb.result()
+          }
+          // a stats entry without a row count is unusable (rows = 0
+          // would claim provable emptiness): drop it, fail open
+          Option(fn.get("rows")).map(_.asLong()).foreach { rows =>
+            b += e.getKey -> FileStats(rows, cols)
+          }
+        }
+        b.result()
+    }
+    val remove = strings("remove").getOrElse(Seq.empty)
     strings("add") match {
-      case Some(a) => Delta(a, txns)
+      case Some(a) => Delta(a, remove, stats, txns, parts)
       case None => Replace(strings("files").getOrElse(
-        throw new java.io.IOException(s"bad manifest: $json")), txns)
+        throw new java.io.IOException(s"bad manifest: $json")),
+        stats, txns, parts)
     }
   }
 
@@ -233,38 +341,68 @@ object ManifestTable {
   private def readManifest(fs: FileSystem, table: Path, version: Long): Manifest =
     parseManifest(readJson(fs, manifestPath(table, version)))
 
-  /** Reconstruct the complete file list of `version`: walk BACKWARD
-    * from v(version), stacking append deltas, until a base — a
-    * checkpoint at the walk position or a replace manifest. Bounded by
-    * the checkpoint interval; every file read is immutable, so the
-    * result is stable regardless of concurrent commits.
+  /** Reconstruct the complete state of `version`: walk BACKWARD from
+    * v(version), stacking deltas, until a base — a checkpoint at the
+    * walk position or a replace manifest — then REPLAY the deltas
+    * forward (remove, then add — ordering matters once deltas can
+    * remove files, e.g. a row-level [[delete]] followed by an append).
+    * Bounded by the checkpoint interval; every file read is immutable,
+    * so the result is stable regardless of concurrent commits. Stats
+    * ride along: a file's stats enter with its add and leave with its
+    * remove.
     */
-  private def resolveFiles(fs: FileSystem, table: Path, version: Long,
-      checkpoints: Set[Long]): Seq[String] = {
-    var adds = List.empty[Seq[String]]
-    var base: Seq[String] = Seq.empty
+  private def resolve(fs: FileSystem, table: Path, version: Long,
+      checkpoints: Set[Long]): Snapshot = {
+    var deltas = List.empty[Delta] // ascending order (prepend while walking back)
+    var base: Option[Manifest] = None
     var v = version
-    var done = false
-    while (!done && v > 0) {
-      if (checkpoints.contains(v)) {
-        base = parseManifest(readJson(fs, checkpointPath(table, v))) match {
-          case Replace(fl, _) => fl
-          case Delta(a, _) => a // checkpoints are always full lists
-        }
-        done = true
-      } else readManifest(fs, table, v) match {
-        case Replace(fl, _) => base = fl; done = true
-        case Delta(a, _) => adds = a :: adds; v -= 1
+    while (base.isEmpty && v > 0) {
+      if (checkpoints.contains(v))
+        base = Some(parseManifest(readJson(fs, checkpointPath(table, v))))
+      else readManifest(fs, table, v) match {
+        case r: Replace => base = Some(r)
+        case d: Delta => deltas = d :: deltas; v -= 1
       }
     }
-    (base ++ adds.flatten).sorted
+    var files: Seq[String] = base match {
+      case Some(Replace(fl, _, _, _)) => fl
+      case Some(Delta(a, _, _, _, _)) => a // checkpoints are full lists
+      case None => Seq.empty
+    }
+    var stats: Map[String, FileStats] = base.map(_.stats).getOrElse(Map.empty)
+    deltas.foreach { d =>
+      if (d.remove.nonEmpty) {
+        val rm = d.remove.toSet
+        files = files.filterNot(rm)
+        stats = stats -- rm
+      }
+      files = files ++ d.add
+      stats = stats ++ d.stats
+    }
+    Snapshot(files.sorted, stats)
   }
+
+  private def resolveFiles(fs: FileSystem, table: Path, version: Long,
+      checkpoints: Set[Long]): Seq[String] =
+    resolve(fs, table, version, checkpoints).files
 
   /** The txn watermarks at `version` — every manifest carries the full
     * (tiny) map, so no walk is needed.
     */
   private def txnsAt(fs: FileSystem, table: Path, version: Long): Map[String, Long] =
     if (version == 0) Map.empty else readManifest(fs, table, version).txns
+
+  /** The table's sticky partition-column metadata at `version` (the
+    * layout the last partitioned commit declared) — carried in every
+    * manifest like the txn map, used as the default layout by
+    * [[compact]]/[[delete]]/[[merge]] so maintenance does not need the
+    * caller to re-state how the table is partitioned.
+    */
+  private def partsAt(fs: FileSystem, table: Path, version: Long): Seq[String] =
+    if (version == 0) Seq.empty else readManifest(fs, table, version).parts
+
+  private def stickyParts(provided: Seq[String], recorded: Seq[String]): Seq[String] =
+    if (provided.nonEmpty) provided else recorded
 
   /** Stage + CAS-publish `payload` at `target`. Returns false if a
     * concurrent writer won the race for this name. The staged file is
@@ -306,15 +444,23 @@ object ManifestTable {
     * false if a concurrent writer won the race.
     */
   private[graft] def commitManifest(fs: FileSystem, table: Path, version: Long,
-      relFiles: Seq[String], txns: Map[String, Long] = Map.empty): Boolean =
+      relFiles: Seq[String], txns: Map[String, Long] = Map.empty,
+      stats: Map[String, FileStats] = Map.empty,
+      parts: Seq[String] = Seq.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
-      renderNode(version, "files", relFiles, txns))
+      renderNode(version, "files", relFiles, txns, stats, parts = parts))
 
-  /** Commit an APPEND DELTA manifest — O(files added), never O(table). */
+  /** Commit a DELTA manifest — O(files added + removed), never
+    * O(table). `remove` is non-empty only for row-level rewrites
+    * ([[delete]]/[[merge]]).
+    */
   private def commitDelta(fs: FileSystem, table: Path, version: Long,
-      add: Seq[String], txns: Map[String, Long]): Boolean =
+      add: Seq[String], txns: Map[String, Long],
+      stats: Map[String, FileStats] = Map.empty,
+      remove: Seq[String] = Seq.empty,
+      parts: Seq[String] = Seq.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
-      renderNode(version, "add", add, txns))
+      renderNode(version, "add", add, txns, stats, remove, parts))
 
   /** Best-effort full checkpoint at `version` (skipped if present;
     * losing the create race or failing outright only lengthens later
@@ -326,9 +472,10 @@ object ManifestTable {
       val cp = checkpointPath(table, version)
       if (!fs.exists(cp)) {
         val (_, cs) = listLog(fs, table)
-        val files = resolveFiles(fs, table, version, cs)
+        val snap = resolve(fs, table, version, cs)
         casCreate(fs, table, cp,
-          renderNode(version, "files", files, txnsAt(fs, table, version))): Unit
+          renderNode(version, "files", snap.files, txnsAt(fs, table, version),
+            snap.stats, parts = partsAt(fs, table, version))): Unit
       }
     } catch { case _: java.io.IOException => () } // commit already durable
 
@@ -341,6 +488,18 @@ object ManifestTable {
     val n = checkpointInterval(spark)
     if (n > 0 && version % n == 0) writeCheckpoint(fs, table, version)
   }
+
+  /** Per-file column statistics for freshly committed files (footer +
+    * partition-value ranges — see [[DataSkipping.collect]]). Disable
+    * per session with `spark.graft.manifest.collectStats=false`; a
+    * stats-less commit is only unprunable, never wrong.
+    */
+  private def collectStats(spark: SparkSession, table: Path,
+      relFiles: Seq[String]): Map[String, FileStats] =
+    if (!spark.conf.get("spark.graft.manifest.collectStats", "true").toBoolean)
+      Map.empty
+    else DataSkipping.collect(spark.sparkContext.hadoopConfiguration,
+      table, relFiles)
 
   /** Write `df` into a fresh snapshot dir for `version` and return the
     * table-relative paths of its data files — the shared first half of
@@ -383,9 +542,11 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val txns = txnsAt(fs, p, base)
+    val parts = stickyParts(partitionCols, partsAt(fs, p, base))
     val files = writeSnapshot(fs, p, df, base + 1, partitionCols,
       maxRecordsPerFile)
-    if (!commitManifest(fs, p, base + 1, files, txns)) raceLost(table, base + 1)
+    if (!commitManifest(fs, p, base + 1, files, txns,
+      collectStats(spark, p, files), parts)) raceLost(table, base + 1)
     base + 1 // a replace manifest is its own base — no checkpoint needed
   }
 
@@ -398,8 +559,11 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val txns = txnsAt(fs, p, base)
+    val parts = stickyParts(partitionCols, partsAt(fs, p, base))
     val fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
-    if (!commitDelta(fs, p, base + 1, fresh, txns)) raceLost(table, base + 1)
+    if (!commitDelta(fs, p, base + 1, fresh, txns,
+      collectStats(spark, p, fresh), parts = parts))
+      raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
   }
@@ -438,7 +602,9 @@ object ManifestTable {
         return base // replay; an already-written snapshot is vacuum's
       if (fresh == null)
         fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
-      if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId))) {
+      if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
+        collectStats(spark, p, fresh),
+        parts = stickyParts(partitionCols, partsAt(fs, p, base)))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -542,6 +708,106 @@ object ManifestTable {
       version: Long = -1L): DataFrame =
     unionSnapshots(spark, table, currentFiles(spark, table, version))
 
+  private def resolveAt(spark: SparkSession, table: String,
+      version: Long): (FileSystem, Path, Long, Snapshot) = {
+    val (fs, p) = fsOf(spark, table)
+    val (vs, cs) = listLog(fs, p)
+    val v = if (version > 0) version else vs.foldLeft(0L)(math.max)
+    require(v > 0, s"no committed version in $table")
+    (fs, p, v, resolve(fs, p, v, cs))
+  }
+
+  /** Predicate read with FILE-LEVEL DATA SKIPPING: resolve the
+    * snapshot, drop every file whose manifest statistics prove it
+    * cannot hold a matching row ([[DataSkipping.mayMatch]] — min/max
+    * ranges from parquet footers plus partition-dir values), scan only
+    * the survivors, and still apply the full predicate. At 100 TB this
+    * is the difference between a metadata walk + a few files and a
+    * full-table scan for every selective query; on top of it Spark's
+    * own row-group pruning and predicate pushdown still apply inside
+    * each kept file. Files without stats (legacy manifests, disabled
+    * collection, unsupported types) are always scanned — pruning can
+    * only ever remove provably-empty work.
+    */
+  def readWhere(spark: SparkSession, table: String, predicate: Column,
+      version: Long = -1L): DataFrame = {
+    val (_, _, _, snap) = resolveAt(spark, table, version)
+    val kept = snap.files.filter(f =>
+      DataSkipping.mayMatch(snap.stats.get(f), DataSkipping.expressionOf(predicate)))
+    if (snap.files.isEmpty) spark.emptyDataFrame
+    else if (kept.isEmpty)
+      // schema-stable empty result: plan over the real files, read none
+      unionSnapshots(spark, table, snap.files).limit(0).filter(predicate)
+    else unionSnapshots(spark, table, kept).filter(predicate)
+  }
+
+  /** (files scanned, files total) a [[readWhere]] of `predicate` would
+    * touch — the observable for tests and skipping dashboards.
+    */
+  def skippingReport(spark: SparkSession, table: String, predicate: Column,
+      version: Long = -1L): (Int, Int) = {
+    val (_, _, _, snap) = resolveAt(spark, table, version)
+    val kept = snap.files.count(f =>
+      DataSkipping.mayMatch(snap.stats.get(f), DataSkipping.expressionOf(predicate)))
+    (kept, snap.files.size)
+  }
+
+  /** The per-file statistics of a snapshot (for tests/introspection). */
+  private[graft] def fileStats(spark: SparkSession, table: String,
+      version: Long = -1L): Map[String, DataSkipping.FileStats] =
+    resolveAt(spark, table, version)._4.stats
+
+  /** EXACT row count of a snapshot from manifest statistics alone —
+    * no data I/O (every commit records per-file parquet row counts,
+    * which are exact). `None` if any live file lacks stats (legacy
+    * manifest, disabled collection): the metadata answer is never
+    * approximate, it is exact or absent. At 100 TB this answers
+    * `count(*)` in a metadata walk.
+    */
+  def rowCount(spark: SparkSession, table: String,
+      version: Long = -1L): Option[Long] = {
+    val snap = resolveAt(spark, table, version)._4
+    if (snap.files.forall(snap.stats.contains))
+      Some(snap.files.iterator.map(snap.stats(_).rows).sum)
+    else None
+  }
+
+  /** Commit history (the DESCRIBE HISTORY analogue): one row per log
+    * version still present, oldest first — commit kind
+    * (`replace` = write/compact, `append`, `rewrite` = delete/merge),
+    * files added/removed (−1 = a replace's implicit remove-all), rows
+    * added (from manifest stats; null when any added file lacks them)
+    * and the txn-watermark map as JSON. Metadata-only: reads each
+    * manifest once, never a data file.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val (fs, p) = fsOf(spark, table)
+    val (vs, _) = listLog(fs, p)
+    val rows = vs.sorted.map { v =>
+      val m = readManifest(fs, p, v)
+      val (kind, addList, removed) = m match {
+        case r: Replace => ("replace", r.files, -1)
+        case d: Delta =>
+          (if (d.remove.isEmpty) "append" else "rewrite", d.add, d.remove.size)
+      }
+      val rowsAdded: Option[Long] =
+        if (addList.nonEmpty && addList.forall(m.stats.contains))
+          Some(addList.iterator.map(m.stats(_).rows).sum)
+        else if (addList.isEmpty) Some(0L)
+        else None
+      val txnsJson = mapper.writeValueAsString {
+        val n = mapper.createObjectNode()
+        m.txns.toSeq.sortBy(_._1).foreach { case (k, x) => n.put(k, x): Unit }
+        n
+      }
+      (v, kind, addList.size, removed, rowsAdded, txnsJson)
+    }
+    val sq = spark
+    import sq.implicits._
+    rows.toDF("version", "kind", "files_added", "files_removed",
+      "rows_added", "txns")
+  }
+
   /** Change-data-feed read (file-level): the rows in files ADDED
     * between `fromVersion` (exclusive) and `toVersion` (inclusive,
     * default current). For append-committed versions
@@ -567,6 +833,58 @@ object ManifestTable {
     else unionSnapshots(spark, table, added)
   }
 
+  /** Exactly-once INCREMENTAL CONSUMPTION of the change feed — the
+    * downstream half of the CDF contract: deliver the rows of files
+    * added since THIS consumer's recorded position, then advance the
+    * position transactionally IN THE TABLE LOG (a zero-file delta
+    * commit carrying `consumer:<id>` in the txn map — the same
+    * mechanism that makes streaming appends exactly-once). A new
+    * consumer id starts at version 0 and receives the full current
+    * snapshot as its first delivery. Crash between delivery and the
+    * position commit → the next call redelivers the same range
+    * (at-least-once at the boundary; an idempotent `deliver` makes it
+    * end-to-end exactly-once — the standard offset-commit contract).
+    * Each consume costs one O(1) manifest commit and reads ONLY the
+    * files added in the range — a downstream job tailing a 100 TB
+    * table does delta-sized work per poll. Returns the version the
+    * consumer is now caught up to.
+    */
+  def consumeChanges(spark: SparkSession, table: String, consumerId: String)
+      (deliver: (DataFrame, Long, Long) => Unit): Long = {
+    require(consumerId.nonEmpty, "consumerId must be non-empty")
+    val key = s"consumer:$consumerId"
+    val (fs, p) = fsOf(spark, table)
+    val current = currentVersion(spark, table)
+    require(current > 0, s"no committed version in $table")
+    val from = txnsAt(fs, p, current).getOrElse(key, 0L)
+    if (from >= current) return current
+    // files-added check BEFORE committing anything: a range of pure
+    // metadata commits (offset advances, other consumers) delivers
+    // nothing and must not commit either — otherwise idle consumers
+    // would grow the log forever advancing past each other's commits
+    val before =
+      if (from == 0) Set.empty[String]
+      else currentFiles(spark, table, from).toSet
+    val added = currentFiles(spark, table, current).filterNot(before)
+    if (added.isEmpty) return current
+    deliver(unionSnapshots(spark, table, added), from, current)
+    // advance the offset: optimistic zero-file commit (concurrent
+    // appends only move the version we CAS against, never the rows
+    // already delivered — those files are immutable)
+    var attempts = 0
+    while (attempts < 50) {
+      val base = currentVersion(spark, table)
+      val txns = txnsAt(fs, p, base)
+      if (txns.get(key).exists(_ >= current))
+        return current // a concurrent consume of the same id won
+      if (commitDelta(fs, p, base + 1, Seq.empty, txns + (key -> current),
+        parts = partsAt(fs, p, base)))
+        return current
+      attempts += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
   /** Compact the current snapshot: bin-pack its files toward
     * `targetFileBytes` into a NEW snapshot and commit — the
     * object-store-safe twin of [[Sinks.compact]]. Readers of the old
@@ -574,11 +892,21 @@ object ManifestTable {
     * commit is one manifest create, not a directory rename window.
     * The replace manifest it writes also resets read resolution to a
     * single base — compaction is log checkpointing too.
+    *
+    * `clusterBy` re-clusters the rewrite (range-exchange + in-file
+    * sort on the given keys) so each output file covers a TIGHT range
+    * of the cluster key — the layout that makes the manifest's per-file
+    * statistics selective for [[readWhere]]. Pass
+    * `Seq(Sinks.zOrderKey(col("a"), col("b")))` for two-dimensional
+    * clustering: the lake engines' OPTIMIZE ZORDER, as a compaction
+    * option (stats on BOTH columns tighten, so either predicate alone
+    * skips files).
     */
   def compact(spark: SparkSession, table: String,
       partitionCols: Seq[String] = Seq.empty,
       targetFileBytes: Long = 512L << 20,
-      maxAttempts: Int = 5): Sinks.CompactStats = {
+      maxAttempts: Int = 5,
+      clusterBy: Seq[Column] = Seq.empty): Sinks.CompactStats = {
     val (fs, p) = fsOf(spark, table)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -591,15 +919,163 @@ object ManifestTable {
       // maintenance must retry, not race.
       val base = currentVersion(spark, table)
       val before = currentFiles(spark, table, base)
+      val parts = stickyParts(partitionCols, partsAt(fs, p, base))
       val totalBytes = before
         .map(f => fs.getFileStatus(new Path(p, f)).getLen).sum
-      val df = read(spark, table, base)
-      val totalRows = math.max(df.count(), 1L)
+      val df0 = read(spark, table, base)
+      val df =
+        if (clusterBy.isEmpty) df0
+        else {
+          // explicit partition count sized from the byte target — a
+          // bare repartitionByRange lets AQE coalesce small tables to
+          // one partition, defeating the per-file range tightening
+          val targetFiles = math.max(1L,
+            (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          df0.repartitionByRange(targetFiles, clusterBy.map(_.asc): _*)
+            .sortWithinPartitions(clusterBy.map(_.asc): _*)
+        }
+      val totalRows = math.max(df0.count(), 1L) // count the pre-cluster plan
       val bytesPerRow = math.max(totalBytes / totalRows, 1L)
-      val files = writeSnapshot(fs, p, df, base + 1, partitionCols,
+      val files = writeSnapshot(fs, p, df, base + 1, parts,
         math.max(targetFileBytes / bytesPerRow, 1L))
-      if (commitManifest(fs, p, base + 1, files, txnsAt(fs, p, base)))
+      if (commitManifest(fs, p, base + 1, files, txnsAt(fs, p, base),
+        collectStats(spark, p, files), parts))
         return Sinks.CompactStats(before.size, files.size, totalBytes)
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Map `input_file_name()` absolutes back to table-relative paths.
+    * Suffix match against the candidate list (the path may or may not
+    * arrive URL-encoded depending on the source); a miss is a hard
+    * error — silently dropping a hit file would corrupt a rewrite.
+    */
+  private def matchRel(abs: String, candidates: Seq[String]): String = {
+    val decoded =
+      try Option(new java.net.URI(abs).getPath)
+      catch { case _: java.net.URISyntaxException => None }
+    candidates.find(rel =>
+      abs.endsWith("/" + rel) || decoded.exists(_.endsWith("/" + rel)))
+      .getOrElse(throw new IllegalStateException(
+        s"input file $abs not among candidate files"))
+  }
+
+  /** Which of `candidates` actually contain rows selected by
+    * `selector`? One distributed pass tagging rows with their source
+    * file; the collect is file-NAME-sized (metadata), never row-sized.
+    */
+  private def hitFiles(spark: SparkSession, table: String,
+      candidates: Seq[String],
+      selector: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val tagged = unionSnapshots(spark, table, candidates)
+      .withColumn("_graft_input_file", input_file_name())
+    selector(tagged).select("_graft_input_file").distinct()
+      .collect().map(r => matchRel(r.getString(0), candidates))
+      .toSeq.distinct.sorted
+  }
+
+  /** Row-level DELETE, copy-on-write: remove the rows matching
+    * `predicate` by rewriting ONLY the files that contain them.
+    * Three-stage narrowing — (1) manifest statistics prune to the
+    * files whose ranges COULD match ([[DataSkipping]]); (2) one scan
+    * of those candidates finds the files that DO contain matches;
+    * (3) only those are rewritten without their matching rows, and the
+    * commit is an O(touched files) delta (`remove` + `add`) — a
+    * selective delete on a million-file table rewrites a handful of
+    * files and commits kilobytes. Rows where the predicate is NULL are
+    * kept (SQL DELETE semantics). Old snapshots still see the deleted
+    * rows (time travel); [[vacuum]] reclaims the removed files.
+    * Returns the committed version (the current one if nothing
+    * matched). Optimistic: retries against fresh state if a
+    * concurrent commit wins the version race.
+    */
+  def delete(spark: SparkSession, table: String, predicate: Column,
+      partitionCols: Seq[String] = Seq.empty,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val (fs, p) = fsOf(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val snap = resolve(fs, p, base, cs)
+      val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+      val candidates = snap.files.filter(f =>
+        DataSkipping.mayMatch(snap.stats.get(f), DataSkipping.expressionOf(predicate)))
+      if (candidates.isEmpty) return base
+      val hits = hitFiles(spark, table, candidates, _.filter(predicate))
+      if (hits.isEmpty) return base
+      val survivors = unionSnapshots(spark, table, hits)
+        .filter(not(coalesce(predicate, lit(false))))
+      val fresh = writeSnapshot(fs, p, survivors, base + 1, parts, 0L)
+      if (commitDelta(fs, p, base + 1, fresh, txnsAt(fs, p, base),
+        collectStats(spark, p, fresh), remove = hits, parts = parts)) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1 // lost the version race; orphaned snapshot is vacuum's
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Row-level MERGE (upsert), copy-on-write: for each `source` row,
+    * replace the table row with the same `keyCols` value (whole-row
+    * update) or insert it if the key is new. The rewrite unit is the
+    * FILE: manifest key-range statistics prune to candidate files
+    * (single-column keys — the common ingest shape), a semi-join pass
+    * finds the files actually holding matched keys, only those are
+    * rewritten (their matched rows dropped), and the source lands as
+    * fresh files alongside — one O(touched files) delta commit. This
+    * is the CDC-apply / dimension-refresh primitive at lake scale: a
+    * 1000-row upsert into a million-file table touches the few files
+    * those 1000 keys live in. NULL-keyed source rows never match
+    * (SQL join semantics) and insert. Returns the committed version.
+    */
+  def merge(spark: SparkSession, source: DataFrame, table: String,
+      keyCols: Seq[String], partitionCols: Seq[String] = Seq.empty,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val (fs, p) = fsOf(spark, table)
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val snap = resolve(fs, p, base, cs)
+      val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+      // single-column keys: bound the source key range once (two-value
+      // agg) and let the manifest stats prune non-overlapping files
+      val candidates =
+        if (keyCols.size == 1) {
+          val k = keyCols.head
+          val r = source.agg(fmin(col(k)).as("mn"), fmax(col(k)).as("mx")).head()
+          if (r.isNullAt(0)) Seq.empty // all-null keys: nothing matches
+          else {
+            val pred = DataSkipping.expressionOf(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
+            snap.files.filter(f =>
+              DataSkipping.mayMatch(snap.stats.get(f), pred))
+          }
+        } else snap.files
+      val hits =
+        if (candidates.isEmpty) Seq.empty[String]
+        else hitFiles(spark, table, candidates,
+          _.join(srcKeys, keyCols, "left_semi"))
+      val newData =
+        if (hits.isEmpty) source
+        else unionSnapshots(spark, table, hits)
+          .join(srcKeys, keyCols, "left_anti")
+          .unionByName(source, allowMissingColumns = true)
+      val fresh = writeSnapshot(fs, p, newData, base + 1, parts, 0L)
+      if (commitDelta(fs, p, base + 1, fresh, txnsAt(fs, p, base),
+        collectStats(spark, p, fresh), remove = hits, parts = parts)) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
       attempt += 1
     }
     raceLost(table, currentVersion(spark, table) + 1)

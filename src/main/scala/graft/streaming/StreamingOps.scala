@@ -215,6 +215,71 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  private val e22Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** e22: the watermarked STREAM-STREAM INTERVAL JOIN run as a
+    * first-class (oracle-gated) query — views joined to the same
+    * user's clicks within the following 30 minutes, driven over the
+    * fixture to completion through the memory sink. On the complete
+    * stream the join must emit exactly the batch interval join, so the
+    * DuckDB twin is a plain self-join with the same time band — a hash
+    * match proves the streaming state machine (two watermarks, both
+    * time bounds, append-mode emission) loses and invents nothing.
+    * Memory-sink names are per-invocation (bench reps must not
+    * collide).
+    */
+  def e22StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runStreamStreamJoinToCompletion(spark, sfDir,
+      s"graft_e22_ssjoin_${e22Invocation.incrementAndGet()}")
+      .orderBy(col("user_id").asc_nulls_last, col("v_ts").asc_nulls_last,
+        col("c_ts").asc_nulls_last, col("v_event").asc_nulls_last,
+        col("c_event").asc_nulls_last)
+
+  val e22Sql: String =
+    """SELECT v.user_id, v.ts AS v_ts, c.ts AS c_ts,
+      |  v.event_id AS v_event, c.event_id AS c_event
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |ORDER BY 1 ASC NULLS LAST, 2 ASC NULLS LAST, 3 ASC NULLS LAST,
+      |  4 ASC NULLS LAST, 5 ASC NULLS LAST""".stripMargin
+
+  private val e23Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** e23: STREAMING DEDUPLICATION as a first-class query — the
+    * key-projected twin of [[dedupStream]]: watermark +
+    * `dropDuplicatesWithinWatermark` over (user_id, event_type), then
+    * the payload is projected AWAY so the emitted set is exactly the
+    * distinct key pairs (which survivor row wins per key is
+    * nondeterministic; the key set is not). The DuckDB twin is
+    * SELECT DISTINCT — a hash match proves the streaming state emitted
+    * every key exactly once. The within-watermark variant keeps the
+    * seen-keys state FINITE (keys expire once the watermark passes
+    * their horizon) — the only dedup shape that survives an unbounded
+    * 100 TB/day stream.
+    */
+  def e23StreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_e23_dedup_${e23Invocation.incrementAndGet()}"
+    val deduped = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("user_id").asc_nulls_last, col("event_type").asc_nulls_last)
+  }
+
+  val e23Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY 1 ASC NULLS LAST, 2 ASC NULLS LAST""".stripMargin
+
   /** foreachBatch upsert body: DYNAMIC partition overwrite keyed by
     * the FULL aggregate key (event_type, ws). The overwrite unit must
     * equal the update key: update output mode emits only the rows a

@@ -1,0 +1,258 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sinks.{ManifestTable, Sinks}
+import java.nio.file.Files
+
+/** File-level data skipping + row-level delete/merge on manifest
+  * tables: stats collection, range pruning (MEASURED file counts, not
+  * just result equality), copy-on-write rewrite narrowness, and the
+  * fail-open contract for stats-less files.
+  */
+class ManifestSkippingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_skip").resolve("t").toString
+
+  /** 100 rows in 5 range-localized files: file k holds ids [20k, 20k+20). */
+  private def rangedTable(): String = {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 100).map(i => (i.toLong, s"tag${i % 7}", i % 3))
+      .toDF("id", "tag", "bucket")
+    ManifestTable.write(spark, df.repartitionByRange(5, col("id")), t)
+    t
+  }
+
+  test("footer stats are recorded: exact min/max/nulls per file") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = Seq((1L, "alpha"), (9L, "zeta"), (4L, null: String))
+      .toDF("id", "name").coalesce(1)
+    ManifestTable.write(spark, df, t)
+    val stats = ManifestTable.fileStats(spark, t)
+    assert(stats.size == 1)
+    val fst = stats.values.head
+    assert(fst.rows == 3)
+    assert(fst.cols("id").min.contains(1L) && fst.cols("id").max.contains(9L))
+    assert(fst.cols("id").nulls.contains(0L))
+    assert(fst.cols("name").min.contains("alpha"))
+    assert(fst.cols("name").max.contains("zeta"))
+    assert(fst.cols("name").nulls.contains(1L))
+  }
+
+  test("range predicate scans only overlapping files; result matches full scan") {
+    val t = rangedTable()
+    val pred = col("id") >= 25L && col("id") < 45L
+    val (kept, total) = ManifestTable.skippingReport(spark, t, pred)
+    assert(total == 5, s"expected 5 range files, got $total")
+    assert(kept == 2, s"ids 25-44 live in exactly files [20,40) and [40,60): $kept")
+    val viaSkip = ManifestTable.readWhere(spark, t, pred)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val viaFull = ManifestTable.read(spark, t).filter(pred)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(viaSkip == viaFull && viaSkip == (25L until 45L))
+  }
+
+  test("equality and IN prune to single files; impossible predicate scans zero") {
+    val t = rangedTable()
+    assert(ManifestTable.skippingReport(spark, t, col("id") === 57L)._1 == 1)
+    assert(ManifestTable.skippingReport(spark, t,
+      col("id").isin(3L, 99L))._1 == 2)
+    val (kept0, _) = ManifestTable.skippingReport(spark, t, col("id") > 1000L)
+    assert(kept0 == 0)
+    // zero-file read still returns a schema-correct empty frame
+    val empty = ManifestTable.readWhere(spark, t, col("id") > 1000L)
+    assert(empty.columns.toSeq == Seq("id", "tag", "bucket"))
+    assert(empty.count() == 0)
+  }
+
+  test("string stats prune; disjunctions keep the union of sides") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 60).map(i =>
+      (i.toLong, if (i < 30) s"a_$i" else s"z_$i")).toDF("id", "name")
+    ManifestTable.write(spark, df.repartitionByRange(2, col("name")), t)
+    assert(ManifestTable.skippingReport(spark, t, col("name") === "a_7")._1 == 1)
+    assert(ManifestTable.skippingReport(spark, t,
+      col("name").startsWith("z_"))._1 == 1)
+    assert(ManifestTable.skippingReport(spark, t,
+      col("name") === "a_7" || col("name") === "z_33")._1 == 2)
+    // conjunction with an unprunable leaf still prunes via the other
+    assert(ManifestTable.skippingReport(spark, t,
+      col("name") === "a_7" && length(col("name")) > 2)._1 == 1)
+  }
+
+  test("partition-dir values prune like data stats; nulls fail open correctly") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "part")
+    ManifestTable.write(spark, df, t, partitionCols = Seq("part"))
+    val (kept, total) = ManifestTable.skippingReport(spark, t, col("part") === 1)
+    assert(kept < total, s"partition predicate should prune: $kept/$total")
+    assert(ManifestTable.readWhere(spark, t, col("part") === 1).count() == 10)
+    // IsNull on a never-null id: every file knows nulls == 0 → scan zero
+    assert(ManifestTable.skippingReport(spark, t, col("id").isNull)._1 == 0)
+    assert(ManifestTable.readWhere(spark, t, col("id").isNull).count() == 0)
+  }
+
+  test("stats-less files (hand-committed manifest) are never pruned") {
+    import org.apache.hadoop.fs.Path
+    val t = rangedTable()
+    val (fsP, p) = {
+      val pp = new Path(t)
+      (pp.getFileSystem(spark.sparkContext.hadoopConfiguration), pp)
+    }
+    // commit v2 re-listing the same files WITHOUT stats (the legacy/
+    // foreign-writer shape): pruning must keep everything
+    val files = ManifestTable.currentFiles(spark, t)
+    assert(ManifestTable.commitManifest(fsP, p, 2L, files))
+    val (kept, total) = ManifestTable.skippingReport(spark, t, col("id") === 57L)
+    assert(kept == total && total == 5)
+    assert(ManifestTable.readWhere(spark, t, col("id") === 57L).count() == 1)
+  }
+
+  test("delete rewrites only the files containing matches; time travel intact") {
+    val t = rangedTable()
+    val before = ManifestTable.currentFiles(spark, t)
+    val v = ManifestTable.delete(spark, t, col("id") < 20L) // exactly file 1
+    assert(v == 2L)
+    val after = ManifestTable.currentFiles(spark, t)
+    // 4 of 5 files survive BY IDENTITY — copy-on-write touched only the hit
+    assert(after.toSet.intersect(before.toSet).size == 4)
+    assert(ManifestTable.read(spark, t).count() == 80)
+    assert(ManifestTable.read(spark, t).agg(min("id")).head.getLong(0) == 20L)
+    // the deleted rows still exist at v1 (snapshot isolation)
+    assert(ManifestTable.read(spark, t, version = 1).count() == 100)
+    // a predicate matching nothing commits nothing
+    assert(ManifestTable.delete(spark, t, col("id") > 1000L) == 2L)
+  }
+
+  test("delete keeps rows where the predicate is null (SQL DELETE semantics)") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null: java.lang.Long),
+      (3L, java.lang.Long.valueOf(50L))).toDF("id", "v").coalesce(1)
+    ManifestTable.write(spark, df, t)
+    ManifestTable.delete(spark, t, col("v") > 10L)
+    val ids = ManifestTable.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L), "null-predicate row must survive a delete")
+  }
+
+  test("merge upserts: updates replace in-place files, inserts append, rest untouched") {
+    import spark.implicits._
+    val t = rangedTable()
+    val before = ManifestTable.currentFiles(spark, t)
+    // update two rows in file [40,60) and insert two new keys
+    val source = Seq(
+      (41L, "UPDATED", 9), (55L, "UPDATED", 9),
+      (200L, "NEW", 9), (201L, "NEW", 9)
+    ).toDF("id", "tag", "bucket")
+    val v = ManifestTable.merge(spark, source, t, Seq("id"))
+    assert(v == 2L)
+    val after = ManifestTable.currentFiles(spark, t)
+    // only the [40,60) file was rewritten: 4 originals survive by identity
+    assert(after.toSet.intersect(before.toSet).size == 4)
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 102)
+    assert(r.filter(col("tag") === "UPDATED").count() == 2)
+    assert(r.filter(col("id") === 41L).head.getString(1) == "UPDATED")
+    assert(r.filter(col("id") === 200L).count() == 1)
+    // untouched row in the rewritten file survived
+    assert(r.filter(col("id") === 42L).head.getString(1) == "tag0")
+    // old snapshot still shows pre-merge state
+    assert(ManifestTable.read(spark, t, version = 1)
+      .filter(col("tag") === "UPDATED").count() == 0)
+  }
+
+  test("delete + append + checkpoint resolution compose; vacuum reclaims removed files") {
+    import spark.implicits._
+    val t = rangedTable()
+    ManifestTable.delete(spark, t, col("id") < 20L) // v2: remove f1
+    val extra = (300 until 310).map(i => (i.toLong, "x", 0))
+      .toDF("id", "tag", "bucket").coalesce(1)
+    ManifestTable.append(spark, extra, t) // v3
+    assert(ManifestTable.read(spark, t).count() == 90)
+    // force a checkpoint and read through it
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    try {
+      ManifestTable.append(spark, extra.withColumn("id", col("id") + 100), t) // v4 + checkpoint
+      assert(ManifestTable.read(spark, t).count() == 100)
+      val (kept, _) = ManifestTable.skippingReport(spark, t, col("id") >= 300L)
+      assert(kept <= 2, s"post-checkpoint stats must still prune, kept=$kept")
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    val removed = ManifestTable.vacuum(spark, t, graceMs = 0L)
+    assert(removed > 0, "the delete-removed file must be reclaimed")
+    assert(ManifestTable.read(spark, t).count() == 100)
+  }
+
+  test("z-order clustered compaction makes EITHER dimension prunable") {
+    import spark.implicits._
+    val t = freshTable()
+    // shuffled 64×64 grid: a random layout gives every file the full
+    // range of both dims — nothing prunable
+    val rnd = new scala.util.Random(7)
+    val pts = rnd.shuffle(
+      (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+        .toVector)
+    ManifestTable.write(spark, pts.toDF("x", "y").repartition(8), t)
+    val predX = col("x") === 5L
+    val predY = col("y") === 60L
+    assert(ManifestTable.skippingReport(spark, t, predX)._1 == 8,
+      "random layout must be unprunable")
+    // small byte target → ≥4 z-range files (quadrant structure needs
+    // at least the 4-way split before BOTH dims become prunable)
+    ManifestTable.compact(spark, t, targetFileBytes = 3072,
+      clusterBy = Seq(Sinks.zOrderKey(col("x"), col("y"))))
+    val (kx, tx) = ManifestTable.skippingReport(spark, t, predX)
+    val (ky, ty) = ManifestTable.skippingReport(spark, t, predY)
+    assert(kx < tx, s"x predicate must prune after z-order: $kx/$tx")
+    assert(ky < ty, s"y predicate must prune after z-order: $ky/$ty")
+    // and the clustered rewrite lost nothing
+    assert(ManifestTable.read(spark, t).count() == 64 * 64)
+    assert(ManifestTable.readWhere(spark, t, predX).count() == 64)
+    assert(ManifestTable.readWhere(spark, t, predY).count() == 64)
+  }
+
+  test("history and metadata-only rowCount reflect the commit log") {
+    import spark.implicits._
+    val t = rangedTable()                                    // v1 replace
+    ManifestTable.delete(spark, t, col("id") < 20L)          // v2 rewrite
+    ManifestTable.append(spark,
+      Seq((500L, "n", 0)).toDF("id", "tag", "bucket").coalesce(1), t) // v3
+    val h = ManifestTable.history(spark, t).orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    assert(h.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, "replace"), (2L, "rewrite"), (3L, "append")))
+    assert(h(0)._5 == 100L && h(1)._4 == 1 && h(2)._5 == 1L)
+    // exact count from metadata alone == the scanned count
+    assert(ManifestTable.rowCount(spark, t).contains(81L))
+    assert(ManifestTable.read(spark, t).count() == 81L)
+    assert(ManifestTable.rowCount(spark, t, version = 1).contains(100L))
+  }
+
+  test("merge prunes candidate files by source key range") {
+    import spark.implicits._
+    val t = rangedTable()
+    // keys confined to [80, 100): only the last file can hold matches.
+    // Verify narrowness observably: all files but one survive by identity.
+    val before = ManifestTable.currentFiles(spark, t)
+    val source = Seq((85L, "U", 1), (99L, "U", 1)).toDF("id", "tag", "bucket")
+    ManifestTable.merge(spark, source, t, Seq("id"))
+    val after = ManifestTable.currentFiles(spark, t)
+    assert(after.toSet.intersect(before.toSet).size == 4)
+    assert(ManifestTable.read(spark, t).count() == 100)
+    assert(ManifestTable.read(spark, t)
+      .filter(col("tag") === "U").count() == 2)
+  }
+}

@@ -378,4 +378,42 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.vacuum(spark, t, graceMs = 0L) > 0)
     assert(ManifestTable.read(spark, t).count() == 7)
   }
+
+  test("consumeChanges: exactly-once delivery across polls, crash replay, independent consumers") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t) // v1
+    var seen = Vector.empty[String]
+    def drain(): Long = ManifestTable.consumeChanges(spark, t, "c1") {
+      (d, _, _) => seen ++= d.collect().map(r => s"${r.getLong(0)}:${r.getString(1)}")
+    }
+    drain()
+    assert(seen.size == 10, "first consume delivers the full snapshot")
+    drain()
+    assert(seen.size == 10, "caught-up consume delivers nothing")
+    ManifestTable.append(spark, df(4, "b"), t)
+    ManifestTable.append(spark, df(2, "c"), t)
+    drain()
+    assert(seen.size == 16 && seen.count(_.endsWith(":b")) == 4 &&
+      seen.count(_.endsWith(":c")) == 2)
+    // crash BETWEEN delivery and offset commit: deliver throws → the
+    // position does not advance → the next poll redelivers, once
+    ManifestTable.append(spark, df(3, "d"), t)
+    assertThrows[RuntimeException](
+      ManifestTable.consumeChanges(spark, t, "c1") { (_, _, _) =>
+        throw new RuntimeException("sink crash")
+      })
+    drain()
+    assert(seen.count(_.endsWith(":d")) == 3, "crashed range redelivered exactly once")
+    drain()
+    assert(seen.size == 19, "no duplicate after recovery")
+    // an independent consumer id starts from scratch
+    var other = 0L
+    ManifestTable.consumeChanges(spark, t, "c2") { (d, from, to) =>
+      other = d.count(); assert(from == 0L)
+    }
+    assert(other == 19L)
+    // consumer offsets ride the txn map without disturbing stream apps
+    assert(ManifestTable.streamTxns(spark, t).keySet ==
+      Set("consumer:c1", "consumer:c2"))
+  }
 }
