@@ -1020,4 +1020,47 @@ object PipelineOps {
       |WHERE doc_id >= (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 5
       |                 FROM documents)
       |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  private val p23Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p23: the CATALYST-NATIVE manifest scan
+    * ([[graft.sinks.ManifestTable.scan]] — a custom FileIndex inside a
+    * standard parquet relation, the TahoeFileIndex architecture) as an
+    * end-to-end query: the corpus committed range-localized across two
+    * commits, then a PLAIN `.filter` over the scan — no special read
+    * API — which Catalyst pushes into the FileIndex, pruning to the
+    * files overlapping the middle-quintile id band at scan-planning
+    * time (and on into parquet row-group pruning). The oracle filters
+    * the source table directly, so a hash match proves scan-level
+    * pruning plus schema/partition plumbing drop and invent nothing;
+    * ManifestSkippingSpec pins the planned-file counts and the
+    * PushedFilters line. Scratch is per-invocation.
+    */
+  def p23NativeScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p23_scan_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p23Invocation.incrementAndGet())
+    val (mn, mx) = docIdBounds(docs)
+    graft.sinks.ManifestTable.write(spark,
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    val lo = mn + (mx - mn) / 5
+    val hi = mn + 2 * ((mx - mn) / 5)
+    langCensus(graft.sinks.ManifestTable.scan(spark, table)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi))
+  }
+
+  val p23Sql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn,
+      |  (max(doc_id) - min(doc_id)) // 5 AS q FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents, b
+      |WHERE doc_id >= mn + q AND doc_id < mn + 2 * q
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 }

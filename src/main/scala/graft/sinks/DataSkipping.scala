@@ -68,7 +68,7 @@ object DataSkipping {
   // ---------------------------------------------------------------
 
   /** Hive partition-path unescape (%-hex, the encoding Spark writes). */
-  private def unescapePath(s: String): String = {
+  private[sinks] def unescapePath(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -82,7 +82,7 @@ object DataSkipping {
     sb.toString
   }
 
-  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+  private[sinks] val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** Collect [[FileStats]] for `relFiles` under `table`: parquet
     * footer ranges merged across row groups, plus partition-dir values
@@ -269,8 +269,9 @@ object DataSkipping {
       (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), args) match {
         case ("and", Seq(a, b)) => And(a, b)
         case ("or", Seq(a, b)) => Or(a, b)
-        case ("not", Seq(a)) => Not(a)
+        case ("not" | "!", Seq(a)) => Not(a)
         case ("=" | "==", Seq(a, b)) => EqualTo(a, b)
+        case ("!=" | "<>", Seq(a, b)) => Not(EqualTo(a, b))
         case ("<=>", Seq(a, b)) => EqualNullSafe(a, b)
         case (">", Seq(a, b)) => GreaterThan(a, b)
         case (">=", Seq(a, b)) => GreaterThanOrEqual(a, b)
@@ -283,6 +284,34 @@ object DataSkipping {
         case _ => f.copy(arguments = args)
       }
     case other => other.mapChildren(norm)
+  }
+
+  /** Negation-normal form for the pruning walk: push `Not` down
+    * through and/or (De Morgan) and invert comparison leaves —
+    * `NOT(a < b)` ⇒ `a >= b`, `NOT(a = b)` ⇒ `a < b OR a > b`,
+    * `NOT(IsNull)` ⇒ `IsNotNull` — all with IDENTICAL null semantics
+    * (a null comparison stays null under both forms, and null rows
+    * never pass a filter either way). A negation with no sound
+    * inversion (NOT IN, NOT startswith, ...) keeps its `Not` wrapper,
+    * which [[may]] fails open on.
+    */
+  private def nnf(e: Expression, neg: Boolean): Expression = e match {
+    case Not(x) => nnf(x, !neg)
+    case And(a, b) =>
+      if (neg) Or(nnf(a, neg = true), nnf(b, neg = true))
+      else And(nnf(a, neg = false), nnf(b, neg = false))
+    case Or(a, b) =>
+      if (neg) And(nnf(a, neg = true), nnf(b, neg = true))
+      else Or(nnf(a, neg = false), nnf(b, neg = false))
+    case other if !neg => other
+    case LessThan(a, b) => GreaterThanOrEqual(a, b)
+    case LessThanOrEqual(a, b) => GreaterThan(a, b)
+    case GreaterThan(a, b) => LessThanOrEqual(a, b)
+    case GreaterThanOrEqual(a, b) => LessThan(a, b)
+    case EqualTo(a, b) => Or(LessThan(a, b), GreaterThan(a, b))
+    case IsNull(a) => IsNotNull(a)
+    case IsNotNull(a) => IsNull(a)
+    case other => Not(other) // no sound inversion: fail open downstream
   }
 
   /** May `pred` match any row of a file with `stats`? `None` stats
@@ -457,5 +486,11 @@ object DataSkipping {
     * per-file on the shared tree.
     */
   def expressionOf(c: org.apache.spark.sql.Column): Expression =
-    norm(org.apache.spark.sql.GraftColumnBridge.eagerExpression(c))
+    normalize(org.apache.spark.sql.GraftColumnBridge.eagerExpression(c))
+
+  /** Normalize an already-catalyst predicate for the pruning walk
+    * (typed comparisons + negation-normal form). Apply ONCE per
+    * predicate; [[mayMatch]] then runs per-file on the shared tree.
+    */
+  def normalize(e: Expression): Expression = nnf(norm(e), neg = false)
 }

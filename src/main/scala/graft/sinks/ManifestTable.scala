@@ -757,6 +757,48 @@ object ManifestTable {
       version: Long = -1L): Map[String, DataSkipping.FileStats] =
     resolveAt(spark, table, version)._4.stats
 
+  /** CATALYST-NATIVE snapshot scan
+    * ([[org.apache.spark.sql.GraftManifestScan]]): one ordinary
+    * parquet relation over a custom FileIndex whose `listFiles`
+    * prunes against the manifest statistics — so a plain `.filter`,
+    * or any predicate Catalyst pushes down from SQL/joins/views,
+    * skips files at scan-planning time with no special read API.
+    * Composability is the difference from [[readWhere]]: the
+    * pruning rides EVERY query over the returned frame. The scan is
+    * pinned to the resolved version (snapshot isolation); partition
+    * columns come from the manifest's recorded layout with inferred
+    * types (int/long/string); the data schema is the parallel footer
+    * merge, so add-column evolution surfaces as nulls. Tables written
+    * before partition-layout metadata existed scan as unpartitioned.
+    */
+  def scan(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.GraftManifestScan
+    val (fs, p, v, snap) = resolveAt(spark, table, version)
+    val parts = partsAt(fs, p, v)
+    // one recursive listing per snapshot dir resolves every status
+    val statusByRel: Map[String, FileStatus] = snap.files
+      .map(_.split("/").take(2).mkString("/")).distinct
+      .flatMap { snapDir =>
+        listDataFiles(fs, new Path(p, snapDir))
+          .map(st => relativize(p, st.getPath) -> st)
+      }.toMap
+    val mfiles = snap.files.map { rel =>
+      val st = statusByRel.getOrElse(rel, throw new java.io.IOException(
+        s"manifest of $table references missing data file $rel"))
+      val pvals = parts.map { c =>
+        rel.split("/").dropRight(1).collectFirst {
+          case seg if seg.startsWith(c + "=") =>
+            val raw = seg.substring(c.length + 1)
+            if (raw == DataSkipping.HiveNullPartition) None
+            else Some(DataSkipping.unescapePath(raw))
+        }.flatten
+      }
+      GraftManifestScan.ManifestFile(rel, st, snap.stats.get(rel), pvals)
+    }
+    GraftManifestScan.relation(spark, p, mfiles, parts)
+  }
+
   /** EXACT row count of a snapshot from manifest statistics alone —
     * no data I/O (every commit records per-file parquet row counts,
     * which are exact). `None` if any live file lacks stats (legacy

@@ -1,0 +1,133 @@
+package org.apache.spark.sql
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.DataSkipping
+import graft.sinks.DataSkipping.FileStats
+
+/** CATALYST-NATIVE manifest-table scan — the TahoeFileIndex
+  * architecture from the open lake formats, reduced to its core: a
+  * custom [[FileIndex]] whose `listFiles` consults the manifest's
+  * per-file statistics, wrapped in a standard parquet
+  * [[HadoopFsRelation]]. The payoff over the API-level
+  * `ManifestTable.readWhere` is composability: the result is ONE
+  * ordinary parquet relation, so a plain `.filter(...)` — or a filter
+  * Catalyst pushes down from a join, a view, or SQL — arrives at
+  * `listFiles` as resolved split conjuncts and prunes FILES before any
+  * task is planned, with partition pruning and parquet row-group
+  * pushdown still applying inside the survivors. `.explain` shows a
+  * single FileScan with PushedFilters, and the whole plan stays inside
+  * whole-stage codegen.
+  *
+  * The index is pinned to ONE resolved snapshot (files are immutable;
+  * `refresh()` is a no-op) — the reader-side half of snapshot
+  * isolation. Partition values come from the manifest file paths
+  * (typed by inference: int → long → string), so Hive layouts work
+  * without a catalog. The data schema is the parallel footer merge
+  * across the snapshot's files — add-column evolution surfaces older
+  * files' missing columns as nulls, same as `ManifestTable.read`.
+  *
+  * Lives in the `org.apache.spark.sql` package for the same reason the
+  * lake formats' equivalents do: [[HadoopFsRelation]]/[[FileIndex]]
+  * are `private[sql]` extension points.
+  */
+object GraftManifestScan {
+
+  /** One manifest data file: table-relative path, its on-disk status,
+    * its manifest statistics (None = legacy/unknown → never pruned),
+    * and its partition values in `partCols` order (None = null).
+    */
+  final case class ManifestFile(rel: String, status: FileStatus,
+      stats: Option[FileStats], partValues: Seq[Option[String]])
+
+  /** Infer a partition column's type from its distinct string values —
+    * Spark's own ladder truncated to the cases partition dirs actually
+    * produce here: all-int → IntegerType, all-long → LongType, else
+    * StringType.
+    */
+  private def inferType(values: Seq[String]): DataType = {
+    def all(p: String => Boolean) = values.nonEmpty && values.forall(p)
+    if (all(v => v.toIntOption.isDefined)) IntegerType
+    else if (all(v => v.toLongOption.isDefined)) LongType
+    else StringType
+  }
+
+  private def toCatalyst(v: Option[String], dt: DataType): Any = v match {
+    case None => null
+    case Some(s) => dt match {
+      case IntegerType => java.lang.Integer.valueOf(s.toInt)
+      case LongType => java.lang.Long.valueOf(s.toLong)
+      case _ => UTF8String.fromString(s)
+    }
+  }
+
+  /** The stats-pruning [[FileIndex]]: `listFiles` keeps a file only if
+    * every pushed conjunct MAY match its manifest ranges
+    * ([[DataSkipping.mayMatch]] — partition values are part of the
+    * stats, so partition and data predicates prune through one walk).
+    */
+  final class ManifestFileIndex(
+      tableRoot: Path,
+      files: Seq[ManifestFile],
+      val partitionSchema: StructType) extends FileIndex {
+
+    override def rootPaths: Seq[Path] = Seq(tableRoot)
+
+    private val partTypes = partitionSchema.fields.map(_.dataType).toSeq
+
+    private def partRow(f: ManifestFile): Seq[Any] =
+      f.partValues.zip(partTypes).map { case (v, dt) => toCatalyst(v, dt) }
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val conjuncts =
+        (partitionFilters ++ dataFilters).map(DataSkipping.normalize)
+      val kept = files.filter(f =>
+        conjuncts.forall(c => DataSkipping.mayMatch(f.stats, c)))
+      kept.groupBy(partRow).toSeq
+        .sortBy(_._2.head.rel)
+        .map { case (values, fs) =>
+          PartitionDirectory(InternalRow.fromSeq(values),
+            fs.map(f => FileStatusWithMetadata(f.status)))
+        }
+    }
+
+    override def inputFiles: Array[String] =
+      files.map(_.status.getPath.toString).toArray
+
+    override def refresh(): Unit = () // pinned snapshot; files immutable
+
+    override def sizeInBytes: Long = files.map(_.status.getLen).sum
+  }
+
+  /** Build the scan DataFrame over a resolved snapshot. `partCols` is
+    * the manifest's recorded partition layout; files carry their
+    * pre-parsed partition values.
+    */
+  def relation(spark: SparkSession, tableRoot: Path,
+      files: Seq[ManifestFile], partCols: Seq[String]): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val partitionSchema = StructType(partCols.zipWithIndex.map {
+      case (c, i) =>
+        StructField(c, inferType(files.flatMap(_.partValues(i))))
+    })
+    val statuses = files.map(_.status)
+    // asNullable: the footer merge preserves required-ness, but a
+    // column added by evolution is ABSENT from older files — the scan
+    // can only fill nulls if the read schema allows them (the same
+    // relaxation Spark's own file-source resolution applies)
+    val dataSchema = ParquetFileFormat
+      .mergeSchemasInParallel(Map.empty[String, String], statuses, cs)
+      .getOrElse(StructType(Nil)).asNullable
+    val index = new ManifestFileIndex(tableRoot, files, partitionSchema)
+    val rel = HadoopFsRelation(index, partitionSchema, dataSchema,
+      None, new ParquetFileFormat, Map.empty[String, String])(cs)
+    classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
+  }
+}

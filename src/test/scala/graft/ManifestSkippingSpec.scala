@@ -223,6 +223,25 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(ManifestTable.readWhere(spark, t, predY).count() == 64)
   }
 
+  test("negated predicates prune soundly through the NNF rewrite") {
+    import spark.implicits._
+    val t = rangedTable()
+    // NOT(id < 20) == id >= 20: exactly the first file drops
+    assert(ManifestTable.skippingReport(spark, t, !(col("id") < 20L))._1 == 4)
+    // De Morgan: NOT(20 <= id < 80) == id < 20 OR id >= 80: edge files
+    assert(ManifestTable.skippingReport(spark, t,
+      !(col("id") >= 20L && col("id") < 80L))._1 == 2)
+    assert(ManifestTable.readWhere(spark, t,
+      !(col("id") >= 20L && col("id") < 80L)).count() == 40)
+    // != on a constant file proves emptiness; unsupported negations fail open
+    val c = freshTable()
+    ManifestTable.write(spark, Seq.fill(5)(7L).toDF("v").coalesce(1), c)
+    assert(ManifestTable.skippingReport(spark, c, col("v") =!= 7L)._1 == 0)
+    assert(ManifestTable.skippingReport(spark, c, col("v") =!= 8L)._1 == 1)
+    assert(ManifestTable.skippingReport(spark, t,
+      !col("tag").startsWith("tag"))._1 == 5, "no sound inversion → keep all")
+  }
+
   test("history and metadata-only rowCount reflect the commit log") {
     import spark.implicits._
     val t = rangedTable()                                    // v1 replace
@@ -239,6 +258,68 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(ManifestTable.rowCount(spark, t).contains(81L))
     assert(ManifestTable.read(spark, t).count() == 81L)
     assert(ManifestTable.rowCount(spark, t, version = 1).contains(100L))
+  }
+
+  test("native FileIndex scan: a plain .filter prunes files at scan planning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = rangedTable()
+    val df = ManifestTable.scan(spark, t)
+    val pred = col("id") >= 25L && col("id") < 45L
+    val filtered = df.filter(pred)
+    // correctness first
+    assert(filtered.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (25L until 45L))
+    // then the scan itself: Catalyst pushed the predicate into ONE
+    // FileSourceScan whose index kept only the 2 overlapping files
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, "native scan must plan as a single FileScan")
+    val planned = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .map(_.files.size).sum
+    assert(planned == 2, s"expected 2 files after index pruning, got $planned")
+    // and the predicate still reaches parquet for row-group pruning
+    assert(scans.head.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+      s"missing parquet pushdown: ${scans.head.metadata("PushedFilters")}")
+    // unfiltered scan sees everything
+    assert(ManifestTable.scan(spark, t).count() == 100)
+  }
+
+  test("native scan of a partitioned table: typed partition columns, joint pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    val df = (0 until 90).map(i => (i.toLong, i % 3)).toDF("id", "part")
+    ManifestTable.write(spark,
+      df.repartitionByRange(3, col("id")), t, partitionCols = Seq("part"))
+    val scan = ManifestTable.scan(spark, t)
+    assert(scan.schema("part").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(scan.filter(col("part") === 1).count() == 30)
+    // partition predicate AND data-range predicate prune jointly
+    val q = scan.filter(col("part") === 1 && col("id") < 30L)
+    assert(q.count() == 10)
+    val s = q.queryExecution.sparkPlan.collect {
+      case x: FileSourceScanExec => x }.head
+    val planned = s.relation.location
+      .listFiles(s.partitionFilters, s.dataFilters).map(_.files.size).sum
+    val total = ManifestTable.currentFiles(spark, t).size
+    assert(planned < total,
+      s"joint partition+stats pruning must drop files: $planned/$total")
+  }
+
+  test("native scan surfaces add-column evolution as nulls") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1), t)
+    ManifestTable.append(spark,
+      Seq((3L, "c", 7.5)).toDF("id", "tag", "score").coalesce(1), t)
+    val scan = ManifestTable.scan(spark, t)
+    assert(scan.columns.toSet == Set("id", "tag", "score"))
+    val rows = scan.orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(2).getDouble(2) == 7.5)
   }
 
   test("merge prunes candidate files by source key range") {
