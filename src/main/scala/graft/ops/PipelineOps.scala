@@ -1063,4 +1063,43 @@ object PipelineOps {
       |FROM documents, b
       |WHERE doc_id >= mn + q AND doc_id < mn + 2 * q
       |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  private val p24Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p24: WRITE-TIME DATA CONTRACTS (the lake-pipeline expectations
+    * pattern) — the corpus committed through
+    * [[graft.sinks.ManifestTable.Expectation]]s: a `fail` contract
+    * that holds (non-null ids — any violation would abort the commit
+    * with the table untouched) and a `drop` contract that quarantines
+    * the short-document tail (n_chars below the bottom-quartile cut),
+    * with the dropped count recorded in the committed manifest
+    * (ManifestSkippingSpec pins the audit trail via `history()`).
+    * The census read back covers exactly the surviving rows; the
+    * oracle applies the same threshold to the source table, so a hash
+    * match proves the contract dropped precisely the violating rows.
+    */
+  def p24WriteExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sinks.ManifestTable.Expectation
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p24_expect_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p24Invocation.incrementAndGet())
+    val r = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      .head()
+    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 4
+    graft.sinks.ManifestTable.write(spark, docs, table,
+      expectations = Seq(
+        Expectation("id_present", col("doc_id").isNotNull),
+        Expectation("min_chars", col("n_chars") >= cut, Expectation.Drop)))
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  val p24Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents
+      |WHERE n_chars >= (SELECT min(n_chars) + (max(n_chars) - min(n_chars)) // 4
+      |                  FROM documents)
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 }

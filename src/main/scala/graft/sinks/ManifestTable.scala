@@ -140,13 +140,68 @@ object ManifestTable {
     def txns: Map[String, Long]
     def stats: Map[String, FileStats]
     def parts: Seq[String]
+    def schemaJson: Option[String]
+    def quality: Map[String, Long]
   }
   private final case class Replace(files: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
-      parts: Seq[String]) extends Manifest
+      parts: Seq[String], schemaJson: Option[String],
+      quality: Map[String, Long]) extends Manifest
   private final case class Delta(add: Seq[String], remove: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
-      parts: Seq[String]) extends Manifest
+      parts: Seq[String], schemaJson: Option[String],
+      quality: Map[String, Long]) extends Manifest
+
+  /** A WRITE-TIME DATA CONTRACT on a manifest commit: `name` labels
+    * it, `predicate` must hold per row, `action` decides what a
+    * violation (predicate false OR null) does — [[Expectation.Fail]]
+    * aborts the commit if ANY row violates; [[Expectation.Drop]]
+    * filters violators out and records the dropped count in the
+    * manifest (`history()` surfaces it) — the lake-pipeline
+    * expectations pattern: contracts live WITH the table, and every
+    * commit carries its own audit trail.
+    */
+  final case class Expectation(name: String, predicate: Column,
+      action: String = Expectation.Fail) {
+    require(action == Expectation.Fail || action == Expectation.Drop,
+      s"unknown expectation action '$action'")
+  }
+  object Expectation {
+    val Fail = "fail"
+    val Drop = "drop"
+  }
+
+  /** Evaluate `expectations` against `df`: one counting aggregation
+    * (violations per expectation — at production scale this ride-along
+    * is folded into the write job via accumulators; here it is one
+    * explicit metadata-sized agg), abort on any violated `fail`
+    * contract, filter rows for `drop` contracts. Returns the frame to
+    * write plus the per-expectation violation counts to record.
+    */
+  private def applyExpectations(df: DataFrame,
+      expectations: Seq[Expectation],
+      table: String): (DataFrame, Map[String, Long]) = {
+    if (expectations.isEmpty) return (df, Map.empty)
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    require(expectations.map(_.name).distinct.size == expectations.size,
+      "expectation names must be unique")
+    val aggs = expectations.map(e =>
+      sum(when(coalesce(e.predicate, lit(false)), 0L).otherwise(1L)).as(e.name))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val counts = expectations.zipWithIndex.map { case (e, i) =>
+      e.name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
+    val failed = expectations.filter(e =>
+      e.action == Expectation.Fail && counts(e.name) > 0)
+    if (failed.nonEmpty) throw new IllegalArgumentException(
+      s"expectation(s) violated writing to $table: " + failed.map(e =>
+        s"'${e.name}' (${counts(e.name)} rows)").mkString(", ") +
+        " — commit aborted, table unchanged")
+    val dropPred = expectations.filter(_.action == Expectation.Drop)
+      .map(e => coalesce(e.predicate, lit(false)))
+      .reduceOption(_ && _)
+    (dropPred.fold(df)(df.filter), counts)
+  }
 
   /** A resolved snapshot: the complete file list of a version plus the
     * per-file statistics that survived to it.
@@ -218,7 +273,9 @@ object ManifestTable {
       files: Seq[String], txns: Map[String, Long],
       stats: Map[String, FileStats] = Map.empty,
       remove: Seq[String] = Seq.empty,
-      parts: Seq[String] = Seq.empty): String = {
+      parts: Seq[String] = Seq.empty,
+      schemaJson: Option[String] = None,
+      quality: Map[String, Long] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("fmt", Fmt): Unit
     root.put("version", version): Unit
@@ -258,6 +315,11 @@ object ManifestTable {
     if (txns.nonEmpty) {
       val t = root.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v): Unit }
+    }
+    schemaJson.foreach(s => root.put("schema", s): Unit)
+    if (quality.nonEmpty) {
+      val qn = root.putObject("quality")
+      quality.toSeq.sortBy(_._1).foreach { case (k, v) => qn.put(k, v): Unit }
     }
     mapper.writeValueAsString(root)
   }
@@ -324,11 +386,22 @@ object ManifestTable {
         b.result()
     }
     val remove = strings("remove").getOrElse(Seq.empty)
+    val schemaJson = Option(root.get("schema")).map(_.asText())
+    val quality: Map[String, Long] = Option(root.get("quality")) match {
+      case None => Map.empty
+      case Some(qn) =>
+        val b = Map.newBuilder[String, Long]
+        val it = qn.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asLong()
+        }
+        b.result()
+    }
     strings("add") match {
-      case Some(a) => Delta(a, remove, stats, txns, parts)
+      case Some(a) => Delta(a, remove, stats, txns, parts, schemaJson, quality)
       case None => Replace(strings("files").getOrElse(
         throw new java.io.IOException(s"bad manifest: $json")),
-        stats, txns, parts)
+        stats, txns, parts, schemaJson, quality)
     }
   }
 
@@ -365,8 +438,8 @@ object ManifestTable {
       }
     }
     var files: Seq[String] = base match {
-      case Some(Replace(fl, _, _, _)) => fl
-      case Some(Delta(a, _, _, _, _)) => a // checkpoints are full lists
+      case Some(r: Replace) => r.files
+      case Some(d: Delta) => d.add // checkpoints are full lists
       case None => Seq.empty
     }
     var stats: Map[String, FileStats] = base.map(_.stats).getOrElse(Map.empty)
@@ -403,6 +476,75 @@ object ManifestTable {
 
   private def stickyParts(provided: Seq[String], recorded: Seq[String]): Seq[String] =
     if (provided.nonEmpty) provided else recorded
+
+  /** The table's recorded logical schema at `version` (carried in
+    * every manifest since schema-on-commit; None for legacy tables).
+    */
+  private def schemaAt(fs: FileSystem, table: Path,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    if (version == 0) None
+    else readManifest(fs, table, version).schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The recorded table schema (public accessor; None = table written
+    * before schema-on-commit).
+    */
+  def tableSchema(spark: SparkSession, table: String,
+      version: Long = -1L): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, p) = fsOf(spark, table)
+    val (vs, _) = listLog(fs, p)
+    val v = if (version > 0) version else vs.foldLeft(0L)(math.max)
+    if (v == 0) None else schemaAt(fs, p, v)
+  }
+
+  private def stripNullability(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = stripNullability(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(stripNullability(a.elementType), containsNull = true)
+      case m: MapType => MapType(stripNullability(m.keyType),
+        stripNullability(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** SCHEMA ENFORCEMENT + EVOLUTION at commit time (the lake
+    * contract): a column present in both the table and the incoming
+    * frame must have the SAME type (nullability ignored) — a
+    * mismatch throws BEFORE any commit, instead of poisoning the
+    * table into an unreadable union; columns only in the incoming
+    * frame are ADD-COLUMN evolution (appended to the recorded
+    * schema, older files read them as null); columns missing from
+    * the incoming frame stay (its rows read as null there). Returns
+    * the evolved schema to record in the new manifest.
+    */
+  private def enforceSchema(
+      recorded: Option[org.apache.spark.sql.types.StructType],
+      incoming: org.apache.spark.sql.types.StructType,
+      table: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    recorded match {
+      case None => incoming // legacy table or first commit: adopt
+      case Some(cur) =>
+        val curByName = cur.fields.map(f => f.name -> f).toMap
+        val conflicts = incoming.fields.flatMap { f =>
+          curByName.get(f.name).collect {
+            case c if stripNullability(c.dataType) != stripNullability(f.dataType) =>
+              s"'${f.name}': table has ${c.dataType.sql}, incoming has ${f.dataType.sql}"
+          }
+        }
+        if (conflicts.nonEmpty) throw new IllegalArgumentException(
+          s"schema mismatch appending to $table — ${conflicts.mkString("; ")}. " +
+            "Cast the incoming columns to the table types (type CHANGES need a " +
+            "rewrite via write(), which replaces the recorded schema).")
+        StructType(cur.fields ++
+          incoming.fields.filterNot(f => curByName.contains(f.name)))
+    }
+  }
 
   /** Stage + CAS-publish `payload` at `target`. Returns false if a
     * concurrent writer won the race for this name. The staged file is
@@ -446,9 +588,12 @@ object ManifestTable {
   private[graft] def commitManifest(fs: FileSystem, table: Path, version: Long,
       relFiles: Seq[String], txns: Map[String, Long] = Map.empty,
       stats: Map[String, FileStats] = Map.empty,
-      parts: Seq[String] = Seq.empty): Boolean =
+      parts: Seq[String] = Seq.empty,
+      schemaJson: Option[String] = None,
+      quality: Map[String, Long] = Map.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
-      renderNode(version, "files", relFiles, txns, stats, parts = parts))
+      renderNode(version, "files", relFiles, txns, stats, parts = parts,
+        schemaJson = schemaJson, quality = quality))
 
   /** Commit a DELTA manifest — O(files added + removed), never
     * O(table). `remove` is non-empty only for row-level rewrites
@@ -458,9 +603,12 @@ object ManifestTable {
       add: Seq[String], txns: Map[String, Long],
       stats: Map[String, FileStats] = Map.empty,
       remove: Seq[String] = Seq.empty,
-      parts: Seq[String] = Seq.empty): Boolean =
+      parts: Seq[String] = Seq.empty,
+      schemaJson: Option[String] = None,
+      quality: Map[String, Long] = Map.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
-      renderNode(version, "add", add, txns, stats, remove, parts))
+      renderNode(version, "add", add, txns, stats, remove, parts, schemaJson,
+        quality))
 
   /** Best-effort full checkpoint at `version` (skipped if present;
     * losing the create race or failing outright only lengthens later
@@ -475,7 +623,8 @@ object ManifestTable {
         val snap = resolve(fs, table, version, cs)
         casCreate(fs, table, cp,
           renderNode(version, "files", snap.files, txnsAt(fs, table, version),
-            snap.stats, parts = partsAt(fs, table, version))): Unit
+            snap.stats, parts = partsAt(fs, table, version),
+            schemaJson = readManifest(fs, table, version).schemaJson)): Unit
       }
     } catch { case _: java.io.IOException => () } // commit already durable
 
@@ -538,15 +687,18 @@ object ManifestTable {
     */
   def write(spark: SparkSession, df: DataFrame, table: String,
       partitionCols: Seq[String] = Seq.empty,
-      maxRecordsPerFile: Long = 0L): Long = {
+      maxRecordsPerFile: Long = 0L,
+      expectations: Seq[Expectation] = Seq.empty): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val txns = txnsAt(fs, p, base)
     val parts = stickyParts(partitionCols, partsAt(fs, p, base))
-    val files = writeSnapshot(fs, p, df, base + 1, partitionCols,
+    val (toWrite, quality) = applyExpectations(df, expectations, table)
+    val files = writeSnapshot(fs, p, toWrite, base + 1, partitionCols,
       maxRecordsPerFile)
     if (!commitManifest(fs, p, base + 1, files, txns,
-      collectStats(spark, p, files), parts)) raceLost(table, base + 1)
+      collectStats(spark, p, files), parts,
+      Some(df.schema.json), quality)) raceLost(table, base + 1)
     base + 1 // a replace manifest is its own base — no checkpoint needed
   }
 
@@ -555,14 +707,20 @@ object ManifestTable {
     * file count never enters the commit path.
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      expectations: Seq[Expectation] = Seq.empty): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val txns = txnsAt(fs, p, base)
     val parts = stickyParts(partitionCols, partsAt(fs, p, base))
-    val fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
+    // contracts BEFORE any data write: a type conflict or a violated
+    // fail-expectation aborts with the table untouched
+    val evolved = enforceSchema(schemaAt(fs, p, base), df.schema, table)
+    val (toWrite, quality) = applyExpectations(df, expectations, table)
+    val fresh = writeSnapshot(fs, p, toWrite, base + 1, partitionCols, 0L)
     if (!commitDelta(fs, p, base + 1, fresh, txns,
-      collectStats(spark, p, fresh), parts = parts))
+      collectStats(spark, p, fresh), parts = parts,
+      schemaJson = Some(evolved.json), quality = quality))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
@@ -600,11 +758,13 @@ object ManifestTable {
       val txns = txnsAt(fs, p, base)
       if (txns.get(txnAppId).exists(_ >= batchId))
         return base // replay; an already-written snapshot is vacuum's
+      val evolved = enforceSchema(schemaAt(fs, p, base), df.schema, table)
       if (fresh == null)
         fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
       if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
         collectStats(spark, p, fresh),
-        parts = stickyParts(partitionCols, partsAt(fs, p, base)))) {
+        parts = stickyParts(partitionCols, partsAt(fs, p, base)),
+        schemaJson = Some(evolved.json))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -732,8 +892,9 @@ object ManifestTable {
   def readWhere(spark: SparkSession, table: String, predicate: Column,
       version: Long = -1L): DataFrame = {
     val (_, _, _, snap) = resolveAt(spark, table, version)
+    val predExpr = DataSkipping.expressionOf(predicate) // normalize once
     val kept = snap.files.filter(f =>
-      DataSkipping.mayMatch(snap.stats.get(f), DataSkipping.expressionOf(predicate)))
+      DataSkipping.mayMatch(snap.stats.get(f), predExpr))
     if (snap.files.isEmpty) spark.emptyDataFrame
     else if (kept.isEmpty)
       // schema-stable empty result: plan over the real files, read none
@@ -747,8 +908,9 @@ object ManifestTable {
   def skippingReport(spark: SparkSession, table: String, predicate: Column,
       version: Long = -1L): (Int, Int) = {
     val (_, _, _, snap) = resolveAt(spark, table, version)
+    val predExpr = DataSkipping.expressionOf(predicate) // normalize once
     val kept = snap.files.count(f =>
-      DataSkipping.mayMatch(snap.stats.get(f), DataSkipping.expressionOf(predicate)))
+      DataSkipping.mayMatch(snap.stats.get(f), predExpr))
     (kept, snap.files.size)
   }
 
@@ -796,7 +958,7 @@ object ManifestTable {
       }
       GraftManifestScan.ManifestFile(rel, st, snap.stats.get(rel), pvals)
     }
-    GraftManifestScan.relation(spark, p, mfiles, parts)
+    GraftManifestScan.relation(spark, p, mfiles, parts, schemaAt(fs, p, v))
   }
 
   /** EXACT row count of a snapshot from manifest statistics alone —
@@ -837,17 +999,18 @@ object ManifestTable {
           Some(addList.iterator.map(m.stats(_).rows).sum)
         else if (addList.isEmpty) Some(0L)
         else None
-      val txnsJson = mapper.writeValueAsString {
+      def asJson(kv: Map[String, Long]): String = mapper.writeValueAsString {
         val n = mapper.createObjectNode()
-        m.txns.toSeq.sortBy(_._1).foreach { case (k, x) => n.put(k, x): Unit }
+        kv.toSeq.sortBy(_._1).foreach { case (k, x) => n.put(k, x): Unit }
         n
       }
-      (v, kind, addList.size, removed, rowsAdded, txnsJson)
+      (v, kind, addList.size, removed, rowsAdded, asJson(m.txns),
+        asJson(m.quality))
     }
     val sq = spark
     import sq.implicits._
     rows.toDF("version", "kind", "files_added", "files_removed",
-      "rows_added", "txns")
+      "rows_added", "txns", "quality")
   }
 
   /** Change-data-feed read (file-level): the rows in files ADDED
@@ -920,7 +1083,7 @@ object ManifestTable {
       if (txns.get(key).exists(_ >= current))
         return current // a concurrent consume of the same id won
       if (commitDelta(fs, p, base + 1, Seq.empty, txns + (key -> current),
-        parts = partsAt(fs, p, base)))
+        parts = partsAt(fs, p, base), schemaJson = schemaAt(fs, p, base).map(_.json)))
         return current
       attempts += 1
     }
@@ -981,7 +1144,8 @@ object ManifestTable {
       val files = writeSnapshot(fs, p, df, base + 1, parts,
         math.max(targetFileBytes / bytesPerRow, 1L))
       if (commitManifest(fs, p, base + 1, files, txnsAt(fs, p, base),
-        collectStats(spark, p, files), parts))
+        collectStats(spark, p, files), parts,
+        schemaAt(fs, p, base).map(_.json)))
         return Sinks.CompactStats(before.size, files.size, totalBytes)
       attempt += 1
     }
@@ -1045,8 +1209,9 @@ object ManifestTable {
       val (_, cs) = listLog(fs, p)
       val snap = resolve(fs, p, base, cs)
       val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+      val predExpr = DataSkipping.expressionOf(predicate) // normalize once
       val candidates = snap.files.filter(f =>
-        DataSkipping.mayMatch(snap.stats.get(f), DataSkipping.expressionOf(predicate)))
+        DataSkipping.mayMatch(snap.stats.get(f), predExpr))
       if (candidates.isEmpty) return base
       val hits = hitFiles(spark, table, candidates, _.filter(predicate))
       if (hits.isEmpty) return base
@@ -1054,7 +1219,8 @@ object ManifestTable {
         .filter(not(coalesce(predicate, lit(false))))
       val fresh = writeSnapshot(fs, p, survivors, base + 1, parts, 0L)
       if (commitDelta(fs, p, base + 1, fresh, txnsAt(fs, p, base),
-        collectStats(spark, p, fresh), remove = hits, parts = parts)) {
+        collectStats(spark, p, fresh), remove = hits, parts = parts,
+        schemaJson = schemaAt(fs, p, base).map(_.json))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -1112,9 +1278,11 @@ object ManifestTable {
         else unionSnapshots(spark, table, hits)
           .join(srcKeys, keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = true)
+      val evolved = enforceSchema(schemaAt(fs, p, base), source.schema, table)
       val fresh = writeSnapshot(fs, p, newData, base + 1, parts, 0L)
       if (commitDelta(fs, p, base + 1, fresh, txnsAt(fs, p, base),
-        collectStats(spark, p, fresh), remove = hits, parts = parts)) {
+        collectStats(spark, p, fresh), remove = hits, parts = parts,
+        schemaJson = Some(evolved.json))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }

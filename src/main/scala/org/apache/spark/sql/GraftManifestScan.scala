@@ -108,23 +108,38 @@ object GraftManifestScan {
 
   /** Build the scan DataFrame over a resolved snapshot. `partCols` is
     * the manifest's recorded partition layout; files carry their
-    * pre-parsed partition values.
+    * pre-parsed partition values. `recordedSchema` is the manifest's
+    * schema-on-commit record: when present it IS the scan schema —
+    * O(1) instead of the O(files) distributed footer merge, and
+    * authoritative under evolution (the merge stays as the fallback
+    * for tables written before schema recording).
     */
   def relation(spark: SparkSession, tableRoot: Path,
-      files: Seq[ManifestFile], partCols: Seq[String]): DataFrame = {
+      files: Seq[ManifestFile], partCols: Seq[String],
+      recordedSchema: Option[StructType] = None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val partitionSchema = StructType(partCols.zipWithIndex.map {
       case (c, i) =>
-        StructField(c, inferType(files.flatMap(_.partValues(i))))
+        // the recorded schema knows the TRUE partition type; fall back
+        // to value inference for types the dir-string codec lacks
+        val dt = recordedSchema.flatMap(_.fields.find(_.name == c))
+          .map(_.dataType) match {
+          case Some(t @ (IntegerType | LongType | StringType)) => t
+          case _ => inferType(files.flatMap(_.partValues(i)))
+        }
+        StructField(c, dt)
     })
     val statuses = files.map(_.status)
-    // asNullable: the footer merge preserves required-ness, but a
-    // column added by evolution is ABSENT from older files — the scan
-    // can only fill nulls if the read schema allows them (the same
-    // relaxation Spark's own file-source resolution applies)
-    val dataSchema = ParquetFileFormat
-      .mergeSchemasInParallel(Map.empty[String, String], statuses, cs)
-      .getOrElse(StructType(Nil)).asNullable
+    // asNullable: a column added by evolution is ABSENT from older
+    // files — the scan can only fill nulls if the read schema allows
+    // them (the same relaxation Spark's file-source resolution applies)
+    val dataSchema = (recordedSchema match {
+      case Some(s) =>
+        StructType(s.fields.filterNot(f => partCols.contains(f.name)))
+      case None => ParquetFileFormat
+        .mergeSchemasInParallel(Map.empty[String, String], statuses, cs)
+        .getOrElse(StructType(Nil))
+    }).asNullable
     val index = new ManifestFileIndex(tableRoot, files, partitionSchema)
     val rel = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(cs)

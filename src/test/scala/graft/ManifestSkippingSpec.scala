@@ -242,6 +242,83 @@ class ManifestSkippingSpec extends AnyFunSuite {
       !col("tag").startsWith("tag"))._1 == 5, "no sound inversion → keep all")
   }
 
+  test("write-time expectations: fail aborts untouched, drop records its audit count") {
+    import spark.implicits._
+    import ManifestTable.Expectation
+    val t = freshTable()
+    val df = Seq((1L, 50L), (2L, 5L), (3L, 200L), (4L, 8L)).toDF("id", "chars")
+    // a violated FAIL contract aborts before any commit
+    val ex = intercept[IllegalArgumentException](
+      ManifestTable.write(spark, df, t, expectations = Seq(
+        Expectation("long_enough", col("chars") >= 10L))))
+    assert(ex.getMessage.contains("long_enough") && ex.getMessage.contains("2 rows"))
+    assert(ManifestTable.currentVersion(spark, t) == 0L, "no commit on abort")
+    // DROP quarantines violators and records the count in the manifest
+    ManifestTable.write(spark, df, t, expectations = Seq(
+      Expectation("id_present", col("id").isNotNull),
+      Expectation("long_enough", col("chars") >= 10L, Expectation.Drop)))
+    assert(ManifestTable.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val q = ManifestTable.history(spark, t).orderBy("version")
+      .collect().last.getString(6)
+    assert(q.contains("\"long_enough\":2") && q.contains("\"id_present\":0"),
+      s"quality audit missing from manifest: $q")
+    // a NULL predicate counts as a violation (contract semantics)
+    val t2 = freshTable()
+    val withNull = Seq((1L, java.lang.Long.valueOf(50L)),
+      (2L, null: java.lang.Long)).toDF("id", "chars")
+    ManifestTable.write(spark, withNull, t2, expectations = Seq(
+      Expectation("long_enough", col("chars") >= 10L, Expectation.Drop)))
+    assert(ManifestTable.read(spark, t2).count() == 1)
+  }
+
+  test("timestamp and date statistics prune range predicates") {
+    import spark.implicits._
+    val t = freshTable()
+    // 4 range-localized files over 96 hourly timestamps + their dates
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val rows = (0 until 96).map { h =>
+      val ts = java.sql.Timestamp.from(base.plusSeconds(h * 3600L))
+      (h.toLong, ts, new java.sql.Date(ts.getTime))
+    }
+    // stats require TIMESTAMP(MICROS) on disk (INT96 carries no
+    // comparable footer statistics — DataSkipping skips it by design)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try ManifestTable.write(spark, rows.toDF("id", "ts", "d")
+      .repartitionByRange(4, col("ts")), t)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val cut = java.sql.Timestamp.from(base.plusSeconds(30L * 3600))
+    val (kept, total) = ManifestTable.skippingReport(spark, t,
+      col("ts") < lit(cut))
+    assert(total == 4 && kept == 2, s"ts range must prune: $kept/$total")
+    assert(ManifestTable.readWhere(spark, t, col("ts") < lit(cut)).count() == 30)
+    // DATE stats (int32 days) against a date literal
+    val dcut = java.sql.Date.valueOf("2024-03-02")
+    val (kd, _) = ManifestTable.skippingReport(spark, t, col("d") < lit(dcut))
+    assert(kd < total, s"date predicate must prune: $kd/$total")
+    assert(ManifestTable.readWhere(spark, t, col("d") < lit(dcut)).count() == 24)
+  }
+
+  test("delete retries through a concurrent append without losing either") {
+    import spark.implicits._
+    val t = rangedTable()
+    // an append races the delete's read-rewrite-commit window; the
+    // delete must lose the version CAS and retry against the advanced
+    // state, keeping BOTH effects
+    val appender = new Thread(() => {
+      ManifestTable.append(spark,
+        (500 until 520).map(i => (i.toLong, "late", 0))
+          .toDF("id", "tag", "bucket").coalesce(1), t): Unit
+    })
+    appender.start()
+    ManifestTable.delete(spark, t, col("id") < 20L)
+    appender.join()
+    val r = ManifestTable.read(spark, t)
+    assert(r.filter(col("id") < 20L).count() == 0, "delete effect lost")
+    assert(r.filter(col("tag") === "late").count() == 20, "append effect lost")
+    assert(r.count() == 100)
+  }
+
   test("history and metadata-only rowCount reflect the commit log") {
     import spark.implicits._
     val t = rangedTable()                                    // v1 replace
@@ -307,6 +384,51 @@ class ManifestSkippingSpec extends AnyFunSuite {
     val total = ManifestTable.currentFiles(spark, t).size
     assert(planned < total,
       s"joint partition+stats pruning must drop files: $planned/$total")
+  }
+
+  test("schema-on-commit: type conflicts abort before commit; add-column evolves") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      Seq((1L, "a")).toDF("id", "tag").coalesce(1), t)
+    assert(ManifestTable.tableSchema(spark, t).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "tag")))
+    // same column, different type: the append must throw, naming the
+    // column, and leave the table untouched
+    val ex = intercept[IllegalArgumentException](
+      ManifestTable.append(spark,
+        Seq(("2", "b")).toDF("id", "tag").coalesce(1), t))
+    assert(ex.getMessage.contains("'id'"))
+    assert(ManifestTable.currentVersion(spark, t) == 1L)
+    assert(ManifestTable.read(spark, t).count() == 1)
+    // add-column evolution: accepted AND recorded
+    ManifestTable.append(spark,
+      Seq((3L, "c", 0.5)).toDF("id", "tag", "score").coalesce(1), t)
+    assert(ManifestTable.tableSchema(spark, t).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "tag", "score")))
+    // merge enforces the same contract
+    val ex2 = intercept[IllegalArgumentException](
+      ManifestTable.merge(spark,
+        Seq(("3", "x", 0.9)).toDF("id", "tag", "score"), t, Seq("id")))
+    assert(ex2.getMessage.contains("'id'"))
+    // a type CHANGE is a rewrite: write() replaces the recorded schema
+    ManifestTable.write(spark,
+      Seq(("k1", "z")).toDF("id", "tag").coalesce(1), t)
+    assert(ManifestTable.tableSchema(spark, t).map(_.apply("id").dataType.sql)
+      .contains("STRING"))
+  }
+
+  test("native scan reads the recorded schema (no footer merge) and stays correct") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1), t)
+    ManifestTable.append(spark,
+      Seq((3L, "c", 7.5)).toDF("id", "tag", "score").coalesce(1), t)
+    val scan = ManifestTable.scan(spark, t)
+    assert(scan.schema.fieldNames.toSeq == Seq("id", "tag", "score"),
+      "scan schema must equal the recorded (evolved) schema in order")
+    assert(scan.filter(col("score").isNotNull).count() == 1)
   }
 
   test("native scan surfaces add-column evolution as nulls") {
