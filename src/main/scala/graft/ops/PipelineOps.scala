@@ -900,12 +900,17 @@ object PipelineOps {
       max(col("doc_id")).as("max_doc_id"))
     .orderBy(col("lang").asc_nulls_last)
 
-  private def docIdBounds(docs: DataFrame): (Long, Long) = {
-    // two-value driver agg: the bounded, legitimate collect class
-    val r = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .head()
+  /** Two-value driver agg (the bounded, legitimate collect class):
+    * min/max of one long column — the shared "derive a deterministic
+    * threshold from the data" idiom of the manifest p-queries.
+    */
+  private def longBounds(df: DataFrame, c: String): (Long, Long) = {
+    val r = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx")).head()
     (r.getLong(0), r.getLong(1))
   }
+
+  private def docIdBounds(docs: DataFrame): (Long, Long) =
+    longBounds(docs, "doc_id")
 
   private val p20Invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1084,9 +1089,8 @@ object PipelineOps {
     val table = graft.sinks.Sinks.sessionScratchPath(spark,
       "p24_expect_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
         "_" + p24Invocation.incrementAndGet())
-    val r = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
-      .head()
-    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 4
+    val (mn, mx) = longBounds(docs, "n_chars")
+    val cut = mn + (mx - mn) / 4
     graft.sinks.ManifestTable.write(spark, docs, table,
       expectations = Seq(
         Expectation("id_present", col("doc_id").isNotNull),

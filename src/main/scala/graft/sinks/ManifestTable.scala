@@ -477,15 +477,27 @@ object ManifestTable {
   private def stickyParts(provided: Seq[String], recorded: Seq[String]): Seq[String] =
     if (provided.nonEmpty) provided else recorded
 
+  /** The base manifest read ONCE — the commit paths take their txns,
+    * parts and schema from this single parse instead of three separate
+    * GET+parse round-trips (each manifest read is a remote fetch on an
+    * object store, and commits are the hot path).
+    */
+  private def manifestAt(fs: FileSystem, table: Path,
+      version: Long): Option[Manifest] =
+    if (version == 0) None else Some(readManifest(fs, table, version))
+
+  private def recordedSchema(
+      m: Option[Manifest]): Option[org.apache.spark.sql.types.StructType] =
+    m.flatMap(_.schemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** The table's recorded logical schema at `version` (carried in
     * every manifest since schema-on-commit; None for legacy tables).
     */
   private def schemaAt(fs: FileSystem, table: Path,
       version: Long): Option[org.apache.spark.sql.types.StructType] =
-    if (version == 0) None
-    else readManifest(fs, table, version).schemaJson.map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    recordedSchema(manifestAt(fs, table, version))
 
   /** The recorded table schema (public accessor; None = table written
     * before schema-on-commit).
@@ -621,10 +633,11 @@ object ManifestTable {
       if (!fs.exists(cp)) {
         val (_, cs) = listLog(fs, table)
         val snap = resolve(fs, table, version, cs)
+        val m = readManifest(fs, table, version) // one read for txns/parts/schema
         casCreate(fs, table, cp,
-          renderNode(version, "files", snap.files, txnsAt(fs, table, version),
-            snap.stats, parts = partsAt(fs, table, version),
-            schemaJson = readManifest(fs, table, version).schemaJson)): Unit
+          renderNode(version, "files", snap.files, m.txns,
+            snap.stats, parts = m.parts,
+            schemaJson = m.schemaJson)): Unit
       }
     } catch { case _: java.io.IOException => () } // commit already durable
 
@@ -691,12 +704,16 @@ object ManifestTable {
       expectations: Seq[Expectation] = Seq.empty): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
-    val txns = txnsAt(fs, p, base)
-    val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+    val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
+    // the recorded layout is sticky AND physical: an omitted
+    // partitionCols lays the snapshot out per the recorded parts, so
+    // the manifest's layout metadata never contradicts the paths
+    val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
     val (toWrite, quality) = applyExpectations(df, expectations, table)
-    val files = writeSnapshot(fs, p, toWrite, base + 1, partitionCols,
+    val files = writeSnapshot(fs, p, toWrite, base + 1, parts,
       maxRecordsPerFile)
-    if (!commitManifest(fs, p, base + 1, files, txns,
+    if (!commitManifest(fs, p, base + 1, files,
+      m.map(_.txns).getOrElse(Map.empty),
       collectStats(spark, p, files), parts,
       Some(df.schema.json), quality)) raceLost(table, base + 1)
     base + 1 // a replace manifest is its own base — no checkpoint needed
@@ -711,14 +728,16 @@ object ManifestTable {
       expectations: Seq[Expectation] = Seq.empty): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
-    val txns = txnsAt(fs, p, base)
-    val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+    val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
+    // sticky AND physical — see write()
+    val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
     // contracts BEFORE any data write: a type conflict or a violated
     // fail-expectation aborts with the table untouched
-    val evolved = enforceSchema(schemaAt(fs, p, base), df.schema, table)
+    val evolved = enforceSchema(recordedSchema(m), df.schema, table)
     val (toWrite, quality) = applyExpectations(df, expectations, table)
-    val fresh = writeSnapshot(fs, p, toWrite, base + 1, partitionCols, 0L)
-    if (!commitDelta(fs, p, base + 1, fresh, txns,
+    val fresh = writeSnapshot(fs, p, toWrite, base + 1, parts, 0L)
+    if (!commitDelta(fs, p, base + 1, fresh,
+      m.map(_.txns).getOrElse(Map.empty),
       collectStats(spark, p, fresh), parts = parts,
       schemaJson = Some(evolved.json), quality = quality))
       raceLost(table, base + 1)
@@ -755,15 +774,17 @@ object ManifestTable {
       // different version than base could silently regress another
       // query's watermark into the committed manifest.
       val base = currentVersion(spark, table)
-      val txns = txnsAt(fs, p, base)
+      val m = manifestAt(fs, p, base) // ONE read per attempt
+      val txns = m.map(_.txns).getOrElse(Map.empty)
       if (txns.get(txnAppId).exists(_ >= batchId))
         return base // replay; an already-written snapshot is vacuum's
-      val evolved = enforceSchema(schemaAt(fs, p, base), df.schema, table)
+      val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      val evolved = enforceSchema(recordedSchema(m), df.schema, table)
       if (fresh == null)
-        fresh = writeSnapshot(fs, p, df, base + 1, partitionCols, 0L)
+        fresh = writeSnapshot(fs, p, df, base + 1, parts, 0L)
       if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
         collectStats(spark, p, fresh),
-        parts = stickyParts(partitionCols, partsAt(fs, p, base)),
+        parts = parts,
         schemaJson = Some(evolved.json))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
@@ -1079,12 +1100,21 @@ object ManifestTable {
     var attempts = 0
     while (attempts < 50) {
       val base = currentVersion(spark, table)
-      val txns = txnsAt(fs, p, base)
+      val m = manifestAt(fs, p, base) // ONE read per attempt
+      val txns = m.map(_.txns).getOrElse(Map.empty)
       if (txns.get(key).exists(_ >= current))
         return current // a concurrent consume of the same id won
       if (commitDelta(fs, p, base + 1, Seq.empty, txns + (key -> current),
-        parts = partsAt(fs, p, base), schemaJson = schemaAt(fs, p, base).map(_.json)))
+        parts = m.map(_.parts).getOrElse(Seq.empty),
+        schemaJson = m.flatMap(_.schemaJson))) {
+        // consumer commits land on the same version sequence as
+        // appends — they must pull their weight in checkpoint cadence
+        // or an alternating appender/consumer pair could starve
+        // checkpointing forever (interval multiples always landing on
+        // offset commits that skip it)
+        maybeCheckpoint(spark, fs, p, base + 1)
         return current
+      }
       attempts += 1
     }
     raceLost(table, currentVersion(spark, table) + 1)
@@ -1123,8 +1153,9 @@ object ManifestTable {
       // is current at commit time would silently drop that append —
       // maintenance must retry, not race.
       val base = currentVersion(spark, table)
+      val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val before = currentFiles(spark, table, base)
-      val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+      val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val totalBytes = before
         .map(f => fs.getFileStatus(new Path(p, f)).getLen).sum
       val df0 = read(spark, table, base)
@@ -1143,9 +1174,10 @@ object ManifestTable {
       val bytesPerRow = math.max(totalBytes / totalRows, 1L)
       val files = writeSnapshot(fs, p, df, base + 1, parts,
         math.max(targetFileBytes / bytesPerRow, 1L))
-      if (commitManifest(fs, p, base + 1, files, txnsAt(fs, p, base),
+      if (commitManifest(fs, p, base + 1, files,
+        m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, files), parts,
-        schemaAt(fs, p, base).map(_.json)))
+        m.flatMap(_.schemaJson)))
         return Sinks.CompactStats(before.size, files.size, totalBytes)
       attempt += 1
     }
@@ -1207,8 +1239,9 @@ object ManifestTable {
       val base = currentVersion(spark, table)
       require(base > 0, s"no committed version in $table")
       val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val snap = resolve(fs, p, base, cs)
-      val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+      val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val predExpr = DataSkipping.expressionOf(predicate) // normalize once
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(snap.stats.get(f), predExpr))
@@ -1218,9 +1251,10 @@ object ManifestTable {
       val survivors = unionSnapshots(spark, table, hits)
         .filter(not(coalesce(predicate, lit(false))))
       val fresh = writeSnapshot(fs, p, survivors, base + 1, parts, 0L)
-      if (commitDelta(fs, p, base + 1, fresh, txnsAt(fs, p, base),
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, fresh), remove = hits, parts = parts,
-        schemaJson = schemaAt(fs, p, base).map(_.json))) {
+        schemaJson = m.flatMap(_.schemaJson))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -1254,8 +1288,9 @@ object ManifestTable {
       val base = currentVersion(spark, table)
       require(base > 0, s"no committed version in $table")
       val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val snap = resolve(fs, p, base, cs)
-      val parts = stickyParts(partitionCols, partsAt(fs, p, base))
+      val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       // single-column keys: bound the source key range once (two-value
       // agg) and let the manifest stats prune non-overlapping files
       val candidates =
@@ -1278,9 +1313,10 @@ object ManifestTable {
         else unionSnapshots(spark, table, hits)
           .join(srcKeys, keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = true)
-      val evolved = enforceSchema(schemaAt(fs, p, base), source.schema, table)
+      val evolved = enforceSchema(recordedSchema(m), source.schema, table)
       val fresh = writeSnapshot(fs, p, newData, base + 1, parts, 0L)
-      if (commitDelta(fs, p, base + 1, fresh, txnsAt(fs, p, base),
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, fresh), remove = hits, parts = parts,
         schemaJson = Some(evolved.json))) {
         maybeCheckpoint(spark, fs, p, base + 1)
@@ -1323,10 +1359,17 @@ object ManifestTable {
     val floor = retained.min
     // the retention floor must be self-basing once the older log
     // prefix is gone: materialize a checkpoint there unless its own
-    // manifest already is a base
-    if (!cs.contains(floor) && (readManifest(fs, p, floor) match {
+    // manifest already is a base. writeCheckpoint is best-effort
+    // (swallows IO failures — a commit never depends on it), so
+    // log-prefix deletion below is GATED on the floor actually being
+    // self-basing afterward: pruning the prefix under a delta floor
+    // with no checkpoint would leave the whole table unresolvable.
+    val floorIsDelta = readManifest(fs, p, floor) match {
       case _: Delta => true; case _: Replace => false
-    })) writeCheckpoint(fs, p, floor)
+    }
+    if (!cs.contains(floor) && floorIsDelta) writeCheckpoint(fs, p, floor)
+    val floorSelfBasing = !floorIsDelta ||
+      fs.exists(checkpointPath(p, floor))
     val live = retained
       .flatMap(ver => currentFiles(spark, table, ver)).toSet
     val dataDir = new Path(p, "data")
@@ -1360,9 +1403,10 @@ object ManifestTable {
     commitMonitor(p).synchronized {
       fs.listStatus(mdir).foreach { m =>
         val n = m.getPath.getName
-        // manifests AND checkpoints below the retention floor — the
-        // floor itself now resolves without them
-        val stale = n.endsWith(".json") &&
+        // manifests AND checkpoints below the retention floor — ONLY
+        // once the floor provably resolves without them (a failed
+        // floor checkpoint keeps the prefix; the next vacuum retries)
+        val stale = floorSelfBasing && n.endsWith(".json") &&
           (n.startsWith("v") || n.startsWith("c")) &&
           n.drop(1).stripSuffix(".json").toLong < floor
         // staged files orphaned by a hard crash between create and

@@ -258,11 +258,19 @@ object StreamingOps {
     * seen-keys state FINITE (keys expire once the watermark passes
     * their horizon) — the only dedup shape that survives an unbounded
     * 100 TB/day stream.
+    *
+    * The dedup horizon here EXCEEDS the fixture's time span (the
+    * within-watermark contract only guarantees dedup of events within
+    * the delay of each other — with a 1 h delay and multi-batch
+    * delivery, a key recurring hours apart would legally re-emit and
+    * diverge from the global-DISTINCT oracle; a ≥ span horizon makes
+    * the emitted set equal SELECT DISTINCT under ANY batching).
+    * [[dedupStream]] keeps the production-shaped 1 h horizon.
     */
   def e23StreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_e23_dedup_${e23Invocation.incrementAndGet()}"
     val deduped = eventStream(spark, sfDir)
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "365 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     val q = deduped.writeStream

@@ -86,10 +86,32 @@ object GraftManifestScan {
 
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val conjuncts =
-        (partitionFilters ++ dataFilters).map(DataSkipping.normalize)
-      val kept = files.filter(f =>
-        conjuncts.forall(c => DataSkipping.mayMatch(f.stats, c)))
+      // partitionFilters are a CORRECTNESS contract, not an
+      // optimization: FileSourceStrategy REMOVES partition-only
+      // predicates from the post-scan Filter, trusting the index to
+      // apply them exactly — best-effort stats pruning here would
+      // return unfiltered rows for any shape DataSkipping cannot
+      // prove (modulus, UDF, stats-less file). Evaluate them the way
+      // PartitioningAwareFileIndex does: bind to the partition row
+      // and eval per file. (Dynamic pruning filters are stripped by
+      // FileSourceScanExec before this call.)
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference => CAttr, BoundReference, Predicate => CPredicate}
+      val exactPart: Option[org.apache.spark.sql.catalyst.expressions.BasePredicate] =
+        partitionFilters.reduceOption(CAnd).map { pred =>
+          CPredicate.createInterpreted(pred.transform {
+            case a: CAttr =>
+              val i = partitionSchema.fieldIndex(a.name)
+              BoundReference(i, partitionSchema(i).dataType, nullable = true)
+          })
+        }
+      // dataFilters stay in the post-scan Filter too, so manifest
+      // statistics may prune them best-effort (fail-open is safe)
+      val statConjuncts = dataFilters.map(DataSkipping.normalize)
+      val kept = files.filter { f =>
+        lazy val row = InternalRow.fromSeq(partRow(f))
+        exactPart.forall(_.eval(row)) &&
+          statConjuncts.forall(c => DataSkipping.mayMatch(f.stats, c))
+      }
       kept.groupBy(partRow).toSeq
         .sortBy(_._2.head.rel)
         .map { case (values, fs) =>

@@ -431,6 +431,48 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scan.filter(col("score").isNotNull).count() == 1)
   }
 
+  test("partition filters on the native scan are EXACT, not best-effort") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "part")
+    ManifestTable.write(spark, df, t, partitionCols = Seq("part"))
+    val scan = ManifestTable.scan(spark, t)
+    // a shape the stats walk cannot prove (modulus): Catalyst removes
+    // the partition-only predicate from the post-scan Filter, so the
+    // index MUST evaluate it exactly or wrong rows come back
+    assert(scan.filter(pmod(col("part"), lit(2)) === 0).count() == 20)
+    assert(scan.filter(pmod(col("part"), lit(2)) === 0)
+      .select("part").distinct().collect().map(_.getInt(0)).toSet == Set(0, 2))
+    // stats-less files (collection disabled) still partition-filter exactly
+    spark.conf.set("spark.graft.manifest.collectStats", "false")
+    try {
+      val t2 = freshTable()
+      ManifestTable.write(spark, df, t2, partitionCols = Seq("part"))
+      assert(ManifestTable.fileStats(spark, t2).isEmpty)
+      assert(ManifestTable.scan(spark, t2).filter(col("part") === 1).count() == 10)
+    } finally spark.conf.unset("spark.graft.manifest.collectStats")
+  }
+
+  test("append without partitionCols inherits the recorded physical layout") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "part")
+    ManifestTable.write(spark, df, t, partitionCols = Seq("part"))
+    // the caller omits partitionCols: the sticky layout must be
+    // PHYSICAL too, or the manifest metadata contradicts the paths
+    // and scan() reads the appended rows' partition column as null
+    ManifestTable.append(spark,
+      (100 until 106).map(i => (i.toLong, i % 3)).toDF("id", "part"), t)
+    val appended = ManifestTable.currentFiles(spark, t)
+      .filter(_.startsWith("data/s2-"))
+    assert(appended.nonEmpty && appended.forall(_.contains("part=")),
+      s"appended files must keep the hive layout: $appended")
+    val scanned = ManifestTable.scan(spark, t).filter(col("id") >= 100L)
+    assert(scanned.count() == 6)
+    assert(scanned.filter(col("part").isNull).count() == 0,
+      "appended rows lost their partition values")
+  }
+
   test("native scan surfaces add-column evolution as nulls") {
     import spark.implicits._
     val t = freshTable()
