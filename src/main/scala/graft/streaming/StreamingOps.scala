@@ -187,6 +187,47 @@ object StreamingOps {
         col("v_event"), col("c_event"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution shape
+    * that must also emit (view, NO-click): an unmatched view row is
+    * held in state until the GLOBAL watermark (min of both inputs'
+    * watermarks) passes its join-window end — only then can the engine
+    * PROVE no matching click will arrive — and is then emitted with
+    * nulls on the click side. On an unbounded stream this is the only
+    * sound "no conversion" signal; on a finite replay the views whose
+    * windows the final watermark never passes are legitimately
+    * withheld (StatefulSpec asserts exactly that boundary behavior).
+    */
+  def streamStreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = eventStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    views.join(clicks, expr(
+      "v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 30 minutes"),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"),
+        col("v_event"), col("c_event"))
+  }
+
+  /** Drive the left-outer stream-stream join over the finite fixture. */
+  def runStreamStreamLeftJoinToCompletion(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_stream_ssljoin"): DataFrame = {
+    val q = streamStreamLeftJoin(spark, sfDir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Batch twin of [[streamStreamJoin]] over the same fixture. */
   def viewClickJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.ops.Tables.events(spark, sfDir)

@@ -111,6 +111,54 @@ class StatefulSpec extends AnyFunSuite {
         s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
   }
 
+  test("stream-stream LEFT OUTER join: matched = batch inner; null-emission bounded by the final watermark") {
+    val out = graft.streaming.StreamingOps
+      .runStreamStreamLeftJoinToCompletion(spark, sf)
+      .select(col("user_id"), unix_micros(col("v_ts").cast("timestamp")).as("v_us"),
+        unix_micros(col("c_ts").cast("timestamp")).as("c_us"),
+        col("v_event"), col("c_event"))
+      .collect()
+    val matched = out.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val nulls = out.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // matched side must be EXACTLY the batch inner interval join
+    val batchInner = graft.streaming.StreamingOps.viewClickJoinBatch(spark, sf)
+      .select(col("user_id"), unix_micros(col("v_ts").cast("timestamp")),
+        unix_micros(col("c_ts").cast("timestamp")), col("v_event"), col("c_event"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(matched == batchInner, "matched rows must equal the batch inner join")
+    // the batch-unmatched views, and the final-watermark bound
+    val ev = graft.ops.Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("v_us"),
+        col("event_id").as("v_event"))
+    val allViews = views.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val matchedViews = matched.map(t => (t._1, t._2, t._4))
+    val unmatchedBatch = allViews -- matchedViews
+    // 1) soundness: every null emission is a genuinely unmatched view
+    assert(nulls.subsetOf(unmatchedBatch),
+      s"null rows must be unmatched views; bogus=${(nulls -- unmatchedBatch).take(2)}")
+    // 2) no duplicates: a view appears at most once among null rows
+    assert(nulls.size == out.count(_.isNullAt(2)))
+    // 3) completeness under the final watermark: global wm =
+    //    min(max view ts - 1h, max click ts - 2h); every unmatched
+    //    view whose 30-min window closed strictly below it MUST have
+    //    been emitted (the engine can prove no click will arrive)
+    val maxV = views.agg(max(col("v_us"))).head.getLong(0)
+    val maxC = ev.filter(col("event_type") === "click")
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+    val wm = math.min(maxV - 3600L * 1000000, maxC - 7200L * 1000000)
+    val mustEmit = unmatchedBatch.filter(_._2 + 1800L * 1000000 < wm)
+    assert(mustEmit.subsetOf(nulls),
+      s"views with provably-closed windows withheld: ${(mustEmit -- nulls).take(2)} " +
+        s"(emitted ${nulls.size} of ${unmatchedBatch.size} unmatched)")
+  }
+
   test("anomaly state machine: completeness gate, trailing-30 window, eviction") {
     import graft.streaming.StatefulAnomaly
     import graft.streaming.StatefulAnomaly.{AnomState, Ev => AEv}
