@@ -179,6 +179,12 @@ object DataSkipping {
     FileStats(rows, footerCols ++ partCols)
   }
 
+  /** Cross-file bound merge for [[graft.sinks.ManifestTable.columnBounds]]
+    * — same semantics as [[mergeBound]]; None out = incomparable mix.
+    */
+  private[sinks] def mergeBoundPublic(a: Option[Any], b: Option[Any],
+      keepMin: Boolean): Option[Any] = mergeBound(a, b, keepMin)
+
   /** All-null merge identity: when one side is an all-null chunk its
     * bound is None and the other side's bound stands.
     */

@@ -997,6 +997,36 @@ object ManifestTable {
     else None
   }
 
+  /** EXACT column min/max of a snapshot from manifest statistics
+    * alone — no data I/O (footer extremes are exact; the global
+    * extreme is the extreme of the per-file extremes). `None` when any
+    * live file lacks a usable bound for the column (stats missing,
+    * unsupported type, oversized strings) — exact or absent, never
+    * approximate. All-null files contribute no bound; a table whose
+    * every row is null yields None. At 100 TB this answers
+    * `SELECT min(c), max(c)` in a metadata walk.
+    */
+  def columnBounds(spark: SparkSession, table: String, column: String,
+      version: Long = -1L): Option[(Any, Any)] = {
+    val snap = resolveAt(spark, table, version)._4
+    var mn: Option[Any] = None
+    var mx: Option[Any] = None
+    for (f <- snap.files) snap.stats.get(f) match {
+      case None => return None
+      case Some(fst) if fst.rows == 0 => () // empty file: no bound needed
+      case Some(fst) => fst.cols.get(column) match {
+        case Some(DataSkipping.ColStats(lo @ Some(_), hi @ Some(_), _)) =>
+          mn = DataSkipping.mergeBoundPublic(mn, lo, keepMin = true)
+          mx = DataSkipping.mergeBoundPublic(mx, hi, keepMin = false)
+          if (mn.isEmpty || mx.isEmpty) return None // incomparable mix
+        case Some(DataSkipping.ColStats(None, None, Some(nulls)))
+            if nulls == fst.rows => () // all-null file: no bound
+        case _ => return None
+      }
+    }
+    mn.zip(mx)
+  }
+
   /** Commit history (the DESCRIBE HISTORY analogue): one row per log
     * version still present, oldest first — commit kind
     * (`replace` = write/compact, `append`, `rewrite` = delete/merge),

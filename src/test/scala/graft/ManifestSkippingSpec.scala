@@ -319,6 +319,29 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(r.count() == 100)
   }
 
+  test("metadata-only columnBounds: exact extremes, absent when unknowable") {
+    import spark.implicits._
+    val t = rangedTable()
+    assert(ManifestTable.columnBounds(spark, t, "id").contains((0L, 99L)))
+    assert(ManifestTable.columnBounds(spark, t, "tag")
+      .contains(("tag0", "tag6")))
+    assert(ManifestTable.columnBounds(spark, t, "no_such_col").isEmpty)
+    // all-null files contribute no bound; a fully-null column is None
+    val t2 = freshTable()
+    ManifestTable.write(spark,
+      Seq((1L, null: java.lang.Long), (2L, null: java.lang.Long))
+        .toDF("id", "v").coalesce(1), t2)
+    assert(ManifestTable.columnBounds(spark, t2, "v").isEmpty)
+    assert(ManifestTable.columnBounds(spark, t2, "id").contains((1L, 2L)))
+    // a stats-less file makes the answer absent, never wrong
+    import org.apache.hadoop.fs.Path
+    val p = new Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestTable.commitManifest(fs, p, 2L,
+      ManifestTable.currentFiles(spark, t)))
+    assert(ManifestTable.columnBounds(spark, t, "id").isEmpty)
+  }
+
   test("history and metadata-only rowCount reflect the commit log") {
     import spark.implicits._
     val t = rangedTable()                                    // v1 replace
@@ -471,6 +494,35 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scanned.count() == 6)
     assert(scanned.filter(col("part").isNull).count() == 0,
       "appended rows lost their partition values")
+  }
+
+  test("dynamic partition pruning composes with the native scan") {
+    import spark.implicits._
+    val t = freshTable()
+    val fact = (0 until 1000).map(i => (i.toLong, i % 10)).toDF("id", "part")
+    ManifestTable.write(spark, fact, t, partitionCols = Seq("part"))
+    // the dim must be a FILE relation: DPP's planner heuristics skip
+    // in-memory LocalRelations (probed empirically — the control
+    // experiment with a LocalRelation dim never plans the subquery)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").resolve("d").toString
+    (0 until 10).map(i => (i, if (i < 2) "x" else "y"))
+      .toDF("part", "flag").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      val q = ManifestTable.scan(spark, t)
+        .join(broadcast(dim.filter(col("flag") === "x")), Seq("part"))
+      assert(q.count() == 200)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a DPP subquery on the native scan:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
   }
 
   test("native scan surfaces add-column evolution as nulls") {
