@@ -172,11 +172,19 @@ object ManifestTable {
   }
 
   /** Evaluate `expectations` against `df`: one counting aggregation
-    * (violations per expectation — at production scale this ride-along
-    * is folded into the write job via accumulators; here it is one
-    * explicit metadata-sized agg), abort on any violated `fail`
+    * (violations per expectation), abort on any violated `fail`
     * contract, filter rows for `drop` contracts. Returns the frame to
     * write plus the per-expectation violation counts to record.
+    *
+    * The frame is pinned with `localCheckpoint` FIRST: the counting
+    * job and the subsequent write must see the SAME rows, and two
+    * separate evaluations of a non-deterministic frame (rand-bearing,
+    * sampling, a source mutated between jobs) could pass the fail
+    * contract on one evaluation and write violating rows from
+    * another. Checkpointing trades that silent contract breach for a
+    * loud recompute error on executor loss — the right direction for
+    * a data contract. (At production scale both the pin and the count
+    * ride the write job itself via accumulators.)
     */
   private def applyExpectations(df: DataFrame,
       expectations: Seq[Expectation],
@@ -185,9 +193,10 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
     require(expectations.map(_.name).distinct.size == expectations.size,
       "expectation names must be unique")
+    val pinned = df.localCheckpoint()
     val aggs = expectations.map(e =>
       sum(when(coalesce(e.predicate, lit(false)), 0L).otherwise(1L)).as(e.name))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = pinned.agg(aggs.head, aggs.tail: _*).head()
     val counts = expectations.zipWithIndex.map { case (e, i) =>
       e.name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
     }.toMap
@@ -200,7 +209,7 @@ object ManifestTable {
     val dropPred = expectations.filter(_.action == Expectation.Drop)
       .map(e => coalesce(e.predicate, lit(false)))
       .reduceOption(_ && _)
-    (dropPred.fold(df)(df.filter), counts)
+    (dropPred.fold(pinned)(pinned.filter), counts)
   }
 
   /** A resolved snapshot: the complete file list of a version plus the
@@ -514,8 +523,12 @@ object ManifestTable {
       dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     dt match {
+      // nested fields also shed their METADATA: StructField equality
+      // includes it, and a reader-attached comment on a nested field
+      // must not read as a type conflict
       case s: StructType => StructType(s.fields.map(f =>
-        f.copy(dataType = stripNullability(f.dataType), nullable = true)))
+        f.copy(dataType = stripNullability(f.dataType), nullable = true,
+          metadata = Metadata.empty)))
       case a: ArrayType =>
         ArrayType(stripNullability(a.elementType), containsNull = true)
       case m: MapType => MapType(stripNullability(m.keyType),
@@ -705,10 +718,12 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
-    // the recorded layout is sticky AND physical: an omitted
-    // partitionCols lays the snapshot out per the recorded parts, so
-    // the manifest's layout metadata never contradicts the paths
-    val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+    // write() is a full REPLACE: the caller's partitionCols are
+    // authoritative for the new layout exactly like df's schema is
+    // authoritative for the new schema — an empty partitionCols here
+    // UN-partitions the table (append-family ops are the ones that
+    // inherit the recorded layout; they must match existing metadata)
+    val parts = partitionCols
     val (toWrite, quality) = applyExpectations(df, expectations, table)
     val files = writeSnapshot(fs, p, toWrite, base + 1, parts,
       maxRecordsPerFile)
@@ -765,6 +780,7 @@ object ManifestTable {
       partitionCols: Seq[String] = Seq.empty): Long = {
     val (fs, p) = fsOf(spark, table)
     var fresh: Seq[String] = null // snapshot written once, reused on retry
+    var freshParts: Seq[String] = null // the layout fresh was written with
     var attempts = 0
     while (true) {
       // version FIRST, then txns from THAT version's manifest — one
@@ -780,8 +796,15 @@ object ManifestTable {
         return base // replay; an already-written snapshot is vacuum's
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val evolved = enforceSchema(recordedSchema(m), df.schema, table)
-      if (fresh == null)
+      // the cached snapshot is only reusable if the layout it was
+      // written with still matches — a concurrent first-writer can
+      // change the sticky parts between attempts, and committing
+      // mismatched metadata would null the partition column at scan
+      if (fresh != null && freshParts != parts) fresh = null // orphan → vacuum
+      if (fresh == null) {
         fresh = writeSnapshot(fs, p, df, base + 1, parts, 0L)
+        freshParts = parts
+      }
       if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
         collectStats(spark, p, fresh),
         parts = parts,
@@ -958,7 +981,8 @@ object ManifestTable {
       version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.GraftManifestScan
     val (fs, p, v, snap) = resolveAt(spark, table, version)
-    val parts = partsAt(fs, p, v)
+    val m = manifestAt(fs, p, v) // ONE read serves parts + schema
+    val parts = m.map(_.parts).getOrElse(Seq.empty)
     // one recursive listing per snapshot dir resolves every status
     val statusByRel: Map[String, FileStatus] = snap.files
       .map(_.split("/").take(2).mkString("/")).distinct
@@ -979,7 +1003,7 @@ object ManifestTable {
       }
       GraftManifestScan.ManifestFile(rel, st, snap.stats.get(rel), pvals)
     }
-    GraftManifestScan.relation(spark, p, mfiles, parts, schemaAt(fs, p, v))
+    GraftManifestScan.relation(spark, p, mfiles, parts, recordedSchema(m))
   }
 
   /** EXACT row count of a snapshot from manifest statistics alone —
@@ -1008,16 +1032,39 @@ object ManifestTable {
     */
   def columnBounds(spark: SparkSession, table: String, column: String,
       version: Long = -1L): Option[(Any, Any)] = {
-    val snap = resolveAt(spark, table, version)._4
+    import org.apache.spark.sql.types._
+    val (fs, p, v, snap) = resolveAt(spark, table, version)
+    val m = manifestAt(fs, p, v)
+    // PARTITION-column bounds are stored as dir STRINGS; merging them
+    // lexicographically would be wrong for numeric partition columns
+    // ("9" > "12"). The recorded schema is the authority: coerce the
+    // bound to the column's logical type, or answer None — the
+    // contract is exact or absent. A partition column with no
+    // recorded schema is unknowable (string column? numeric?) → None;
+    // data-column footer bounds are already typed and pass through.
+    val isPartCol = m.exists(_.parts.contains(column))
+    val expected: Option[DataType] =
+      recordedSchema(m).flatMap(_.fields.find(_.name == column))
+        .map(_.dataType)
+    def coerce(bound: Any): Option[Any] = (expected, bound) match {
+      case (Some(ByteType | ShortType | IntegerType | LongType), s: String) =>
+        s.toLongOption
+      case (Some(FloatType | DoubleType), s: String) => s.toDoubleOption
+      case (Some(StringType) | None, s: String) =>
+        if (isPartCol && expected.isEmpty) None else Some(s)
+      case (_, other) => Some(other) // footer-typed: already canonical
+    }
     var mn: Option[Any] = None
     var mx: Option[Any] = None
     for (f <- snap.files) snap.stats.get(f) match {
       case None => return None
       case Some(fst) if fst.rows == 0 => () // empty file: no bound needed
       case Some(fst) => fst.cols.get(column) match {
-        case Some(DataSkipping.ColStats(lo @ Some(_), hi @ Some(_), _)) =>
-          mn = DataSkipping.mergeBoundPublic(mn, lo, keepMin = true)
-          mx = DataSkipping.mergeBoundPublic(mx, hi, keepMin = false)
+        case Some(DataSkipping.ColStats(Some(lo), Some(hi), _)) =>
+          val (cl, ch) = (coerce(lo), coerce(hi))
+          if (cl.isEmpty || ch.isEmpty) return None
+          mn = DataSkipping.mergeBoundPublic(mn, cl, keepMin = true)
+          mx = DataSkipping.mergeBoundPublic(mx, ch, keepMin = false)
           if (mn.isEmpty || mx.isEmpty) return None // incomparable mix
         case Some(DataSkipping.ColStats(None, None, Some(nulls)))
             if nulls == fst.rows => () // all-null file: no bound

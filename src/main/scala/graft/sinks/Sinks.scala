@@ -86,6 +86,29 @@ object Sinks {
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
   }
 
+  /** Three-dimensional Morton interleave, 10 bits per operand — the
+    * 3-column clustering key (e.g. tenant × day-bucket × id-bucket).
+    * Same contract as [[zOrderKey]]: a LAYOUT key only, inputs masked
+    * to 10 bits (wider domains pre-scale; truncation degrades locality,
+    * never correctness). The mask ladder is the classic 3D
+    * bit-spreading sequence (public-domain bit trick), five bitwise
+    * ops per operand, codegen-friendly — no UDF.
+    */
+  def zOrderKey3(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread3(x0: org.apache.spark.sql.Column) = {
+      val x = x0.cast("long").bitwiseAND(lit(0x3FFL))
+      val s1 = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x30000FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 8)).bitwiseAND(lit(0x300F00FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 4)).bitwiseAND(lit(0x30C30C3L))
+      s3.bitwiseOR(shiftleft(s3, 2)).bitwiseAND(lit(0x9249249L))
+    }
+    spread3(a).bitwiseOR(shiftleft(spread3(b), 1))
+      .bitwiseOR(shiftleft(spread3(c), 2))
+  }
+
   /** Z-ordered data-skipping layout — `writeSorted`'s answer when TWO
     * columns carry selective predicates: a single-column sort gives
     * one dimension perfect row-group locality and the other none,

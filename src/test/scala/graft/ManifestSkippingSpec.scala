@@ -278,8 +278,12 @@ class ManifestSkippingSpec extends AnyFunSuite {
     // 4 range-localized files over 96 hourly timestamps + their dates
     val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
     val rows = (0 until 96).map { h =>
-      val ts = java.sql.Timestamp.from(base.plusSeconds(h * 3600L))
-      (h.toLong, ts, new java.sql.Date(ts.getTime))
+      val inst = base.plusSeconds(h * 3600L)
+      // derive the DATE in UTC explicitly: new java.sql.Date(millis)
+      // renders in the JVM's zone and would shift the calendar day on
+      // a non-UTC machine, breaking the assertions below
+      (h.toLong, java.sql.Timestamp.from(inst), java.sql.Date.valueOf(
+        java.time.LocalDate.ofInstant(inst, java.time.ZoneOffset.UTC)))
     }
     // stats require TIMESTAMP(MICROS) on disk (INT96 carries no
     // comparable footer statistics — DataSkipping skips it by design)
@@ -340,6 +344,45 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(ManifestTable.commitManifest(fs, p, 2L,
       ManifestTable.currentFiles(spark, t)))
     assert(ManifestTable.columnBounds(spark, t, "id").isEmpty)
+  }
+
+  test("columnBounds on numeric partition columns are typed, not lexicographic") {
+    import spark.implicits._
+    val t = freshTable()
+    // 13 partition values 0..12: a lexicographic merge of the dir
+    // strings would answer ("0", "9") — the typed answer is (0, 12)
+    val df = (0 until 130).map(i => (i.toLong, i % 13)).toDF("id", "part")
+    ManifestTable.write(spark, df, t, partitionCols = Seq("part"))
+    assert(ManifestTable.columnBounds(spark, t, "part").contains((0L, 12L)))
+    assert(ManifestTable.columnBounds(spark, t, "id").contains((0L, 129L)))
+    // a STRING partition column stays lexicographic (which IS exact)
+    val t2 = freshTable()
+    ManifestTable.write(spark,
+      Seq((1L, "apple"), (2L, "zebra")).toDF("id", "cat"), t2,
+      partitionCols = Seq("cat"))
+    assert(ManifestTable.columnBounds(spark, t2, "cat")
+      .contains(("apple", "zebra")))
+  }
+
+  test("write() replaces the partition layout like it replaces the schema") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      (0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "part"), t,
+      partitionCols = Seq("part"))
+    // full replace with a frame that LACKS the partition column and no
+    // partitionCols: legal (un-partitions the table), must not throw
+    ManifestTable.write(spark,
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "name"), t)
+    val scan = ManifestTable.scan(spark, t)
+    assert(scan.columns.toSet == Set("id", "name"))
+    assert(scan.count() == 10)
+    // appends now follow the NEW (flat) recorded layout
+    ManifestTable.append(spark,
+      Seq((100L, "x")).toDF("id", "name").coalesce(1), t)
+    assert(ManifestTable.read(spark, t).count() == 11)
+    assert(ManifestTable.currentFiles(spark, t).forall(!_.contains("=")),
+      "append after an un-partitioning replace must be flat")
   }
 
   test("history and metadata-only rowCount reflect the commit log") {
@@ -536,6 +579,26 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scan.columns.toSet == Set("id", "tag", "score"))
     val rows = scan.orderBy("id").collect()
     assert(rows(0).isNullAt(2) && rows(2).getDouble(2) == 7.5)
+  }
+
+  test("3-dimensional z-order clustering makes every dimension prunable") {
+    import spark.implicits._
+    val t = freshTable()
+    // shuffled 16³ grid: no dimension has locality before clustering
+    val rnd = new scala.util.Random(11)
+    val pts = rnd.shuffle((for {
+      x <- 0 until 16; y <- 0 until 16; z <- 0 until 16
+    } yield (x.toLong, y.toLong, z.toLong)).toVector)
+    ManifestTable.write(spark, pts.toDF("x", "y", "z").repartition(8), t)
+    assert(ManifestTable.skippingReport(spark, t, col("x") === 3L)._1 == 8)
+    ManifestTable.compact(spark, t, targetFileBytes = 4096,
+      clusterBy = Seq(Sinks.zOrderKey3(col("x"), col("y"), col("z"))))
+    for (c <- Seq("x", "y", "z")) {
+      val (k, n) = ManifestTable.skippingReport(spark, t, col(c) === 3L)
+      assert(k < n, s"$c must prune after 3-d z-order: $k/$n")
+      assert(ManifestTable.readWhere(spark, t, col(c) === 3L).count() == 256)
+    }
+    assert(ManifestTable.read(spark, t).count() == 4096)
   }
 
   test("merge prunes candidate files by source key range") {
