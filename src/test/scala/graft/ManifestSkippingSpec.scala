@@ -310,9 +310,18 @@ class ManifestSkippingSpec extends AnyFunSuite {
     // delete must lose the version CAS and retry against the advanced
     // state, keeping BOTH effects
     val appender = new Thread(() => {
-      ManifestTable.append(spark,
-        (500 until 520).map(i => (i.toLong, "late", 0))
-          .toDF("id", "tag", "bucket").coalesce(1), t): Unit
+      // append THROWS when it loses the version CAS (the documented
+      // optimistic contract: re-read and retry is the caller's loop) —
+      // the racing thread must retry like a real caller or the test
+      // flakes whenever the delete wins the contested version
+      var done = false
+      while (!done)
+        try {
+          ManifestTable.append(spark,
+            (500 until 520).map(i => (i.toLong, "late", 0))
+              .toDF("id", "tag", "bucket").coalesce(1), t)
+          done = true
+        } catch { case _: java.io.IOException => () } // lost the race
     })
     appender.start()
     ManifestTable.delete(spark, t, col("id") < 20L)
@@ -591,7 +600,17 @@ class ManifestSkippingSpec extends AnyFunSuite {
     } yield (x.toLong, y.toLong, z.toLong)).toVector)
     ManifestTable.write(spark, pts.toDF("x", "y", "z").repartition(8), t)
     assert(ManifestTable.skippingReport(spark, t, col("x") === 3L)._1 == 8)
-    ManifestTable.compact(spark, t, targetFileBytes = 4096,
+    // force exactly EIGHT output files (byte target = ceil(total/8)):
+    // the lowest-interleaved dimension (x) only becomes prunable on
+    // octant-aligned z-range splits — a byte-derived 6-way split leaves
+    // every file spanning the full x range (observed under suite-wide
+    // compression variance), which is the layout truth, not a bug
+    val hp = new org.apache.hadoop.fs.Path(t)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = ManifestTable.currentFiles(spark, t)
+      .map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(hp, f)).getLen)
+      .sum
+    ManifestTable.compact(spark, t, targetFileBytes = (totalBytes + 7) / 8,
       clusterBy = Seq(Sinks.zOrderKey3(col("x"), col("y"), col("z"))))
     for (c <- Seq("x", "y", "z")) {
       val (k, n) = ManifestTable.skippingReport(spark, t, col(c) === 3L)
