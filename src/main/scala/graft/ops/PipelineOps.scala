@@ -1098,6 +1098,46 @@ object PipelineOps {
     langCensus(graft.sinks.ManifestTable.read(spark, table))
   }
 
+  private val p25Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p25: the exactly-once CDF CONSUMER driven end-to-end — a
+    * downstream job tailing a manifest table through
+    * [[graft.sinks.ManifestTable.consumeChanges]]: initial snapshot
+    * (write of the even half) consumed as the first delivery, an
+    * append (odd half) consumed as a delta-sized second delivery, and
+    * a third caught-up poll that must deliver NOTHING (the recorded
+    * offset — committed transactionally in the table log — already
+    * covers the range; a redelivery would double-count the census and
+    * fail the hash). The union of deliveries must be exactly the
+    * corpus: the oracle computes the one-shot census, so a hash match
+    * proves each row was delivered exactly once across polls.
+    * Scratch is per-invocation (consumption advances table state).
+    */
+  def p25CdfConsume(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p25_consume_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p25Invocation.incrementAndGet())
+    var acc: DataFrame = null
+    def drain(): Unit =
+      graft.sinks.ManifestTable.consumeChanges(spark, table, "p25") {
+        (d, _, _) => acc = if (acc == null) d else acc.unionByName(d)
+      }: Unit
+    graft.sinks.ManifestTable.write(spark,
+      docs.filter(col("doc_id") % 2 === 0), table)
+    drain() // initial snapshot delivery
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 =!= 0), table)
+    drain() // delta delivery
+    drain() // caught up: must be a no-op or the census double-counts
+    langCensus(acc)
+  }
+
+  /** Same census as p17 — exactly-once consumption must reconstruct
+    * the corpus.
+    */
+  val p25Sql: String = p17Sql
+
   val p24Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
