@@ -370,16 +370,40 @@ object DataSkipping {
       case (Some(n), Some(prefix: UTF8String)) =>
         st.cols.get(n) match {
           case Some(ColStats(Some(mn: String), Some(mx: String), _)) =>
-            val pf = prefix.toString
-            val lo = UTF8String.fromString(mn.take(pf.length))
-            val hi = UTF8String.fromString(mx.take(pf.length))
-            lo.compareTo(prefix) <= 0 && hi.compareTo(prefix) >= 0
+            // compare RAW UTF-8 byte prefixes. Truncating with
+            // String.take counts UTF-16 code units: splitting a
+            // surrogate pair leaves an unpaired surrogate the UTF-8
+            // encoder replaces with 0x3F, which can understate a max
+            // that begins with an astral char and wrongly prune a file
+            // that matches. Byte-level truncation of a UTF-8 bound is
+            // always a valid byte-order prefix: a row r with prefix p
+            // satisfies trunc(min,|p|) <= p <= trunc(max,|p|), so
+            // violating either side is a sound prune.
+            val pb = prefix.getBytes
+            bytePrefixCmp(mn, pb) <= 0 && bytePrefixCmp(mx, pb) >= 0
           case Some(ColStats(None, None, Some(nulls))) => nulls < st.rows
           case _ => true
         }
       case _ => true
     }
     case _ => true // Not(...) and anything else: fail open
+  }
+
+  /** Unsigned-lexicographic comparison of `bound`'s first
+    * `prefix.length` UTF-8 bytes against `prefix` (shorter-is-smaller
+    * when one is a byte-prefix of the other — the same order
+    * [[UTF8String]] defines).
+    */
+  private def bytePrefixCmp(bound: String, prefix: Array[Byte]): Int = {
+    val bb = UTF8String.fromString(bound).getBytes
+    val n = math.min(bb.length, prefix.length)
+    var i = 0
+    while (i < n) {
+      val c = (bb(i) & 0xff) - (prefix(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    math.min(bb.length, prefix.length) - prefix.length // trunc len vs |p|
   }
 
   private def binary(st: FileStats, l: Expression, r: Expression,

@@ -142,15 +142,24 @@ object ManifestTable {
     def parts: Seq[String]
     def schemaJson: Option[String]
     def quality: Map[String, Long]
+
+    /** Did this commit change the table's LOGICAL content? `false`
+      * only for pure reorganizations ([[compact]] — same rows, new
+      * files), the Delta-lake `dataChange` flag. Incremental consumers
+      * use it to skip reorganization commits instead of redelivering
+      * every surviving row as "new" (ADVICE r11). Legacy manifests
+      * (no flag) read as `true` — the conservative reading.
+      */
+    def dataChange: Boolean
   }
   private final case class Replace(files: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
       parts: Seq[String], schemaJson: Option[String],
-      quality: Map[String, Long]) extends Manifest
+      quality: Map[String, Long], dataChange: Boolean) extends Manifest
   private final case class Delta(add: Seq[String], remove: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
       parts: Seq[String], schemaJson: Option[String],
-      quality: Map[String, Long]) extends Manifest
+      quality: Map[String, Long], dataChange: Boolean) extends Manifest
 
   /** A WRITE-TIME DATA CONTRACT on a manifest commit: `name` labels
     * it, `predicate` must hold per row, `action` decides what a
@@ -284,10 +293,12 @@ object ManifestTable {
       remove: Seq[String] = Seq.empty,
       parts: Seq[String] = Seq.empty,
       schemaJson: Option[String] = None,
-      quality: Map[String, Long] = Map.empty): String = {
+      quality: Map[String, Long] = Map.empty,
+      dataChange: Boolean = true): String = {
     val root = mapper.createObjectNode()
     root.put("fmt", Fmt): Unit
     root.put("version", version): Unit
+    if (!dataChange) root.put("dataChange", false): Unit
     val arr = root.putArray(listField)
     files.foreach(f => arr.add(f): Unit)
     if (remove.nonEmpty) {
@@ -406,11 +417,13 @@ object ManifestTable {
         }
         b.result()
     }
+    val dataChange = Option(root.get("dataChange")).forall(_.asBoolean(true))
     strings("add") match {
-      case Some(a) => Delta(a, remove, stats, txns, parts, schemaJson, quality)
+      case Some(a) =>
+        Delta(a, remove, stats, txns, parts, schemaJson, quality, dataChange)
       case None => Replace(strings("files").getOrElse(
         throw new java.io.IOException(s"bad manifest: $json")),
-        stats, txns, parts, schemaJson, quality)
+        stats, txns, parts, schemaJson, quality, dataChange)
     }
   }
 
@@ -615,10 +628,11 @@ object ManifestTable {
       stats: Map[String, FileStats] = Map.empty,
       parts: Seq[String] = Seq.empty,
       schemaJson: Option[String] = None,
-      quality: Map[String, Long] = Map.empty): Boolean =
+      quality: Map[String, Long] = Map.empty,
+      dataChange: Boolean = true): Boolean =
     casCreate(fs, table, manifestPath(table, version),
       renderNode(version, "files", relFiles, txns, stats, parts = parts,
-        schemaJson = schemaJson, quality = quality))
+        schemaJson = schemaJson, quality = quality, dataChange = dataChange))
 
   /** Commit a DELTA manifest — O(files added + removed), never
     * O(table). `remove` is non-empty only for row-level rewrites
@@ -1046,13 +1060,26 @@ object ManifestTable {
     val expected: Option[DataType] =
       recordedSchema(m).flatMap(_.fields.find(_.name == column))
         .map(_.dataType)
-    def coerce(bound: Any): Option[Any] = (expected, bound) match {
-      case (Some(ByteType | ShortType | IntegerType | LongType), s: String) =>
-        s.toLongOption
-      case (Some(FloatType | DoubleType), s: String) => s.toDoubleOption
-      case (Some(StringType) | None, s: String) =>
-        if (isPartCol && expected.isEmpty) None else Some(s)
-      case (_, other) => Some(other) // footer-typed: already canonical
+    // string bounds are partition-dir renderings: coerce to the
+    // recorded logical type's canonical scalar (the same encodings
+    // footer stats use — Long days / Long micros / Boolean), or answer
+    // None. The contract is EXACT OR ABSENT: a type with no codec here
+    // must not leak a raw dir string as a "bound".
+    def coerce(bound: Any): Option[Any] = bound match {
+      case s: String => expected match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          s.toLongOption
+        case Some(FloatType | DoubleType) => s.toDoubleOption
+        case Some(BooleanType) => s.toBooleanOption
+        case Some(DateType) =>
+          try Some(java.time.LocalDate.parse(s).toEpochDay)
+          catch { case _: java.time.format.DateTimeParseException => None }
+        case Some(TimestampType) => partitionTsMicros(spark, s)
+        case Some(StringType) => Some(s)
+        case None => if (isPartCol) None else Some(s)
+        case Some(_) => None // no codec (decimal, nested, ...): absent
+      }
+      case other => Some(other) // footer-typed: already canonical
     }
     var mn: Option[Any] = None
     var mx: Option[Any] = None
@@ -1073,6 +1100,20 @@ object ManifestTable {
     }
     mn.zip(mx)
   }
+
+  /** A timestamp partition-dir string (`yyyy-MM-dd HH:mm:ss[.f*]`,
+    * already %-unescaped) → Catalyst micros in the SESSION time zone —
+    * the zone Spark rendered the dir with at write time.
+    */
+  private def partitionTsMicros(spark: SparkSession, s: String): Option[Long] =
+    try {
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone",
+          java.time.ZoneId.systemDefault().getId))
+      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val inst = ldt.atZone(zone).toInstant
+      Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    } catch { case _: java.time.format.DateTimeParseException => None }
 
   /** Commit history (the DESCRIBE HISTORY analogue): one row per log
     * version still present, oldest first — commit kind
@@ -1136,6 +1177,61 @@ object ManifestTable {
     else unionSnapshots(spark, table, added)
   }
 
+  /** [[consumeChanges]] `onRewrite` policies: `fail` (default) aborts
+    * loudly when the consumed range contains a rewrite commit the
+    * file-level feed cannot express; `full` redelivers the complete
+    * current snapshot instead (a documented at-least-once
+    * reconciliation — the consumer must treat that delivery as a
+    * replace, not an append).
+    */
+  val ConsumeFailOnRewrite = "fail"
+  val ConsumeFullResync = "full"
+
+  /** The files to deliver for the consumed range `(from, current]` —
+    * the per-commit walk behind [[consumeChanges]]; see its doc for
+    * the classification. `from == 0` is the initial full-snapshot
+    * delivery. A manifest missing from the walk (vacuumed log prefix)
+    * or a rewrite commit under the `fail` policy throws.
+    */
+  private def changedFilesBetween(fs: FileSystem, p: Path, table: String,
+      consumerId: String, from: Long, current: Long,
+      onRewrite: String): Seq[String] = {
+    if (from == 0)
+      return resolveFiles(fs, p, current, listLog(fs, p)._2)
+    val adds = Seq.newBuilder[String]
+    var rewriteAt = -1L
+    var v = from + 1
+    while (v <= current) {
+      val mv =
+        try readManifest(fs, p, v)
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"consumer '$consumerId' of $table is behind the vacuumed " +
+              s"log prefix (v$v unreadable) — exactly-once delivery " +
+              "cannot be reconstructed; re-sync with a fresh consumer id " +
+              "or vacuum with a longer retention", e)
+        }
+      mv match {
+        case d: Delta if d.remove.isEmpty && d.dataChange =>
+          adds ++= d.add // append (or a pure offset commit: empty add)
+        case other if !other.dataChange => () // compaction: same rows
+        case _ => rewriteAt = v // delete/merge rewrite or overwrite
+      }
+      v += 1
+    }
+    if (rewriteAt < 0) adds.result()
+    else if (onRewrite == ConsumeFullResync)
+      resolveFiles(fs, p, current, listLog(fs, p)._2)
+    else throw new IllegalStateException(
+      s"consumed range ($from, $current] of $table contains a rewrite " +
+        s"commit (v$rewriteAt: delete/merge/overwrite) that a file-level " +
+        "change feed cannot express as additions — consumer " +
+        s"'$consumerId' would see duplicates or miss removals. Pass " +
+        s"onRewrite = ConsumeFullResync to redeliver the full snapshot, " +
+        "or gate rewrites to quiesced windows (compactions are fine: " +
+        "they carry dataChange = false and are skipped).")
+  }
+
   /** Exactly-once INCREMENTAL CONSUMPTION of the change feed — the
     * downstream half of the CDF contract: deliver the rows of files
     * added since THIS consumer's recorded position, then advance the
@@ -1149,26 +1245,37 @@ object ManifestTable {
     * end-to-end exactly-once — the standard offset-commit contract).
     * Each consume costs one O(1) manifest commit and reads ONLY the
     * files added in the range — a downstream job tailing a 100 TB
-    * table does delta-sized work per poll. Returns the version the
-    * consumer is now caught up to.
+    * table does delta-sized work per poll. Compactions in the range
+    * are SKIPPED (`dataChange = false` — same rows, new files);
+    * genuine rewrites (delete/merge/overwrite) cannot be expressed as
+    * file-level additions and hit the `onRewrite` policy
+    * ([[ConsumeFailOnRewrite]] default / [[ConsumeFullResync]]).
+    * Returns the version the consumer is now caught up to.
     */
-  def consumeChanges(spark: SparkSession, table: String, consumerId: String)
+  def consumeChanges(spark: SparkSession, table: String, consumerId: String,
+      onRewrite: String = ConsumeFailOnRewrite)
       (deliver: (DataFrame, Long, Long) => Unit): Long = {
     require(consumerId.nonEmpty, "consumerId must be non-empty")
+    require(onRewrite == ConsumeFailOnRewrite || onRewrite == ConsumeFullResync,
+      s"unknown onRewrite policy '$onRewrite'")
     val key = s"consumer:$consumerId"
     val (fs, p) = fsOf(spark, table)
     val current = currentVersion(spark, table)
     require(current > 0, s"no committed version in $table")
     val from = txnsAt(fs, p, current).getOrElse(key, 0L)
     if (from >= current) return current
-    // files-added check BEFORE committing anything: a range of pure
-    // metadata commits (offset advances, other consumers) delivers
-    // nothing and must not commit either — otherwise idle consumers
-    // would grow the log forever advancing past each other's commits
-    val before =
-      if (from == 0) Set.empty[String]
-      else currentFiles(spark, table, from).toSet
-    val added = currentFiles(spark, table, current).filterNot(before)
+    // deliveries are accumulated PER COMMIT, not as a snapshot
+    // difference: a compaction landing in the range re-adds every
+    // surviving row's file, and a difference-based walk would deliver
+    // them all as "new" — duplicates that break exactly-once
+    // (ADVICE r11). The commit walk classifies each version:
+    // append deltas deliver their added files (still on disk until
+    // vacuum even if later compacted — immutability makes the original
+    // add the exact delivery); compactions (dataChange = false) are
+    // skipped; genuine rewrites (delete/merge/overwrite) cannot be
+    // expressed as file-level additions → the `onRewrite` policy.
+    val added = changedFilesBetween(fs, p, table, consumerId, from, current,
+      onRewrite)
     if (added.isEmpty) return current
     deliver(unionSnapshots(spark, table, added), from, current)
     // advance the offset: optimistic zero-file commit (concurrent
@@ -1254,7 +1361,10 @@ object ManifestTable {
       if (commitManifest(fs, p, base + 1, files,
         m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, files), parts,
-        m.flatMap(_.schemaJson)))
+        m.flatMap(_.schemaJson),
+        // same rows, new files: a pure reorganization — incremental
+        // consumers skip this commit instead of redelivering the table
+        dataChange = false))
         return Sinks.CompactStats(before.size, files.size, totalBytes)
       attempt += 1
     }
@@ -1344,7 +1454,7 @@ object ManifestTable {
     * replace the table row with the same `keyCols` value (whole-row
     * update) or insert it if the key is new. The rewrite unit is the
     * FILE: manifest key-range statistics prune to candidate files
-    * (single-column keys — the common ingest shape), a semi-join pass
+    * (per-column source bounds — composite keys prune too), a semi-join pass
     * finds the files actually holding matched keys, only those are
     * rewritten (their matched rows dropped), and the source lands as
     * fresh files alongside — one O(touched files) delta commit. This
@@ -1359,6 +1469,27 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val (fs, p) = fsOf(spark, table)
+    // SQL MERGE errors when several source rows match one target row;
+    // silently landing both copies would corrupt key uniqueness
+    // (ADVICE r11). One counting pass: rows whose key is fully
+    // non-null (the only rows that can match) vs distinct such keys.
+    // NULL-keyed rows never match and may legitimately repeat.
+    locally {
+      import org.apache.spark.sql.functions.{count_distinct, struct, sum, when}
+      val nonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+      val r = source.agg(
+        sum(when(nonNull, 1L).otherwise(0L)).as("n"),
+        // when() nulls out partially-null keys so count_distinct
+        // ignores them — a struct with null FIELDS is itself non-null
+        // and would otherwise inflate d and mask duplicates
+        count_distinct(when(nonNull, struct(keyCols.map(col): _*))).as("d"))
+        .head()
+      val (n, d) = (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+      if (n > d) throw new IllegalArgumentException(
+        s"merge source has duplicate values of key (${keyCols.mkString(", ")}): " +
+          s"$n keyed rows but only $d distinct keys — a target row would be " +
+          "replaced by multiple source rows. De-duplicate the source first.")
+    }
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1368,19 +1499,26 @@ object ManifestTable {
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val snap = resolve(fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
-      // single-column keys: bound the source key range once (two-value
-      // agg) and let the manifest stats prune non-overlapping files
-      val candidates =
-        if (keyCols.size == 1) {
-          val k = keyCols.head
-          val r = source.agg(fmin(col(k)).as("mn"), fmax(col(k)).as("mx")).head()
-          if (r.isNullAt(0)) Seq.empty // all-null keys: nothing matches
-          else {
-            val pred = DataSkipping.expressionOf(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
-            snap.files.filter(f =>
-              DataSkipping.mayMatch(snap.stats.get(f), pred))
-          }
-        } else snap.files
+      // bound the source's PER-COLUMN key ranges in one multi-agg and
+      // let the manifest stats prune files outside ANY column's range:
+      // a file can only hold a matched key if every key column's file
+      // range overlaps that column's source range. min/max ignore
+      // nulls (null keys never match); a column whose source values
+      // are ALL null proves no source row can match at all.
+      val candidates = {
+        val aggs = keyCols.flatMap(k =>
+          Seq(fmin(col(k)).as(s"mn_$k"), fmax(col(k)).as(s"mx_$k")))
+        val r = source.agg(aggs.head, aggs.tail: _*).head()
+        if (keyCols.indices.exists(i => r.isNullAt(2 * i))) Seq.empty
+        else {
+          val pred = keyCols.zipWithIndex.map { case (k, i) =>
+            col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
+          }.reduce(_ && _)
+          val predExpr = DataSkipping.expressionOf(pred)
+          snap.files.filter(f =>
+            DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+        }
+      }
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
         else hitFiles(spark, table, candidates,

@@ -61,8 +61,18 @@ object GraftManifestScan {
   private def toCatalyst(v: Option[String], dt: DataType): Any = v match {
     case None => null
     case Some(s) => dt match {
+      case ByteType => java.lang.Byte.valueOf(s.toByte)
+      case ShortType => java.lang.Short.valueOf(s.toShort)
       case IntegerType => java.lang.Integer.valueOf(s.toInt)
       case LongType => java.lang.Long.valueOf(s.toLong)
+      case FloatType => java.lang.Float.valueOf(s.toFloat)
+      case DoubleType => java.lang.Double.valueOf(s.toDouble)
+      case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+      // Catalyst internal for DateType is days-since-epoch Int — a
+      // date-partitioned layout gets TYPED partition pruning instead
+      // of scanning the column as strings (ADVICE r11)
+      case DateType =>
+        java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
       case _ => UTF8String.fromString(s)
     }
   }
@@ -146,7 +156,12 @@ object GraftManifestScan {
         // to value inference for types the dir-string codec lacks
         val dt = recordedSchema.flatMap(_.fields.find(_.name == c))
           .map(_.dataType) match {
-          case Some(t @ (IntegerType | LongType | StringType)) => t
+          case Some(t @ (ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType | BooleanType | DateType |
+              StringType)) => t
+          // no dir-string codec (timestamp zone semantics, decimal
+          // scale): fall back to inference so both read paths at least
+          // agree on the inferable cases
           case _ => inferType(files.flatMap(_.partValues(i)))
         }
         StructField(c, dt)

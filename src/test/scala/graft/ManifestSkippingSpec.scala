@@ -620,6 +620,109 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 4096)
   }
 
+  test("startsWith pruning survives astral-plane bounds (byte-prefix compare)") {
+    import spark.implicits._
+    val t = freshTable()
+    // max begins with an astral char: UTF-16 take(1) would split the
+    // surrogate pair into 0x3F and wrongly prune the 'a' prefix below
+    ManifestTable.write(spark,
+      Seq((1L, "apple"), (2L, "🍏x")).toDF("id", "s").coalesce(1), t)
+    val hit = ManifestTable.readWhere(spark, t, col("s").startsWith("a"))
+    assert(hit.collect().map(_.getString(1)).toSeq == Seq("apple"),
+      "file containing a matching row must not be pruned")
+    // and a genuinely impossible prefix still prunes: every row is
+    // >= "apple", and "Z" sorts below the min's first byte
+    val (kept, total) =
+      ManifestTable.skippingReport(spark, t, col("s").startsWith("Z"))
+    assert(total == 1 && kept == 0,
+      s"prefix below the file's min must prune: $kept/$total")
+    assert(ManifestTable.readWhere(spark, t, col("s").startsWith("Z"))
+      .count() == 0)
+  }
+
+  test("columnBounds on date/timestamp/boolean partition columns are typed") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2026-01-03"),
+        java.sql.Timestamp.valueOf("2026-01-03 06:30:00"), true),
+      (2L, java.sql.Date.valueOf("2025-12-30"),
+        java.sql.Timestamp.valueOf("2025-12-30 23:59:59"), false))
+      .toDF("id", "dt", "ts", "ok")
+    ManifestTable.write(spark, df, t, partitionCols = Seq("dt", "ts", "ok"))
+    // exact-or-absent: the bound must be the Catalyst-canonical scalar
+    // (days / micros / boolean), never the raw partition-dir string
+    val dt = ManifestTable.columnBounds(spark, t, "dt")
+    assert(dt.contains((
+      java.time.LocalDate.parse("2025-12-30").toEpochDay,
+      java.time.LocalDate.parse("2026-01-03").toEpochDay)), s"got $dt")
+    val tsLo = java.time.Instant.parse("2025-12-30T23:59:59Z")
+    val tsHi = java.time.Instant.parse("2026-01-03T06:30:00Z")
+    val ts = ManifestTable.columnBounds(spark, t, "ts")
+    assert(ts.contains((tsLo.getEpochSecond * 1000000L,
+      tsHi.getEpochSecond * 1000000L)), s"got $ts")
+    assert(ManifestTable.columnBounds(spark, t, "ok")
+      .contains((false, true)))
+  }
+
+  test("native scan types a date partition column and prunes on it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    val df = (0 until 30).map(i =>
+      (i.toLong, java.sql.Date.valueOf(s"2026-08-${10 + i % 3}")))
+      .toDF("id", "dt")
+    ManifestTable.write(spark, df, t, partitionCols = Seq("dt"))
+    val scan = ManifestTable.scan(spark, t)
+    assert(scan.schema("dt").dataType ==
+      org.apache.spark.sql.types.DateType,
+      "recorded DateType must survive into the native scan schema")
+    // both read paths agree on the schema (ADVICE r11)
+    assert(ManifestTable.read(spark, t).schema("dt").dataType ==
+      scan.schema("dt").dataType)
+    val q = scan.filter(col("dt") === lit(java.sql.Date.valueOf("2026-08-11")))
+    assert(q.count() == 10)
+    val s = q.queryExecution.sparkPlan.collect {
+      case x: FileSourceScanExec => x }.head
+    val planned = s.relation.location
+      .listFiles(s.partitionFilters, s.dataFilters).map(_.files.size).sum
+    val total = ManifestTable.currentFiles(spark, t).size
+    assert(planned < total,
+      s"typed date partition predicate must prune files: $planned/$total")
+  }
+
+  test("merge rejects duplicate non-null source keys; null keys may repeat") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), t)
+    val dup = Seq((5L, "x"), (5L, "y")).toDF("id", "tag")
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.merge(spark, dup, t, Seq("id")))
+    assert(e.getMessage.contains("duplicate"))
+    assert(ManifestTable.read(spark, t).count() == 2, "table untouched")
+    // null keys never match a target row: repeating them is legal SQL
+    val nulls = Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"),
+      (Option(7L), "z")).toDF("id", "tag")
+    ManifestTable.merge(spark, nulls, t, Seq("id"))
+    assert(ManifestTable.read(spark, t).count() == 5)
+  }
+
+  test("composite-key merge prunes files from per-column source bounds") {
+    import spark.implicits._
+    val t = rangedTable() // 5 files, file k holds ids [20k, 20k+20)
+    val before = ManifestTable.currentFiles(spark, t)
+    // both keys bounded: id ∈ [85, 99] confines matches to the last file
+    val source = Seq((85L, "U", 1), (99L, "U", 0)).toDF("id", "tag", "bucket")
+    ManifestTable.merge(spark, source, t, Seq("id", "bucket"))
+    val after = ManifestTable.currentFiles(spark, t)
+    assert(after.toSet.intersect(before.toSet).size == 4,
+      "multi-column key merge must rewrite only the range-overlapping file")
+    assert(ManifestTable.read(spark, t).count() == 100)
+    assert(ManifestTable.read(spark, t)
+      .filter(col("tag") === "U").count() == 2)
+  }
+
   test("merge prunes candidate files by source key range") {
     import spark.implicits._
     val t = rangedTable()

@@ -416,4 +416,49 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.streamTxns(spark, t).keySet ==
       Set("consumer:c1", "consumer:c2"))
   }
+
+  test("consumeChanges skips compactions (dataChange=false): no redelivery") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t)
+    var seen = Vector.empty[String]
+    def drain(): Long = ManifestTable.consumeChanges(spark, t, "cc") {
+      (d, _, _) => seen ++= d.collect().map(r => s"${r.getLong(0)}:${r.getString(1)}")
+    }
+    drain()
+    assert(seen.size == 10)
+    // a compaction between polls rewrites every surviving file — the
+    // old difference-based walk would redeliver all 14 rows as "new"
+    ManifestTable.append(spark, df(4, "b"), t)
+    ManifestTable.compact(spark, t)
+    ManifestTable.append(spark, df(2, "c"), t)
+    drain()
+    assert(seen.size == 16, s"compaction must not redeliver: ${seen.size}")
+    assert(seen.count(_.endsWith(":b")) == 4 && seen.count(_.endsWith(":c")) == 2)
+    drain()
+    assert(seen.size == 16, "caught up after the mixed range")
+  }
+
+  test("consumeChanges on a rewrite range: fail loudly, or full resync by policy") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t)
+    var n = 0L
+    ManifestTable.consumeChanges(spark, t, "cr") { (d, _, _) => n = d.count() }
+    assert(n == 10L)
+    // a row-level delete cannot be expressed as file-level additions
+    ManifestTable.append(spark, df(4, "b"), t)
+    ManifestTable.delete(spark, t, col("tag") === "a" && col("id") < 5L)
+    val e = intercept[IllegalStateException](
+      ManifestTable.consumeChanges(spark, t, "cr") { (_, _, _) => () })
+    assert(e.getMessage.contains("rewrite"))
+    // the explicit resync policy redelivers the complete current state
+    var resync = 0L
+    ManifestTable.consumeChanges(spark, t, "cr",
+      onRewrite = ManifestTable.ConsumeFullResync) {
+      (d, _, _) => resync = d.count()
+    }
+    assert(resync == 9L, s"full resync must deliver the live snapshot: $resync")
+    // and the consumer is caught up afterwards
+    ManifestTable.consumeChanges(spark, t, "cr") { (_, _, _) =>
+      fail("caught-up consumer must not be called") }
+  }
 }
