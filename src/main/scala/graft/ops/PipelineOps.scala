@@ -1138,6 +1138,57 @@ object PipelineOps {
     */
   val p25Sql: String = p17Sql
 
+  private val p26Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p26: the SQL CATALOG surface — the corpus driven through a
+    * registered [[graft.catalog.GraftCatalog]] with PURE SQL TEXT, no
+    * Scala API in the data path: `CREATE TABLE ... AS SELECT` commits
+    * the even half range-localized, `INSERT INTO ... SELECT` appends
+    * the odd half through the same manifest protocol (schema
+    * enforcement, per-file statistics), and the final `SELECT` with a
+    * bottom-decile predicate reads back through the DSv2 scan, whose
+    * FileIndex prunes non-overlapping files from the manifest
+    * statistics at planning time (CatalogSpec pins the planned-file
+    * count). The oracle filters the source table directly, so a hash
+    * match proves the whole name-addressed path — create, append,
+    * prune, scan — drops and invents nothing. Catalog name and
+    * warehouse are per-invocation (catalog instances are cached by
+    * name; a reused name would pin the first invocation's warehouse).
+    */
+  def p26SqlCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inv = p26Invocation.incrementAndGet()
+    val cat = s"p26lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p26_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val (mn, mx) = docIdBounds(docs)
+    docs.createOrReplaceTempView("p26_docs")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(
+      s"""CREATE TABLE $cat.corpus.docs AS
+         |SELECT /*+ REPARTITION_BY_RANGE(8, doc_id) */ doc_id, lang, n_chars
+         |FROM p26_docs WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.corpus.docs
+         |SELECT /*+ REPARTITION_BY_RANGE(8, doc_id) */ doc_id, lang, n_chars
+         |FROM p26_docs WHERE doc_id % 2 != 0""".stripMargin)
+    val cut = mn + (mx - mn) / 10
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM $cat.corpus.docs
+         |WHERE doc_id <= $cut
+         |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin)
+  }
+
+  /** Same bottom-decile census as p20 — the catalog surface must be
+    * invisible to the data.
+    */
+  val p26Sql: String = p20Sql
+
   val p24Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -993,18 +993,43 @@ object ManifestTable {
     */
   def scan(spark: SparkSession, table: String,
       version: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.GraftManifestScan
+    val (p, mfiles, parts, schema) = resolvedScan(spark, table, version)
+    org.apache.spark.sql.GraftManifestScan.relation(spark, p, mfiles, parts,
+      schema)
+  }
+
+  /** INTERNAL (the scan/catalog plumbing contract): the resolved
+    * inputs a Catalyst-native scan of `version` needs — table root,
+    * manifest files with statuses/stats/partition values, the recorded
+    * partition layout, and the recorded schema. Shared by [[scan]],
+    * the DSv2 catalog table and the streaming source so all three
+    * plan over the identical snapshot model.
+    */
+  def resolvedScan(spark: SparkSession, table: String,
+      version: Long = -1L): (Path,
+      Seq[org.apache.spark.sql.GraftManifestScan.ManifestFile],
+      Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
     val m = manifestAt(fs, p, v) // ONE read serves parts + schema
     val parts = m.map(_.parts).getOrElse(Seq.empty)
-    // one recursive listing per snapshot dir resolves every status
-    val statusByRel: Map[String, FileStatus] = snap.files
+    (p, manifestFilesOf(fs, p, table, snap.files, snap.stats, parts),
+      parts, recordedSchema(m))
+  }
+
+  /** Resolve on-disk statuses + partition values for `relFiles` — one
+    * recursive listing per snapshot dir, never per file.
+    */
+  private def manifestFilesOf(fs: FileSystem, p: Path, table: String,
+      relFiles: Seq[String], stats: Map[String, FileStats],
+      parts: Seq[String]): Seq[org.apache.spark.sql.GraftManifestScan.ManifestFile] = {
+    import org.apache.spark.sql.GraftManifestScan
+    val statusByRel: Map[String, FileStatus] = relFiles
       .map(_.split("/").take(2).mkString("/")).distinct
       .flatMap { snapDir =>
         listDataFiles(fs, new Path(p, snapDir))
           .map(st => relativize(p, st.getPath) -> st)
       }.toMap
-    val mfiles = snap.files.map { rel =>
+    relFiles.map { rel =>
       val st = statusByRel.getOrElse(rel, throw new java.io.IOException(
         s"manifest of $table references missing data file $rel"))
       val pvals = parts.map { c =>
@@ -1015,9 +1040,26 @@ object ManifestTable {
             else Some(DataSkipping.unescapePath(raw))
         }.flatten
       }
-      GraftManifestScan.ManifestFile(rel, st, snap.stats.get(rel), pvals)
+      GraftManifestScan.ManifestFile(rel, st, stats.get(rel), pvals)
     }
-    GraftManifestScan.relation(spark, p, mfiles, parts, recordedSchema(m))
+  }
+
+  /** Create an EMPTY manifest table with a recorded schema and
+    * partition layout — the `CREATE TABLE` commit unit (one v1 replace
+    * manifest, zero data files). Throws if the table already has a
+    * committed version.
+    */
+  def create(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    require(partitionCols.forall(c => schema.fieldNames.contains(c)),
+      s"partition columns ${partitionCols.mkString(", ")} must be in the schema")
+    val (fs, p) = fsOf(spark, table)
+    require(currentVersion(spark, table) == 0,
+      s"$table already exists (committed versions present)")
+    if (!commitManifest(fs, p, 1, Seq.empty, Map.empty, Map.empty,
+      partitionCols, Some(schema.json))) raceLost(table, 1)
+    1L
   }
 
   /** EXACT row count of a snapshot from manifest statistics alone —

@@ -91,7 +91,7 @@ object GraftManifestScan {
 
     private val partTypes = partitionSchema.fields.map(_.dataType).toSeq
 
-    private def partRow(f: ManifestFile): Seq[Any] =
+    private[sql] def partRow(f: ManifestFile): Seq[Any] =
       f.partValues.zip(partTypes).map { case (v, dt) => toCatalyst(v, dt) }
 
     override def listFiles(partitionFilters: Seq[Expression],
@@ -146,10 +146,17 @@ object GraftManifestScan {
     * authoritative under evolution (the merge stays as the fallback
     * for tables written before schema recording).
     */
-  def relation(spark: SparkSession, tableRoot: Path,
+  /** The (data, partition) schemas of a resolved snapshot — shared by
+    * the relation builder and the DSv2 catalog table. Partition types
+    * come from the recorded schema when the dir-string codec covers
+    * them, else from value inference; the data schema is the recorded
+    * schema minus partition columns (falling back to the parallel
+    * footer merge for pre-schema-on-commit tables), relaxed to
+    * nullable for add-column evolution.
+    */
+  private[sql] def schemasOf(cs: classic.SparkSession,
       files: Seq[ManifestFile], partCols: Seq[String],
-      recordedSchema: Option[StructType] = None): DataFrame = {
-    val cs = spark.asInstanceOf[classic.SparkSession]
+      recordedSchema: Option[StructType]): (StructType, StructType) = {
     val partitionSchema = StructType(partCols.zipWithIndex.map {
       case (c, i) =>
         // the recorded schema knows the TRUE partition type; fall back
@@ -177,9 +184,19 @@ object GraftManifestScan {
         .mergeSchemasInParallel(Map.empty[String, String], statuses, cs)
         .getOrElse(StructType(Nil))
     }).asNullable
+    (dataSchema, partitionSchema)
+  }
+
+  def relation(spark: SparkSession, tableRoot: Path,
+      files: Seq[ManifestFile], partCols: Seq[String],
+      recordedSchema: Option[StructType] = None,
+      isStreaming: Boolean = false): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val (dataSchema, partitionSchema) =
+      schemasOf(cs, files, partCols, recordedSchema)
     val index = new ManifestFileIndex(tableRoot, files, partitionSchema)
     val rel = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(cs)
-    classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
+    classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = isStreaming))
   }
 }

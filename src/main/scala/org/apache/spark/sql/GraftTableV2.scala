@@ -1,0 +1,166 @@
+package org.apache.spark.sql
+
+import java.util.{Set => JSet}
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, PartitionPath, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.ManifestTable
+import GraftManifestScan.ManifestFile
+
+/** DataSource-V2 face of a manifest table — what makes
+  * `SELECT ... FROM lake.ns.t`, `INSERT INTO`, `CREATE TABLE` and
+  * `df.writeTo(...)` reach [[graft.sinks.ManifestTable]] through a
+  * registered [[graft.catalog.GraftCatalog]] (VERDICT r11 next-round
+  * #1). The READ path is Spark's own vectorized parquet DSv2 scan
+  * ([[ParquetScanBuilder]]) over a [[PartitioningAwareFileIndex]]
+  * whose `listFiles` is the SAME manifest-statistics pruning walk the
+  * native scan uses — so a WHERE clause typed in SQL prunes files at
+  * scan-planning time exactly like `ManifestTable.scan(...).filter`,
+  * and column pruning / parquet pushdown / whole-stage codegen all
+  * apply unchanged. The WRITE path is the V1-fallback write
+  * ([[V1Write]] → [[InsertableRelation]], the Delta/JDBC recipe):
+  * `INSERT INTO` appends through the manifest commit protocol
+  * (schema enforcement, stats collection, delta manifests);
+  * `INSERT OVERWRITE` maps to a replace commit.
+  *
+  * Lives in `org.apache.spark.sql` because [[ParquetScanBuilder]],
+  * [[PartitioningAwareFileIndex]] and [[PartitionSpec]] are
+  * `private[sql]` extension points — same reason as
+  * [[GraftManifestScan]].
+  */
+object GraftTableV2 {
+
+  /** [[PartitioningAwareFileIndex]] over a resolved manifest
+    * snapshot: `listFiles` delegates to the manifest-statistics
+    * pruning index (exact partition-filter evaluation + fail-open
+    * stats pruning), so the DSv2 scan plans over exactly the files a
+    * native scan would. Pinned to one snapshot; `refresh` is a no-op.
+    */
+  final class SnapshotFileIndex(
+      cs: classic.SparkSession,
+      tableRoot: Path,
+      files: Seq[ManifestFile],
+      partSchema: StructType)
+    extends PartitioningAwareFileIndex(cs, Map.empty, None,
+      FileStatusCache.getOrCreate(cs)) {
+
+    private val inner =
+      new GraftManifestScan.ManifestFileIndex(tableRoot, files, partSchema)
+
+    override def rootPaths: Seq[Path] = Seq(tableRoot)
+
+    override def listFiles(
+        partitionFilters: Seq[catalyst.expressions.Expression],
+        dataFilters: Seq[catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      inner.listFiles(partitionFilters, dataFilters)
+
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = inner.sizeInBytes
+    override def inputFiles: Array[String] = inner.inputFiles
+
+    override def partitionSpec(): PartitionSpec =
+      if (partSchema.isEmpty) PartitionSpec.emptySpec
+      else PartitionSpec(partSchema,
+        files.groupBy(_.status.getPath.getParent).toSeq
+          .sortBy(_._1.toString)
+          .map { case (dir, fs) =>
+            PartitionPath(
+              catalyst.InternalRow.fromSeq(inner.partRow(fs.head)), dir)
+          })
+
+    override protected def leafFiles
+      : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+      files.foreach(f => m += f.status.getPath -> f.status)
+      m
+    }
+
+    override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] =
+      files.groupBy(_.status.getPath.getParent)
+        .map { case (d, fs) => d -> fs.map(_.status).toArray }
+  }
+
+  /** One resolved manifest table as a DSv2 [[Table]]. The snapshot is
+    * pinned at load (snapshot isolation: every scan of this Table
+    * object sees the same version); a re-`loadTable` observes later
+    * commits. Writes go through the live commit protocol regardless —
+    * the pinned snapshot only serves reads.
+    */
+  final class GraftV2Table(
+      ident: String,
+      val tablePath: String,
+      tableRoot: Path,
+      files: Seq[ManifestFile],
+      partCols: Seq[String],
+      dataSchema: StructType,
+      partSchema: StructType) extends Table
+      with SupportsRead with SupportsWrite {
+
+    override def name(): String = ident
+
+    override val schema: StructType =
+      StructType(dataSchema.fields ++ partSchema.fields)
+
+    override def partitioning(): Array[Transform] =
+      partCols.map(Expressions.identity).toArray
+
+    override def properties(): java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("location", tablePath)
+      m.put("provider", "graft")
+      m
+    }
+
+    override def capabilities(): JSet[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val cs = SparkSession.active.asInstanceOf[classic.SparkSession]
+      ParquetScanBuilder(cs,
+        new SnapshotFileIndex(cs, tableRoot, files, partSchema),
+        schema, dataSchema, options)
+    }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: Dataset[Row], legacyOverwrite: Boolean): Unit = {
+                val spark = data.sparkSession
+                if (overwrite)
+                  ManifestTable.write(spark, data.toDF(), tablePath,
+                    partCols): Unit
+                else
+                  ManifestTable.append(spark, data.toDF(), tablePath): Unit
+              }
+            }
+        }
+      }
+  }
+
+  /** Load the current snapshot of `tablePath` as a DSv2 table. */
+  def load(spark: SparkSession, ident: String, tablePath: String): Table = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val (root, files, parts, recorded) =
+      ManifestTable.resolvedScan(spark, tablePath)
+    val (dataSchema, partSchema) =
+      GraftManifestScan.schemasOf(cs, files, parts, recorded)
+    new GraftV2Table(ident, tablePath, root, files, parts, dataSchema,
+      partSchema)
+  }
+}

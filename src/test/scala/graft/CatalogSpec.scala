@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sinks.ManifestTable
+import java.nio.file.Files
+
+/** The DSv2 catalog face of manifest tables: name-addressed SQL
+  * (CREATE/INSERT/SELECT/CTAS/OVERWRITE/DROP), file-level statistics
+  * pruning through the SQL scan path, and agreement with the
+  * programmatic API on the same table.
+  */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Each test gets its own catalog name + warehouse: catalog configs
+    * are lazily bound per name, so a fresh name always picks up its
+    * own warehouse even on the shared test session.
+    */
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def freshCatalog(): (String, String) = {
+    val cat = s"lakec${n.incrementAndGet()}"
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT round-trip by name") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, tag STRING, bucket INT)")
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 0,
+      "a freshly created table reads as typed-empty")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a', 0), (2, 'b', 1)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c', 2)")
+    val rows = spark.sql(s"SELECT id, tag FROM $cat.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the SQL surface and the programmatic API see the SAME table
+    val direct = ManifestTable.read(spark, s"$wh/db/t")
+    assert(direct.count() == 3)
+    assert(ManifestTable.currentVersion(spark, s"$wh/db/t") == 3,
+      "create + two inserts = three commits")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+  }
+
+  test("CTAS, INSERT OVERWRITE, DROP TABLE") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    (1L to 10L).toDF("id").createOrReplaceTempView("catalog_src")
+    spark.sql(s"CREATE TABLE $cat.db.c AS SELECT id, id % 3 AS g FROM catalog_src")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.c").head().getLong(0) == 10)
+    spark.sql(s"INSERT OVERWRITE $cat.db.c SELECT id, id % 3 AS g FROM catalog_src WHERE id <= 4")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.c").head().getLong(0) == 4,
+      "INSERT OVERWRITE replaces the table contents")
+    spark.sql(s"DROP TABLE $cat.db.c")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").count() == 0)
+    assertThrows[Exception](spark.sql(s"SELECT * FROM $cat.db.c").collect())
+  }
+
+  test("partitioned CREATE: inserts inherit the layout; partition pruning works") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.p (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.ns.p VALUES (1, 'en'), (2, 'de'), (3, 'en')")
+    // the physical layout is hive-partitioned (sticky parts recorded)
+    val files = ManifestTable.currentFiles(spark, s"$wh/ns/p")
+    assert(files.forall(_.contains("lang=")), s"expected lang= dirs: $files")
+    val en = spark.sql(s"SELECT id FROM $cat.ns.p WHERE lang = 'en' ORDER BY id")
+    assert(en.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("SQL WHERE prunes files through the DSv2 scan (planned-file count)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // 100 rows in 5 range-localized files, committed via the catalog
+    (0 until 100).map(_.toLong).toDF("id")
+      .createOrReplaceTempView("catalog_ranged")
+    spark.sql(s"CREATE TABLE $cat.db.r AS " +
+      "SELECT /*+ REPARTITION_BY_RANGE(5, id) */ id FROM catalog_ranged")
+    assert(ManifestTable.currentFiles(spark, s"$wh/db/r").size == 5)
+    val q = spark.sql(s"SELECT id FROM $cat.db.r WHERE id >= 25 AND id < 45")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (25L until 45L))
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.size == 1, "one DSv2 batch scan expected")
+    val planned = scans.head.inputPartitions.collect {
+      case fp: FilePartition => fp.files.length
+    }.sum
+    assert(planned == 2,
+      s"manifest stats must prune the SQL scan to 2 of 5 files: $planned")
+  }
+
+  test("schema enforcement holds through SQL: conflicting insert aborts") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $cat.db.s VALUES (1, 'a')")
+    // Spark's by-position insert casts compatible types; a column-count
+    // mismatch must fail at analysis, leaving the table untouched
+    assertThrows[Exception](
+      spark.sql(s"INSERT INTO $cat.db.s VALUES (2, 'b', 99)"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.s").head().getLong(0) == 1)
+  }
+
+  test("small catalog table broadcasts without a hint (reported size statistics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    (0L until 20L).map(i => (i, s"dim$i")).toDF("k", "label")
+      .createOrReplaceTempView("catalog_dim")
+    spark.sql(s"CREATE TABLE $cat.db.dim AS SELECT k, label FROM catalog_dim")
+    val fact = (0L until 10000L).map(i => (i, i % 20)).toDF("row", "k")
+    val joined = fact.join(spark.sql(s"SELECT * FROM $cat.db.dim"), "k")
+    assert(joined.count() == 10000)
+    val plan = joined.queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      "a kilobyte-sized catalog table must broadcast from its own " +
+        s"reported statistics, with no hint:\n$plan")
+    // and the BUILD side is the catalog table's DSv2 scan
+    val buildSide = bhj.head.buildSide.toString match {
+      case "BuildRight" => bhj.head.right
+      case _ => bhj.head.left
+    }
+    assert(buildSide.collect { case b: BatchScanExec => b }.nonEmpty,
+      s"the catalog scan must be the broadcast side:\n$plan")
+  }
+
+  test("rename, namespaces, and illegal identifiers") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.a")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("a"))
+    spark.sql(s"CREATE TABLE $cat.a.t1 (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.a.t1 VALUES (7)")
+    spark.sql(s"ALTER TABLE $cat.a.t1 RENAME TO a.t2")
+    assert(spark.sql(s"SELECT id FROM $cat.a.t2").head().getLong(0) == 7)
+    assertThrows[Exception](spark.sql(s"SELECT * FROM $cat.a.t1").collect())
+    // traversal-shaped names must not escape the warehouse
+    assertThrows[Exception](
+      spark.sql(s"CREATE TABLE $cat.a.`..` (id BIGINT)"))
+  }
+}
