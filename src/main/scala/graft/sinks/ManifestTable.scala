@@ -1235,23 +1235,26 @@ object ManifestTable {
     * delivery. A manifest missing from the walk (vacuumed log prefix)
     * or a rewrite commit under the `fail` policy throws.
     */
-  private def changedFilesBetween(fs: FileSystem, p: Path, table: String,
-      consumerId: String, from: Long, current: Long,
-      onRewrite: String): Seq[String] = {
-    if (from == 0)
-      return resolveFiles(fs, p, current, listLog(fs, p)._2)
+  /** The per-commit classification walk shared by [[consumeChanges]]
+    * and the streaming source: Right(files added by append commits in
+    * `(from, to]`) or Left(version of the first rewrite commit the
+    * file-level feed cannot express). A vacuumed (unreadable) log
+    * prefix throws.
+    */
+  private def appendAddsBetween(fs: FileSystem, p: Path, table: String,
+      from: Long, to: Long): Either[Long, Seq[String]] = {
     val adds = Seq.newBuilder[String]
     var rewriteAt = -1L
     var v = from + 1
-    while (v <= current) {
+    while (v <= to) {
       val mv =
         try readManifest(fs, p, v)
         catch { case e: java.io.IOException =>
           throw new java.io.IOException(
-            s"consumer '$consumerId' of $table is behind the vacuumed " +
-              s"log prefix (v$v unreadable) — exactly-once delivery " +
-              "cannot be reconstructed; re-sync with a fresh consumer id " +
-              "or vacuum with a longer retention", e)
+            s"change feed of $table is behind the vacuumed log prefix " +
+              s"(v$v unreadable) — exactly-once delivery cannot be " +
+              "reconstructed; re-sync from a full snapshot or vacuum " +
+              "with a longer retention", e)
         }
       mv match {
         case d: Delta if d.remove.isEmpty && d.dataChange =>
@@ -1261,17 +1264,64 @@ object ManifestTable {
       }
       v += 1
     }
-    if (rewriteAt < 0) adds.result()
-    else if (onRewrite == ConsumeFullResync)
-      resolveFiles(fs, p, current, listLog(fs, p)._2)
-    else throw new IllegalStateException(
-      s"consumed range ($from, $current] of $table contains a rewrite " +
-        s"commit (v$rewriteAt: delete/merge/overwrite) that a file-level " +
-        "change feed cannot express as additions — consumer " +
-        s"'$consumerId' would see duplicates or miss removals. Pass " +
-        s"onRewrite = ConsumeFullResync to redeliver the full snapshot, " +
-        "or gate rewrites to quiesced windows (compactions are fine: " +
-        "they carry dataChange = false and are skipped).")
+    if (rewriteAt < 0) Right(adds.result()) else Left(rewriteAt)
+  }
+
+  private def changedFilesBetween(fs: FileSystem, p: Path, table: String,
+      consumerId: String, from: Long, current: Long,
+      onRewrite: String): Seq[String] = {
+    if (from == 0)
+      return resolveFiles(fs, p, current, listLog(fs, p)._2)
+    appendAddsBetween(fs, p, table, from, current) match {
+      case Right(adds) => adds
+      case Left(_) if onRewrite == ConsumeFullResync =>
+        resolveFiles(fs, p, current, listLog(fs, p)._2)
+      case Left(rewriteAt) => throw new IllegalStateException(
+        s"consumed range ($from, $current] of $table contains a rewrite " +
+          s"commit (v$rewriteAt: delete/merge/overwrite) that a file-level " +
+          "change feed cannot express as additions — consumer " +
+          s"'$consumerId' would see duplicates or miss removals. Pass " +
+          s"onRewrite = ConsumeFullResync to redeliver the full snapshot, " +
+          "or gate rewrites to quiesced windows (compactions are fine: " +
+          "they carry dataChange = false and are skipped).")
+    }
+  }
+
+  /** One STREAMING micro-batch of the manifest log — the rows of the
+    * files appended in `(fromVersion, toVersion]` (`fromVersion == 0`
+    * = the initial full snapshot at `toVersion`), planned as a
+    * Catalyst-native file relation with the streaming flag set — the
+    * [[graft.streaming.GraftManifestSourceProvider]] `getBatch` body.
+    * Compactions in the range are skipped; a rewrite commit throws
+    * (the stream cannot express removals — restart it from a fresh
+    * checkpoint to re-snapshot).
+    */
+  private[graft] def streamBatch(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val (fs, p) = fsOf(spark, table)
+    val (_, cs) = listLog(fs, p)
+    val files =
+      if (fromVersion == 0) resolveFiles(fs, p, toVersion, cs)
+      else appendAddsBetween(fs, p, table, fromVersion, toVersion) match {
+        case Right(adds) => adds
+        case Left(rewriteAt) => throw new IllegalStateException(
+          s"streamed range ($fromVersion, $toVersion] of $table contains " +
+            s"a rewrite commit (v$rewriteAt: delete/merge/overwrite) a " +
+            "file-additions stream cannot express — restart the stream " +
+            "from a fresh checkpoint to re-snapshot the table, or gate " +
+            "rewrites to quiesced windows (compactions are skipped).")
+      }
+    val m = manifestAt(fs, p, toVersion)
+    val parts = m.map(_.parts).getOrElse(Seq.empty)
+    // the snapshot's stats map also covers range-scoped files (stats
+    // ride adds); files later removed by a compaction in the range
+    // still resolve statuses from their immutable snapshot dirs
+    val stats: Map[String, FileStats] =
+      if (fromVersion == 0) resolve(fs, p, toVersion, cs).stats
+      else Map.empty // per-batch skipping is not load-bearing here
+    org.apache.spark.sql.GraftManifestScan.relation(spark, p,
+      manifestFilesOf(fs, p, table, files, stats, parts), parts,
+      recordedSchema(m), isStreaming = true)
   }
 
   /** Exactly-once INCREMENTAL CONSUMPTION of the change feed — the

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.ManifestTable
+
+/** `spark.readStream.format("graft")` — a Structured Streaming SOURCE
+  * that tails a manifest table's delta log (VERDICT r11 next-round
+  * #2), replacing the poll loop around `consumeChanges` with the
+  * engine's own trigger/checkpoint machinery:
+  *
+  *  - OFFSETS ARE LOG VERSIONS. A micro-batch covers the version
+  *    range `(start, end]`; its rows are exactly the files appended by
+  *    the commits in that range (`fromVersion == 0` = the initial full
+  *    snapshot — the Delta-source admission model). Versions are
+  *    durable and totally ordered, so restart-from-checkpoint resumes
+  *    mid-log exactly once with no source-side state at all;
+  *  - each batch plans as ONE Catalyst-native parquet relation over
+  *    immutable files — replayable any number of times (the
+  *    exactly-once-per-batch half the engine's checkpoint needs);
+  *  - compaction commits are SKIPPED (`dataChange = false` — same
+  *    rows, new files); delete/merge/overwrite commits fail the
+  *    stream loudly (a file-additions stream cannot express removals;
+  *    restart from a fresh checkpoint to re-snapshot);
+  *  - `maxVersionsPerTrigger` bounds admission per micro-batch (the
+  *    rate-limit knob); an idle trigger admits nothing and emits
+  *    nothing.
+  *
+  * At 100 TB the tailing job does O(appended-files) work per trigger —
+  * the table's size never enters the read path. Options:
+  * `path` (table root, required), `maxVersionsPerTrigger`
+  * (default unlimited).
+  *
+  * Batch reads work too: `spark.read.format("graft").load(path)` is
+  * the statistics-pruning native scan ([[ManifestTable.scan]]).
+  */
+class GraftManifestSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") needs .option(\"path\", <manifest table root>) " +
+        "or .load(<path>)"))
+
+  /** The source schema is the native scan's (recorded schema, data
+    * columns then partition columns) — pinned at stream start; schema
+    * evolution mid-stream needs a restart, like the file sources.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      schema.getOrElse(
+        ManifestTable.scan(sqlContext.sparkSession, tablePath(parameters))
+          .schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftManifestSource(sqlContext.sparkSession,
+      tablePath(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    ManifestTable.scan(sqlContext.sparkSession, tablePath(parameters))
+      .queryExecution.logical match {
+      case LogicalRelation(rel, _, _, _, _) => rel
+      case other => throw new IllegalStateException(
+        s"native scan planned unexpectedly: $other")
+    }
+  }
+}
+
+/** One version-offset of the manifest log. */
+final case class GraftVersionOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+/** The V1 streaming source (the Delta-source architecture: `getBatch`
+  * returns a replayable relation over immutable files; all progress
+  * state lives in the engine's checkpoint as serialized offsets).
+  */
+final class GraftManifestSource(spark: SparkSession, table: String,
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Int]) extends Source {
+
+  /** Highest version this source instance has offered or delivered —
+    * ratchets admission forward under `maxVersionsPerTrigger`; NOT
+    * durable state (on restart the checkpointed start offset restores
+    * it through `getBatch`).
+    */
+  private var floor = 0L
+
+  private def versionOf(o: Offset): Long = o.json.toLong
+
+  override def getOffset: Option[Offset] = synchronized {
+    val current = ManifestTable.currentVersion(spark, table)
+    if (current == 0) return None // table not yet created: nothing yet
+    val offered = maxVersionsPerTrigger match {
+      case Some(n) => math.min(current, floor + math.max(1, n))
+      case None => current
+    }
+    floor = math.max(floor, offered)
+    if (offered == 0) None else Some(GraftVersionOffset(offered))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    synchronized {
+      val from = start.map(versionOf).getOrElse(0L)
+      val to = versionOf(end)
+      floor = math.max(floor, to) // restart: resume admission past `to`
+      ManifestTable.streamBatch(spark, table, from, to)
+    }
+
+  override def stop(): Unit = ()
+}

@@ -329,6 +329,69 @@ object StreamingOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY 1 ASC NULLS LAST, 2 ASC NULLS LAST""".stripMargin
 
+  private val e24Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** e24: TAILING A MANIFEST TABLE AS A STREAM — the corpus committed
+    * as an initial snapshot plus two appends (three log versions),
+    * then `spark.readStream.format("graft")` drives the table's delta
+    * log to completion with `maxVersionsPerTrigger = 1`: the first
+    * micro-batch is the v1 snapshot, each later batch is exactly one
+    * append's files (offsets ARE log versions — restart-from-
+    * checkpoint and idle-trigger behavior pinned in
+    * ManifestStreamSpec). The union of batches must reconstruct the
+    * corpus exactly once: the oracle is the one-shot census, so a
+    * hash match proves the source admitted every version once and
+    * nothing twice. At 100 TB each trigger does O(appended files)
+    * work — the downstream job the CDF consumer (p25) polls for,
+    * expressed as a first-class Structured Streaming source.
+    */
+  def e24ManifestTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sinks.{ManifestTable, Sinks}
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val root = Sinks.sessionScratchPath(spark,
+      "e24_tail_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + e24Invocation.incrementAndGet())
+    val table = s"$root/table"
+    ManifestTable.write(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), table)
+    ManifestTable.append(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), table)
+    ManifestTable.append(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), table)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val q = spark.readStream.format("graft")
+      .option("path", table)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // pin each batch's rows (the accumulated union is consumed
+        // after the stream stops; the files are immutable but the
+        // localCheckpoint keeps the final census one job)
+        batches.synchronized { batches += b.localCheckpoint() }: Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    batches.reduce(_.unionByName(_))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  /** The stream must reconstruct the corpus — same census as p17. */
+  val e24Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
+
   /** foreachBatch upsert body: DYNAMIC partition overwrite keyed by
     * the FULL aggregate key (event_type, ws). The overwrite unit must
     * equal the update key: update output mode emits only the rows a

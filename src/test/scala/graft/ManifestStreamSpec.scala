@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sinks.ManifestTable
+import java.nio.file.Files
+
+/** The `format("graft")` streaming source: version-offset admission,
+  * exactly-once across restarts from checkpoint, idle triggers,
+  * compaction skipping, and the rewrite failure contract.
+  */
+class ManifestStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_stream").toString
+
+  private def df(lo: Int, hi: Int, tag: String) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, tag)).toDF("id", "tag")
+  }
+
+  /** Drain the source via foreachBatch (the checkpoint-recoverable
+    * sink — the memory sink refuses recovery); returns the collected
+    * "id:tag" rows of THIS run.
+    */
+  private def runToCompletion(table: String, ckpt: String,
+      maxVersions: Option[Int] = None): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var reader = spark.readStream.format("graft").option("path", table)
+    maxVersions.foreach(v =>
+      reader = reader.option("maxVersionsPerTrigger", v.toString))
+    val q = reader.load().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.collect().map(r => s"${r.getLong(0)}:${r.getString(1)}")
+        }: Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    buf.toSeq
+  }
+
+  test("tail = snapshot + appends; per-version batches; census equals one-shot") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t)
+    ManifestTable.append(spark, df(10, 14, "b"), t)
+    ManifestTable.append(spark, df(14, 16, "c"), t)
+    val got = runToCompletion(t, s"$root/ckpt", maxVersions = Some(1)).sorted
+    val want = ManifestTable.read(spark, t)
+      .collect().map(r => s"${r.getLong(0)}:${r.getString(1)}").toSeq.sorted
+    assert(got == want, "stream-to-completion must equal the one-shot read")
+    assert(got.size == 16)
+  }
+
+  test("restart from checkpoint mid-log resumes exactly once; idle trigger emits nothing") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t)
+    // first run drains the log to v1 and checkpoints the offset
+    assert(runToCompletion(t, s"$root/ckpt").size == 10)
+    // appends land while no stream is running
+    ManifestTable.append(spark, df(10, 14, "b"), t)
+    ManifestTable.append(spark, df(14, 16, "c"), t)
+    // restart from the SAME checkpoint: only the appended versions play
+    val got = runToCompletion(t, s"$root/ckpt").sorted
+    assert(got.size == 6 && got.count(_.endsWith(":b")) == 4 &&
+      got.count(_.endsWith(":c")) == 2,
+      s"restart must deliver exactly the unseen versions: $got")
+    // caught up + idle: a third run emits nothing
+    assert(runToCompletion(t, s"$root/ckpt").isEmpty,
+      "idle trigger must emit nothing")
+  }
+
+  test("compaction commits are skipped; a delete fails the stream loudly") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t)
+    assert(runToCompletion(t, s"$root/ckpt").size == 10)
+    ManifestTable.append(spark, df(10, 14, "b"), t)
+    ManifestTable.compact(spark, t)
+    ManifestTable.append(spark, df(14, 16, "c"), t)
+    assert(runToCompletion(t, s"$root/ckpt").size == 6,
+      "compaction in the range must not redeliver the table")
+    // a rewrite the stream cannot express fails the query loudly
+    ManifestTable.delete(spark, t, col("id") < 3L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToCompletion(t, s"$root/ckpt")
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Seq.empty else x +: causes(x.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("rewrite commit"))),
+      s"expected the rewrite-range failure, got: $e")
+  }
+
+  test("exactly-once graft-to-graft pipeline: source feeds streamInto sink") {
+    val root = freshRoot()
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    ManifestTable.write(spark, df(0, 10, "a"), src)
+    ManifestTable.append(spark, df(10, 16, "b"), src)
+    val stream = spark.readStream.format("graft")
+      .option("path", src).option("maxVersionsPerTrigger", "1").load()
+    val q = ManifestTable.streamInto(
+      stream.withColumn("tag", upper(col("tag"))), dst, s"$root/ckpt")
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = ManifestTable.read(spark, dst).orderBy("id")
+      .collect().map(r => s"${r.getLong(0)}:${r.getString(1)}").toSeq
+    assert(got == (0 until 10).map(i => s"$i:A") ++
+      (10 until 16).map(i => s"$i:B"),
+      s"two-table streaming pipeline must be exactly-once: $got")
+  }
+
+  test("batch read through format(\"graft\") is the native pruning scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark,
+      (0 until 100).map(_.toLong).toDF("id")
+        .repartitionByRange(5, col("id")), t)
+    val q = spark.read.format("graft").load(t).filter(col("id") < 20L)
+    assert(q.count() == 20)
+    val s = q.queryExecution.sparkPlan.collect {
+      case x: FileSourceScanExec => x }.head
+    val planned = s.relation.location
+      .listFiles(s.partitionFilters, s.dataFilters).map(_.files.size).sum
+    assert(planned == 1, s"stats pruning must ride the batch format: $planned")
+  }
+}
