@@ -1138,6 +1138,38 @@ object PipelineOps {
     */
   val p25Sql: String = p17Sql
 
+  private val p27Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p27: row-level DELETE as DELETION VECTORS (merge-on-read) — the
+    * same bottom-quintile erasure as p22, but the commit is a parquet
+    * sidecar of (file, row-index) pairs plus an O(touched files)
+    * manifest delta: ZERO data files are rewritten
+    * (DeletionVectorSpec pins file identity), and every read path
+    * anti-joins the sidecar so the rows vanish logically. This is the
+    * frequent-churn complement of copy-on-write: a point delete in a
+    * 1 GB file commits kilobytes, and compaction later materializes
+    * the vectors in one pass. The oracle keeps exactly the complement
+    * rows — the same oracle as p22, so a hash match proves
+    * merge-on-read and copy-on-write implement the SAME logical
+    * delete. Scratch is per-invocation.
+    */
+  def p27DvDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p27_dv_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p27Invocation.incrementAndGet())
+    val (mn, mx) = docIdBounds(docs)
+    graft.sinks.ManifestTable.write(spark,
+      docs.repartitionByRange(8, col("doc_id")), table)
+    val cut = mn + (mx - mn) / 5
+    graft.sinks.ManifestTable.deleteVectors(spark, table,
+      col("doc_id") < cut)
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  /** Merge-on-read and copy-on-write must agree — same oracle as p22. */
+  val p27Sql: String = p22Sql
+
   private val p26Invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** p26: the SQL CATALOG surface — the corpus driven through a

@@ -151,15 +151,34 @@ object ManifestTable {
       * (no flag) read as `true` — the conservative reading.
       */
     def dataChange: Boolean
+
+    /** DELETION VECTORS added by this commit: per target data file,
+      * the sidecar (a parquet dir of (file, idx) pairs under
+      * `deletes/`) whose row indexes are deleted from it, plus the
+      * exact count — the merge-on-read half of row-level DELETE
+      * ([[deleteVectors]]). Empty for every other commit kind.
+      */
+    def dvs: Map[String, Seq[DvRef]]
   }
   private final case class Replace(files: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
       parts: Seq[String], schemaJson: Option[String],
-      quality: Map[String, Long], dataChange: Boolean) extends Manifest
+      quality: Map[String, Long], dataChange: Boolean,
+      dvs: Map[String, Seq[DvRef]] = Map.empty) extends Manifest
   private final case class Delta(add: Seq[String], remove: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
       parts: Seq[String], schemaJson: Option[String],
-      quality: Map[String, Long], dataChange: Boolean) extends Manifest
+      quality: Map[String, Long], dataChange: Boolean,
+      dvs: Map[String, Seq[DvRef]] = Map.empty) extends Manifest
+
+  /** One deletion-vector sidecar reference: the sidecar dir
+    * (table-relative) and the EXACT number of rows it deletes from its
+    * target file (disjoint from every earlier DV on that file by
+    * construction — [[deleteVectors]] matches through the DV-filtered
+    * read, so counts are additive and [[rowCount]] stays metadata-only
+    * exact).
+    */
+  final case class DvRef(path: String, rows: Long)
 
   /** A WRITE-TIME DATA CONTRACT on a manifest commit: `name` labels
     * it, `predicate` must hold per row, `action` decides what a
@@ -222,10 +241,11 @@ object ManifestTable {
   }
 
   /** A resolved snapshot: the complete file list of a version plus the
-    * per-file statistics that survived to it.
+    * per-file statistics and deletion vectors that survived to it.
     */
   private final case class Snapshot(files: Seq[String],
-      stats: Map[String, FileStats])
+      stats: Map[String, FileStats],
+      dvs: Map[String, Seq[DvRef]] = Map.empty)
 
   /** Serializes same-JVM commits PER TABLE — a fast path in front of
     * the filesystem CAS; see the class doc. Keyed on the table path so
@@ -294,11 +314,23 @@ object ManifestTable {
       parts: Seq[String] = Seq.empty,
       schemaJson: Option[String] = None,
       quality: Map[String, Long] = Map.empty,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true,
+      dvs: Map[String, Seq[DvRef]] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("fmt", Fmt): Unit
     root.put("version", version): Unit
     if (!dataChange) root.put("dataChange", false): Unit
+    if (dvs.nonEmpty) {
+      val dn = root.putObject("dvs")
+      dvs.toSeq.sortBy(_._1).foreach { case (file, refs) =>
+        val arr = dn.putArray(file)
+        refs.foreach { r =>
+          val o = arr.addObject()
+          o.put("path", r.path): Unit
+          o.put("rows", r.rows): Unit
+        }
+      }
+    }
     val arr = root.putArray(listField)
     files.foreach(f => arr.add(f): Unit)
     if (remove.nonEmpty) {
@@ -418,12 +450,28 @@ object ManifestTable {
         b.result()
     }
     val dataChange = Option(root.get("dataChange")).forall(_.asBoolean(true))
+    val dvs: Map[String, Seq[DvRef]] = Option(root.get("dvs")) match {
+      case None => Map.empty
+      case Some(dn) =>
+        val b = Map.newBuilder[String, Seq[DvRef]]
+        val it = dn.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val arr = e.getValue
+          b += e.getKey -> (0 until arr.size).map { i =>
+            val o = arr.get(i)
+            DvRef(o.get("path").asText(), o.get("rows").asLong())
+          }
+        }
+        b.result()
+    }
     strings("add") match {
       case Some(a) =>
-        Delta(a, remove, stats, txns, parts, schemaJson, quality, dataChange)
+        Delta(a, remove, stats, txns, parts, schemaJson, quality, dataChange,
+          dvs)
       case None => Replace(strings("files").getOrElse(
         throw new java.io.IOException(s"bad manifest: $json")),
-        stats, txns, parts, schemaJson, quality, dataChange)
+        stats, txns, parts, schemaJson, quality, dataChange, dvs)
     }
   }
 
@@ -465,16 +513,24 @@ object ManifestTable {
       case None => Seq.empty
     }
     var stats: Map[String, FileStats] = base.map(_.stats).getOrElse(Map.empty)
+    // a file's deletion vectors enter with a dv commit and leave with
+    // the file's remove (a rewrite of the file materializes or
+    // supersedes them); compact's replace resets the map to empty
+    var dvs: Map[String, Seq[DvRef]] = base.map(_.dvs).getOrElse(Map.empty)
     deltas.foreach { d =>
       if (d.remove.nonEmpty) {
         val rm = d.remove.toSet
         files = files.filterNot(rm)
         stats = stats -- rm
+        dvs = dvs -- rm
       }
       files = files ++ d.add
       stats = stats ++ d.stats
+      d.dvs.foreach { case (f, refs) =>
+        dvs = dvs.updated(f, dvs.getOrElse(f, Seq.empty) ++ refs)
+      }
     }
-    Snapshot(files.sorted, stats)
+    Snapshot(files.sorted, stats, dvs)
   }
 
   private def resolveFiles(fs: FileSystem, table: Path, version: Long,
@@ -644,10 +700,11 @@ object ManifestTable {
       remove: Seq[String] = Seq.empty,
       parts: Seq[String] = Seq.empty,
       schemaJson: Option[String] = None,
-      quality: Map[String, Long] = Map.empty): Boolean =
+      quality: Map[String, Long] = Map.empty,
+      dvs: Map[String, Seq[DvRef]] = Map.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
       renderNode(version, "add", add, txns, stats, remove, parts, schemaJson,
-        quality))
+        quality, dvs = dvs))
 
   /** Best-effort full checkpoint at `version` (skipped if present;
     * losing the create race or failing outright only lengthens later
@@ -664,7 +721,7 @@ object ManifestTable {
         casCreate(fs, table, cp,
           renderNode(version, "files", snap.files, m.txns,
             snap.stats, parts = m.parts,
-            schemaJson = m.schemaJson)): Unit
+            schemaJson = m.schemaJson, dvs = snap.dvs)): Unit
       }
     } catch { case _: java.io.IOException => () } // commit already durable
 
@@ -917,14 +974,93 @@ object ManifestTable {
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  // ---------------------------------------------------------------
+  // deletion-vector read plumbing
+  // ---------------------------------------------------------------
+
+  /** Row-identity helper columns for the DV anti-join. Prefixed so no
+    * user column can collide with the lake internals.
+    */
+  private val DvFileCol = "_graft_dv_file"
+  private val DvIdxCol = "_graft_dv_idx"
+  private val AbsPathCol = "_graft_abs_path"
+
+  /** A row's source file as a snapshot-relative path, derived from the
+    * hidden parquet `_metadata` column — relocation-stable (no table
+    * root baked in) and computed by the SAME expression at DV-write
+    * and DV-read time, so the anti-join key always agrees with the
+    * sidecar regardless of URI encoding quirks. `data/s` occurs
+    * exactly once as a path-segment boundary (partition values escape
+    * slashes), and `element_at(-1)` keeps the LAST occurrence should a
+    * table root ever contain the marker.
+    */
+  private def rowFileRel: Column = {
+    import org.apache.spark.sql.functions.{col, concat, element_at, lit, split}
+    concat(lit("data/s"),
+      element_at(split(col("_metadata.file_path"), "/data/s"), -1))
+  }
+
+  /** The (file, idx) pairs of the given sidecar dirs as one frame. */
+  private def dvEntries(spark: SparkSession, table: String,
+      dvDirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(dvDirs.sorted.map(d => s"$table/$d"): _*)
+      .select(col("file").as(DvFileCol), col("idx").as(DvIdxCol))
+  }
+
+  /** Read `relFiles` with the snapshot's DELETION VECTORS applied —
+    * the merge-on-read core every read path funnels through. With no
+    * DV on any requested file this is exactly [[unionSnapshots]]
+    * (identical plan, zero overhead); otherwise each branch tags rows
+    * with their (file, row-index) identity from the hidden `_metadata`
+    * column and one distributed LEFT ANTI join against the sidecar
+    * entries drops the deleted rows — broadcast when the DV is small
+    * (the point-delete case), shuffled when it is not; never a driver
+    * loop. `keepIdentity` retains the identity columns (plus the
+    * absolute path) for callers that need them ([[deleteVectors]],
+    * [[hitFiles]]).
+    */
+  private def readFiles(spark: SparkSession, table: String,
+      relFiles: Seq[String], dvs: Map[String, Seq[DvRef]],
+      keepIdentity: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (relFiles.isEmpty) return spark.emptyDataFrame
+    val fileSet = relFiles.toSet
+    val live = dvs.filter { case (f, _) => fileSet(f) }
+    if (live.isEmpty && !keepIdentity)
+      return unionSnapshots(spark, table, relFiles)
+    val branches = relFiles.groupBy(_.split("/").take(2).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (snap, fs) =>
+        spark.read
+          .option("basePath", s"$table/$snap")
+          .parquet(fs.map(f => s"$table/$f"): _*)
+          .withColumn(AbsPathCol, col("_metadata.file_path"))
+          .withColumn(DvFileCol, rowFileRel)
+          .withColumn(DvIdxCol, col("_metadata.row_index"))
+      }
+    val tagged = branches.reduce(_.unionByName(_, allowMissingColumns = true))
+    val filtered =
+      if (live.isEmpty) tagged
+      else tagged.join(
+        dvEntries(spark, table, live.values.flatten.map(_.path).toSeq.distinct),
+        Seq(DvFileCol, DvIdxCol), "left_anti")
+    if (keepIdentity) filtered
+    else filtered.drop(AbsPathCol, DvFileCol, DvIdxCol)
+  }
+
   /** Read a snapshot (default: current) — exactly the manifest's file
-    * list; see [[unionSnapshots]] for the partition/evolution
-    * mechanics. Live snapshot-dir count is small by construction
-    * (compaction collapses it to one).
+    * list with its deletion vectors applied; see [[unionSnapshots]]
+    * for the partition/evolution mechanics and [[readFiles]] for the
+    * merge-on-read anti-join (a no-op on DV-less tables). Live
+    * snapshot-dir count is small by construction (compaction collapses
+    * it to one).
     */
   def read(spark: SparkSession, table: String,
-      version: Long = -1L): DataFrame =
-    unionSnapshots(spark, table, currentFiles(spark, table, version))
+      version: Long = -1L): DataFrame = {
+    val snap = resolveAt(spark, table, version)._4
+    readFiles(spark, table, snap.files, snap.dvs)
+  }
 
   private def resolveAt(spark: SparkSession, table: String,
       version: Long): (FileSystem, Path, Long, Snapshot) = {
@@ -957,7 +1093,7 @@ object ManifestTable {
     else if (kept.isEmpty)
       // schema-stable empty result: plan over the real files, read none
       unionSnapshots(spark, table, snap.files).limit(0).filter(predicate)
-    else unionSnapshots(spark, table, kept).filter(predicate)
+    else readFiles(spark, table, kept, snap.dvs).filter(predicate)
   }
 
   /** (files scanned, files total) a [[readWhere]] of `predicate` would
@@ -993,27 +1129,43 @@ object ManifestTable {
     */
   def scan(spark: SparkSession, table: String,
       version: Long = -1L): DataFrame = {
-    val (p, mfiles, parts, schema) = resolvedScan(spark, table, version)
-    org.apache.spark.sql.GraftManifestScan.relation(spark, p, mfiles, parts,
-      schema)
+    val (p, mfiles, parts, schema, dvDirs) =
+      resolvedScan(spark, table, version)
+    val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
+      mfiles, parts, schema)
+    if (dvDirs.isEmpty) rel
+    else {
+      // merge-on-read through the native scan: identity columns from
+      // the hidden _metadata, one anti-join, columns restored
+      import org.apache.spark.sql.functions.col
+      rel.withColumn(DvFileCol, rowFileRel)
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
+        .join(dvEntries(spark, table, dvDirs),
+          Seq(DvFileCol, DvIdxCol), "left_anti")
+        .drop(DvFileCol, DvIdxCol)
+    }
   }
 
   /** INTERNAL (the scan/catalog plumbing contract): the resolved
     * inputs a Catalyst-native scan of `version` needs — table root,
     * manifest files with statuses/stats/partition values, the recorded
-    * partition layout, and the recorded schema. Shared by [[scan]],
-    * the DSv2 catalog table and the streaming source so all three
-    * plan over the identical snapshot model.
+    * partition layout, the recorded schema, and the live deletion-
+    * vector sidecar dirs (empty unless [[deleteVectors]] ran since the
+    * last compaction). Shared by [[scan]], the DSv2 catalog table and
+    * the streaming source so all three plan over the identical
+    * snapshot model.
     */
   def resolvedScan(spark: SparkSession, table: String,
       version: Long = -1L): (Path,
       Seq[org.apache.spark.sql.GraftManifestScan.ManifestFile],
-      Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+      Seq[String], Option[org.apache.spark.sql.types.StructType],
+      Seq[String]) = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
     val m = manifestAt(fs, p, v) // ONE read serves parts + schema
     val parts = m.map(_.parts).getOrElse(Seq.empty)
     (p, manifestFilesOf(fs, p, table, snap.files, snap.stats, parts),
-      parts, recordedSchema(m))
+      parts, recordedSchema(m),
+      snap.dvs.values.flatten.map(_.path).toSeq.distinct.sorted)
   }
 
   /** Resolve on-disk statuses + partition values for `relFiles` — one
@@ -1073,7 +1225,10 @@ object ManifestTable {
       version: Long = -1L): Option[Long] = {
     val snap = resolveAt(spark, table, version)._4
     if (snap.files.forall(snap.stats.contains))
-      Some(snap.files.iterator.map(snap.stats(_).rows).sum)
+      // deletion vectors subtract exactly: each DV's count was taken
+      // through the DV-filtered read, so DVs on one file are disjoint
+      Some(snap.files.iterator.map(snap.stats(_).rows).sum -
+        snap.dvs.valuesIterator.flatten.map(_.rows).sum)
     else None
   }
 
@@ -1098,6 +1253,10 @@ object ManifestTable {
     // contract is exact or absent. A partition column with no
     // recorded schema is unknowable (string column? numeric?) → None;
     // data-column footer bounds are already typed and pass through.
+    // a deletion vector may have removed the extreme row of a file:
+    // footer bounds become OUTER bounds, and the contract is exact or
+    // absent — compaction materializes DVs and restores exact bounds
+    if (snap.dvs.nonEmpty) return None
     val isPartCol = m.exists(_.parts.contains(column))
     val expected: Option[DataType] =
       recordedSchema(m).flatMap(_.fields.find(_.name == column))
@@ -1172,6 +1331,7 @@ object ManifestTable {
       val m = readManifest(fs, p, v)
       val (kind, addList, removed) = m match {
         case r: Replace => ("replace", r.files, -1)
+        case d: Delta if d.dvs.nonEmpty => ("delete-vector", d.add, 0)
         case d: Delta =>
           (if (d.remove.isEmpty) "append" else "rewrite", d.add, d.remove.size)
       }
@@ -1214,9 +1374,10 @@ object ManifestTable {
     val before =
       if (fromVersion == 0) Set.empty[String]
       else currentFiles(spark, table, fromVersion).toSet
-    val added = currentFiles(spark, table, to).filterNot(before)
+    val snap = resolveAt(spark, table, to)._4
+    val added = snap.files.filterNot(before)
     if (added.isEmpty) read(spark, table, to).limit(0)
-    else unionSnapshots(spark, table, added)
+    else readFiles(spark, table, added, snap.dvs)
   }
 
   /** [[consumeChanges]] `onRewrite` policies: `fail` (default) aborts
@@ -1257,10 +1418,10 @@ object ManifestTable {
               "with a longer retention", e)
         }
       mv match {
-        case d: Delta if d.remove.isEmpty && d.dataChange =>
+        case d: Delta if d.remove.isEmpty && d.dvs.isEmpty && d.dataChange =>
           adds ++= d.add // append (or a pure offset commit: empty add)
         case other if !other.dataChange => () // compaction: same rows
-        case _ => rewriteAt = v // delete/merge rewrite or overwrite
+        case _ => rewriteAt = v // delete/merge/DV rewrite or overwrite
       }
       v += 1
     }
@@ -1316,12 +1477,27 @@ object ManifestTable {
     // the snapshot's stats map also covers range-scoped files (stats
     // ride adds); files later removed by a compaction in the range
     // still resolve statuses from their immutable snapshot dirs
+    val snap0 =
+      if (fromVersion == 0) Some(resolve(fs, p, toVersion, cs)) else None
     val stats: Map[String, FileStats] =
-      if (fromVersion == 0) resolve(fs, p, toVersion, cs).stats
-      else Map.empty // per-batch skipping is not load-bearing here
-    org.apache.spark.sql.GraftManifestScan.relation(spark, p,
+      snap0.map(_.stats).getOrElse(Map.empty)
+    val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
       manifestFilesOf(fs, p, table, files, stats, parts), parts,
       recordedSchema(m), isStreaming = true)
+    // initial-snapshot batch of a DV-bearing table: apply the vectors
+    // (append-range batches cannot carry DVs — a DV commit in the
+    // range already failed the walk above)
+    val dvDirs = snap0.map(_.dvs.values.flatten.map(_.path).toSeq.distinct)
+      .getOrElse(Seq.empty)
+    if (dvDirs.isEmpty) rel
+    else {
+      import org.apache.spark.sql.functions.col
+      rel.withColumn(DvFileCol, rowFileRel)
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
+        .join(dvEntries(spark, table, dvDirs),
+          Seq(DvFileCol, DvIdxCol), "left_anti")
+        .drop(DvFileCol, DvIdxCol)
+    }
   }
 
   /** Exactly-once INCREMENTAL CONSUMPTION of the change feed — the
@@ -1369,7 +1545,11 @@ object ManifestTable {
     val added = changedFilesBetween(fs, p, table, consumerId, from, current,
       onRewrite)
     if (added.isEmpty) return current
-    deliver(unionSnapshots(spark, table, added), from, current)
+    // DVs can only exist on delivered files in the full-resync branch
+    // (a DV landing in an appends-only range is itself a rewrite);
+    // readFiles is a plain union otherwise
+    val dvs = resolveAt(spark, table, current)._4.dvs
+    deliver(readFiles(spark, table, added, dvs), from, current)
     // advance the offset: optimistic zero-file commit (concurrent
     // appends only move the version we CAS against, never the rows
     // already delivered — those files are immutable)
@@ -1478,17 +1658,18 @@ object ManifestTable {
         s"input file $abs not among candidate files"))
   }
 
-  /** Which of `candidates` actually contain rows selected by
+  /** Which of `candidates` actually contain LIVE rows selected by
     * `selector`? One distributed pass tagging rows with their source
-    * file; the collect is file-NAME-sized (metadata), never row-sized.
+    * file (deletion vectors applied first — a row a DV already removed
+    * must not count as a hit); the collect is file-NAME-sized
+    * (metadata), never row-sized.
     */
   private def hitFiles(spark: SparkSession, table: String,
-      candidates: Seq[String],
+      candidates: Seq[String], dvs: Map[String, Seq[DvRef]],
       selector: DataFrame => DataFrame): Seq[String] = {
-    import org.apache.spark.sql.functions.input_file_name
-    val tagged = unionSnapshots(spark, table, candidates)
-      .withColumn("_graft_input_file", input_file_name())
-    selector(tagged).select("_graft_input_file").distinct()
+    val tagged = readFiles(spark, table, candidates, dvs,
+      keepIdentity = true)
+    selector(tagged).select(AbsPathCol).distinct()
       .collect().map(r => matchRel(r.getString(0), candidates))
       .toSeq.distinct.sorted
   }
@@ -1525,9 +1706,12 @@ object ManifestTable {
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(snap.stats.get(f), predExpr))
       if (candidates.isEmpty) return base
-      val hits = hitFiles(spark, table, candidates, _.filter(predicate))
+      val hits = hitFiles(spark, table, candidates, snap.dvs,
+        _.filter(predicate))
       if (hits.isEmpty) return base
-      val survivors = unionSnapshots(spark, table, hits)
+      // DV-filtered read: a rewrite must not resurrect rows an earlier
+      // deletion vector removed (the rewrite drops the files' DVs)
+      val survivors = readFiles(spark, table, hits, snap.dvs)
         .filter(not(coalesce(predicate, lit(false))))
       val fresh = writeSnapshot(fs, p, survivors, base + 1, parts, 0L)
       if (commitDelta(fs, p, base + 1, fresh,
@@ -1541,6 +1725,82 @@ object ManifestTable {
     }
     raceLost(table, currentVersion(spark, table) + 1)
   }
+
+  /** Row-level DELETE, MERGE-ON-READ (deletion vectors): remove the
+    * rows matching `predicate` WITHOUT rewriting any data file — the
+    * commit writes a parquet SIDECAR of (file, row-index) pairs under
+    * `deletes/` and an O(touched files) delta manifest referencing it;
+    * every read path ([[read]]/[[readWhere]]/[[scan]]/the SQL-catalog
+    * refusal below/CDF) anti-joins the sidecar so deleted rows vanish
+    * logically while the data files stay byte-identical. The
+    * complement of [[delete]] (copy-on-write): a point delete in a
+    * 1 GB file commits kilobytes here instead of rewriting a gigabyte;
+    * frequent row-level churn stays O(deleted rows) until a
+    * [[compact]] MATERIALIZES the vectors (rewrites survivors, clears
+    * the DV map, restores exact [[columnBounds]]). Matching runs
+    * through the DV-filtered read, so repeated/overlapping deletes
+    * stay disjoint and [[rowCount]] remains metadata-exact. Rows where
+    * the predicate is NULL are kept (SQL DELETE semantics). Old
+    * versions still see the rows (time travel); [[vacuum]] reclaims
+    * superseded sidecars. Readers that cannot apply DVs must refuse
+    * the table rather than resurrect rows — the SQL catalog does
+    * exactly that until compaction (protocol feature gating).
+    * Returns the committed version (the current one if nothing
+    * matched).
+    */
+  def deleteVectors(spark: SparkSession, table: String, predicate: Column,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val (fs, p) = fsOf(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(fs, p, base, cs)
+      val predExpr = DataSkipping.expressionOf(predicate)
+      val candidates = snap.files.filter(f =>
+        DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+      if (candidates.isEmpty) return base
+      // matched rows THROUGH the DV-filtered read: disjoint from every
+      // earlier DV by construction, so counts are additive. The
+      // projection is 3 metadata-ish columns; localCheckpoint pins one
+      // evaluation for the count pass and the sidecar write.
+      val matched = readFiles(spark, table, candidates, snap.dvs,
+        keepIdentity = true)
+        .filter(coalesce(predicate, lit(false)))
+        .select(col(AbsPathCol), col(DvFileCol), col(DvIdxCol))
+        .localCheckpoint()
+      val byFile = matched.groupBy(col(AbsPathCol)).agg(count(lit(1)).as("n"))
+        .collect() // file-NAME-sized, bounded by the candidate list
+      if (byFile.isEmpty) return base
+      val dvDir = s"deletes/d${base + 1}-${java.util.UUID.randomUUID()}"
+      matched.select(col(DvFileCol).as("file"), col(DvIdxCol).as("idx"))
+        .write.parquet(s"$table/$dvDir")
+      val refs: Map[String, Seq[DvRef]] = byFile.map { r =>
+        matchRel(r.getString(0), candidates) -> Seq(DvRef(dvDir, r.getLong(1)))
+      }.toMap
+      if (commitDelta(fs, p, base + 1, Seq.empty,
+        m.map(_.txns).getOrElse(Map.empty),
+        parts = m.map(_.parts).getOrElse(Seq.empty),
+        schemaJson = m.flatMap(_.schemaJson),
+        dvs = refs)) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1 // lost the race; the orphaned sidecar is vacuum's
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Does the current (or given) snapshot carry deletion vectors?
+    * Readers without DV support gate on this ([[graft.catalog.GraftCatalog]]
+    * refuses, the Delta readerFeatures discipline).
+    */
+  def hasDeletionVectors(spark: SparkSession, table: String,
+      version: Long = -1L): Boolean =
+    resolveAt(spark, table, version)._4.dvs.nonEmpty
 
   /** Row-level MERGE (upsert), copy-on-write: for each `source` row,
     * replace the table row with the same `keyCols` value (whole-row
@@ -1613,11 +1873,11 @@ object ManifestTable {
       }
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
-        else hitFiles(spark, table, candidates,
+        else hitFiles(spark, table, candidates, snap.dvs,
           _.join(srcKeys, keyCols, "left_semi"))
       val newData =
         if (hits.isEmpty) source
-        else unionSnapshots(spark, table, hits)
+        else readFiles(spark, table, hits, snap.dvs)
           .join(srcKeys, keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = true)
       val evolved = enforceSchema(recordedSchema(m), source.schema, table)
@@ -1701,6 +1961,20 @@ object ManifestTable {
         if (d.isDirectory && listDataFiles(fs, d.getPath).isEmpty &&
           (d.getModificationTime < cutoff ||
             emptiedHere.contains(d.getPath.toString)))
+          fs.delete(d.getPath, true): Unit
+      }
+    }
+    // deletion-vector sidecars: a dir under deletes/ is live iff some
+    // retained version's DV map references it; unreferenced dirs older
+    // than the grace are swept whole (a sidecar is written BEFORE the
+    // manifest that references it — same in-flight protection as data)
+    val delDir = new Path(p, "deletes")
+    if (fs.exists(delDir)) {
+      val liveDv: Set[String] = retained.flatMap(ver =>
+        resolve(fs, p, ver, cs).dvs.values.flatten.map(_.path)).toSet
+      fs.listStatus(delDir).foreach { d =>
+        if (!liveDv.contains(relativize(p, d.getPath)) &&
+          d.getModificationTime < cutoff)
           fs.delete(d.getPath, true): Unit
       }
     }

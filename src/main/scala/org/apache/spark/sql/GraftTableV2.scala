@@ -153,11 +153,21 @@ object GraftTableV2 {
       }
   }
 
-  /** Load the current snapshot of `tablePath` as a DSv2 table. */
+  /** Load the current snapshot of `tablePath` as a DSv2 table. A
+    * snapshot carrying DELETION VECTORS is refused: the bare parquet
+    * DSv2 scan cannot apply the anti-join, and a reader that would
+    * silently resurrect deleted rows must fail instead — the Delta
+    * readerFeatures discipline. `ManifestTable.compact` materializes
+    * the vectors and re-admits the table.
+    */
   def load(spark: SparkSession, ident: String, tablePath: String): Table = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    val (root, files, parts, recorded) =
+    val (root, files, parts, recorded, dvDirs) =
       ManifestTable.resolvedScan(spark, tablePath)
+    if (dvDirs.nonEmpty) throw new UnsupportedOperationException(
+      s"table $ident carries deletion vectors the SQL catalog scan " +
+        "cannot apply — run ManifestTable.compact(...) to materialize " +
+        "them, or read via ManifestTable.read/scan")
     val (dataSchema, partSchema) =
       GraftManifestScan.schemasOf(cs, files, parts, recorded)
     new GraftV2Table(ident, tablePath, root, files, parts, dataSchema,

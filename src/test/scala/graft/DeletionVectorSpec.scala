@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sinks.ManifestTable
+import java.nio.file.Files
+
+/** Merge-on-read DELETE via deletion vectors: zero data-file
+  * rewrites, O(bitmap) commits, every read path applying the
+  * anti-join, disjoint accumulation, materialization by compaction,
+  * sidecar vacuum, and the reader feature gate on the SQL catalog.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_dv").resolve("t").toString
+
+  /** 100 rows in 5 range-localized files: file k holds ids [20k, 20k+20). */
+  private def rangedTable(): String = {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 100).map(i => (i.toLong, s"tag${i % 7}"))
+      .toDF("id", "tag")
+    ManifestTable.write(spark, df.repartitionByRange(5, col("id")), t)
+    t
+  }
+
+  test("point delete: zero data files rewritten, rows vanish from every read path") {
+    val t = rangedTable()
+    val before = ManifestTable.currentFiles(spark, t)
+    val v = ManifestTable.deleteVectors(spark, t, col("id") === 37L)
+    assert(v == 2)
+    // NOT copy-on-write: the file list is byte-identical
+    assert(ManifestTable.currentFiles(spark, t) == before,
+      "a DV delete must rewrite zero data files")
+    val h = ManifestTable.history(spark, t)
+      .filter(col("version") === 2).head()
+    assert(h.getString(1) == "delete-vector" &&
+      h.getInt(2) == 0 && h.getInt(3) == 0,
+      s"DV commit must add/remove no files: $h")
+    // all three read paths agree
+    assert(ManifestTable.read(spark, t).count() == 99)
+    assert(ManifestTable.scan(spark, t).count() == 99)
+    assert(ManifestTable.readWhere(spark, t, col("id") >= 30L && col("id") < 40L)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(30L, 31L, 32L, 33L, 34L, 35L, 36L, 38L, 39L))
+    // time travel: the pre-delete version still sees the row
+    assert(ManifestTable.read(spark, t, version = 1).count() == 100)
+    // metadata-only row count stays exact
+    assert(ManifestTable.rowCount(spark, t).contains(99L))
+    // bounds go absent (a DV may have clipped an extreme), never stale
+    assert(ManifestTable.columnBounds(spark, t, "id").isEmpty)
+  }
+
+  test("overlapping deletes stay disjoint; rowCount stays exact") {
+    val t = rangedTable()
+    ManifestTable.deleteVectors(spark, t, col("id") < 10L)
+    // overlaps [0, 10) entirely — already-deleted rows must not
+    // re-enter a sidecar or rowCount double-subtracts
+    ManifestTable.deleteVectors(spark, t, col("id") < 15L)
+    assert(ManifestTable.read(spark, t).count() == 85)
+    assert(ManifestTable.rowCount(spark, t).contains(85L))
+    // a fully-covered predicate is a no-op commit
+    val v = ManifestTable.currentVersion(spark, t)
+    assert(ManifestTable.deleteVectors(spark, t, col("id") < 15L) == v,
+      "nothing left to delete: version must not advance")
+  }
+
+  test("compact materializes the vectors; vacuum reclaims sidecars") {
+    import org.apache.hadoop.fs.Path
+    val t = rangedTable()
+    ManifestTable.deleteVectors(spark, t, col("id") % 10 === 0L)
+    assert(ManifestTable.hasDeletionVectors(spark, t))
+    assert(ManifestTable.read(spark, t).count() == 90)
+    ManifestTable.compact(spark, t)
+    assert(!ManifestTable.hasDeletionVectors(spark, t),
+      "compaction must clear the DV map")
+    assert(ManifestTable.read(spark, t).count() == 90,
+      "materialization must not change the data")
+    assert(ManifestTable.columnBounds(spark, t, "id").contains((1L, 99L)),
+      "exact bounds return once the vectors are materialized")
+    ManifestTable.vacuum(spark, t, keepVersions = 1, graceMs = 0L)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delDir = new Path(t, "deletes")
+    assert(!fs.exists(delDir) || fs.listStatus(delDir).isEmpty,
+      "vacuum must sweep superseded sidecars")
+    assert(ManifestTable.read(spark, t).count() == 90)
+  }
+
+  test("copy-on-write delete and merge after a DV delete do not resurrect rows") {
+    import spark.implicits._
+    val t = rangedTable()
+    ManifestTable.deleteVectors(spark, t, col("id") === 5L)
+    // CoW delete rewrites file [0,20): the DV'd row must stay gone
+    ManifestTable.delete(spark, t, col("id") === 7L)
+    assert(ManifestTable.read(spark, t).filter(col("id") < 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 20L).filterNot(Set(5L, 7L)))
+    // the rewritten file dropped its DV entry; counts stay exact
+    assert(ManifestTable.rowCount(spark, t).contains(98L))
+    // merge touching a DV'd file keeps the deletion too
+    ManifestTable.deleteVectors(spark, t, col("id") === 41L)
+    ManifestTable.merge(spark,
+      Seq((42L, "UP")).toDF("id", "tag"), t, Seq("id"))
+    val band = ManifestTable.read(spark, t)
+      .filter(col("id") >= 40L && col("id") < 45L)
+      .collect().map(r => s"${r.getLong(0)}:${r.getString(1)}").sorted.toSeq
+    assert(band == Seq("40:tag5", "42:UP", "43:tag1", "44:tag2"),
+      s"merge must not resurrect the DV-deleted row 41: $band")
+  }
+
+  test("SQL catalog refuses a DV-bearing table until compaction (feature gate)") {
+    val t = rangedTable()
+    val wh = new java.io.File(t).getParent
+    val cat = "dvgate"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t").head().getLong(0) == 100)
+    ManifestTable.deleteVectors(spark, t, col("id") === 3L)
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.t").collect())
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("deletion vectors")),
+      s"catalog must refuse, not resurrect: $e")
+    ManifestTable.compact(spark, t)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t").head().getLong(0) == 99,
+      "compaction re-admits the table with the delete applied")
+  }
+
+  test("CDF: a DV commit is a rewrite for consumers; initial snapshot applies DVs") {
+    val t = rangedTable()
+    var n = 0L
+    ManifestTable.consumeChanges(spark, t, "dv") { (d, _, _) => n = d.count() }
+    assert(n == 100L)
+    ManifestTable.deleteVectors(spark, t, col("id") === 1L)
+    assertThrows[IllegalStateException](
+      ManifestTable.consumeChanges(spark, t, "dv") { (_, _, _) => () })
+    // a FRESH consumer's initial snapshot sees the post-DV state
+    var first = 0L
+    ManifestTable.consumeChanges(spark, t, "dv2") { (d, _, _) => first = d.count() }
+    assert(first == 99L, "initial snapshot delivery must apply the vectors")
+    // readChanges full-range read applies them too
+    assert(ManifestTable.readChanges(spark, t, 0).count() == 99L)
+  }
+}
