@@ -1147,4 +1147,146 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cosine, cell FROM ranked
        |WHERE rank <= $K
        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+
+  private val s12Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The (modulus-selector, id-offset) of the three incremental
+    * re-crawl batches s12 drifts the index with.
+    */
+  private val DriftBatches = Seq((3, 100000L), (4, 200000L), (5, 300000L))
+
+  /** s12: RECALL AUDIT OF A DRIFTED PERSISTED INDEX (VERDICT r11
+    * next-round #7) — the production question s11 leaves open: after K
+    * incremental appends assigned against the ORIGINAL codebook, is
+    * the index still good, or has drift degraded retrieval? The index
+    * is built once and grown by THREE O(batch) delta appends (the
+    * corpus is never re-assigned); serving reads the 3-append-old
+    * index through the manifest ([[serveFromIndex]] — same plan shape
+    * PlanAuditSpec pins for s11); the TRUTH is the exhaustive
+    * brute-force top-k over the SAME grown corpus (broadcast query
+    * side + native TopKPerKey — map-side bounded heaps, never an
+    * all-pairs shuffle). Per query: hits and recall@k, the number an
+    * index-maintenance job alerts on (IvfSpec pins the fixture's
+    * recall floor; the documented re-cluster trigger is recall
+    * dropping below it — rebuild the codebook via [[kmeansCodebook]]
+    * and recommit). Fully deterministic, so the whole audit is
+    * oracle-replayable: the DuckDB twin rebuilds index, serve and
+    * truth as CTEs and must hash-match.
+    */
+  def s12DriftedIndexRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "s12_ivf_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + s12Invocation.incrementAndGet())
+    val e = prepared(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def assignedOf(src: DataFrame): DataFrame =
+      assignCells(src, cents).filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
+    def batchOf(m: Int, off: Long): DataFrame =
+      e.filter(col("vec_id") % 10 === m)
+        .select((col("vec_id") + off).as("vec_id"), col("v"), col("nrm"))
+    graft.sinks.ManifestTable.write(spark, assignedOf(e), table, Seq("cell"))
+    DriftBatches.foreach { case (m, off) =>
+      graft.sinks.ManifestTable.append(spark, assignedOf(batchOf(m, off)),
+        table, Seq("cell")): Unit
+    }
+    val served = serveFromIndex(spark, sfDir, table, nprobe = 2)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    // exhaustive truth over the SAME grown corpus
+    val grown = DriftBatches
+      .map { case (m, off) => batchOf(m, off) }
+      .foldLeft(e.select(col("vec_id"), col("v"), col("nrm")))(
+        _.unionByName(_))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = broadcast(q)
+      .join(grown, col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+    val truth = graft.plans.TopKPerKey.topKPerKey(scored,
+      keyCols = Seq(col("query_id")),
+      orderCols = Seq(col("cosine").desc_nulls_last,
+        col("vec_id").asc_nulls_last),
+      k = K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    truth.join(served,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("n2").isNotNull, 1).otherwise(0)).cast("long")
+        .as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(K.toDouble)).as("recall_at_k"))
+      .orderBy(col("query_id").asc_nulls_last)
+  }
+
+  val s12Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0),
+       |corpus AS (
+       |  SELECT vec_id, v, nrm FROM n
+       |  UNION ALL
+       |  SELECT vec_id + 100000, v, nrm FROM n WHERE vec_id % 10 = 3
+       |  UNION ALL
+       |  SELECT vec_id + 200000, v, nrm FROM n WHERE vec_id % 10 = 4
+       |  UNION ALL
+       |  SELECT vec_id + 300000, v, nrm FROM n WHERE vec_id % 10 = 5),
+       |scored_cells AS (
+       |  SELECT c.vec_id, cents.cent_id, c.v, c.nrm,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cents.cv[i])),
+       |      (acc, x) -> acc + x) / (c.nrm * cents.cn) AS cscore
+       |  FROM corpus c CROSS JOIN cents),
+       |cells AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC NULLS LAST, cent_id ASC NULLS LAST) AS crn
+       |  FROM scored_cells),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell, v, nrm FROM cells WHERE crn = 1),
+       |probed AS (
+       |  SELECT vec_id, cent_id AS cell, v, nrm FROM cells
+       |  WHERE crn <= 2 AND vec_id < $NQueries),
+       |served_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM probed q JOIN assigned c ON q.cell = c.cell
+       |    AND q.vec_id <> c.vec_id),
+       |served AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |    FROM served_scored) WHERE rank <= $K),
+       |truth_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN corpus c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+       |    FROM truth_scored) WHERE rank <= $K)
+       |SELECT t.query_id,
+       |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / $K.0 AS recall_at_k
+       |FROM truth t LEFT JOIN served s
+       |  ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+       |GROUP BY t.query_id
+       |ORDER BY t.query_id ASC NULLS LAST""".stripMargin
 }

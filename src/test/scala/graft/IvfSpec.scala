@@ -101,6 +101,30 @@ class IvfSpec extends AnyFunSuite {
     assert(o3 >= o1 - 1e-9, s"objective regressed: $o1 -> $o3")
   }
 
+  test("s12: recall of the 3-append-old persisted index is pinned (drift audit)") {
+    import spark.implicits._
+    // the index served here was built once and grown by three O(batch)
+    // delta appends against the ORIGINAL codebook — the drift scenario
+    // a production maintenance job audits. The fixture is
+    // deterministic, so the recall floor is an exact pin: a drop means
+    // either the serve path or the append/assignment path regressed.
+    // The documented re-cluster trigger: when a real deployment's
+    // audit falls below its accepted floor, rebuild the codebook
+    // (kmeansCodebook) and recommit the index — the audit is the
+    // alert, the rebuild is the response.
+    val rows = Similarity.s12DriftedIndexRecall(spark, sf)
+      .select(col("query_id"), col("recall_at_k")).as[(Long, Double)]
+      .collect().toMap
+    val mean = rows.values.sum / rows.size
+    info(f"s12 drifted-index mean recall@5 = $mean%.3f over ${rows.size} queries")
+    assert(rows.size == 10)
+    assert(math.abs(mean - 0.64) < 1e-9,
+      f"drifted-index recall moved: $mean%.3f (pinned 0.640)")
+    // every query still retrieves something: total starvation would
+    // mean a probe/partition bug, not drift
+    assert(rows.values.forall(_ > 0.0), s"a query starved: $rows")
+  }
+
   test("s03 over a k-means codebook: full ranked top-k per query, deterministic") {
     val cb = Similarity.kmeansCodebook(spark, sf, k = 8, iters = 2)
     val a = Similarity.s03KnnIvf(spark, sf, nprobe = 2, codebook = Some(cb))
