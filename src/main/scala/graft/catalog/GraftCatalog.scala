@@ -104,6 +104,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       tablePath(ident))
   }
 
+  /** TIME TRAVEL from SQL: `SELECT ... FROM cat.ns.t VERSION AS OF n`
+    * resolves here with the version string — manifest versions are the
+    * table's native version ids, so this is one snapshot resolution
+    * (every retained version stays readable until [[ManifestTable.vacuum]]
+    * prunes past it).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (name() +: ident.namespace().toSeq :+ ident.name()))
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft table versions are manifest log versions (integers), got '$version'"))
+    org.apache.spark.sql.GraftTableV2.load(spark,
+      (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."),
+      tablePath(ident), v)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported on graft tables — manifests do " +
+        "not record commit wall-clock; use VERSION AS OF <log version> " +
+        "(ManifestTable.history lists versions)")
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {

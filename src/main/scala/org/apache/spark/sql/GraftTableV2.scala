@@ -160,10 +160,11 @@ object GraftTableV2 {
     * readerFeatures discipline. `ManifestTable.compact` materializes
     * the vectors and re-admits the table.
     */
-  def load(spark: SparkSession, ident: String, tablePath: String): Table = {
+  def load(spark: SparkSession, ident: String, tablePath: String,
+      version: Long = -1L): Table = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val (root, files, parts, recorded, dvDirs) =
-      ManifestTable.resolvedScan(spark, tablePath)
+      ManifestTable.resolvedScan(spark, tablePath, version)
     if (dvDirs.nonEmpty) throw new UnsupportedOperationException(
       s"table $ident carries deletion vectors the SQL catalog scan " +
         "cannot apply — run ManifestTable.compact(...) to materialize " +

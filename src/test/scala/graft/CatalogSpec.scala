@@ -142,6 +142,28 @@ class CatalogSpec extends AnyFunSuite {
       s"the catalog scan must be the broadcast side:\n$plan")
   }
 
+  test("VERSION AS OF time travel through SQL; TIMESTAMP AS OF refused") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.tt (id BIGINT)") // v1: empty
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES (1), (2)") // v2
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES (3)") // v3
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.tt").head().getLong(0) == 3)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.tt VERSION AS OF 2")
+      .head().getLong(0) == 2,
+      "a reader pinned to v2 must not see the later insert")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.tt VERSION AS OF 1")
+      .head().getLong(0) == 0, "v1 is the empty CREATE commit")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.tt TIMESTAMP AS OF '2026-01-01'")
+        .collect())
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("VERSION AS OF")),
+      s"timestamp travel must refuse with guidance: $e")
+  }
+
   test("rename, namespaces, and illegal identifiers") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.a")
