@@ -1794,6 +1794,23 @@ object ManifestTable {
     raceLost(table, currentVersion(spark, table) + 1)
   }
 
+  /** TRUNCATE: one empty replace commit preserving the recorded
+    * schema, layout and txn watermarks — O(1), no data I/O; old
+    * versions stay readable until vacuum (time travel across a
+    * truncate works like any other replace).
+    */
+  def truncate(spark: SparkSession, table: String): Long = {
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0, s"no committed version in $table")
+    val m = manifestAt(fs, p, base)
+    if (!commitManifest(fs, p, base + 1, Seq.empty,
+      m.map(_.txns).getOrElse(Map.empty), Map.empty,
+      m.map(_.parts).getOrElse(Seq.empty),
+      m.flatMap(_.schemaJson))) raceLost(table, base + 1)
+    base + 1
+  }
+
   /** Does the current (or given) snapshot carry deletion vectors?
     * Readers without DV support gate on this ([[graft.catalog.GraftCatalog]]
     * refuses, the Delta readerFeatures discipline).

@@ -3,7 +3,7 @@ package org.apache.spark.sql
 import java.util.{Set => JSet}
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -105,7 +105,7 @@ object GraftTableV2 {
       partCols: Seq[String],
       dataSchema: StructType,
       partSchema: StructType) extends Table
-      with SupportsRead with SupportsWrite {
+      with SupportsRead with SupportsWrite with SupportsDelete {
 
     override def name(): String = ident
 
@@ -133,6 +133,28 @@ object GraftTableV2 {
         schema, dataSchema, options)
     }
 
+    /** `DELETE FROM cat.ns.t WHERE ...` — Spark translates the
+      * condition to source filters; the copy-on-write delete applies
+      * it through stats pruning + narrow rewrite. A condition Spark
+      * cannot translate fails at analysis (use
+      * `ManifestTable.delete` for arbitrary predicates).
+      */
+    override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+      filters.forall(f => GraftTableV2.filterToColumn(f).isDefined)
+
+    override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+      import org.apache.spark.sql.functions.lit
+      val cond = filters.flatMap(GraftTableV2.filterToColumn)
+        .foldLeft(lit(true))(_ && _)
+      ManifestTable.delete(SparkSession.active, tablePath, cond): Unit
+    }
+
+    /** `TRUNCATE TABLE cat.ns.t` — one empty replace commit. */
+    override def truncateTable(): Boolean = {
+      ManifestTable.truncate(SparkSession.active, tablePath)
+      true
+    }
+
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
         private var overwrite = false
@@ -151,6 +173,36 @@ object GraftTableV2 {
             }
         }
       }
+  }
+
+  /** A V1 source filter as a Column predicate (None = untranslatable,
+    * which vetoes `canDeleteWhere`). The mapping is exact — SQL DELETE
+    * null semantics ride the Column comparisons unchanged.
+    */
+  private[sql] def filterToColumn(f: sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(not)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
   }
 
   /** Load the current snapshot of `tablePath` as a DSv2 table. A
