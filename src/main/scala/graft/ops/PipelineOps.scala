@@ -1170,6 +1170,39 @@ object PipelineOps {
   /** Merge-on-read and copy-on-write must agree — same oracle as p22. */
   val p27Sql: String = p22Sql
 
+  private val p28Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p28: row-level UPDATE, copy-on-write — the third member of the
+    * row-level family (p21 merge, p22/p27 delete): the corpus is
+    * committed range-localized, then every `doc_id % 4 == 0` row gets
+    * `n_chars` bumped by 1000 IN PLACE via
+    * [[graft.sinks.ManifestTable.update]] — stats prune to candidate
+    * files, only files actually holding matching rows are rewritten
+    * with the SET applied (non-matching rows in those files pass
+    * through untouched), one add+remove delta commit. Logically this
+    * is exactly p21's update half applied to the whole corpus, so the
+    * oracle is p21's expression — a hash match proves UPDATE and
+    * MERGE implement the same write semantics through different
+    * rewrite paths. Scratch is per-invocation.
+    */
+  def p28Update(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p28_update_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p28Invocation.incrementAndGet())
+    graft.sinks.ManifestTable.write(spark,
+      docs.repartitionByRange(8, col("doc_id")), table)
+    graft.sinks.ManifestTable.update(spark, table,
+      col("doc_id") % 4 === 0,
+      Map("n_chars" -> (col("n_chars") + 1000)))
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  /** UPDATE-in-place and MERGE-as-update must agree — same oracle as
+    * p21.
+    */
+  val p28Sql: String = p21Sql
+
   private val p26Invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** p26: the SQL CATALOG surface — the corpus driven through a

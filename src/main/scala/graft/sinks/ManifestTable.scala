@@ -1794,6 +1794,63 @@ object ManifestTable {
     raceLost(table, currentVersion(spark, table) + 1)
   }
 
+  /** Row-level UPDATE, copy-on-write: set `set`'s columns to their
+    * new expressions on every row matching `predicate`, rewriting ONLY
+    * the files that contain matching rows — the same three-stage
+    * narrowing as [[delete]] (stats prune → hit scan → narrow
+    * rewrite), one O(touched files) delta commit. Rows where the
+    * predicate is NULL are untouched (SQL UPDATE semantics); updated
+    * columns must already exist and keep their types (the recorded
+    * schema is enforced before commit — type changes need a rewrite
+    * via [[write]]). Deletion vectors on touched files are applied
+    * and materialized by the rewrite. Returns the committed version
+    * (the current one if nothing matched).
+    */
+  def update(spark: SparkSession, table: String, predicate: Column,
+      set: Map[String, Column], partitionCols: Seq[String] = Seq.empty,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "update needs at least one SET column")
+    val (fs, p) = fsOf(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(fs, p, base, cs)
+      val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      val predExpr = DataSkipping.expressionOf(predicate)
+      val candidates = snap.files.filter(f =>
+        DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+      if (candidates.isEmpty) return base
+      val hits = hitFiles(spark, table, candidates, snap.dvs,
+        _.filter(predicate))
+      if (hits.isEmpty) return base
+      val src = readFiles(spark, table, hits, snap.dvs)
+      val unknown = set.keySet -- src.columns
+      require(unknown.isEmpty,
+        s"UPDATE sets unknown column(s) ${unknown.mkString(", ")} — " +
+          "add columns by appending data that carries them")
+      val matched = coalesce(predicate, lit(false))
+      val rewritten = src.select(src.columns.toIndexedSeq.map { c =>
+        set.get(c).fold(col(c))(v => when(matched, v).otherwise(col(c)).as(c))
+      }: _*)
+      // type changes abort BEFORE any commit (the lake contract)
+      val evolved = enforceSchema(recordedSchema(m), rewritten.schema, table)
+      val fresh = writeSnapshot(fs, p, rewritten, base + 1, parts, 0L)
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
+        collectStats(spark, p, fresh), remove = hits, parts = parts,
+        schemaJson = Some(evolved.json))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
   /** TRUNCATE: one empty replace commit preserving the recorded
     * schema, layout and txn watermarks — O(1), no data I/O; old
     * versions stay readable until vacuum (time travel across a

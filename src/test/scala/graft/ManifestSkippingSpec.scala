@@ -776,6 +776,46 @@ class ManifestSkippingSpec extends AnyFunSuite {
       .filter(col("tag") === "U").count() == 2)
   }
 
+  test("update rewrites only the files containing matches; types enforced") {
+    import spark.implicits._
+    val t = rangedTable()
+    val before = ManifestTable.currentFiles(spark, t)
+    // matches confined to [80, 100): only the last file rewrites
+    ManifestTable.update(spark, t,
+      col("id") >= 90L, Map("tag" -> lit("HOT")))
+    val after = ManifestTable.currentFiles(spark, t)
+    assert(after.toSet.intersect(before.toSet).size == 4,
+      "update must rewrite only the range-overlapping file")
+    assert(ManifestTable.read(spark, t).count() == 100)
+    assert(ManifestTable.read(spark, t)
+      .filter(col("tag") === "HOT").count() == 10)
+    // non-matching rows in the rewritten file pass through untouched
+    assert(ManifestTable.read(spark, t)
+      .filter(col("id") >= 80L && col("id") < 90L && col("tag") =!= "HOT")
+      .count() == 10)
+    // no match: version does not advance
+    val v = ManifestTable.currentVersion(spark, t)
+    assert(ManifestTable.update(spark, t, col("id") > 1000L,
+      Map("tag" -> lit("X"))) == v)
+    // a type-changing SET aborts before any commit
+    assertThrows[IllegalArgumentException](
+      ManifestTable.update(spark, t, col("id") === 1L,
+        Map("id" -> lit("not-a-long"))))
+    // an unknown SET column aborts loudly
+    assertThrows[IllegalArgumentException](
+      ManifestTable.update(spark, t, col("id") === 1L,
+        Map("nope" -> lit(1))))
+    assert(ManifestTable.currentVersion(spark, t) == v, "aborts left no commit")
+    // NULL-predicate rows are untouched (SQL UPDATE semantics)
+    val tn = freshTable()
+    ManifestTable.write(spark,
+      Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("id", "tag"), tn)
+    ManifestTable.update(spark, tn, col("id") === 1L,
+      Map("tag" -> lit("u")))
+    assert(ManifestTable.read(spark, tn).orderBy("tag")
+      .collect().map(_.getString(1)).toSeq == Seq("b", "u"))
+  }
+
   test("merge prunes candidate files by source key range") {
     import spark.implicits._
     val t = rangedTable()
