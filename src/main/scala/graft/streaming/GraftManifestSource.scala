@@ -65,7 +65,8 @@ class GraftManifestSourceProvider extends StreamSourceProvider
     new GraftManifestSource(sqlContext.sparkSession,
       tablePath(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -90,14 +91,20 @@ final case class GraftVersionOffset(version: Long) extends Offset {
   */
 final class GraftManifestSource(spark: SparkSession, table: String,
     override val schema: StructType,
-    maxVersionsPerTrigger: Option[Int]) extends Source {
+    maxVersionsPerTrigger: Option[Int],
+    startingVersion: Long = 0L) extends Source {
 
   /** Highest version this source instance has offered or delivered —
     * ratchets admission forward under `maxVersionsPerTrigger`; NOT
     * durable state (on restart the checkpointed start offset restores
-    * it through `getBatch`).
+    * it through `getBatch`). Starts at `startingVersion`: `0` (the
+    * default) delivers the full current snapshot as the first batch;
+    * `N > 0` tails ONLY commits after version N — the
+    * "new appends only" production tail that skips the historical
+    * backfill (the Delta `startingVersion` knob). Only consulted
+    * before the first checkpointed offset exists.
     */
-  private var floor = 0L
+  private var floor = math.max(0L, startingVersion)
 
   private def versionOf(o: Offset): Long = o.json.toLong
 
@@ -114,7 +121,7 @@ final class GraftManifestSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     synchronized {
-      val from = start.map(versionOf).getOrElse(0L)
+      val from = start.map(versionOf).getOrElse(startingVersion)
       val to = versionOf(end)
       floor = math.max(floor, to) // restart: resume admission past `to`
       ManifestTable.streamBatch(spark, table, from, to)

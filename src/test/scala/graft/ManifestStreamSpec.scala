@@ -123,6 +123,35 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"two-table streaming pipeline must be exactly-once: $got")
   }
 
+  test("startingVersion tails only commits after it (no historical backfill)") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t) // v1: history
+    ManifestTable.append(spark, df(10, 12, "b"), t) // v2: history
+    // tail from v2: the 10+2 historical rows must NOT be delivered
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(): Seq[String] = {
+      val q = spark.readStream.format("graft")
+        .option("path", t).option("startingVersion", "2").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(r => s"${r.getLong(0)}:${r.getString(1)}")
+          }: Unit
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      buf.toSeq
+    }
+    assert(run().isEmpty, "nothing after startingVersion yet")
+    ManifestTable.append(spark, df(12, 15, "c"), t) // v3: tailed
+    val got = run().sorted
+    assert(got == Seq("12:c", "13:c", "14:c"),
+      s"only post-startingVersion appends play: $got")
+  }
+
   test("batch read through format(\"graft\") is the native pruning scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import spark.implicits._
