@@ -90,13 +90,34 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * scans only the files whose ranges could satisfy the predicate;
   * [[skippingReport]] exposes the (scanned, total) counts.
   *
-  * '''Row-level operations.''' [[delete]] and [[merge]] are
-  * copy-on-write at FILE granularity: statistics prune to candidate
-  * files, one scan finds the files actually containing affected rows,
-  * only those are rewritten, and the commit is a delta manifest with
-  * BOTH `add` and `remove` lists — O(touched files), never O(table).
-  * Resolution replays deltas in version order (remove, then add) from
-  * the nearest base, so interleaved appends/deletes/upserts compose.
+  * '''Row-level operations.''' [[delete]], [[update]] and [[merge]]
+  * are copy-on-write at FILE granularity: statistics prune to
+  * candidate files, one scan finds the files actually containing
+  * affected rows, only those are rewritten, and the commit is a delta
+  * manifest with BOTH `add` and `remove` lists — O(touched files),
+  * never O(table). Resolution replays deltas in version order
+  * (remove, then add) from the nearest base, so interleaved
+  * appends/deletes/upserts compose. [[deleteVectors]] is the
+  * MERGE-ON-READ complement: a delete commits a (file, row-index)
+  * parquet sidecar + per-file counts instead of rewriting anything;
+  * every read path anti-joins the sidecar, [[compact]] materializes,
+  * and readers that cannot apply vectors refuse the table (the
+  * readerFeatures discipline). [[truncate]] is one empty replace.
+  *
+  * '''Commit classification.''' Every manifest records whether the
+  * commit changed LOGICAL content (`dataChange` — false only for
+  * compaction). Incremental consumers ([[consumeChanges]], the
+  * streaming source) walk commits: append deltas deliver their adds,
+  * compactions are skipped, and rewrites (delete/update/merge/
+  * overwrite/DV) hit an explicit policy — a file-additions feed must
+  * fail or full-resync rather than redeliver or miss rows.
+  *
+  * '''Front ends.''' [[graft.catalog.GraftCatalog]] makes these
+  * tables SQL-addressable (CREATE/INSERT/SELECT/DELETE/TRUNCATE/CTAS/
+  * VERSION AS OF through a DSv2 TableCatalog whose scan reuses the
+  * manifest-statistics FileIndex), and
+  * [[graft.streaming.GraftManifestSourceProvider]] tails the log as a
+  * Structured Streaming source whose offsets are log versions.
   *
   * Manifests are Jackson-serialized JSON; file paths and txn app ids
   * round-trip through real JSON string escaping (format marker

@@ -144,8 +144,13 @@ object GraftTableV2 {
 
     override def deleteWhere(filters: Array[sources.Filter]): Unit = {
       import org.apache.spark.sql.functions.lit
-      val cond = filters.flatMap(GraftTableV2.filterToColumn)
-        .foldLeft(lit(true))(_ && _)
+      val cols = filters.map(f => GraftTableV2.filterToColumn(f).getOrElse(
+        // dropping an untranslatable conjunct would DELETE MORE ROWS
+        // than asked — refuse instead (canDeleteWhere should have
+        // vetoed this path already)
+        throw new UnsupportedOperationException(
+          s"cannot translate delete filter $f")))
+      val cond = cols.foldLeft(lit(true))(_ && _)
       ManifestTable.delete(SparkSession.active, tablePath, cond): Unit
     }
 
