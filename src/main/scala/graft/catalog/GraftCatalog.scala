@@ -97,6 +97,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catch { case _: IllegalArgumentException => false }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata suffix: `t$history` / `t$files` (the
+    // backtick-quoted form in SQL) serve the commit log and the file
+    // census as queryable tables of the BASE table
+    val dollar = ident.name().lastIndexOf('$')
+    if (dollar > 0) {
+      val kind = ident.name().substring(dollar + 1)
+      if (org.apache.spark.sql.GraftTableV2.MetadataKinds(kind)) {
+        val base = Identifier.of(ident.namespace(),
+          ident.name().substring(0, dollar))
+        if (!tableExists(base)) throw new NoSuchTableException(
+          (name() +: base.namespace().toSeq :+ base.name()))
+        return org.apache.spark.sql.GraftTableV2.metadataTable(spark,
+          (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."),
+          tablePath(base), kind)
+      }
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(
       (name() +: ident.namespace().toSeq :+ ident.name()))
     org.apache.spark.sql.GraftTableV2.load(spark,

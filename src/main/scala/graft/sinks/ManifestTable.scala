@@ -1375,6 +1375,27 @@ object ManifestTable {
       "rows_added", "txns", "quality")
   }
 
+  /** Metadata-only FILE CENSUS of a snapshot (the `$files` metadata
+    * table): one row per live data file — table-relative path, size,
+    * exact row count from manifest statistics (null for stats-less
+    * legacy files) and rows removed by live deletion vectors. One
+    * recursive listing per snapshot dir, never a data read.
+    */
+  def filesReport(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    val (fs, p, v, snap) = resolveAt(spark, table, version)
+    val m = manifestAt(fs, p, v)
+    val parts = m.map(_.parts).getOrElse(Seq.empty)
+    val mfiles = manifestFilesOf(fs, p, table, snap.files, snap.stats, parts)
+    val rows = mfiles.map { mf =>
+      (mf.rel, mf.status.getLen, mf.stats.map(_.rows),
+        snap.dvs.getOrElse(mf.rel, Seq.empty).map(_.rows).sum)
+    }
+    val sq = spark
+    import sq.implicits._
+    rows.toDF("file", "size_bytes", "rows", "dv_deleted_rows")
+  }
+
   /** Change-data-feed read (file-level): the rows in files ADDED
     * between `fromVersion` (exclusive) and `toVersion` (inclusive,
     * default current). For append-committed versions

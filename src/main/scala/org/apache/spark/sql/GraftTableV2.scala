@@ -210,6 +210,49 @@ object GraftTableV2 {
     }
   }
 
+  /** A driver-computed metadata result as a read-only DSv2 table
+    * ([[org.apache.spark.sql.connector.read.LocalScan]] — plans as a
+    * LocalTableScan): the `t$history` / `t$files` metadata tables.
+    * The rows are collected at load; both sources are metadata-sized
+    * by construction (O(log versions) and O(files)).
+    */
+  private final class LocalRowsTable(ident: String,
+      override val schema: StructType,
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow])
+    extends Table with SupportsRead {
+    override def name(): String = ident
+    override def capabilities(): JSet[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): connector.read.Scan =
+          new connector.read.LocalScan {
+            override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+              LocalRowsTable.this.rows
+            override def readSchema(): StructType = schema
+          }
+      }
+  }
+
+  /** The Iceberg-style metadata suffixes [[metadataTable]] serves. */
+  val MetadataKinds: Set[String] = Set("history", "files")
+
+  /** `cat.ns.`t$history`` / `t$files` — commit log and file census as
+    * queryable tables.
+    */
+  def metadataTable(spark: SparkSession, ident: String, tablePath: String,
+      kind: String): Table = {
+    val df = kind match {
+      case "history" => ManifestTable.history(spark, tablePath)
+      case "files" => ManifestTable.filesReport(spark, tablePath)
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' (know: ${MetadataKinds.mkString(", ")})")
+    }
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    new LocalRowsTable(ident, df.schema,
+      cdf.queryExecution.executedPlan.executeCollect())
+  }
+
   /** Load the current snapshot of `tablePath` as a DSv2 table. A
     * snapshot carrying DELETION VECTORS is refused: the bare parquet
     * DSv2 scan cannot apply the anti-join, and a reader that would

@@ -192,6 +192,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT tag FROM $cat.db.d").head().getString(0) == "x")
   }
 
+  test("metadata tables: t$history and t$files are queryable SQL surfaces") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.m (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (3)")
+    val hist = spark.sql(
+      s"SELECT version, kind, files_added FROM $cat.db.`m${"$"}history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2) == Seq("replace", "append", "append"),
+      s"create + two inserts: $hist")
+    val files = spark.sql(
+      s"SELECT file, rows FROM $cat.db.`m${"$"}files` ORDER BY file").collect()
+    assert(files.nonEmpty && files.forall(_.getString(0).startsWith("data/")))
+    assert(files.map(_.getLong(1)).sum == 3,
+      "manifest row counts must census the table")
+    // aggregations over metadata tables compose like any table
+    assert(spark.sql(
+      s"SELECT sum(rows) AS r FROM $cat.db.`m${"$"}files`").head().getLong(0) == 3)
+    // unknown suffix is just a missing table
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.`m${"$"}bogus`").collect())
+  }
+
   test("rename, namespaces, and illegal identifiers") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.a")
