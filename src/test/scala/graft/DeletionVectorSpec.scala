@@ -116,6 +116,33 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"merge must not resurrect the DV-deleted row 41: $band")
   }
 
+  test("deletion vectors on a hive-partitioned table (rel path includes partition dirs)") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 60).map(i => (i.toLong, s"lang${i % 3}"))
+      .toDF("id", "lang")
+    ManifestTable.write(spark, df, t, partitionCols = Seq("lang"))
+    val before = ManifestTable.currentFiles(spark, t)
+    ManifestTable.deleteVectors(spark, t,
+      col("lang") === "lang1" && col("id") < 10L)
+    assert(ManifestTable.currentFiles(spark, t) == before, "zero rewrites")
+    // read, scan and partition pruning all agree post-DV
+    assert(ManifestTable.read(spark, t).count() == 57)
+    assert(ManifestTable.scan(spark, t).count() == 57)
+    assert(ManifestTable.read(spark, t).filter(col("lang") === "lang1")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L until 60L).filter(_ % 3 == 1))
+    assert(ManifestTable.rowCount(spark, t).contains(57L))
+    // update through the DV'd partition materializes it for the
+    // rewritten files and keeps the deletion
+    ManifestTable.update(spark, t, col("lang") === "lang1",
+      Map("id" -> (col("id") + 1000L)))
+    val lang1 = ManifestTable.read(spark, t).filter(col("lang") === "lang1")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(lang1 == (10L until 60L).filter(_ % 3 == 1).map(_ + 1000L),
+      s"update must not resurrect DV-deleted rows: $lang1")
+  }
+
   test("SQL catalog refuses a DV-bearing table until compaction (feature gate)") {
     val t = rangedTable()
     val wh = new java.io.File(t).getParent
