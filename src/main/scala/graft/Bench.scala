@@ -49,6 +49,9 @@ object Bench {
       // inert on the current timestamp[us] events fixture; lets the
       // same binary read pre-r9 TIMESTAMP(NANOS) fixtures as longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the library's deployment shape: analyzer/optimizer/strategy
+      // injections active (SQL UPDATE/MERGE INTO need the rule)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

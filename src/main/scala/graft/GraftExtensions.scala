@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // SQL UPDATE / MERGE INTO on graft catalog tables (the Delta-style
+    // command rewrite over ManifestTable.update/merge)
+    ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftRowLevelRule)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((

@@ -1203,6 +1203,97 @@ object PipelineOps {
     */
   val p28Sql: String = p21Sql
 
+  private val p29Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p29: SQL `UPDATE` TEXT end-to-end — p28's in-place bump issued as
+    * the statement `UPDATE ... SET n_chars = n_chars + 1000 WHERE
+    * doc_id % 4 = 0` against a registered catalog table: the injected
+    * resolution rule rewrites the resolved V2 command onto
+    * [[graft.sinks.ManifestTable.update]], so the SQL text gets the
+    * same stats-pruned narrow rewrite (RowLevelSqlSpec pins file
+    * identity through the SQL path). The oracle is p28's (= p21's)
+    * expression — a hash match proves the SQL statement, the
+    * programmatic update and the merge-as-update path share one write
+    * semantics. Catalog name/warehouse per-invocation.
+    */
+  def p29SqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inv = p29Invocation.incrementAndGet()
+    val cat = s"p29lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p29_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    docs.createOrReplaceTempView("p29_docs")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(
+      s"""CREATE TABLE $cat.corpus.docs AS
+         |SELECT /*+ REPARTITION_BY_RANGE(8, doc_id) */
+         |  doc_id, lang, n_chars FROM p29_docs""".stripMargin)
+    spark.sql(
+      s"UPDATE $cat.corpus.docs SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id % 4 = 0")
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM $cat.corpus.docs
+         |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin)
+  }
+
+  /** The SQL text and the programmatic update must agree — p28's
+    * (= p21's) oracle.
+    */
+  val p29Sql: String = p21Sql
+
+  private val p30Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p30: SQL `MERGE INTO` TEXT end-to-end — p21's upsert issued as
+    * the canonical whole-row statement (`WHEN MATCHED THEN UPDATE SET
+    * * WHEN NOT MATCHED THEN INSERT *` on the doc_id key) against a
+    * catalog table holding the even half: the rule maps it onto
+    * [[graft.sinks.ManifestTable.merge]] (key-range pruned,
+    * duplicate-key guarded). Same oracle as p21 — the SQL text and
+    * the programmatic merge must produce identical tables.
+    */
+  def p30SqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inv = p30Invocation.incrementAndGet()
+    val cat = s"p30lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p30_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    docs.createOrReplaceTempView("p30_docs")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(
+      s"""CREATE TABLE $cat.corpus.docs AS
+         |SELECT /*+ REPARTITION_BY_RANGE(8, doc_id) */
+         |  doc_id, lang, n_chars FROM p30_docs
+         |WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO $cat.corpus.docs t
+         |USING (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+         |       FROM p30_docs WHERE doc_id % 4 = 0
+         |       UNION ALL
+         |       SELECT doc_id, lang, n_chars
+         |       FROM p30_docs WHERE doc_id % 2 != 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM $cat.corpus.docs
+         |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin)
+  }
+
+  /** The SQL text and the programmatic merge must agree — p21's
+    * oracle.
+    */
+  val p30Sql: String = p21Sql
+
   private val p26Invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** p26: the SQL CATALOG surface — the corpus driven through a

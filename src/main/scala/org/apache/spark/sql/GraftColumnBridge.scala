@@ -45,6 +45,18 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A NEW session on the same SparkContext with the given extensions
+    * applied — what `spark.sql.extensions` at build time produces,
+    * reachable from a test JVM whose shared session was already built
+    * without the config (extensions bind at SessionState construction
+    * and cannot be added to a live session). Uses the classic
+    * builder's `create()` (not getOrCreate), which always builds a
+    * fresh session honoring `withExtensions`.
+    */
+  def sessionWithExtensions(
+      f: SparkSessionExtensions => Unit): SparkSession =
+    classic.SparkSession.builder().withExtensions(f).create()
+
   /** Idempotently add a planner strategy to a live session (the
     * config-time path is GraftExtensions.injectPlannerStrategy; this
     * covers sessions built without the extension config, mirroring

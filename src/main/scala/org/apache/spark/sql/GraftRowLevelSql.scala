@@ -1,0 +1,168 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sinks.ManifestTable
+
+/** SQL `UPDATE` and `MERGE INTO` on graft catalog tables — the
+  * resolution rule ([[GraftRowLevelRule]], injected by
+  * [[graft.GraftExtensions]]) rewrites the resolved V2 command nodes
+  * into runnable commands over the engine's own row-level primitives
+  * ([[ManifestTable.update]]/[[ManifestTable.merge]]) — the Delta
+  * pattern: the library owns the rewrite instead of the group-based
+  * `SupportsRowLevelOperations` replace-data machinery, so the
+  * existing stats-pruned, narrow-rewrite, schema-enforced paths serve
+  * the SQL text directly.
+  *
+  * Supported shapes (refused loudly otherwise, with the programmatic
+  * API named in the error):
+  *  - `UPDATE t SET c = expr, ... [WHERE cond]` — any deterministic,
+  *    subquery-free condition and SET expressions over the row;
+  *  - `MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the whole-row
+  *    upsert contract [[ManifestTable.merge]] implements (update row
+  *    == insert row), keys from the equi-condition.
+  */
+object GraftRowLevelSql {
+
+  /** Resolved attributes → by-name unresolved ones, so the expression
+    * re-resolves against the frame the runnable command reads through
+    * the manifest (exprIds do not survive the plan boundary).
+    */
+  private def clean(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** The graft table behind a (possibly aliased) relation. */
+  private[sql] def graftTarget(plan: LogicalPlan): Option[GraftTableV2.GraftV2Table] =
+    plan match {
+      case SubqueryAlias(_, child) => graftTarget(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTableV2.GraftV2Table => Some(t)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  final case class GraftUpdateCommand(tablePath: String,
+      condition: Option[Expression],
+      sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cond = condition.map(c => GraftColumnBridge.column(clean(c)))
+        .getOrElse(functions.lit(true))
+      ManifestTable.update(spark, tablePath, cond,
+        sets.map { case (k, v) =>
+          k -> GraftColumnBridge.column(clean(v)) }.toMap)
+      Seq.empty
+    }
+  }
+
+  final case class GraftMergeCommand(tablePath: String,
+      source: LogicalPlan, keys: Seq[String],
+      projection: Seq[(String, ExprId)]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val srcDf = GraftColumnBridge.ofRows(spark, source)
+      val byId: Map[ExprId, Int] =
+        source.output.map(_.exprId).zipWithIndex.toMap
+      val projected = srcDf.select(projection.map { case (target, id) =>
+        functions.col(srcDf.columns(byId(id))).as(target) }: _*)
+      ManifestTable.merge(spark, projected, tablePath, keys)
+      Seq.empty
+    }
+  }
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft tables support $what — for general shapes use " +
+        "ManifestTable.update / ManifestTable.merge directly")
+
+  private[sql] def convertUpdate(u: UpdateTable,
+      t: GraftTableV2.GraftV2Table): LogicalPlan = {
+    if (u.condition.exists(hasSubquery))
+      refuse("subquery-free UPDATE conditions")
+    val sets = u.assignments.map { a =>
+      a.key match {
+        case k: AttributeReference if !hasSubquery(a.value) =>
+          k.name -> a.value
+        case _ => refuse("UPDATE SET on top-level columns with " +
+          "subquery-free values")
+      }
+    }
+    GraftUpdateCommand(t.tablePath, u.condition, sets)
+  }
+
+  private[sql] def convertMerge(m: MergeIntoTable,
+      t: GraftTableV2.GraftV2Table): LogicalPlan = {
+    val canonical = "MERGE INTO ... ON t.k = s.k [AND ...] WHEN MATCHED " +
+      "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * (whole-row upsert)"
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    // every action must be the unconditional whole-row form, and
+    // update-row must equal insert-row (the upsert contract)
+    def rowMapping(assigns: Seq[Assignment]): Seq[(String, ExprId)] =
+      assigns.map { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference)
+              if targetOut.contains(k) && sourceOut.contains(v) =>
+            k.name -> v.exprId
+          case _ => refuse(canonical)
+        }
+      }
+    val updateMap = m.matchedActions match {
+      case Seq(UpdateAction(None, assigns, _)) => rowMapping(assigns)
+      case _ => refuse(canonical)
+    }
+    val insertMap = m.notMatchedActions match {
+      case Seq(InsertAction(None, assigns)) => rowMapping(assigns)
+      case _ => refuse(canonical)
+    }
+    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution)
+      refuse(canonical)
+    if (updateMap.toMap != insertMap.toMap) refuse(canonical)
+    // keys from the equi-condition; each key's source side must be the
+    // same attribute the row mapping assigns to that target column, or
+    // the join-by-key semantics would diverge from the condition
+    val bySource = insertMap.toMap
+    val keys = splitConjuncts(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if targetOut.contains(l) && sourceOut.contains(r) &&
+            bySource.get(l.name).contains(r.exprId) => l.name
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if targetOut.contains(r) && sourceOut.contains(l) &&
+            bySource.get(r.name).contains(l.exprId) => r.name
+      case _ => refuse(canonical)
+    }
+    if (keys.isEmpty) refuse(canonical)
+    GraftMergeCommand(t.tablePath, m.sourceTable, keys.distinct, insertMap)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+/** The injected resolution rule: converts fully-resolved
+  * UPDATE/MERGE command nodes over graft tables. Runs inside the
+  * analyzer fixpoint, so the conversion lands before checkAnalysis
+  * would reject the unsupported V2 command.
+  */
+class GraftRowLevelRule extends Rule[LogicalPlan] {
+  import GraftRowLevelSql._
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u: UpdateTable if u.resolved =>
+        graftTarget(u.table).fold(u: LogicalPlan)(convertUpdate(u, _))
+      case m: MergeIntoTable if m.resolved =>
+        graftTarget(m.targetTable).fold(m: LogicalPlan)(convertMerge(m, _))
+    }
+}
