@@ -11,13 +11,25 @@ import org.apache.spark.sql.SparkSession
   */
 class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // the audits run EVERY declared query, and the SQL row-level
+    // queries (p29/p30) need the injected resolution rule — build the
+    // deployment-shaped session (extensions bind at session build, so
+    // the JVM's shared session cannot be upgraded in place)
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val s = org.apache.spark.sql.GraftColumnBridge.sessionWithExtensions(
+      new GraftExtensions().apply(_))
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
