@@ -38,6 +38,7 @@ import graft.sinks.ManifestTable
   * the statistics-pruning native scan ([[ManifestTable.scan]]).
   */
 class GraftManifestSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -67,6 +68,37 @@ class GraftManifestSourceProvider extends StreamSourceProvider
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+
+  /** `df.writeStream.format("graft")` — the sink half of the
+    * symmetry: each micro-batch folds in through
+    * [[ManifestTable.appendStreamBatch]] (the per-app batch-id
+    * watermark in the manifest log makes replays no-ops — the same
+    * exactly-once contract [[ManifestTable.streamInto]] wires by
+    * hand). Options: `path` (required), `txnAppId` (defaults to the
+    * query's checkpoint-scoped identity via the path — pass one
+    * explicitly to survive checkpoint relocation), `partitionBy` is
+    * the writer's `partitionBy(...)` clause.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink is append-only (got $outputMode) — " +
+        "aggregations stream through foreachBatch + merge/update")
+    val table = tablePath(parameters)
+    val app = parameters.getOrElse("txnAppId", table)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+        ManifestTable.appendStreamBatch(data.sparkSession,
+          // the addBatch frame is pinned to the stream's incremental
+          // execution; re-wrap its rows as a batch frame to write
+          org.apache.spark.sql.GraftColumnBridge.batchDataFrame(data),
+          table, batchId, app, partitionColumns): Unit
+      override def toString: String = s"GraftManifestSink[$table]"
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

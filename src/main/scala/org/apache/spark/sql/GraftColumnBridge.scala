@@ -57,6 +57,22 @@ object GraftColumnBridge {
       f: SparkSessionExtensions => Unit): SparkSession =
     classic.SparkSession.builder().withExtensions(f).create()
 
+  /** The micro-batch Dataset a V1 streaming Sink's `addBatch`
+    * receives is bound to the stream's IncrementalExecution — calling
+    * `.write` on it creates a new QueryExecution and is refused
+    * (CALL_ON_STREAMING_DATASET_UNSUPPORTED). This re-wraps the SAME
+    * batch rows (the incremental execution's RDD behind a LogicalRDD)
+    * as an ordinary batch DataFrame — the Delta-sink recipe; the plan
+    * executes once when the sink writes it.
+    */
+  def batchDataFrame(data: Dataset[Row]): DataFrame = {
+    val cds = data.asInstanceOf[classic.Dataset[Row]]
+    val cs = cds.sparkSession
+    classic.Dataset.ofRows(cs,
+      execution.LogicalRDD(cds.queryExecution.analyzed.output,
+        cds.queryExecution.toRdd)(cs))
+  }
+
   /** Idempotently add a planner strategy to a live session (the
     * config-time path is GraftExtensions.injectPlannerStrategy; this
     * covers sessions built without the extension config, mirroring

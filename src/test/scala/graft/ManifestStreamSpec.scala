@@ -152,6 +152,46 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"only post-startingVersion appends play: $got")
   }
 
+  test("writeStream.format(\"graft\") sink: exactly-once appends into the log") {
+    val root = freshRoot()
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    ManifestTable.write(spark, df(0, 10, "a"), src)
+    ManifestTable.append(spark, df(10, 16, "b"), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("path", src).option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+    assert(ManifestTable.read(spark, dst).count() == 16)
+    // restart with no new input: nothing re-lands (batch-id watermark)
+    run()
+    assert(ManifestTable.read(spark, dst).count() == 16,
+      "restart must not duplicate batches")
+    ManifestTable.append(spark, df(16, 18, "c"), src)
+    run()
+    val got = ManifestTable.read(spark, dst).orderBy("id")
+      .collect().map(r => s"${r.getLong(0)}:${r.getString(1)}").toSeq
+    assert(got.size == 18 && got.count(_.endsWith(":c")) == 2,
+      s"graft-to-graft through format sink is exactly-once: $got")
+    // non-append output modes refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("path", src).load()
+        .groupBy("tag").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("path", s"$root/dst2")
+        .option("checkpointLocation", s"$root/ckpt2").start()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString.contains("append-only"))
+  }
+
   test("batch read through format(\"graft\") is the native pruning scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import spark.implicits._
