@@ -1029,6 +1029,23 @@ object ManifestTable {
       .select(col("file").as(DvFileCol), col("idx").as(DvIdxCol))
   }
 
+  /** Merge-on-read over a SINGLE file relation (the native scan / a
+    * streaming batch — places where the hidden `_metadata` column is
+    * reachable directly): tag row identity, one anti-join against the
+    * sidecars, identity dropped. No-op without sidecars.
+    */
+  private def applyDvAntiJoin(spark: SparkSession, table: String,
+      df: DataFrame, dvDirs: Seq[String]): DataFrame =
+    if (dvDirs.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.withColumn(DvFileCol, rowFileRel)
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
+        .join(dvEntries(spark, table, dvDirs),
+          Seq(DvFileCol, DvIdxCol), "left_anti")
+        .drop(DvFileCol, DvIdxCol)
+    }
+
   /** Read `relFiles` with the snapshot's DELETION VECTORS applied —
     * the merge-on-read core every read path funnels through. With no
     * DV on any requested file this is exactly [[unionSnapshots]]
@@ -1152,19 +1169,11 @@ object ManifestTable {
       version: Long = -1L): DataFrame = {
     val (p, mfiles, parts, schema, dvDirs) =
       resolvedScan(spark, table, version)
-    val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
-      mfiles, parts, schema)
-    if (dvDirs.isEmpty) rel
-    else {
-      // merge-on-read through the native scan: identity columns from
-      // the hidden _metadata, one anti-join, columns restored
-      import org.apache.spark.sql.functions.col
-      rel.withColumn(DvFileCol, rowFileRel)
-        .withColumn(DvIdxCol, col("_metadata.row_index"))
-        .join(dvEntries(spark, table, dvDirs),
-          Seq(DvFileCol, DvIdxCol), "left_anti")
-        .drop(DvFileCol, DvIdxCol)
-    }
+    // merge-on-read through the native scan: one anti-join against
+    // the sidecars (a no-op without deletion vectors)
+    applyDvAntiJoin(spark, table,
+      org.apache.spark.sql.GraftManifestScan.relation(spark, p,
+        mfiles, parts, schema), dvDirs)
   }
 
   /** INTERNAL (the scan/catalog plumbing contract): the resolved
@@ -1432,12 +1441,6 @@ object ManifestTable {
   val ConsumeFailOnRewrite = "fail"
   val ConsumeFullResync = "full"
 
-  /** The files to deliver for the consumed range `(from, current]` —
-    * the per-commit walk behind [[consumeChanges]]; see its doc for
-    * the classification. `from == 0` is the initial full-snapshot
-    * delivery. A manifest missing from the walk (vacuumed log prefix)
-    * or a rewrite commit under the `fail` policy throws.
-    */
   /** The per-commit classification walk shared by [[consumeChanges]]
     * and the streaming source: Right(files added by append commits in
     * `(from, to]`) or Left(version of the first rewrite commit the
@@ -1470,15 +1473,22 @@ object ManifestTable {
     if (rewriteAt < 0) Right(adds.result()) else Left(rewriteAt)
   }
 
+  /** The delivery plan for the consumed range: the files to read and
+    * whether they are a SNAPSHOT delivery (initial catch-up or a
+    * full-resync after a rewrite — must be delivered-and-advanced even
+    * when EMPTY, because "the table is now empty" is itself the
+    * change) vs an incremental append delivery (empty = nothing
+    * happened, no commit needed).
+    */
   private def changedFilesBetween(fs: FileSystem, p: Path, table: String,
       consumerId: String, from: Long, current: Long,
-      onRewrite: String): Seq[String] = {
+      onRewrite: String): (Seq[String], Boolean) = {
     if (from == 0)
-      return resolveFiles(fs, p, current, listLog(fs, p)._2)
+      return (resolveFiles(fs, p, current, listLog(fs, p)._2), true)
     appendAddsBetween(fs, p, table, from, current) match {
-      case Right(adds) => adds
+      case Right(adds) => (adds, false)
       case Left(_) if onRewrite == ConsumeFullResync =>
-        resolveFiles(fs, p, current, listLog(fs, p)._2)
+        (resolveFiles(fs, p, current, listLog(fs, p)._2), true)
       case Left(rewriteAt) => throw new IllegalStateException(
         s"consumed range ($from, $current] of $table contains a rewrite " +
           s"commit (v$rewriteAt: delete/merge/overwrite) that a file-level " +
@@ -1529,17 +1539,9 @@ object ManifestTable {
     // initial-snapshot batch of a DV-bearing table: apply the vectors
     // (append-range batches cannot carry DVs — a DV commit in the
     // range already failed the walk above)
-    val dvDirs = snap0.map(_.dvs.values.flatten.map(_.path).toSeq.distinct)
-      .getOrElse(Seq.empty)
-    if (dvDirs.isEmpty) rel
-    else {
-      import org.apache.spark.sql.functions.col
-      rel.withColumn(DvFileCol, rowFileRel)
-        .withColumn(DvIdxCol, col("_metadata.row_index"))
-        .join(dvEntries(spark, table, dvDirs),
-          Seq(DvFileCol, DvIdxCol), "left_anti")
-        .drop(DvFileCol, DvIdxCol)
-    }
+    applyDvAntiJoin(spark, table, rel,
+      snap0.map(_.dvs.values.flatten.map(_.path).toSeq.distinct)
+        .getOrElse(Seq.empty))
   }
 
   /** Exactly-once INCREMENTAL CONSUMPTION of the change feed — the
@@ -1584,14 +1586,33 @@ object ManifestTable {
     // add the exact delivery); compactions (dataChange = false) are
     // skipped; genuine rewrites (delete/merge/overwrite) cannot be
     // expressed as file-level additions → the `onRewrite` policy.
-    val added = changedFilesBetween(fs, p, table, consumerId, from, current,
-      onRewrite)
-    if (added.isEmpty) return current
-    // DVs can only exist on delivered files in the full-resync branch
-    // (a DV landing in an appends-only range is itself a rewrite);
-    // readFiles is a plain union otherwise
-    val dvs = resolveAt(spark, table, current)._4.dvs
-    deliver(readFiles(spark, table, added, dvs), from, current)
+    val (added, isSnapshot) = changedFilesBetween(fs, p, table, consumerId,
+      from, current, onRewrite)
+    // a range of pure metadata commits delivers nothing and must not
+    // commit either; a SNAPSHOT delivery always fires (an empty
+    // snapshot after a truncate/delete-all IS the change)
+    if (added.isEmpty && !isSnapshot) return current
+    // DVs can only exist on delivered files in the snapshot branches
+    // (a DV landing in an appends-only range is itself a rewrite) —
+    // the hot incremental path skips the snapshot resolve entirely
+    val frame =
+      try {
+        if (added.isEmpty) scan(spark, table, current).limit(0)
+        else if (isSnapshot) {
+          val (_, _, _, snap) = resolveAt(spark, table, current)
+          readFiles(spark, table, added, snap.dvs)
+        } else readFiles(spark, table, added, Map.empty)
+      } catch { case e: org.apache.spark.sql.AnalysisException =>
+        // the appended files were compacted away AND vacuumed before
+        // this consumer caught up — the add walk still names them, but
+        // the bytes are gone
+        throw new java.io.IOException(
+          s"consumer '$consumerId' of $table references data files " +
+            "vacuum already reclaimed (a compaction + vacuum outpaced " +
+            "the consumer) — re-sync with a fresh consumer id or keep " +
+            "a longer vacuum retention", e)
+      }
+    deliver(frame, from, current)
     // advance the offset: optimistic zero-file commit (concurrent
     // appends only move the version we CAS against, never the rows
     // already delivered — those files are immutable)
@@ -1937,27 +1958,6 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val (fs, p) = fsOf(spark, table)
-    // SQL MERGE errors when several source rows match one target row;
-    // silently landing both copies would corrupt key uniqueness
-    // (ADVICE r11). One counting pass: rows whose key is fully
-    // non-null (the only rows that can match) vs distinct such keys.
-    // NULL-keyed rows never match and may legitimately repeat.
-    locally {
-      import org.apache.spark.sql.functions.{count_distinct, struct, sum, when}
-      val nonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
-      val r = source.agg(
-        sum(when(nonNull, 1L).otherwise(0L)).as("n"),
-        // when() nulls out partially-null keys so count_distinct
-        // ignores them — a struct with null FIELDS is itself non-null
-        // and would otherwise inflate d and mask duplicates
-        count_distinct(when(nonNull, struct(keyCols.map(col): _*))).as("d"))
-        .head()
-      val (n, d) = (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
-      if (n > d) throw new IllegalArgumentException(
-        s"merge source has duplicate values of key (${keyCols.mkString(", ")}): " +
-          s"$n keyed rows but only $d distinct keys — a target row would be " +
-          "replaced by multiple source rows. De-duplicate the source first.")
-    }
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1967,16 +1967,35 @@ object ManifestTable {
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val snap = resolve(fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
-      // bound the source's PER-COLUMN key ranges in one multi-agg and
-      // let the manifest stats prune files outside ANY column's range:
-      // a file can only hold a matched key if every key column's file
-      // range overlaps that column's source range. min/max ignore
-      // nulls (null keys never match); a column whose source values
-      // are ALL null proves no source row can match at all.
+      // ONE multi-agg over the source serves two purposes: (1) the
+      // duplicate-key guard — SQL MERGE errors when several source
+      // rows match one target row; silently landing both copies would
+      // corrupt key uniqueness (ADVICE r11): rows whose key is fully
+      // non-null (the only rows that can match) vs distinct such keys
+      // (when() nulls out partially-null keys so count_distinct skips
+      // them — a struct with null FIELDS is itself non-null and would
+      // mask duplicates; NULL-keyed rows never match and may repeat);
+      // (2) PER-COLUMN key bounds for stats pruning: a file can only
+      // hold a matched key if every key column's file range overlaps
+      // that column's source range (min/max ignore nulls; an all-null
+      // column proves no source row can match at all).
       val candidates = {
+        import org.apache.spark.sql.functions.{count_distinct, struct, sum, when}
+        val nonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
         val aggs = keyCols.flatMap(k =>
-          Seq(fmin(col(k)).as(s"mn_$k"), fmax(col(k)).as(s"mx_$k")))
+          Seq(fmin(col(k)).as(s"mn_$k"), fmax(col(k)).as(s"mx_$k"))) ++ Seq(
+          sum(when(nonNull, 1L).otherwise(0L)).as("_graft_n"),
+          count_distinct(when(nonNull, struct(keyCols.map(col): _*)))
+            .as("_graft_d"))
         val r = source.agg(aggs.head, aggs.tail: _*).head()
+        val nIdx = 2 * keyCols.size
+        val n = if (r.isNullAt(nIdx)) 0L else r.getLong(nIdx)
+        val d = r.getLong(nIdx + 1)
+        if (n > d) throw new IllegalArgumentException(
+          s"merge source has duplicate values of key (${keyCols.mkString(", ")}): " +
+            s"$n keyed rows but only $d distinct keys — a target row would " +
+            "be replaced by multiple source rows. De-duplicate the source " +
+            "first.")
         if (keyCols.indices.exists(i => r.isNullAt(2 * i))) Seq.empty
         else {
           val pred = keyCols.zipWithIndex.map { case (k, i) =>

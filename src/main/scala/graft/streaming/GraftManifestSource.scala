@@ -75,9 +75,10 @@ class GraftManifestSourceProvider extends StreamSourceProvider
     * watermark in the manifest log makes replays no-ops — the same
     * exactly-once contract [[ManifestTable.streamInto]] wires by
     * hand). Options: `path` (required), `txnAppId` (defaults to the
-    * query's checkpoint-scoped identity via the path — pass one
-    * explicitly to survive checkpoint relocation), `partitionBy` is
-    * the writer's `partitionBy(...)` clause.
+    * query's CHECKPOINT LOCATION — stable across restarts of the same
+    * query, DISTINCT across queries; pass one explicitly to survive a
+    * checkpoint relocation), `partitionBy` is the writer's
+    * `partitionBy(...)` clause.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -87,7 +88,16 @@ class GraftManifestSourceProvider extends StreamSourceProvider
       s"graft streaming sink is append-only (got $outputMode) — " +
         "aggregations stream through foreachBatch + merge/update")
     val table = tablePath(parameters)
-    val app = parameters.getOrElse("txnAppId", table)
+    // the watermark identity must be PER QUERY, not per table: two
+    // queries (each with batchIds from 0) sharing the table's path as
+    // app id would swallow each other's batches. The checkpoint
+    // location is exactly the per-query stable identity (same default
+    // streamInto uses).
+    val app = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft streaming sink needs a checkpointLocation (or an " +
+          "explicit txnAppId) to scope its exactly-once watermark"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
           data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
@@ -126,15 +136,20 @@ final class GraftManifestSource(spark: SparkSession, table: String,
     maxVersionsPerTrigger: Option[Int],
     startingVersion: Long = 0L) extends Source {
 
-  /** Highest version this source instance has offered or delivered —
-    * ratchets admission forward under `maxVersionsPerTrigger`; NOT
-    * durable state (on restart the checkpointed start offset restores
-    * it through `getBatch`). Starts at `startingVersion`: `0` (the
-    * default) delivers the full current snapshot as the first batch;
-    * `N > 0` tails ONLY commits after version N — the
-    * "new appends only" production tail that skips the historical
-    * backfill (the Delta `startingVersion` knob). Only consulted
-    * before the first checkpointed offset exists.
+  /** Highest version this source instance has offered, delivered or
+    * seen COMMITTED — ratchets admission forward under
+    * `maxVersionsPerTrigger`. NOT durable state: on restart the
+    * engine restores it through `getBatch` (a pending uncommitted
+    * batch) or [[commit]] (recovery of committed batches) before new
+    * offsets matter — without the commit hook, a rate-limited restart
+    * whose last batch committed would offer an offset BELOW the
+    * checkpoint and redeliver already-committed versions. Starts at
+    * `startingVersion`: `0` (the default) delivers the full current
+    * snapshot as the first batch; `N > 0` tails ONLY commits after
+    * version N — the "new appends only" production tail that skips
+    * the historical backfill (the Delta `startingVersion` knob);
+    * versions ≤ N are never admitted, even when the table has not
+    * reached N yet at stream start.
     */
   private var floor = math.max(0L, startingVersion)
 
@@ -142,22 +157,30 @@ final class GraftManifestSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[Offset] = synchronized {
     val current = ManifestTable.currentVersion(spark, table)
-    if (current == 0) return None // table not yet created: nothing yet
+    // nothing yet: table absent, or the tail starts beyond the head
+    if (current == 0 || current <= startingVersion) return None
     val offered = maxVersionsPerTrigger match {
       case Some(n) => math.min(current, floor + math.max(1, n))
       case None => current
     }
     floor = math.max(floor, offered)
-    if (offered == 0) None else Some(GraftVersionOffset(offered))
+    if (offered <= startingVersion) None
+    else Some(GraftVersionOffset(offered))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     synchronized {
-      val from = start.map(versionOf).getOrElse(startingVersion)
+      val from = math.max(start.map(versionOf).getOrElse(0L), startingVersion)
       val to = versionOf(end)
       floor = math.max(floor, to) // restart: resume admission past `to`
       ManifestTable.streamBatch(spark, table, from, to)
     }
+
+  override def commit(end: Offset): Unit = synchronized {
+    // called for completed batches, INCLUDING during restart recovery:
+    // the admission floor must never regress below a committed offset
+    floor = math.max(floor, versionOf(end))
+  }
 
   override def stop(): Unit = ()
 }

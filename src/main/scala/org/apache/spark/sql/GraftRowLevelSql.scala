@@ -70,10 +70,13 @@ object GraftRowLevelSql {
       projection: Seq[(String, ExprId)]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val srcDf = GraftColumnBridge.ofRows(spark, source)
-      val byId: Map[ExprId, Int] =
-        source.output.map(_.exprId).zipWithIndex.toMap
+      // select by ATTRIBUTE (exprId), not by column-name string — a
+      // source with duplicate or dotted column names would make
+      // col(name) ambiguous or a struct-field access
+      val byId: Map[ExprId, Attribute] =
+        source.output.map(a => a.exprId -> a).toMap
       val projected = srcDf.select(projection.map { case (target, id) =>
-        functions.col(srcDf.columns(byId(id))).as(target) }: _*)
+        GraftColumnBridge.column(byId(id)).as(target) }: _*)
       ManifestTable.merge(spark, projected, tablePath, keys)
       Seq.empty
     }

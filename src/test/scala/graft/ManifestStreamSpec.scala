@@ -152,6 +152,49 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"only post-startingVersion appends play: $got")
   }
 
+  test("rate-limited restart does not redeliver committed versions") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 4, "a"), t)
+    ManifestTable.append(spark, df(4, 6, "b"), t)
+    ManifestTable.append(spark, df(6, 8, "c"), t)
+    // drain fully at one version per trigger, THEN restart: the new
+    // source instance's in-memory admission floor starts at 0, and
+    // without the commit hook the first getOffset would offer v1 —
+    // below the checkpointed v3 — and versions 2..3 would replay
+    assert(runToCompletion(t, s"$root/ckpt", maxVersions = Some(1)).size == 8)
+    assert(runToCompletion(t, s"$root/ckpt", maxVersions = Some(1)).isEmpty,
+      "caught-up rate-limited restart must deliver nothing")
+    ManifestTable.append(spark, df(8, 9, "d"), t)
+    val got = runToCompletion(t, s"$root/ckpt", maxVersions = Some(1))
+    assert(got == Seq("8:d"),
+      s"only the new version plays after a rate-limited restart: $got")
+  }
+
+  test("two sink queries into one table keep distinct watermarks (no swallowed batches)") {
+    val root = freshRoot()
+    val dst = s"$root/dst"
+    val srcA = s"$root/srcA"
+    val srcB = s"$root/srcB"
+    ManifestTable.write(spark, df(0, 5, "a"), srcA)
+    ManifestTable.write(spark, df(100, 103, "b"), srcB)
+    def drive(src: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("graft").option("path", src).load()
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    drive(srcA, s"$root/ckptA") // commits its batch 0 under app A
+    // query B also starts at batchId 0 — with a table-scoped app id
+    // the watermark from A would swallow B's first batch entirely
+    drive(srcB, s"$root/ckptB")
+    assert(ManifestTable.read(spark, dst).count() == 8,
+      "each query's batches land under its own watermark")
+  }
+
   test("writeStream.format(\"graft\") sink: exactly-once appends into the log") {
     val root = freshRoot()
     val src = s"$root/src"

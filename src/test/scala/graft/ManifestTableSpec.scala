@@ -438,6 +438,43 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(seen.size == 16, "caught up after the mixed range")
   }
 
+  test("full-resync after truncate delivers the EMPTY replace and advances") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t)
+    ManifestTable.consumeChanges(spark, t, "ct") { (_, _, _) => () }
+    ManifestTable.truncate(spark, t)
+    // "the table is now empty" IS the change: the resync delivery must
+    // fire with zero rows and the offset must advance — skipping it
+    // would leave the consumer holding truncated rows forever
+    var calls = 0
+    var delivered = -1L
+    ManifestTable.consumeChanges(spark, t, "ct",
+      onRewrite = ManifestTable.ConsumeFullResync) { (d, _, _) =>
+      calls += 1; delivered = d.count()
+    }
+    assert(calls == 1 && delivered == 0L,
+      s"empty replace must be delivered: calls=$calls rows=$delivered")
+    // and the consumer is genuinely caught up (no error, no delivery)
+    ManifestTable.consumeChanges(spark, t, "ct") { (_, _, _) =>
+      fail("caught-up consumer must not be called") }
+  }
+
+  test("a consumer behind a vacuumed log prefix fails with re-sync guidance") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t) // v1
+    ManifestTable.consumeChanges(spark, t, "cv") { (_, _, _) => () } // offset v1 (commit v2)
+    ManifestTable.append(spark, df(4, "b"), t) // v3
+    ManifestTable.compact(spark, t) // v4: v3's files leave the snapshot
+    ManifestTable.append(spark, df(2, "c"), t) // v5
+    // retention outruns the consumer: manifests below the floor AND
+    // the compacted-away data files are reclaimed
+    ManifestTable.vacuum(spark, t, keepVersions = 2, graceMs = 0L)
+    val e = intercept[java.io.IOException](
+      ManifestTable.consumeChanges(spark, t, "cv") { (_, _, _) => () })
+    assert(e.getMessage.contains("re-sync"),
+      s"expected the guided retention error, got: $e")
+  }
+
   test("consumeChanges on a rewrite range: fail loudly, or full resync by policy") {
     val t = freshTable()
     ManifestTable.write(spark, df(10, "a"), t)
