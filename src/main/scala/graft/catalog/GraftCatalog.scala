@@ -160,11 +160,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS` commits add-column evolution as a
+    * zero-file delta (existing rows read the new columns as null) —
+    * the one ALTER that needs no data rewrite. Everything else
+    * (renames, type changes, drops) would break the name-based column
+    * mapping of existing files and is refused with the rewrite path
+    * named.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: schema evolves at commit time " +
-        "(append with new columns adds them); other changes need a rewrite")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (name() +: ident.namespace().toSeq :+ ident.name()))
+    val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        require(a.isNullable,
+          s"new column '${a.fieldNames().head}' must be nullable — " +
+            "existing rows have no value for it")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support ALTER TABLE ADD COLUMNS (top-level, " +
+          s"nullable) only, got $other — renames/type changes/drops " +
+          "need a rewrite via ManifestTable.write")
+    }
+    ManifestTable.addColumns(spark, tablePath(ident),
+      org.apache.spark.sql.types.StructType(adds)): Unit
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tablePath(ident))

@@ -1914,6 +1914,37 @@ object ManifestTable {
     raceLost(table, currentVersion(spark, table) + 1)
   }
 
+  /** ADD-COLUMN schema evolution as an explicit DDL commit (the
+    * `ALTER TABLE ... ADD COLUMNS` unit): append the new nullable
+    * fields to the recorded schema in one zero-file delta — O(1), no
+    * data I/O; existing rows read the new columns as null, exactly
+    * like evolution-by-append. Duplicate names and non-nullable
+    * additions are refused (a required column with no values for
+    * existing rows is unsatisfiable).
+    */
+  def addColumns(spark: SparkSession, table: String,
+      columns: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(columns.nonEmpty, "addColumns needs at least one column")
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0, s"no committed version in $table")
+    val m = manifestAt(fs, p, base)
+    val cur = recordedSchema(m).getOrElse(throw new IllegalStateException(
+      s"$table predates schema-on-commit — rewrite it via write() first"))
+    val clash = columns.fieldNames.filter(c => cur.fieldNames.contains(c))
+    require(clash.isEmpty,
+      s"column(s) already exist: ${clash.mkString(", ")}")
+    val evolved = StructType(cur.fields ++
+      columns.fields.map(_.copy(nullable = true)))
+    if (!commitDelta(fs, p, base + 1, Seq.empty,
+      m.map(_.txns).getOrElse(Map.empty),
+      parts = m.map(_.parts).getOrElse(Seq.empty),
+      schemaJson = Some(evolved.json))) raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
+    base + 1
+  }
+
   /** TRUNCATE: one empty replace commit preserving the recorded
     * schema, layout and txn watermarks — O(1), no data I/O; old
     * versions stay readable until vacuum (time travel across a

@@ -217,6 +217,34 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM $cat.db.`m${"$"}bogus`").collect())
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema; other alters refuse") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.a (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.a VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE $cat.db.a ADD COLUMNS (score DOUBLE, tag STRING)")
+    // old rows surface the new columns as null; new rows carry them
+    spark.sql(s"INSERT INTO $cat.db.a VALUES (3, 0.5, 'x')")
+    val rows = spark.sql(
+      s"SELECT id, score, tag FROM $cat.db.a ORDER BY id").collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      "pre-evolution rows read the new columns as null")
+    assert(rows(2).getDouble(1) == 0.5 && rows(2).getString(2) == "x")
+    // DESCRIBE reflects the evolved schema through the catalog
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.db.a")
+      .collect().map(_.getString(0)).toSeq
+    assert(Seq("id", "score", "tag").forall(desc.contains), s"got $desc")
+    // evolution is a commit like any other: time travel sees the old schema
+    assert(!spark.sql(s"SELECT * FROM $cat.db.a VERSION AS OF 2")
+      .columns.contains("score"))
+    // destructive alters refuse with the rewrite path named
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.a RENAME COLUMN tag TO label"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString.contains("rewrite"))
+  }
+
   test("rename, namespaces, and illegal identifiers") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.a")
