@@ -176,6 +176,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.isNullable,
           s"new column '${a.fieldNames().head}' must be nullable — " +
             "existing rows have no value for it")
+        // silently appending a FIRST/AFTER column at the end would lie
+        // about positional semantics — refuse instead
+        require(a.position() == null,
+          s"new column '${a.fieldNames().head}': FIRST/AFTER positions " +
+            "are not supported — graft columns append (name-based " +
+            "mapping; reorder via a rewrite if position matters)")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(

@@ -1596,21 +1596,22 @@ object ManifestTable {
     // (a DV landing in an appends-only range is itself a rewrite) —
     // the hot incremental path skips the snapshot resolve entirely
     val frame =
-      try {
-        if (added.isEmpty) scan(spark, table, current).limit(0)
-        else if (isSnapshot) {
-          val (_, _, _, snap) = resolveAt(spark, table, current)
-          readFiles(spark, table, added, snap.dvs)
-        } else readFiles(spark, table, added, Map.empty)
+      if (added.isEmpty) scan(spark, table, current).limit(0)
+      else try {
+        val dvs =
+          if (isSnapshot) resolveAt(spark, table, current)._4.dvs
+          else Map.empty[String, Seq[DvRef]]
+        readFiles(spark, table, added, dvs)
       } catch { case e: org.apache.spark.sql.AnalysisException =>
-        // the appended files were compacted away AND vacuumed before
-        // this consumer caught up — the add walk still names them, but
-        // the bytes are gone
+        // normally unreachable (vacuum reclaims an add-file only
+        // together with the manifest naming it, and the walk throws
+        // the log-prefix error first) — this is the belt for a vacuum
+        // RACING this very poll between the walk and the read
         throw new java.io.IOException(
           s"consumer '$consumerId' of $table references data files " +
-            "vacuum already reclaimed (a compaction + vacuum outpaced " +
-            "the consumer) — re-sync with a fresh consumer id or keep " +
-            "a longer vacuum retention", e)
+            "vacuum already reclaimed (a vacuum raced this poll) — " +
+            "re-sync with a fresh consumer id or keep a longer " +
+            "vacuum retention", e)
       }
     deliver(frame, from, current)
     // advance the offset: optimistic zero-file commit (concurrent
@@ -1932,9 +1933,18 @@ object ManifestTable {
     val m = manifestAt(fs, p, base)
     val cur = recordedSchema(m).getOrElse(throw new IllegalStateException(
       s"$table predates schema-on-commit — rewrite it via write() first"))
-    val clash = columns.fieldNames.filter(c => cur.fieldNames.contains(c))
+    // duplicate detection is CASE-INSENSITIVE (Spark's default
+    // resolution) and covers the incoming batch itself — committing
+    // two 'x' fields (or 'ID' next to 'id') would make every later
+    // reference ambiguous with no way back but a rewrite
+    def key(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val clash = columns.fieldNames.filter(c =>
+      cur.fieldNames.exists(e => key(e) == key(c)))
     require(clash.isEmpty,
       s"column(s) already exist: ${clash.mkString(", ")}")
+    val dups = columns.fieldNames.groupBy(key).filter(_._2.length > 1)
+    require(dups.isEmpty,
+      s"duplicate new column name(s): ${dups.values.flatten.mkString(", ")}")
     val evolved = StructType(cur.fields ++
       columns.fields.map(_.copy(nullable = true)))
     if (!commitDelta(fs, p, base + 1, Seq.empty,

@@ -75,10 +75,14 @@ class GraftManifestSourceProvider extends StreamSourceProvider
     * watermark in the manifest log makes replays no-ops — the same
     * exactly-once contract [[ManifestTable.streamInto]] wires by
     * hand). Options: `path` (required), `txnAppId` (defaults to the
-    * query's CHECKPOINT LOCATION — stable across restarts of the same
-    * query, DISTINCT across queries; pass one explicitly to survive a
-    * checkpoint relocation), `partitionBy` is the writer's
-    * `partitionBy(...)` clause.
+    * STREAMING QUERY ID — persisted in the query's checkpoint, so it
+    * is stable across restarts of the same query, distinct across
+    * queries, and REGENERATED when a checkpoint is wiped and rebuilt
+    * at the same path, which is exactly when old batch ids must NOT
+    * be treated as replays; pass an explicit id to survive an
+    * intentional checkpoint relocation that should keep its
+    * watermark), `partitionBy` is the writer's `partitionBy(...)`
+    * clause.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -88,24 +92,29 @@ class GraftManifestSourceProvider extends StreamSourceProvider
       s"graft streaming sink is append-only (got $outputMode) — " +
         "aggregations stream through foreachBatch + merge/update")
     val table = tablePath(parameters)
-    // the watermark identity must be PER QUERY, not per table: two
-    // queries (each with batchIds from 0) sharing the table's path as
-    // app id would swallow each other's batches. The checkpoint
-    // location is exactly the per-query stable identity (same default
-    // streamInto uses).
-    val app = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft streaming sink needs a checkpointLocation (or an " +
-          "explicit txnAppId) to scope its exactly-once watermark"))
+    val explicitApp = parameters.get("txnAppId")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
-          data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+          data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+        // the watermark identity must be PER QUERY, not per table: two
+        // queries (each with batchIds from 0) sharing one app id would
+        // swallow each other's batches. The engine sets the query id
+        // as a local property on the batch thread (the Delta-sink
+        // identity recipe).
+        val app = explicitApp.getOrElse {
+          val qid = data.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")
+          require(qid != null,
+            "graft streaming sink could not resolve the streaming " +
+              "query id — pass an explicit txnAppId option")
+          qid
+        }
         ManifestTable.appendStreamBatch(data.sparkSession,
           // the addBatch frame is pinned to the stream's incremental
           // execution; re-wrap its rows as a batch frame to write
           org.apache.spark.sql.GraftColumnBridge.batchDataFrame(data),
           table, batchId, app, partitionColumns): Unit
+      }
       override def toString: String = s"GraftManifestSink[$table]"
     }
   }

@@ -243,6 +243,15 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.db.a RENAME COLUMN tag TO label"))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .flatMap(t => Option(t.getMessage)).mkString.contains("rewrite"))
+    // a case-insensitive clash would make every later reference
+    // ambiguous: refused, not committed
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.a ADD COLUMNS (SCORE STRING)"))
+    // positional placement would be silently ignored: refused
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.a ADD COLUMNS (pos INT FIRST)"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.a").columns.length == 3,
+      "refused alters leave the schema untouched")
   }
 
   test("rename, namespaces, and illegal identifiers") {

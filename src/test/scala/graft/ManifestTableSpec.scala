@@ -466,8 +466,11 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.append(spark, df(4, "b"), t) // v3
     ManifestTable.compact(spark, t) // v4: v3's files leave the snapshot
     ManifestTable.append(spark, df(2, "c"), t) // v5
-    // retention outruns the consumer: manifests below the floor AND
-    // the compacted-away data files are reclaimed
+    // retention outruns the consumer: vacuum reclaims an add-file
+    // only together with the manifest naming it, so the walk hits the
+    // unreadable v3 manifest and throws the LOG-PREFIX guidance (the
+    // AnalysisException belt in consumeChanges only covers a vacuum
+    // racing the poll itself)
     ManifestTable.vacuum(spark, t, keepVersions = 2, graceMs = 0L)
     val e = intercept[java.io.IOException](
       ManifestTable.consumeChanges(spark, t, "cv") { (_, _, _) => () })
