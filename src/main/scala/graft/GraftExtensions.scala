@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO on graft catalog tables (the Delta-style
     // command rewrite over ManifestTable.update/merge)
     ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftRowLevelRule)
+    // DV-capable SQL reads: SELECT over a deletion-vector-bearing
+    // catalog table plans as the native scan's anti-join instead of
+    // hitting the readerFeatures refusal
+    ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftDvReadRule)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((

@@ -149,6 +149,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         (name() +: ident.namespace().toSeq :+ ident.name()))
+    // refuse properties the layout cannot honor instead of silently
+    // dropping them: LOCATION/EXTERNAL would place the table somewhere
+    // other than the warehouse path this catalog derives from the
+    // name, and arbitrary TBLPROPERTIES have nowhere durable to live
+    // (manifests carry engine metadata only) — accepting them would
+    // lie to the user (ADVICE r12). `owner`/`provider` are injected by
+    // Spark itself on every CREATE and carry no placement semantics.
+    if (properties != null) {
+      import scala.jdk.CollectionConverters._
+      val injected = Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)
+      val refused = properties.keySet().asScala.filterNot(injected).toSeq.sorted
+      if (refused.nonEmpty) throw new UnsupportedOperationException(
+        s"graft tables do not support table properties " +
+          s"(got: ${refused.mkString(", ")}) — tables live at " +
+          s"<warehouse>/<namespace>/<name>; LOCATION/EXTERNAL/" +
+          "TBLPROPERTIES cannot be honored")
+    }
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames().mkString(".")

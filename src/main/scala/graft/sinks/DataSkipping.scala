@@ -54,8 +54,13 @@ object DataSkipping {
   final case class ColStats(min: Option[Any], max: Option[Any],
       nulls: Option[Long])
 
-  /** Per-file statistics: exact row count + per-column ranges. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** Per-file statistics: exact row count + per-column ranges +
+    * on-disk size (`0` = unknown, recorded by manifests written before
+    * size stats — callers fall back to a listing, never a per-file
+    * status RPC).
+    */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+      bytes: Long = 0L)
 
   /** String min/max longer than this are dropped, not truncated (a
     * truncated bound would lie about the range). 64 covers every key
@@ -176,7 +181,10 @@ object DataSkipping {
           Some(k -> ColStats(Some(v), Some(v), Some(0L)))
         }
       }
-    FileStats(rows, footerCols ++ partCols)
+    // the footer read already knows the file length — record it so
+    // maintenance (compact sizing, size statistics) never needs a
+    // per-file status RPC against the object store
+    FileStats(rows, footerCols ++ partCols, in.getLength)
   }
 
   /** Cross-file bound merge for [[graft.sinks.ManifestTable.columnBounds]]

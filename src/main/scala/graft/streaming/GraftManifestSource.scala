@@ -122,7 +122,17 @@ class GraftManifestSourceProvider extends StreamSourceProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    ManifestTable.scan(sqlContext.sparkSession, tablePath(parameters))
+    val table = tablePath(parameters)
+    // a DV-bearing snapshot plans as relation + anti-join, which a
+    // BaseRelation cannot express — refuse with the readerFeatures
+    // error instead of failing the pattern match below (ADVICE r12)
+    if (ManifestTable.hasDeletionVectors(sqlContext.sparkSession, table))
+      throw new UnsupportedOperationException(
+      s"table $table carries deletion vectors spark.read.format(\"graft\") " +
+        "cannot apply — read via ManifestTable.read/scan or the SQL " +
+        "catalog (GraftExtensions applies the DV anti-join there), or " +
+        "run ManifestTable.compact(...) to materialize them")
+    ManifestTable.scan(sqlContext.sparkSession, table)
       .queryExecution.logical match {
       case LogicalRelation(rel, _, _, _, _) => rel
       case other => throw new IllegalStateException(
@@ -169,6 +179,19 @@ final class GraftManifestSource(spark: SparkSession, table: String,
     // nothing yet: table absent, or the tail starts beyond the head
     if (current == 0 || current <= startingVersion) return None
     val offered = maxVersionsPerTrigger match {
+      // the INITIAL SNAPSHOT is always delivered whole at the CURRENT
+      // version (Delta's initial-snapshot semantics): floor == 0 means
+      // this fresh stream's first batch resolves the snapshot, and
+      // rate-limiting it to floor+n would instead replay the log
+      // commit-by-commit from v1 — any historical rewrite commit would
+      // permanently wedge the stream, and a restart from a fresh
+      // checkpoint replays into the same rewrite (ADVICE r12). The
+      // limit applies to post-snapshot increments only. (On restart
+      // the engine restores `floor` through getBatch/commit before
+      // getOffset runs, so floor == 0 here really is a fresh stream;
+      // startingVersion > 0 tails increments from the start and rate
+      // limits from its very first batch.)
+      case Some(_) if floor == 0L => current
       case Some(n) => math.min(current, floor + math.max(1, n))
       case None => current
     }

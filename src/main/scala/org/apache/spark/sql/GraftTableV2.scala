@@ -104,7 +104,9 @@ object GraftTableV2 {
       files: Seq[ManifestFile],
       partCols: Seq[String],
       dataSchema: StructType,
-      partSchema: StructType) extends Table
+      partSchema: StructType,
+      val dvDirs: Seq[String] = Seq.empty,
+      val pinnedVersion: Long = -1L) extends Table
       with SupportsRead with SupportsWrite with SupportsDelete {
 
     override def name(): String = ident
@@ -127,6 +129,18 @@ object GraftTableV2 {
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // readerFeatures gate AT SCAN TIME, not load time: a DV-bearing
+      // snapshot loads fine (DDL, writes, metadata all work), but the
+      // bare parquet DSv2 scan cannot apply the anti-join and must
+      // refuse rather than resurrect deleted rows. Sessions built with
+      // GraftExtensions never reach this: [[GraftDvReadRule]] replaces
+      // the relation with the DV-applying native scan first.
+      if (dvDirs.nonEmpty) throw new UnsupportedOperationException(
+        s"table $ident carries deletion vectors the bare SQL catalog " +
+          "scan cannot apply — enable graft.GraftExtensions (its " +
+          "analyzer rule applies the DV anti-join), run " +
+          "ManifestTable.compact(...) to materialize them, or read via " +
+          "ManifestTable.read/scan")
       val cs = SparkSession.active.asInstanceOf[classic.SparkSession]
       ParquetScanBuilder(cs,
         new SnapshotFileIndex(cs, tableRoot, files, partSchema),
@@ -254,24 +268,23 @@ object GraftTableV2 {
   }
 
   /** Load the current snapshot of `tablePath` as a DSv2 table. A
-    * snapshot carrying DELETION VECTORS is refused: the bare parquet
-    * DSv2 scan cannot apply the anti-join, and a reader that would
-    * silently resurrect deleted rows must fail instead — the Delta
-    * readerFeatures discipline. `ManifestTable.compact` materializes
-    * the vectors and re-admits the table.
+    * snapshot carrying DELETION VECTORS loads (DDL/writes/metadata all
+    * work on it) and records its sidecar dirs; READING it requires a
+    * DV-capable reader — [[GraftDvReadRule]] (injected by
+    * `graft.GraftExtensions`) rewrites the relation onto the native
+    * scan's anti-join, and without the extension the scan builder
+    * refuses rather than resurrect deleted rows (the Delta
+    * readerFeatures discipline; `ManifestTable.compact` materializes
+    * the vectors for DV-less readers).
     */
   def load(spark: SparkSession, ident: String, tablePath: String,
       version: Long = -1L): Table = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    val (root, files, parts, recorded, dvDirs) =
+    val (root, files, parts, recorded, dvDirs, v) =
       ManifestTable.resolvedScan(spark, tablePath, version)
-    if (dvDirs.nonEmpty) throw new UnsupportedOperationException(
-      s"table $ident carries deletion vectors the SQL catalog scan " +
-        "cannot apply — run ManifestTable.compact(...) to materialize " +
-        "them, or read via ManifestTable.read/scan")
     val (dataSchema, partSchema) =
       GraftManifestScan.schemasOf(cs, files, parts, recorded)
     new GraftV2Table(ident, tablePath, root, files, parts, dataSchema,
-      partSchema)
+      partSchema, dvDirs, v)
   }
 }

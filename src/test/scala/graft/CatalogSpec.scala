@@ -52,6 +52,52 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("t"))
   }
 
+  test("CREATE TABLE refuses LOCATION/TBLPROPERTIES instead of dropping them") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // LOCATION would place the table outside the warehouse layout the
+    // catalog derives from the name — silently ignoring it writes the
+    // data somewhere the user did not ask for (ADVICE r12)
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.loc (id BIGINT) LOCATION '/tmp/elsewhere'"))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e1).exists(_.contains("cannot be honored")), s"got: $e1")
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.tp (id BIGINT) TBLPROPERTIES ('k'='v')"))
+    assert(msgs(e2).exists(_.contains("cannot be honored")), s"got: $e2")
+    // neither refused statement may leave a half-created table behind
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").count() == 0)
+    // a plain CREATE (Spark injects owner/provider itself) still works
+    spark.sql(s"CREATE TABLE $cat.db.ok (id BIGINT)")
+    assert(spark.sql(s"SELECT * FROM $cat.db.ok").count() == 0)
+  }
+
+  test("programmatic read of a created/truncated (empty) table stays typed") {
+    val (_, wh) = freshCatalog()
+    val t = s"$wh/typed"
+    ManifestTable.create(spark,
+      t, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))))
+    // column references resolve against the recorded schema even with
+    // zero data files (ADVICE r12: schema-less emptyDataFrame broke this)
+    val fresh = ManifestTable.read(spark, t)
+    assert(fresh.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(fresh.filter(col("tag") === "x").count() == 0)
+    assert(ManifestTable.readWhere(spark, t, col("id") > 5L).count() == 0)
+    import spark.implicits._
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), t)
+    ManifestTable.truncate(spark, t)
+    val trunc = ManifestTable.read(spark, t)
+    assert(trunc.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(trunc.select(col("id") + 1).count() == 0)
+  }
+
   test("CTAS, INSERT OVERWRITE, DROP TABLE") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

@@ -177,4 +177,52 @@ class DeletionVectorSpec extends AnyFunSuite {
     // readChanges full-range read applies them too
     assert(ManifestTable.readChanges(spark, t, 0).count() == 99L)
   }
+
+  test("GraftExtensions session reads a DV-bearing table through SQL (merge-on-read)") {
+    val t = rangedTable()
+    val wh = new java.io.File(t).getParent
+    // the DV-capable reader is the extension's analyzer rule — build
+    // the deployment-shape session (extensions bind at session build)
+    val ext = org.apache.spark.sql.GraftColumnBridge
+      .sessionWithExtensions(new GraftExtensions().apply(_))
+    ext.conf.set("spark.sql.shuffle.partitions", "4")
+    val cat = "dvread"
+    ext.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    ext.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    ManifestTable.deleteVectors(spark, t, col("id") % 10 === 3L)
+    // SQL read equals the programmatic DV-applying read — no refusal,
+    // no resurrected rows
+    assert(ext.sql(s"SELECT count(*) AS c FROM $cat.t").head().getLong(0) == 90L)
+    val ids = ext.sql(s"SELECT id FROM $cat.t WHERE id < 20 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (0L until 20L).filterNot(_ % 10 == 3),
+      s"DV anti-join must drop exactly the deleted rows: $ids")
+    // predicates/projections still work through the rewritten plan
+    assert(ext.sql(s"SELECT sum(id) AS s FROM $cat.t WHERE tag = 'tag3'")
+      .head().getLong(0) ==
+      (0L until 100L).filter(i => i % 7 == 3 && i % 10 != 3).sum)
+    // writes on the DV-bearing table keep working through the catalog
+    ext.sql(s"INSERT INTO $cat.t VALUES (1000, 'tagX')")
+    assert(ext.sql(s"SELECT count(*) AS c FROM $cat.t").head().getLong(0) == 91L)
+    // and compaction still materializes: post-compact both sessions agree
+    ManifestTable.compact(spark, t)
+    assert(ext.sql(s"SELECT count(*) AS c FROM $cat.t").head().getLong(0) == 91L)
+    assert(spark.sql(s"SELECT 1").count() == 1L) // shared context intact
+  }
+
+  test("ALTER TABLE ADD COLUMNS works on a DV-bearing table (ADVICE r12)") {
+    val t = rangedTable()
+    val wh = new java.io.File(t).getParent
+    val cat = "dvddl"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    ManifestTable.deleteVectors(spark, t, col("id") === 7L)
+    // the DDL must succeed (loadTable no longer refuses DV tables; the
+    // reader gate moved to scan time)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (note STRING)")
+    val sch = ManifestTable.tableSchema(spark, t).get
+    assert(sch.fieldNames.toSeq == Seq("id", "tag", "note"))
+    // the DV survives the schema evolution commit
+    assert(ManifestTable.read(spark, t).count() == 99L)
+  }
 }

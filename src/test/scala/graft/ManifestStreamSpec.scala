@@ -82,6 +82,32 @@ class ManifestStreamSpec extends AnyFunSuite {
       "idle trigger must emit nothing")
   }
 
+  test("rate-limited FRESH stream snapshots at the current version (historical rewrite invisible)") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t)
+    ManifestTable.append(spark, df(10, 14, "b"), t)
+    ManifestTable.delete(spark, t, col("id") < 3L) // historical rewrite (v3)
+    ManifestTable.append(spark, df(14, 16, "c"), t)
+    // Delta initial-snapshot semantics (ADVICE r12): the first batch of
+    // a fresh rate-limited stream is the FULL snapshot at the current
+    // version — replaying the log commit-by-commit from v1 would hit
+    // the historical rewrite and wedge the stream permanently (and a
+    // restart from a fresh checkpoint would wedge identically).
+    val got = runToCompletion(t, s"$root/ckpt", maxVersions = Some(1)).sorted
+    val want = ManifestTable.read(spark, t)
+      .collect().map(r => s"${r.getLong(0)}:${r.getString(1)}").toSeq.sorted
+    assert(got == want,
+      s"fresh rate-limited stream must deliver the current snapshot: $got")
+    // the rate limit still applies to post-snapshot increments
+    ManifestTable.append(spark, df(16, 18, "d"), t)
+    ManifestTable.append(spark, df(18, 20, "e"), t)
+    val inc = runToCompletion(t, s"$root/ckpt", maxVersions = Some(1)).sorted
+    assert(inc.size == 4 && inc.count(_.endsWith(":d")) == 2 &&
+      inc.count(_.endsWith(":e")) == 2,
+      s"post-snapshot appends must still play: $inc")
+  }
+
   test("compaction commits are skipped; a delete fails the stream loudly") {
     val root = freshRoot()
     val t = s"$root/t"
