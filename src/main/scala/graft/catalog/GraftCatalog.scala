@@ -137,11 +137,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       tablePath(ident), v)
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported on graft tables — manifests do " +
-        "not record commit wall-clock; use VERSION AS OF <log version> " +
-        "(ManifestTable.history lists versions)")
+  /** `TIMESTAMP AS OF` time travel: resolve the wall-clock to the
+    * latest commit at or before it ([[ManifestTable.versionAtTimestamp]]
+    * — monotonized manifest mtimes, the Delta recipe) and pin the scan
+    * there. Out-of-range timestamps (before the earliest retained
+    * commit, after the latest) throw with the usable range. Spark
+    * hands the timestamp in MICROseconds since the epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (name() +: ident.namespace().toSeq :+ ident.name()))
+    val v = ManifestTable.versionAtTimestamp(spark, tablePath(ident),
+      timestamp / 1000L)
+    org.apache.spark.sql.GraftTableV2.load(spark,
+      (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."),
+      tablePath(ident), v)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -1363,17 +1363,63 @@ object ManifestTable {
       Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
     } catch { case _: java.time.format.DateTimeParseException => None }
 
+  /** Commit wall-clock times of `vs` (ascending): the manifest files'
+    * modification times, MONOTONIZED along the version order (max-so-
+    * far — the Delta recipe: clock skew between writers must never
+    * make a later commit appear earlier, or timestamp resolution
+    * loses `version order == time order`).
+    */
+  private def commitTimes(fs: FileSystem, p: Path,
+      vs: Seq[Long]): Seq[(Long, Long)] = {
+    var prev = Long.MinValue
+    vs.sorted.map { v =>
+      prev = math.max(prev,
+        fs.getFileStatus(manifestPath(p, v)).getModificationTime)
+      (v, prev)
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version committed at or
+    * before `tsMillis`, with the Delta out-of-range contract — a
+    * timestamp before the earliest retained commit or after the latest
+    * one throws with the usable range (resolving "after latest" to the
+    * head would silently turn a time-travel read into a changing
+    * current read). Commit time is the manifest file's mtime,
+    * monotonized (see [[commitTimes]]) — O(retained versions) metadata
+    * statuses, never a data read.
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val (fs, p) = fsOf(spark, table)
+    val (vs, _) = listLog(fs, p)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val times = commitTimes(fs, p, vs)
+    def fmt(t: Long) = java.time.Instant.ofEpochMilli(t).toString
+    if (tsMillis < times.head._2) throw new IllegalArgumentException(
+      s"timestamp ${fmt(tsMillis)} is before the earliest retained commit " +
+        s"of $table (v${times.head._1} at ${fmt(times.head._2)}) — use a " +
+        "timestamp in range or VERSION AS OF (history() lists versions)")
+    if (tsMillis > times.last._2) throw new IllegalArgumentException(
+      s"timestamp ${fmt(tsMillis)} is after the latest commit of $table " +
+        s"(v${times.last._1} at ${fmt(times.last._2)}) — use a timestamp " +
+        "in range, VERSION AS OF, or read the current table without travel")
+    times.takeWhile(_._2 <= tsMillis).last._1
+  }
+
   /** Commit history (the DESCRIBE HISTORY analogue): one row per log
     * version still present, oldest first — commit kind
     * (`replace` = write/compact, `append`, `rewrite` = delete/merge),
     * files added/removed (−1 = a replace's implicit remove-all), rows
-    * added (from manifest stats; null when any added file lacks them)
-    * and the txn-watermark map as JSON. Metadata-only: reads each
+    * added (from manifest stats; null when any added file lacks them),
+    * the txn-watermark map as JSON, the quality audit, and the commit
+    * wall-clock (`ts_millis`, monotonized manifest mtime — what
+    * `TIMESTAMP AS OF` resolves against). Metadata-only: reads each
     * manifest once, never a data file.
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     val (fs, p) = fsOf(spark, table)
     val (vs, _) = listLog(fs, p)
+    val timeOf: Map[Long, Long] = commitTimes(fs, p, vs).toMap
     val rows = vs.sorted.map { v =>
       val m = readManifest(fs, p, v)
       val (kind, addList, removed) = m match {
@@ -1393,12 +1439,12 @@ object ManifestTable {
         n
       }
       (v, kind, addList.size, removed, rowsAdded, asJson(m.txns),
-        asJson(m.quality))
+        asJson(m.quality), timeOf(v))
     }
     val sq = spark
     import sq.implicits._
     rows.toDF("version", "kind", "files_added", "files_removed",
-      "rows_added", "txns", "quality")
+      "rows_added", "txns", "quality", "ts_millis")
   }
 
   /** Metadata-only FILE CENSUS of a snapshot (the `$files` metadata

@@ -188,7 +188,7 @@ class CatalogSpec extends AnyFunSuite {
       s"the catalog scan must be the broadcast side:\n$plan")
   }
 
-  test("VERSION AS OF time travel through SQL; TIMESTAMP AS OF refused") {
+  test("VERSION AS OF time travel through SQL") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.tt (id BIGINT)") // v1: empty
@@ -200,14 +200,47 @@ class CatalogSpec extends AnyFunSuite {
       "a reader pinned to v2 must not see the later insert")
     assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.tt VERSION AS OF 1")
       .head().getLong(0) == 0, "v1 is the empty CREATE commit")
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.db.tt TIMESTAMP AS OF '2026-01-01'")
-        .collect())
+  }
+
+  test("TIMESTAMP AS OF resolves commit wall-clock; out-of-range errors pinned") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ts (id BIGINT)") // v1: empty
+    Thread.sleep(40) // distinct commit mtimes (ms granularity)
+    spark.sql(s"INSERT INTO $cat.db.ts VALUES (1), (2)") // v2
+    Thread.sleep(40)
+    spark.sql(s"INSERT INTO $cat.db.ts VALUES (3)") // v3
+    val t = s"$wh/db/ts"
+    val times = ManifestTable.history(spark, t).orderBy("version")
+      .collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(times(1) <= times(2) && times(2) <= times(3),
+      s"commit times must be monotone: $times")
+    def fmtUtc(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    def countAt(ms: Long): Long = spark.sql(
+      s"SELECT count(*) AS c FROM $cat.db.ts TIMESTAMP AS OF '${fmtUtc(ms)}'")
+      .head().getLong(0)
+    // exact commit instant → that commit's snapshot
+    assert(countAt(times(2)) == 2, "exact v2 timestamp must pin v2")
+    assert(countAt(times(3)) == 3)
+    // between two commits → the earlier one (latest ≤ ts)
+    if (times(3) > times(2) + 1)
+      assert(countAt((times(2) + times(3)) / 2) == 2,
+        "a between-commits timestamp resolves to the earlier commit")
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Seq.empty
       else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    assert(msgs(e).exists(_.contains("VERSION AS OF")),
-      s"timestamp travel must refuse with guidance: $e")
+    // before the earliest commit → error naming the range
+    val early = intercept[Exception](countAt(times(1) - 60000))
+    assert(msgs(early).exists(_.contains("before the earliest")),
+      s"got: $early")
+    // after the latest commit → error, not a silent current read
+    val late = intercept[Exception](countAt(times(3) + 60000))
+    assert(msgs(late).exists(_.contains("after the latest")), s"got: $late")
+    // the programmatic resolver agrees with the SQL path
+    assert(ManifestTable.versionAtTimestamp(spark, t, times(2)) == 2L)
   }
 
   test("DELETE FROM and TRUNCATE TABLE reach the manifest protocol") {
