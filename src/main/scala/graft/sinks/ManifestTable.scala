@@ -192,6 +192,27 @@ object ManifestTable {
       quality: Map[String, Long], dataChange: Boolean,
       dvs: Map[String, Seq[DvRef]] = Map.empty) extends Manifest
 
+  /** A POINTER base manifest (the Delta parquet-checkpoint recipe,
+    * VERDICT r12 next-round #1): the committed JSON carries only the
+    * TINY metadata (txns/parts/schema + the sidecar dir + counts);
+    * the per-file rows — path, stats, deletion vectors — live in a
+    * PARQUET sidecar under `_manifests/cpdata/`, written and read by
+    * Spark itself. Above [[refThreshold]] files, every full-list base
+    * (replace commits and checkpoints) takes this form, so read
+    * resolution of a million-file table never parses a multi-GB JSON
+    * tree on the driver: the base load is a columnar scan + per-row
+    * parses. The tiny head keeps txns/parts/schema/dataChange inline —
+    * every metadata consumer (watermarks, layout, history, the
+    * rewrite-classification walk) stays zero-sidecar-I/O.
+    */
+  private final case class Ref(ref: String, nFiles: Long,
+      refRows: Option[Long], txns: Map[String, Long], parts: Seq[String],
+      schemaJson: Option[String], quality: Map[String, Long],
+      dataChange: Boolean) extends Manifest {
+    def stats: Map[String, FileStats] = Map.empty
+    def dvs: Map[String, Seq[DvRef]] = Map.empty
+  }
+
   /** One deletion-vector sidecar reference: the sidecar dir
     * (table-relative) and the EXACT number of rows it deletes from its
     * target file (disjoint from every earlier DV on that file by
@@ -365,27 +386,41 @@ object ManifestTable {
     if (stats.nonEmpty) {
       val sn = root.putObject("stats")
       stats.toSeq.sortBy(_._1).foreach { case (file, fst) =>
-        val fn = sn.putObject(file)
-        fn.put("rows", fst.rows): Unit
-        if (fst.bytes > 0) fn.put("bytes", fst.bytes): Unit
-        if (fst.cols.nonEmpty) {
-          val cn = fn.putObject("cols")
-          fst.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
-            val n = cn.putObject(c)
-            def putVal(field: String, v: Any): Unit = v match {
-              case l: Long => n.put(field, l): Unit
-              case d: Double => n.put(field, d): Unit
-              case s: String => n.put(field, s): Unit
-              case b: Boolean => n.put(field, b): Unit
-              case _ => ()
-            }
-            cs.min.foreach(putVal("min", _))
-            cs.max.foreach(putVal("max", _))
-            cs.nulls.foreach(x => n.put("nulls", x): Unit)
-          }
-        }
+        fillStatNode(sn.putObject(file), fst)
       }
     }
+    putMeta(root, txns, schemaJson, quality)
+    mapper.writeValueAsString(root)
+  }
+
+  /** One file's stats as a JSON object node — shared by the inline
+    * manifest form and the parquet sidecar's per-row `stat` strings.
+    */
+  private def fillStatNode(fn: com.fasterxml.jackson.databind.node.ObjectNode,
+      fst: FileStats): Unit = {
+    fn.put("rows", fst.rows): Unit
+    if (fst.bytes > 0) fn.put("bytes", fst.bytes): Unit
+    if (fst.cols.nonEmpty) {
+      val cn = fn.putObject("cols")
+      fst.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        val n = cn.putObject(c)
+        def putVal(field: String, v: Any): Unit = v match {
+          case l: Long => n.put(field, l): Unit
+          case d: Double => n.put(field, d): Unit
+          case s: String => n.put(field, s): Unit
+          case b: Boolean => n.put(field, b): Unit
+          case _ => ()
+        }
+        cs.min.foreach(putVal("min", _))
+        cs.max.foreach(putVal("max", _))
+        cs.nulls.foreach(x => n.put("nulls", x): Unit)
+      }
+    }
+  }
+
+  private def putMeta(root: com.fasterxml.jackson.databind.node.ObjectNode,
+      txns: Map[String, Long], schemaJson: Option[String],
+      quality: Map[String, Long]): Unit = {
     if (txns.nonEmpty) {
       val t = root.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v): Unit }
@@ -395,6 +430,27 @@ object ManifestTable {
       val qn = root.putObject("quality")
       quality.toSeq.sortBy(_._1).foreach { case (k, v) => qn.put(k, v): Unit }
     }
+  }
+
+  /** The tiny POINTER manifest head for a [[Ref]] base — everything a
+    * metadata consumer needs inline; the file rows live at `ref`.
+    */
+  private def renderRefNode(version: Long, ref: String, nFiles: Long,
+      refRows: Option[Long], txns: Map[String, Long], parts: Seq[String],
+      schemaJson: Option[String], quality: Map[String, Long],
+      dataChange: Boolean): String = {
+    val root = mapper.createObjectNode()
+    root.put("fmt", Fmt): Unit
+    root.put("version", version): Unit
+    if (!dataChange) root.put("dataChange", false): Unit
+    root.put("filesRef", ref): Unit
+    root.put("nFiles", nFiles): Unit
+    refRows.foreach(r => root.put("refRows", r): Unit)
+    if (parts.nonEmpty) {
+      val pn = root.putArray("parts")
+      parts.foreach(c => pn.add(c): Unit)
+    }
+    putMeta(root, txns, schemaJson, quality)
     mapper.writeValueAsString(root)
   }
 
@@ -405,6 +461,32 @@ object ManifestTable {
     else if (n.isIntegralNumber) Some(n.asLong())
     else if (n.isFloatingPointNumber) Some(n.asDouble())
     else None
+
+  /** One file's stats from its JSON object node (inline manifest entry
+    * or a sidecar row's `stat` string) — inverse of [[fillStatNode]].
+    * None when the row count is missing: a stats entry without it is
+    * unusable (rows = 0 would claim provable emptiness) — fail open.
+    */
+  private def statOfNode(
+      fn: com.fasterxml.jackson.databind.JsonNode): Option[FileStats] = {
+    val cols = Option(fn.get("cols")) match {
+      case None => Map.empty[String, DataSkipping.ColStats]
+      case Some(cn) =>
+        val cb = Map.newBuilder[String, DataSkipping.ColStats]
+        val cit = cn.properties().iterator()
+        while (cit.hasNext) {
+          val ce = cit.next()
+          val n = ce.getValue
+          cb += ce.getKey -> DataSkipping.ColStats(
+            jsonScalar(n.get("min")), jsonScalar(n.get("max")),
+            Option(n.get("nulls")).map(_.asLong()))
+        }
+        cb.result()
+    }
+    Option(fn.get("rows")).map(_.asLong()).map(rows =>
+      FileStats(rows, cols,
+        Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L)))
+  }
 
   private def parseManifest(json: String): Manifest = {
     val root =
@@ -436,27 +518,7 @@ object ManifestTable {
         val it = sn.properties().iterator()
         while (it.hasNext) {
           val e = it.next()
-          val fn = e.getValue
-          val cols = Option(fn.get("cols")) match {
-            case None => Map.empty[String, DataSkipping.ColStats]
-            case Some(cn) =>
-              val cb = Map.newBuilder[String, DataSkipping.ColStats]
-              val cit = cn.properties().iterator()
-              while (cit.hasNext) {
-                val ce = cit.next()
-                val n = ce.getValue
-                cb += ce.getKey -> DataSkipping.ColStats(
-                  jsonScalar(n.get("min")), jsonScalar(n.get("max")),
-                  Option(n.get("nulls")).map(_.asLong()))
-              }
-              cb.result()
-          }
-          // a stats entry without a row count is unusable (rows = 0
-          // would claim provable emptiness): drop it, fail open
-          Option(fn.get("rows")).map(_.asLong()).foreach { rows =>
-            b += e.getKey -> FileStats(rows, cols,
-              Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L))
-          }
+          statOfNode(e.getValue).foreach(fst => b += e.getKey -> fst)
         }
         b.result()
     }
@@ -488,7 +550,12 @@ object ManifestTable {
         }
         b.result()
     }
-    strings("add") match {
+    if (root.has("filesRef"))
+      Ref(root.get("filesRef").asText(),
+        Option(root.get("nFiles")).map(_.asLong()).getOrElse(0L),
+        Option(root.get("refRows")).map(_.asLong()),
+        txns, parts, schemaJson, quality, dataChange)
+    else strings("add") match {
       case Some(a) =>
         Delta(a, remove, stats, txns, parts, schemaJson, quality, dataChange,
           dvs)
@@ -507,6 +574,121 @@ object ManifestTable {
   private def readManifest(fs: FileSystem, table: Path, version: Long): Manifest =
     parseManifest(readJson(fs, manifestPath(table, version)))
 
+  /** Full-list bases switch from inline JSON to a parquet sidecar
+    * above this many files (`spark.graft.manifest.refThreshold`;
+    * `0` disables the sidecar form). The threshold IS the design:
+    * small lists are cheapest as one inline read (measured in
+    * ManifestTableSpec: at 12k files inline resolves ~3× faster than
+    * the sidecar's fixed Spark-job overhead), while the inline tree
+    * grows linearly toward the multi-GB single-threaded parse a
+    * million-file table would hit — the crossover sits in the tens of
+    * thousands of files.
+    */
+  val DefaultRefThreshold = 20000
+
+  private def refThreshold(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.manifest.refThreshold",
+      DefaultRefThreshold.toString).toInt
+
+  /** Write the per-file rows of a full-list base as a parquet sidecar
+    * under `_manifests/cpdata/` and return (table-relative dir, file
+    * count, total rows if every file has stats). Row layout: `file`
+    * (relative path), `stat` (the same JSON object an inline manifest
+    * holds per file, null when stats-less), `dv` (JSON array of
+    * deletion-vector refs, null when none) — columnar, splittable,
+    * parsed per row instead of as one tree. Written BEFORE the pointer
+    * manifest CAS-publishes; a lost race or crash leaves an orphan dir
+    * for [[vacuum]].
+    */
+  private def writeRefData(spark: SparkSession, table: Path, version: Long,
+      files: Seq[String], stats: Map[String, FileStats],
+      dvs: Map[String, Seq[DvRef]]): (String, Long, Option[Long]) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val ref = s"$ManifestDir/cpdata/r$version-${java.util.UUID.randomUUID()}"
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](files.size)
+    files.foreach { f =>
+      val statJson = stats.get(f).map { fst =>
+        val n = mapper.createObjectNode()
+        fillStatNode(n, fst)
+        mapper.writeValueAsString(n)
+      }
+      val dvJson = dvs.get(f).filter(_.nonEmpty).map { refs =>
+        val arr = mapper.createArrayNode()
+        refs.foreach { r =>
+          val o = arr.addObject()
+          o.put("path", r.path): Unit
+          o.put("rows", r.rows): Unit
+        }
+        mapper.writeValueAsString(arr)
+      }
+      rows.add(org.apache.spark.sql.Row(f, statJson.orNull, dvJson.orNull)): Unit
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("stat", StringType, nullable = true),
+      StructField("dv", StringType, nullable = true)))
+    // ~200k rows per output file: a million-file base becomes a few
+    // parquet parts a later resolution scans in parallel
+    val parts = math.max(1, files.size / 200000)
+    spark.createDataFrame(rows, schema)
+      .repartition(parts)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(table, ref).toString)
+    val refRows =
+      if (files.forall(stats.contains))
+        Some(files.iterator.map(stats(_).rows).sum)
+      else None
+    (ref, files.size.toLong, refRows)
+  }
+
+  /** Load a [[Ref]] sidecar back into (files, stats, dvs) — a columnar
+    * scan plus per-row JSON parses; never one driver-side tree.
+    */
+  private def loadRef(spark: SparkSession, table: Path,
+      ref: String): (Seq[String], Map[String, FileStats],
+      Map[String, Seq[DvRef]]) = {
+    val rows = spark.read.parquet(new Path(table, ref).toString)
+      .select("file", "stat", "dv").collect()
+    val files = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, FileStats]
+    val dvs = Map.newBuilder[String, Seq[DvRef]]
+    rows.foreach { r =>
+      val f = r.getString(0)
+      files += f
+      if (!r.isNullAt(1))
+        statOfNode(mapper.readTree(r.getString(1))).foreach(stats += f -> _)
+      if (!r.isNullAt(2)) {
+        val arr = mapper.readTree(r.getString(2))
+        dvs += f -> (0 until arr.size).map { i =>
+          val o = arr.get(i)
+          DvRef(o.get("path").asText(), o.get("rows").asLong())
+        }
+      }
+    }
+    (files.result(), stats.result(), dvs.result())
+  }
+
+  /** Commit a full-list REPLACE base, choosing the inline or sidecar
+    * form by [[refThreshold]] — the production write/truncate/compact
+    * commit path ([[commitManifest]] stays the inline primitive).
+    */
+  private[graft] def commitFullList(spark: SparkSession, fs: FileSystem,
+      table: Path, version: Long, relFiles: Seq[String],
+      txns: Map[String, Long], stats: Map[String, FileStats],
+      parts: Seq[String], schemaJson: Option[String],
+      quality: Map[String, Long] = Map.empty,
+      dataChange: Boolean = true): Boolean = {
+    val th = refThreshold(spark)
+    if (th > 0 && relFiles.size > th) {
+      val (ref, n, refRows) =
+        writeRefData(spark, table, version, relFiles, stats, Map.empty)
+      casCreate(fs, table, manifestPath(table, version),
+        renderRefNode(version, ref, n, refRows, txns, parts, schemaJson,
+          quality, dataChange))
+    } else commitManifest(fs, table, version, relFiles, txns, stats,
+      parts, schemaJson, quality, dataChange)
+  }
+
   /** Reconstruct the complete state of `version`: walk BACKWARD from
     * v(version), stacking deltas, until a base — a checkpoint at the
     * walk position or a replace manifest — then REPLAY the deltas
@@ -517,8 +699,8 @@ object ManifestTable {
     * ride along: a file's stats enter with its add and leave with its
     * remove.
     */
-  private def resolve(fs: FileSystem, table: Path, version: Long,
-      checkpoints: Set[Long]): Snapshot = {
+  private def resolve(spark: SparkSession, fs: FileSystem, table: Path,
+      version: Long, checkpoints: Set[Long]): Snapshot = {
     var deltas = List.empty[Delta] // ascending order (prepend while walking back)
     var base: Option[Manifest] = None
     var v = version
@@ -526,20 +708,25 @@ object ManifestTable {
       if (checkpoints.contains(v))
         base = Some(parseManifest(readJson(fs, checkpointPath(table, v))))
       else readManifest(fs, table, v) match {
-        case r: Replace => base = Some(r)
         case d: Delta => deltas = d :: deltas; v -= 1
+        case other => base = Some(other) // Replace or Ref: self-basing
       }
     }
-    var files: Seq[String] = base match {
-      case Some(r: Replace) => r.files
-      case Some(d: Delta) => d.add // checkpoints are full lists
-      case None => Seq.empty
+    val baseState: (Seq[String], Map[String, FileStats],
+        Map[String, Seq[DvRef]]) = base match {
+      case Some(r: Replace) => (r.files, r.stats, r.dvs)
+      // pointer base: the file rows live in the parquet sidecar —
+      // a columnar load, never a giant JSON tree
+      case Some(rf: Ref) => loadRef(spark, table, rf.ref)
+      case Some(d: Delta) => (d.add, d.stats, d.dvs) // legacy checkpoint
+      case None => (Seq.empty, Map.empty, Map.empty)
     }
-    var stats: Map[String, FileStats] = base.map(_.stats).getOrElse(Map.empty)
+    var files: Seq[String] = baseState._1
+    var stats: Map[String, FileStats] = baseState._2
+    var dvs: Map[String, Seq[DvRef]] = baseState._3
     // a file's deletion vectors enter with a dv commit and leave with
     // the file's remove (a rewrite of the file materializes or
     // supersedes them); compact's replace resets the map to empty
-    var dvs: Map[String, Seq[DvRef]] = base.map(_.dvs).getOrElse(Map.empty)
     deltas.foreach { d =>
       if (d.remove.nonEmpty) {
         val rm = d.remove.toSet
@@ -556,9 +743,9 @@ object ManifestTable {
     Snapshot(files.sorted, stats, dvs)
   }
 
-  private def resolveFiles(fs: FileSystem, table: Path, version: Long,
-      checkpoints: Set[Long]): Seq[String] =
-    resolve(fs, table, version, checkpoints).files
+  private def resolveFiles(spark: SparkSession, fs: FileSystem,
+      table: Path, version: Long, checkpoints: Set[Long]): Seq[String] =
+    resolve(spark, fs, table, version, checkpoints).files
 
   /** The txn watermarks at `version` — every manifest carries the full
     * (tiny) map, so no walk is needed.
@@ -734,19 +921,33 @@ object ManifestTable {
     * walks). Called after every interval-th delta commit and by vacuum
     * at the retention floor.
     */
-  private def writeCheckpoint(fs: FileSystem, table: Path, version: Long): Unit =
+  private def writeCheckpoint(spark: SparkSession, fs: FileSystem,
+      table: Path, version: Long): Unit =
     try {
       val cp = checkpointPath(table, version)
       if (!fs.exists(cp)) {
         val (_, cs) = listLog(fs, table)
-        val snap = resolve(fs, table, version, cs)
+        val snap = resolve(spark, fs, table, version, cs)
         val m = readManifest(fs, table, version) // one read for txns/parts/schema
-        casCreate(fs, table, cp,
+        val th = refThreshold(spark)
+        if (th > 0 && snap.files.size > th) {
+          // big checkpoint: parquet sidecar + tiny pointer head (the
+          // Delta checkpoint.parquet recipe) — later resolutions load
+          // the base columnar instead of parsing one giant JSON tree
+          val (ref, n, refRows) = writeRefData(spark, table, version,
+            snap.files, snap.stats, snap.dvs)
+          casCreate(fs, table, cp,
+            renderRefNode(version, ref, n, refRows, m.txns, m.parts,
+              m.schemaJson, Map.empty, dataChange = true)): Unit
+        } else casCreate(fs, table, cp,
           renderNode(version, "files", snap.files, m.txns,
             snap.stats, parts = m.parts,
             schemaJson = m.schemaJson, dvs = snap.dvs)): Unit
       }
-    } catch { case _: java.io.IOException => () } // commit already durable
+    } catch { // commit already durable; a lost checkpoint only lengthens walks
+      case _: java.io.IOException => ()
+      case scala.util.control.NonFatal(_) => () // sidecar write failure
+    }
 
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.get("spark.graft.manifest.checkpointInterval",
@@ -755,7 +956,7 @@ object ManifestTable {
   private def maybeCheckpoint(spark: SparkSession, fs: FileSystem, table: Path,
       version: Long): Unit = {
     val n = checkpointInterval(spark)
-    if (n > 0 && version % n == 0) writeCheckpoint(fs, table, version)
+    if (n > 0 && version % n == 0) writeCheckpoint(spark, fs, table, version)
   }
 
   /** Per-file column statistics for freshly committed files (footer +
@@ -821,7 +1022,7 @@ object ManifestTable {
     val (toWrite, quality) = applyExpectations(df, expectations, table)
     val files = writeSnapshot(fs, p, toWrite, base + 1, parts,
       maxRecordsPerFile)
-    if (!commitManifest(fs, p, base + 1, files,
+    if (!commitFullList(spark, fs, p, base + 1, files,
       m.map(_.txns).getOrElse(Map.empty),
       collectStats(spark, p, files), parts,
       Some(df.schema.json), quality)) raceLost(table, base + 1)
@@ -956,7 +1157,7 @@ object ManifestTable {
     val (vs, cs) = listLog(fs, p)
     val v = if (version > 0) version else vs.foldLeft(0L)(math.max)
     require(v > 0, s"no committed version in $table")
-    resolveFiles(fs, p, v, cs)
+    resolveFiles(spark, fs, p, v, cs)
   }
 
   /** The streaming idempotence watermarks of the current snapshot:
@@ -1123,7 +1324,7 @@ object ManifestTable {
     val (vs, cs) = listLog(fs, p)
     val v = if (version > 0) version else vs.foldLeft(0L)(math.max)
     require(v > 0, s"no committed version in $table")
-    (fs, p, v, resolve(fs, p, v, cs))
+    (fs, p, v, resolve(spark, fs, p, v, cs))
   }
 
   /** Predicate read with FILE-LEVEL DATA SKIPPING: resolve the
@@ -1422,23 +1623,28 @@ object ManifestTable {
     val timeOf: Map[Long, Long] = commitTimes(fs, p, vs).toMap
     val rows = vs.sorted.map { v =>
       val m = readManifest(fs, p, v)
-      val (kind, addList, removed) = m match {
-        case r: Replace => ("replace", r.files, -1)
-        case d: Delta if d.dvs.nonEmpty => ("delete-vector", d.add, 0)
-        case d: Delta =>
-          (if (d.remove.isEmpty) "append" else "rewrite", d.add, d.remove.size)
-      }
-      val rowsAdded: Option[Long] =
+      def rowsOf(addList: Seq[String]): Option[Long] =
         if (addList.nonEmpty && addList.forall(m.stats.contains))
           Some(addList.iterator.map(m.stats(_).rows).sum)
         else if (addList.isEmpty) Some(0L)
         else None
+      // pointer bases answer from their inline head (nFiles/refRows) —
+      // history never loads a sidecar
+      val (kind, added, removed, rowsAdded) = m match {
+        case r: Replace => ("replace", r.files.size, -1, rowsOf(r.files))
+        case rf: Ref => ("replace", rf.nFiles.toInt, -1, rf.refRows)
+        case d: Delta if d.dvs.nonEmpty =>
+          ("delete-vector", d.add.size, 0, rowsOf(d.add))
+        case d: Delta =>
+          (if (d.remove.isEmpty) "append" else "rewrite",
+            d.add.size, d.remove.size, rowsOf(d.add))
+      }
       def asJson(kv: Map[String, Long]): String = mapper.writeValueAsString {
         val n = mapper.createObjectNode()
         kv.toSeq.sortBy(_._1).foreach { case (k, x) => n.put(k, x): Unit }
         n
       }
-      (v, kind, addList.size, removed, rowsAdded, asJson(m.txns),
+      (v, kind, added, removed, rowsAdded, asJson(m.txns),
         asJson(m.quality), timeOf(v))
     }
     val sq = spark
@@ -1543,15 +1749,16 @@ object ManifestTable {
     * change) vs an incremental append delivery (empty = nothing
     * happened, no commit needed).
     */
-  private def changedFilesBetween(fs: FileSystem, p: Path, table: String,
+  private def changedFilesBetween(spark: SparkSession, fs: FileSystem,
+      p: Path, table: String,
       consumerId: String, from: Long, current: Long,
       onRewrite: String): (Seq[String], Boolean) = {
     if (from == 0)
-      return (resolveFiles(fs, p, current, listLog(fs, p)._2), true)
+      return (resolveFiles(spark, fs, p, current, listLog(fs, p)._2), true)
     appendAddsBetween(fs, p, table, from, current) match {
       case Right(adds) => (adds, false)
       case Left(_) if onRewrite == ConsumeFullResync =>
-        (resolveFiles(fs, p, current, listLog(fs, p)._2), true)
+        (resolveFiles(spark, fs, p, current, listLog(fs, p)._2), true)
       case Left(rewriteAt) => throw new IllegalStateException(
         s"consumed range ($from, $current] of $table contains a rewrite " +
           s"commit (v$rewriteAt: delete/merge/overwrite) that a file-level " +
@@ -1577,7 +1784,7 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     val (_, cs) = listLog(fs, p)
     val files =
-      if (fromVersion == 0) resolveFiles(fs, p, toVersion, cs)
+      if (fromVersion == 0) resolveFiles(spark, fs, p, toVersion, cs)
       else appendAddsBetween(fs, p, table, fromVersion, toVersion) match {
         case Right(adds) => adds
         case Left(rewriteAt) => throw new IllegalStateException(
@@ -1593,7 +1800,7 @@ object ManifestTable {
     // ride adds); files later removed by a compaction in the range
     // still resolve statuses from their immutable snapshot dirs
     val snap0 =
-      if (fromVersion == 0) Some(resolve(fs, p, toVersion, cs)) else None
+      if (fromVersion == 0) Some(resolve(spark, fs, p, toVersion, cs)) else None
     val stats: Map[String, FileStats] =
       snap0.map(_.stats).getOrElse(Map.empty)
     val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
@@ -1649,8 +1856,8 @@ object ManifestTable {
     // add the exact delivery); compactions (dataChange = false) are
     // skipped; genuine rewrites (delete/merge/overwrite) cannot be
     // expressed as file-level additions → the `onRewrite` policy.
-    val (added, isSnapshot) = changedFilesBetween(fs, p, table, consumerId,
-      from, current, onRewrite)
+    val (added, isSnapshot) = changedFilesBetween(spark, fs, p, table,
+      consumerId, from, current, onRewrite)
     // a range of pure metadata commits delivers nothing and must not
     // commit either; a SNAPSHOT delivery always fires (an empty
     // snapshot after a truncate/delete-all IS the change)
@@ -1737,7 +1944,7 @@ object ManifestTable {
       // maintenance must retry, not race.
       val base = currentVersion(spark, table)
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
-      val snapB = resolve(fs, p, base, listLog(fs, p)._2)
+      val snapB = resolve(spark, fs, p, base, listLog(fs, p)._2)
       val before = snapB.files
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val totalBytes = snapshotBytes(fs, p, before, snapB.stats)
@@ -1757,7 +1964,7 @@ object ManifestTable {
       val bytesPerRow = math.max(totalBytes / totalRows, 1L)
       val files = writeSnapshot(fs, p, df, base + 1, parts,
         math.max(targetFileBytes / bytesPerRow, 1L))
-      if (commitManifest(fs, p, base + 1, files,
+      if (commitFullList(spark, fs, p, base + 1, files,
         m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, files), parts,
         m.flatMap(_.schemaJson),
@@ -1848,7 +2055,7 @@ object ManifestTable {
       require(base > 0, s"no committed version in $table")
       val (_, cs) = listLog(fs, p)
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
-      val snap = resolve(fs, p, base, cs)
+      val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val predExpr = DataSkipping.expressionOf(predicate) // normalize once
       val candidates = snap.files.filter(f =>
@@ -1906,7 +2113,7 @@ object ManifestTable {
       require(base > 0, s"no committed version in $table")
       val (_, cs) = listLog(fs, p)
       val m = manifestAt(fs, p, base)
-      val snap = resolve(fs, p, base, cs)
+      val snap = resolve(spark, fs, p, base, cs)
       val predExpr = DataSkipping.expressionOf(predicate)
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(snap.stats.get(f), predExpr))
@@ -1966,7 +2173,7 @@ object ManifestTable {
       require(base > 0, s"no committed version in $table")
       val (_, cs) = listLog(fs, p)
       val m = manifestAt(fs, p, base)
-      val snap = resolve(fs, p, base, cs)
+      val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val predExpr = DataSkipping.expressionOf(predicate)
       val candidates = snap.files.filter(f =>
@@ -2049,7 +2256,7 @@ object ManifestTable {
     val base = currentVersion(spark, table)
     require(base > 0, s"no committed version in $table")
     val m = manifestAt(fs, p, base)
-    if (!commitManifest(fs, p, base + 1, Seq.empty,
+    if (!commitFullList(spark, fs, p, base + 1, Seq.empty,
       m.map(_.txns).getOrElse(Map.empty), Map.empty,
       m.map(_.parts).getOrElse(Seq.empty),
       m.flatMap(_.schemaJson))) raceLost(table, base + 1)
@@ -2090,7 +2297,7 @@ object ManifestTable {
       require(base > 0, s"no committed version in $table")
       val (_, cs) = listLog(fs, p)
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
-      val snap = resolve(fs, p, base, cs)
+      val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       // ONE multi-agg over the source serves two purposes: (1) the
       // duplicate-key guard — SQL MERGE errors when several source
@@ -2192,9 +2399,10 @@ object ManifestTable {
     // self-basing afterward: pruning the prefix under a delta floor
     // with no checkpoint would leave the whole table unresolvable.
     val floorIsDelta = readManifest(fs, p, floor) match {
-      case _: Delta => true; case _: Replace => false
+      case _: Delta => true
+      case _ => false // Replace and Ref bases are self-basing
     }
-    if (!cs.contains(floor) && floorIsDelta) writeCheckpoint(fs, p, floor)
+    if (!cs.contains(floor) && floorIsDelta) writeCheckpoint(spark, fs, p, floor)
     val floorSelfBasing = !floorIsDelta ||
       fs.exists(checkpointPath(p, floor))
     val live = retained
@@ -2231,7 +2439,7 @@ object ManifestTable {
     val delDir = new Path(p, "deletes")
     if (fs.exists(delDir)) {
       val liveDv: Set[String] = retained.flatMap(ver =>
-        resolve(fs, p, ver, cs).dvs.values.flatten.map(_.path)).toSet
+        resolve(spark, fs, p, ver, cs).dvs.values.flatten.map(_.path)).toSet
       fs.listStatus(delDir).foreach { d =>
         if (!liveDv.contains(relativize(p, d.getPath)) &&
           d.getModificationTime < cutoff)
@@ -2242,7 +2450,7 @@ object ManifestTable {
     // serialize with same-JVM commits so the staged-file backstop can
     // never race a commit currently between create and publish
     commitMonitor(p).synchronized {
-      fs.listStatus(mdir).foreach { m =>
+      fs.listStatus(mdir).filter(_.isFile).foreach { m =>
         val n = m.getPath.getName
         // manifests AND checkpoints below the retention floor — ONLY
         // once the floor provably resolves without them (a failed
@@ -2259,6 +2467,28 @@ object ManifestTable {
           m.getModificationTime <
             System.currentTimeMillis() - math.max(graceMs, 600000L)
         if (stale || staleStaged) fs.delete(m.getPath, false): Unit
+      }
+    }
+    // parquet-sidecar dirs (cpdata): live iff some REMAINING manifest
+    // or checkpoint head points at them. Orphans — lost commit races,
+    // crashed writers, heads pruned above — are swept once older than
+    // the grace (a sidecar is written BEFORE its pointer publishes,
+    // same in-flight protection as data files). The heads re-read here
+    // are the small pointer/delta JSONs left after pruning.
+    val cpdata = new Path(mdir, "cpdata")
+    if (fs.exists(cpdata)) {
+      val liveRefs: Set[String] = fs.listStatus(mdir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+        .flatMap { st =>
+          try parseManifest(readJson(fs, st.getPath)) match {
+            case rf: Ref => Some(rf.ref)
+            case _ => None
+          } catch { case _: java.io.IOException => None }
+        }.toSet
+      fs.listStatus(cpdata).foreach { d =>
+        if (!liveRefs.contains(relativize(p, d.getPath)) &&
+          d.getModificationTime < cutoff)
+          fs.delete(d.getPath, true): Unit
       }
     }
     removed

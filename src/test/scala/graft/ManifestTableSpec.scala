@@ -375,6 +375,117 @@ class ManifestTableSpec extends AnyFunSuite {
       .forall(!_.getPath.getName.contains(".tmp-")))
   }
 
+  test("parquet-ref base: a 12k-file log resolves without one inline JSON tree") {
+    val t = freshTable()
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.sinks.DataSkipping.{ColStats, FileStats}
+    // synthetic full-list base of 12 000 files with per-file stats —
+    // resolution is pure metadata (no data file is ever opened), so
+    // the files need not exist; this is the million-file shape scaled
+    // to test time (VERDICT r12 "What's missing" #1)
+    val files = (0 until 12000).map(i => f"data/s1-x/part-$i%05d.parquet")
+    val stats = files.zipWithIndex.map { case (f, i) =>
+      f -> FileStats(2L,
+        Map("id" -> ColStats(Some(2L * i), Some(2L * i + 1), Some(0L))),
+        1000L)
+    }.toMap
+    spark.conf.set("spark.graft.manifest.refThreshold", "1000")
+    assert(ManifestTable.commitFullList(spark, fs, p, 1L, files,
+      Map("app" -> 7L), stats, Seq.empty, None),
+      "the >threshold full-list commit must succeed")
+    // the committed head is a TINY pointer, not a 12k-entry tree
+    val head = scala.io.Source.fromFile(
+      s"$t/_manifests/v000000000001.json").mkString
+    assert(head.contains("\"filesRef\"") && head.length < 2000,
+      s"head must be a pointer (got ${head.length} bytes)")
+    // resolution loads the sidecar: files, stats, txns all intact
+    val t0 = System.nanoTime()
+    val resolved = ManifestTable.currentFiles(spark, t)
+    val sidecarMs = (System.nanoTime() - t0) / 1000000
+    assert(resolved.size == 12000 && resolved == files.sorted)
+    assert(ManifestTable.fileStats(spark, t).size == 12000)
+    assert(ManifestTable.rowCount(spark, t).contains(24000L),
+      "metadata row count must survive the sidecar round-trip")
+    assert(ManifestTable.columnBounds(spark, t, "id")
+      .contains((0L, 23999L)), "column bounds must survive")
+    assert(ManifestTable.streamTxns(spark, t) == Map("app" -> 7L),
+      "txn watermarks stay in the inline head")
+    val h = ManifestTable.history(spark, t).head()
+    assert(h.getString(1) == "replace" && h.getInt(2) == 12000 &&
+      h.getLong(4) == 24000L,
+      s"history answers from the pointer head without a sidecar load: $h")
+    // deltas stack on a pointer base like on any other
+    import spark.implicits._
+    ManifestTable.append(spark,
+      Seq((1L, "x", 0)).toDF("id", "tag", "bucket"), t)
+    assert(ManifestTable.currentFiles(spark, t).size == 12001)
+    // reference timing: the same list forced INLINE (threshold high)
+    val t2dir = freshTable()
+    val p2 = new org.apache.hadoop.fs.Path(t2dir)
+    spark.conf.set("spark.graft.manifest.refThreshold", "100000")
+    try {
+      assert(ManifestTable.commitFullList(spark, fs, p2, 1L, files,
+        Map.empty, stats, Seq.empty, None))
+      val t1 = System.nanoTime()
+      assert(ManifestTable.currentFiles(spark, t2dir).size == 12000)
+      val inlineMs = (System.nanoTime() - t1) / 1000000
+      info(s"12k-file base resolution: sidecar ${sidecarMs} ms, " +
+        s"inline JSON ${inlineMs} ms")
+    } finally spark.conf.unset("spark.graft.manifest.refThreshold")
+  }
+
+  test("life cycle on sidecar bases (threshold=1): write/DV/checkpoint/compact") {
+    spark.conf.set("spark.graft.manifest.refThreshold", "1")
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "2")
+    try {
+      val t = freshTable()
+      import spark.implicits._
+      val d0 = (0 until 100).map(i => (i.toLong, s"tag${i % 7}"))
+        .toDF("id", "tag")
+      ManifestTable.write(spark,
+        d0.repartitionByRange(5, col("id")), t) // v1: sidecar replace
+      val head = scala.io.Source.fromFile(
+        s"$t/_manifests/v000000000001.json").mkString
+      assert(head.contains("\"filesRef\""), "5 files > threshold 1 → pointer")
+      ManifestTable.append(spark,
+        Seq((100L, "x"), (101L, "y")).toDF("id", "tag"), t) // v2 + checkpoint
+      ManifestTable.deleteVectors(spark, t, col("id") === 50L) // v3
+      ManifestTable.append(spark,
+        Seq((102L, "z")).toDF("id", "tag"), t) // v4 + checkpoint (with DVs)
+      assert(new java.io.File(s"$t/_manifests/c000000000004.json").exists,
+        "interval checkpoint must exist")
+      // the v4 checkpoint is itself a sidecar base carrying the DV —
+      // resolution from it must keep the delete applied
+      assert(ManifestTable.read(spark, t).count() == 102L)
+      assert(ManifestTable.rowCount(spark, t).contains(102L))
+      assert(ManifestTable.scan(spark, t)
+        .filter(col("id") >= 49L && col("id") <= 51L)
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(49L, 51L))
+      // CoW delete + compact through sidecar bases
+      ManifestTable.delete(spark, t, col("id") < 10L) // v5
+      val cs = ManifestTable.compact(spark, t) // v6: sidecar replace
+      assert(cs.filesBefore > cs.filesAfter || cs.filesAfter >= 1)
+      assert(ManifestTable.read(spark, t).count() == 92L)
+      // incremental consumers classify sidecar compacts by the head
+      var delivered = -1L
+      ManifestTable.consumeChanges(spark, t, "c1") { (d, _, _) =>
+        delivered = d.count() }
+      assert(delivered == 92L, "initial snapshot through sidecar bases")
+      ManifestTable.append(spark, Seq((200L, "w")).toDF("id", "tag"), t)
+      ManifestTable.consumeChanges(spark, t, "c1") { (d, _, _) =>
+        delivered = d.count() }
+      assert(delivered == 1L, "append-only increment after a sidecar base")
+      // vacuum sweeps orphaned sidecars but keeps the referenced ones
+      ManifestTable.vacuum(spark, t, keepVersions = 1, graceMs = 0L)
+      assert(ManifestTable.read(spark, t).count() == 93L,
+        "current snapshot intact after vacuum")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.refThreshold")
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
+
   test("commit CAS: a second writer racing the same version loses cleanly") {
     val t = freshTable()
     val v1files = {
