@@ -1294,6 +1294,95 @@ object PipelineOps {
     */
   val p30Sql: String = p21Sql
 
+  private val p31Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p31: the CDC MERGE statement — the text every Delta/Iceberg CDC
+    * pipeline writes (`WHEN MATCHED AND op='D' THEN DELETE`,
+    * conditional partial `UPDATE SET`, column-list `INSERT`, and
+    * `WHEN NOT MATCHED BY SOURCE`), against a catalog table holding
+    * the even half of the corpus. The change feed updates `doc_id%6=2`
+    * (+1000 chars), deletes `doc_id%6=0`, inserts the odd
+    * `doc_id%3=0` docs; rows untouched by the feed with
+    * `doc_id%10=4` are zeroed by the by-source clause. The resolution
+    * rule maps the statement onto
+    * [[graft.sinks.ManifestTable.mergeClauses]] (key-range + by-source
+    * stats pruning, first-match clause order, duplicate-key guard,
+    * O(changed files) rewrite). The oracle reconstructs the final
+    * table with a join + set algebra, so a hash match proves every
+    * clause's semantics end-to-end.
+    */
+  def p31SqlMergeCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inv = p31Invocation.incrementAndGet()
+    val cat = s"p31lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p31_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    docs.createOrReplaceTempView("p31_docs")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(
+      s"""CREATE TABLE $cat.corpus.docs AS
+         |SELECT /*+ REPARTITION_BY_RANGE(8, doc_id) */
+         |  doc_id, lang, n_chars FROM p31_docs
+         |WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO $cat.corpus.docs t
+         |USING (SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS op
+         |       FROM p31_docs WHERE doc_id % 6 = 2
+         |       UNION ALL
+         |       SELECT doc_id, lang, n_chars, 'D' AS op
+         |       FROM p31_docs WHERE doc_id % 6 = 0
+         |       UNION ALL
+         |       SELECT doc_id, lang, n_chars, 'I' AS op
+         |       FROM p31_docs WHERE doc_id % 2 = 1 AND doc_id % 3 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED AND s.op = 'I' THEN
+         |  INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 10 = 4 THEN
+         |  UPDATE SET n_chars = 0""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM $cat.corpus.docs
+         |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin)
+  }
+
+  /** DuckDB reconstruction of the CDC merge: matched rows keep/take
+    * the feed's value or die by op, by-source rows zero on the
+    * condition, inserts are the feed's unmatched 'I' rows.
+    */
+  val p31Sql: String =
+    """WITH tgt AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |cdc AS (
+      |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS op
+      |  FROM documents WHERE doc_id % 6 = 2
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'D' AS op
+      |  FROM documents WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'I' AS op
+      |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0),
+      |merged AS (
+      |  SELECT t.doc_id, t.lang,
+      |    CASE WHEN c.op IS NOT NULL THEN c.n_chars
+      |         WHEN t.doc_id % 10 = 4 THEN 0
+      |         ELSE t.n_chars END AS n_chars
+      |  FROM tgt t LEFT JOIN cdc c ON t.doc_id = c.doc_id
+      |  WHERE c.op IS NULL OR c.op <> 'D'
+      |  UNION ALL
+      |  SELECT c.doc_id, c.lang, c.n_chars
+      |  FROM cdc c LEFT JOIN tgt t ON c.doc_id = t.doc_id
+      |  WHERE t.doc_id IS NULL AND c.op = 'I')
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM merged GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   private val p26Invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** p26: the SQL CATALOG surface — the corpus driven through a

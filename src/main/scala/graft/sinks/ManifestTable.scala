@@ -2299,45 +2299,8 @@ object ManifestTable {
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
-      // ONE multi-agg over the source serves two purposes: (1) the
-      // duplicate-key guard — SQL MERGE errors when several source
-      // rows match one target row; silently landing both copies would
-      // corrupt key uniqueness (ADVICE r11): rows whose key is fully
-      // non-null (the only rows that can match) vs distinct such keys
-      // (when() nulls out partially-null keys so count_distinct skips
-      // them — a struct with null FIELDS is itself non-null and would
-      // mask duplicates; NULL-keyed rows never match and may repeat);
-      // (2) PER-COLUMN key bounds for stats pruning: a file can only
-      // hold a matched key if every key column's file range overlaps
-      // that column's source range (min/max ignore nulls; an all-null
-      // column proves no source row can match at all).
-      val candidates = {
-        import org.apache.spark.sql.functions.{count_distinct, struct, sum, when}
-        val nonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
-        val aggs = keyCols.flatMap(k =>
-          Seq(fmin(col(k)).as(s"mn_$k"), fmax(col(k)).as(s"mx_$k"))) ++ Seq(
-          sum(when(nonNull, 1L).otherwise(0L)).as("_graft_n"),
-          count_distinct(when(nonNull, struct(keyCols.map(col): _*)))
-            .as("_graft_d"))
-        val r = source.agg(aggs.head, aggs.tail: _*).head()
-        val nIdx = 2 * keyCols.size
-        val n = if (r.isNullAt(nIdx)) 0L else r.getLong(nIdx)
-        val d = r.getLong(nIdx + 1)
-        if (n > d) throw new IllegalArgumentException(
-          s"merge source has duplicate values of key (${keyCols.mkString(", ")}): " +
-            s"$n keyed rows but only $d distinct keys — a target row would " +
-            "be replaced by multiple source rows. De-duplicate the source " +
-            "first.")
-        if (keyCols.indices.exists(i => r.isNullAt(2 * i))) Seq.empty
-        else {
-          val pred = keyCols.zipWithIndex.map { case (k, i) =>
-            col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
-          }.reduce(_ && _)
-          val predExpr = DataSkipping.expressionOf(pred)
-          snap.files.filter(f =>
-            DataSkipping.mayMatch(snap.stats.get(f), predExpr))
-        }
-      }
+      val candidates =
+        mergeKeyCandidates(source, keyCols.map(k => k -> k), snap)
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
         else hitFiles(spark, table, candidates, snap.dvs,
@@ -2355,6 +2318,264 @@ object ManifestTable {
         schemaJson = Some(evolved.json))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
+      }
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** ONE multi-agg over the merge source serving two purposes: (1) the
+    * duplicate-key guard — SQL MERGE errors when several source rows
+    * match one target row; silently landing both copies would corrupt
+    * key uniqueness (ADVICE r11): rows whose key is fully non-null
+    * (the only rows that can match) vs distinct such keys (when()
+    * nulls out partially-null keys so count_distinct skips them — a
+    * struct with null FIELDS is itself non-null and would mask
+    * duplicates; NULL-keyed rows never match and may repeat); (2)
+    * PER-COLUMN key bounds for stats pruning: a file can only hold a
+    * matched key if every key column's file range overlaps that
+    * column's source range (min/max ignore nulls; an all-null column
+    * proves no source row can match at all). `keyPairs` maps target
+    * key column → source key column (they differ when the SQL ON
+    * clause equates differently-named columns).
+    */
+  private def mergeKeyCandidates(source: DataFrame,
+      keyPairs: Seq[(String, String)], snap: Snapshot): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count_distinct, lit, struct, sum, when, max => fmax, min => fmin}
+    val sCols = keyPairs.map(_._2)
+    val nonNull = sCols.map(col(_).isNotNull).reduce(_ && _)
+    val aggs = sCols.zipWithIndex.flatMap { case (k, i) =>
+      Seq(fmin(col(k)).as(s"mn_$i"), fmax(col(k)).as(s"mx_$i")) } ++ Seq(
+      sum(when(nonNull, 1L).otherwise(0L)).as("_graft_n"),
+      count_distinct(when(nonNull, struct(sCols.map(col): _*)))
+        .as("_graft_d"))
+    val r = source.agg(aggs.head, aggs.tail: _*).head()
+    val nIdx = 2 * keyPairs.size
+    val n = if (r.isNullAt(nIdx)) 0L else r.getLong(nIdx)
+    val d = r.getLong(nIdx + 1)
+    if (n > d) throw new IllegalArgumentException(
+      s"merge source has duplicate values of key (${sCols.mkString(", ")}): " +
+        s"$n keyed rows but only $d distinct keys — a target row would " +
+        "be replaced by multiple source rows. De-duplicate the source " +
+        "first.")
+    if (keyPairs.indices.exists(i => r.isNullAt(2 * i))) Seq.empty
+    else {
+      val pred = keyPairs.zipWithIndex.map { case ((t, _), i) =>
+        col(t) >= lit(r.get(2 * i)) && col(t) <= lit(r.get(2 * i + 1))
+      }.reduce(_ && _)
+      val predExpr = DataSkipping.expressionOf(pred)
+      snap.files.filter(f =>
+        DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+    }
+  }
+
+  /** Clause specs for [[mergeClauses]] — the full SQL MERGE clause
+    * grammar. Conditions and SET/VALUES expressions are written
+    * against the aliases `t` (target row) and `s` (source row), e.g.
+    * `col("t.qty") + col("s.delta")`. `set = None` means DELETE.
+    * Within each group, clauses apply FIRST-MATCH in declaration
+    * order (SQL MERGE semantics); a null condition evaluates as
+    * not-applicable.
+    */
+  final case class MatchedClause(condition: Option[Column],
+      set: Option[Map[String, Column]])
+  final case class NotMatchedClause(condition: Option[Column],
+      values: Map[String, Column])
+  final case class BySourceClause(condition: Option[Column],
+      set: Option[Map[String, Column]])
+
+  /** Generalized row-level MERGE (the full CDC statement —
+    * `WHEN MATCHED [AND c] THEN UPDATE SET .../DELETE`,
+    * `WHEN NOT MATCHED [AND c] THEN INSERT ...`,
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE`), the
+    * copy-on-write engine behind SQL MERGE INTO beyond the canonical
+    * whole-row upsert ([[merge]], which remains the cheaper path for
+    * that shape). The rewrite unit stays the FILE: key-range
+    * statistics prune to candidate files (plus the by-source
+    * conditions' own stats pruning — an unconditioned by-source
+    * clause inspects every file, which is what its semantics demand),
+    * one pass finds the files whose rows actually CHANGE under the
+    * clause conditions, only those are rewritten, inserts land as
+    * fresh files, and the commit is one O(touched files) delta.
+    * `keyPairs` maps target key columns to source key columns (the ON
+    * equi-condition); NULL-keyed rows never match (SQL join
+    * semantics). The source must have at most one row per key (the
+    * duplicate guard). Returns the committed version (the current one
+    * when no row changes and nothing inserts).
+    */
+  def mergeClauses(spark: SparkSession, source: DataFrame, table: String,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[MatchedClause] = Seq.empty,
+      notMatched: Seq[NotMatchedClause] = Seq.empty,
+      bySource: Seq[BySourceClause] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(keyPairs.nonEmpty, "merge needs at least one key pair")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "merge needs at least one clause")
+    val (fs, p) = fsOf(spark, table)
+    val MarkCol = "_graft_src_hit"
+    // the source is re-evaluated across the guard agg, the hit scan,
+    // the rewrite and the insert — pin ONE evaluation so a
+    // non-deterministic source cannot diverge between them
+    val src = source.localCheckpoint()
+    val srcMarked = src.withColumn(MarkCol, lit(true)).alias("s")
+    def keyCond: Column = keyPairs.map { case (t, s) =>
+      col(s"t.$t") === col(s"s.$s") }.reduce(_ && _)
+    def condOf(c: Option[Column]): Column =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    // strip the t-alias off a by-source condition for stats pruning
+    // (fail-open: shapes the skipper cannot prove keep their files)
+    def pruneExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      DataSkipping.expressionOf(c).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 2 && a.nameParts.head == "t" =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(a.nameParts.last))
+      }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(spark, fs, p, base, cs)
+      val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      val recorded = recordedSchema(m)
+      // candidate files: those that could hold a matched key, plus —
+      // when by-source clauses exist — those where a by-source
+      // condition could hold (an unconditioned clause keeps them all)
+      val keyCand = mergeKeyCandidates(src, keyPairs, snap)
+      val bySourceCand: Seq[String] =
+        if (bySource.isEmpty) Seq.empty
+        else if (bySource.exists(_.condition.isEmpty)) snap.files
+        else {
+          val preds = bySource.flatMap(_.condition).map(pruneExpr)
+          snap.files.filter(f =>
+            preds.exists(e => DataSkipping.mayMatch(snap.stats.get(f), e)))
+        }
+      val candidates = (keyCand ++ bySourceCand).distinct.sorted
+      // first-match application, shared by the hit scan and the
+      // rewrite: per clause an `applies` predicate (matched state &&
+      // own condition && no earlier clause applied)
+      def clausePlan(matchedFlag: Column): (Column /*anyChange*/,
+          Column /*delete*/, Seq[(Column, Map[String, Column])] /*updates*/) = {
+        var noEarlierM = lit(true)
+        val mApplies = matched.map { cl =>
+          val a = matchedFlag && condOf(cl.condition) && noEarlierM
+          noEarlierM = noEarlierM && !(matchedFlag && condOf(cl.condition))
+          (a, cl)
+        }
+        var noEarlierB = lit(true)
+        val bApplies = bySource.map { cl =>
+          val a = !matchedFlag && condOf(cl.condition) && noEarlierB
+          noEarlierB = noEarlierB && !(!matchedFlag && condOf(cl.condition))
+          (a, cl)
+        }
+        val all = mApplies.map { case (a, cl) => (a, cl.set) } ++
+          bApplies.map { case (a, cl) => (a, cl.set) }
+        val anyChange = all.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
+        val del = all.collect { case (a, None) => a }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val ups = all.collect { case (a, Some(set)) => (a, set) }
+        (anyChange, del, ups)
+      }
+      val hits =
+        if (candidates.isEmpty) Seq.empty[String]
+        else hitFiles(spark, table, candidates, snap.dvs, { tagged =>
+          val joined = tagged.alias("t")
+            .join(srcMarked, keyCond, "left_outer")
+          val (anyChange, _, _) =
+            clausePlan(coalesce(col(s"s.$MarkCol"), lit(false)))
+          joined.filter(anyChange)
+        })
+      // rewrite the hit files under the clause plan
+      val rewritten: Option[DataFrame] =
+        if (hits.isEmpty) None
+        else {
+          val tgt = readFiles(spark, table, hits, snap.dvs)
+          val cols = tgt.columns.toIndexedSeq
+          val joined = tgt.alias("t").join(srcMarked, keyCond, "left_outer")
+          val (_, del, ups) =
+            clausePlan(coalesce(col(s"s.$MarkCol"), lit(false)))
+          val out = cols.map { c =>
+            ups.foldRight(col(s"t.$c")) { case ((a, set), acc) =>
+              set.get(c).fold(acc)(v => when(a, v).otherwise(acc))
+            }.as(c)
+          }
+          Some(joined.filter(!del).select(out: _*))
+        }
+      // inserts: source rows whose key matches NO live target row.
+      // Key lookup scans only the key-candidate files (other files
+      // provably hold no matching key).
+      val inserts: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else {
+          val targetKeys =
+            if (keyCand.isEmpty) null
+            else readFiles(spark, table, keyCand, snap.dvs)
+              .select(keyPairs.map(kp => col(kp._1).as(s"_graft_tk_${kp._1}")): _*)
+          val unmatched0 = src.alias("s")
+          val unmatched =
+            if (targetKeys == null) unmatched0
+            else unmatched0.join(targetKeys,
+              keyPairs.map(kp =>
+                col(s"s.${kp._2}") === col(s"_graft_tk_${kp._1}"))
+                .reduce(_ && _),
+              "left_anti")
+          var noEarlier = lit(true)
+          val applies = notMatched.map { cl =>
+            val a = condOf(cl.condition) && noEarlier
+            noEarlier = noEarlier && !condOf(cl.condition)
+            (a, cl.values)
+          }
+          val any = applies.map(_._1).reduce(_ || _)
+          // insert rows take the TARGET schema: assigned columns from
+          // the clause, the rest null (cast to the recorded types)
+          val tgtFields: Seq[org.apache.spark.sql.types.StructField] =
+            recorded.map(_.fields.toSeq).getOrElse {
+              val assigned = applies.flatMap(_._2.keys).distinct
+              require(assigned.nonEmpty, "INSERT clause assigns no columns")
+              // legacy table without a recorded schema: the insert must
+              // assign every column it wants; types come from the values
+              Seq.empty
+            }
+          val outCols: Seq[Column] =
+            if (tgtFields.nonEmpty) tgtFields.map { f =>
+              applies.foldRight(lit(null).cast(f.dataType)) {
+                case ((a, values), acc) =>
+                  values.get(f.name).fold(acc)(v =>
+                    when(a, v.cast(f.dataType)).otherwise(acc))
+              }.as(f.name)
+            }
+            else applies.flatMap(_._2.keys).distinct.map { c =>
+              applies.foldRight(lit(null): Column) { case ((a, values), acc) =>
+                values.get(c).fold(acc)(v => when(a, v).otherwise(acc))
+              }.as(c)
+            }
+          Some(unmatched.filter(any).select(outCols: _*))
+        }
+      val newData: Option[DataFrame] = (rewritten, inserts) match {
+        case (Some(r), Some(i)) =>
+          Some(r.unionByName(i, allowMissingColumns = true))
+        case (r, i) => r.orElse(i)
+      }
+      newData match {
+        case None => return base // nothing to change
+        case Some(nd) =>
+          // an insert-only merge with zero insert rows must not commit
+          val hasRows = hits.nonEmpty || nd.limit(1).count() > 0
+          if (!hasRows) return base
+          val evolved = enforceSchema(recorded, nd.schema, table)
+          val fresh = writeSnapshot(fs, p, nd, base + 1, parts, 0L)
+          if (commitDelta(fs, p, base + 1, fresh,
+            m.map(_.txns).getOrElse(Map.empty),
+            collectStats(spark, p, fresh), remove = hits, parts = parts,
+            schemaJson = Some(evolved.json))) {
+            maybeCheckpoint(spark, fs, p, base + 1)
+            return base + 1
+          }
       }
       attempt += 1
     }

@@ -102,7 +102,19 @@ object GraftRowLevelSql {
     GraftUpdateCommand(t.tablePath, u.condition, sets)
   }
 
+  /** MERGE conversion: the canonical whole-row upsert maps onto the
+    * cheaper [[ManifestTable.merge]]; every other supported clause
+    * combination (conditional updates, DELETE, partial SET, INSERT
+    * with a column list, NOT MATCHED BY SOURCE — the CDC statement)
+    * maps onto [[ManifestTable.mergeClauses]].
+    */
   private[sql] def convertMerge(m: MergeIntoTable,
+      t: GraftTableV2.GraftV2Table): LogicalPlan =
+    try convertCanonicalMerge(m, t)
+    catch { case _: UnsupportedOperationException =>
+      convertGeneralMerge(m, t) }
+
+  private def convertCanonicalMerge(m: MergeIntoTable,
       t: GraftTableV2.GraftV2Table): LogicalPlan = {
     val canonical = "MERGE INTO ... ON t.k = s.k [AND ...] WHEN MATCHED " +
       "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * (whole-row upsert)"
@@ -145,6 +157,97 @@ object GraftRowLevelSql {
     }
     if (keys.isEmpty) refuse(canonical)
     GraftMergeCommand(t.tablePath, m.sourceTable, keys.distinct, insertMap)
+  }
+
+  /** The general CDC MERGE: conditional matched clauses, DELETE,
+    * partial `UPDATE SET col = expr`, `INSERT (cols) VALUES (...)`,
+    * and `WHEN NOT MATCHED BY SOURCE`. Expressions are re-rooted onto
+    * the `t`/`s` aliases [[ManifestTable.mergeClauses]] joins under —
+    * target attributes become `t.col`, source attributes `s.col` — so
+    * a SET value may mix both sides (`SET qty = t.qty + s.delta`).
+    */
+  private def convertGeneralMerge(m: MergeIntoTable,
+      t: GraftTableV2.GraftV2Table): LogicalPlan = {
+    if (m.withSchemaEvolution)
+      refuse("MERGE without WITH SCHEMA EVOLUTION")
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    // by-name resolution against the aliased join requires unambiguous
+    // source names (the canonical path resolves by exprId instead)
+    val srcNames = m.sourceTable.output.map(_.name)
+    if (srcNames.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size
+        != srcNames.size)
+      refuse("MERGE sources with distinct column names")
+    def cleanSided(e: Expression): Expression = {
+      if (hasSubquery(e)) refuse("subquery-free MERGE expressions")
+      e.transform {
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute(Seq("s", a.name))
+        case a: AttributeReference if targetOut.contains(a) =>
+          UnresolvedAttribute(Seq("t", a.name))
+      }
+    }
+    val keyPairs = splitConjuncts(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if targetOut.contains(l) && sourceOut.contains(r) => l.name -> r.name
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if targetOut.contains(r) && sourceOut.contains(l) => r.name -> l.name
+      case _ => refuse(
+        "MERGE ON as a conjunction of target-key = source-key equalities")
+    }.distinct
+    if (keyPairs.isEmpty) refuse("MERGE with at least one ON key equality")
+    def assignsOf(assigns: Seq[Assignment]): Seq[(String, Expression)] =
+      assigns.map { a =>
+        a.key match {
+          case k: AttributeReference if targetOut.contains(k) =>
+            k.name -> cleanSided(a.value)
+          case _ => refuse(
+            "MERGE assignments to top-level target columns")
+        }
+      }
+    val matched = m.matchedActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        (cond.map(cleanSided), Some(assignsOf(assigns)))
+      case DeleteAction(cond) => (cond.map(cleanSided), None)
+      case other => refuse(s"MERGE matched actions UPDATE/DELETE (got $other)")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertAction(cond, assigns) =>
+        (cond.map(cleanSided), assignsOf(assigns))
+      case other => refuse(s"MERGE not-matched action INSERT (got $other)")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        (cond.map(cleanSided), Some(assignsOf(assigns)))
+      case DeleteAction(cond) => (cond.map(cleanSided), None)
+      case other => refuse(
+        s"MERGE by-source actions UPDATE/DELETE (got $other)")
+    }
+    GraftMergeClausesCommand(t.tablePath, m.sourceTable, keyPairs,
+      matched, notMatched, bySource)
+  }
+
+  final case class GraftMergeClausesCommand(tablePath: String,
+      source: LogicalPlan,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+      notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
+      bySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val srcDf = GraftColumnBridge.ofRows(spark, source)
+      def c(e: Expression): Column = GraftColumnBridge.column(e)
+      def sets(s: Seq[(String, Expression)]): Map[String, Column] =
+        s.map { case (k, v) => k -> c(v) }.toMap
+      ManifestTable.mergeClauses(spark, srcDf, tablePath, keyPairs,
+        matched.map { case (cond, set) =>
+          ManifestTable.MatchedClause(cond.map(c), set.map(sets)) },
+        notMatched.map { case (cond, values) =>
+          ManifestTable.NotMatchedClause(cond.map(c), sets(values)) },
+        bySource.map { case (cond, set) =>
+          ManifestTable.BySourceClause(cond.map(c), set.map(sets)) })
+      Seq.empty
+    }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -81,6 +81,58 @@ class RowLevelSqlSpec extends AnyFunSuite {
       s"matched rows replaced, new keys inserted, rest untouched: $rows")
   }
 
+  test("CDC MERGE: conditional update/delete, column-list insert, not-matched-by-source") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    (0L until 20L).map(i => (i, s"tag${i % 3}", i * 10))
+      .toDF("id", "tag", "qty").createOrReplaceTempView("cdc_tgt")
+    spark.sql(s"CREATE TABLE $cat.db.c AS " +
+      "SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, tag, qty FROM cdc_tgt")
+    val before = ManifestTable.currentFiles(spark, s"$wh/db/c")
+    Seq((2L, "U", 999L), (4L, "D", 0L), (6L, "X", 7L), (100L, "I", 5L))
+      .toDF("id", "op", "qty").createOrReplaceTempView("cdc_src")
+    // the full CDC statement: conditional clauses, first-match order,
+    // a SET mixing both sides, a column-list INSERT, and BOTH
+    // by-source actions
+    spark.sql(
+      s"""MERGE INTO $cat.db.c t USING cdc_src s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET qty = t.qty + s.qty
+         |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, qty) VALUES (s.id, s.qty)
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 18 THEN UPDATE SET qty = -1
+         |""".stripMargin)
+    val rows = spark.sql(
+      s"SELECT id, tag, qty FROM $cat.db.c ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq
+    val expect =
+      (1L until 20L).filter(_ != 4L).map { i =>
+        val qty =
+          if (i == 2L) 20L + 999L // matched U: t.qty + s.qty
+          else if (i >= 18L) -1L // by-source update
+          else i * 10 // untouched (incl. id 6: op X matches no clause)
+        (i, s"tag${i % 3}", qty)
+      } :+ ((100L, null, 5L)) // inserted with tag unassigned → null
+    assert(rows == expect, s"CDC merge result:\n$rows\nvs\n$expect")
+    // narrowness survives: ids live in 4 range files (0-4, 5-9, 10-14,
+    // 15-19); only the files with actual changes (first and last)
+    // rewrote — the op-X match and untouched ranges kept their files
+    val after = ManifestTable.currentFiles(spark, s"$wh/db/c")
+    assert(after.toSet.intersect(before.toSet).size == 2,
+      s"only the changed files may rewrite: kept ${
+        after.toSet.intersect(before.toSet).size} of ${before.size}")
+    // duplicate source keys refuse (SQL MERGE cardinality contract)
+    Seq((2L, "U", 1L), (2L, "D", 2L)).toDF("id", "op", "qty")
+      .createOrReplaceTempView("cdc_dup")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.c t USING cdc_dup s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString("; ")
+      .contains("duplicate"), s"got: $e")
+  }
+
   test("unsupported shapes refuse loudly, table untouched") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
@@ -92,9 +144,9 @@ class RowLevelSqlSpec extends AnyFunSuite {
       Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
         .flatMap(t => Option(t.getMessage)).mkString("; ")
     }
-    // MERGE with a non-star matched action
+    // MERGE with a non-equi ON condition (no key equality to join on)
     assert(messageOf(spark.sql(
-      s"""MERGE INTO $cat.db.r t USING rl_t3 s ON t.id = s.id
+      s"""MERGE INTO $cat.db.r t USING rl_t3 s ON t.id > s.id
          |WHEN MATCHED THEN DELETE""".stripMargin))
       .contains("ManifestTable.merge"))
     // UPDATE with a subquery condition
