@@ -1383,6 +1383,70 @@ object PipelineOps {
       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       |FROM merged GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 
+  private val p32Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p32: the ROW-LEVEL change feed — a lake table driven through the
+    * full row-churn life cycle (bulk load, merge-on-read DV delete,
+    * copy-on-write update, append) and then read back as change ROWS
+    * via [[graft.sinks.ManifestTable.rowChanges]]: inserts for
+    * appends, exact DV rows as deletes, and the update as
+    * delete(pre-image) + insert(post-image) from the `exceptAll`
+    * file diff — the `_change_type` contract downstream CDC consumers
+    * need once rewrites exist (file-level CDF either fails or
+    * full-resyncs there). The oracle reconstructs the accumulated
+    * change log with set algebra over the source table, so a hash
+    * match proves per-commit classification AND the pre/post images
+    * row-exactly.
+    */
+  def p32RowCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val inv = p32Invocation.incrementAndGet()
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p32_cdf_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    // v1: bulk load of the even half, range-localized
+    graft.sinks.ManifestTable.write(spark,
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    // v2: merge-on-read point deletes (no file rewritten)
+    graft.sinks.ManifestTable.deleteVectors(spark, table,
+      col("doc_id") % 10 === 0)
+    // v3: copy-on-write update (narrow rewrite, materializes DVs on
+    // the touched files)
+    graft.sinks.ManifestTable.update(spark, table,
+      col("doc_id") % 10 === 2,
+      Map("n_chars" -> (col("n_chars") + 500)))
+    // v4: append the odd %5 docs
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0), table)
+    graft.sinks.ManifestTable.rowChanges(spark, table, 0)
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").cast("bigint").as("total_chars"))
+      .orderBy(col("_change_type").asc, col("lang").asc_nulls_last)
+  }
+
+  /** DuckDB reconstruction of the accumulated row-level change log. */
+  val p32Sql: String =
+    """WITH evens AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |changes AS (
+      |  SELECT 'insert' AS _change_type, lang, n_chars FROM evens
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT 'insert', lang, n_chars + 500 FROM evens WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT 'insert', lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)
+      |SELECT _change_type, lang, count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM changes GROUP BY 1, 2
+      |ORDER BY _change_type ASC, lang ASC NULLS LAST""".stripMargin
+
   private val p26Invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** p26: the SQL CATALOG surface — the corpus driven through a

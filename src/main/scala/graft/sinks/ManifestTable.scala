@@ -1884,9 +1884,17 @@ object ManifestTable {
             "vacuum retention", e)
       }
     deliver(frame, from, current)
-    // advance the offset: optimistic zero-file commit (concurrent
-    // appends only move the version we CAS against, never the rows
-    // already delivered — those files are immutable)
+    commitConsumerOffset(spark, fs, p, table, key, current)
+  }
+
+  /** Advance a consumer cursor to `current`: optimistic zero-file
+    * commit carrying `key` in the txn map (concurrent appends only
+    * move the version the CAS targets, never the rows already
+    * delivered — those files are immutable). Shared by the file-level
+    * and row-level consumers.
+    */
+  private def commitConsumerOffset(spark: SparkSession, fs: FileSystem,
+      p: Path, table: String, key: String, current: Long): Long = {
     var attempts = 0
     while (attempts < 50) {
       val base = currentVersion(spark, table)
@@ -1908,6 +1916,150 @@ object ManifestTable {
       attempts += 1
     }
     raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Column names of the row-level change feed. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** ROW-LEVEL change-data feed (the `_change_type` contract, VERDICT
+    * r12 next-round #4): every data-changing commit in
+    * `(fromVersion, toVersion]` rendered as change ROWS — the table's
+    * columns plus [[ChangeTypeCol]] (`insert` / `delete`) and
+    * [[CommitVersionCol]] — so rewrites stop being inexpressible:
+    *
+    *  - an APPEND delivers its added rows as inserts;
+    *  - a DELETION-VECTOR commit delivers exactly the rows its new
+    *    sidecars remove (inner join file/row-index identity against
+    *    THIS commit's sidecar — prior DVs are disjoint by
+    *    construction) as deletes;
+    *  - a COPY-ON-WRITE rewrite (delete/update/merge) diffs the
+    *    removed files' pre-image (prior DVs applied) against the added
+    *    files' content with `exceptAll` — unchanged rows cancel
+    *    multiset-exactly, so an UPDATE surfaces as delete(old) +
+    *    insert(new) and a DELETE as deletes only. O(touched files),
+    *    never O(table);
+    *  - an OVERWRITE/TRUNCATE diffs the full adjacent snapshots (its
+    *    data cost is inherently table-sized);
+    *  - compactions (`dataChange = false`) and offset commits emit
+    *    nothing.
+    *
+    * Frames are aligned to the recorded schema at `toVersion`
+    * (columns added later read as null in earlier commits' rows).
+    * `fromVersion = 0` replays from the first retained commit; a
+    * vacuumed prefix throws with re-sync guidance. Multiset diffing
+    * requires comparable column types (no maps).
+    */
+  def rowChanges(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, p) = fsOf(spark, table)
+    val (vs, cs) = listLog(fs, p)
+    val to = if (toVersion > 0) toVersion else vs.foldLeft(0L)(math.max)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"bad row-CDF range ($fromVersion, $to]")
+    val baseFields: Seq[org.apache.spark.sql.types.StructField] =
+      schemaAt(fs, p, to).map(_.fields.toSeq).getOrElse(
+        read(spark, table, to).schema.fields.toSeq)
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      // an empty snapshot (truncate) reads as a zero-column frame —
+      // type it so the multiset diff stays schema-aligned
+      if (df.columns.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(baseFields))
+      else df.select(baseFields.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
+    def tag(df: DataFrame, ct: String, v: Long): DataFrame =
+      align(df).withColumn(ChangeTypeCol, lit(ct))
+        .withColumn(CommitVersionCol, lit(v))
+    def manifestOrGuidance(v: Long): Manifest =
+      try readManifest(fs, p, v)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"row change feed of $table is behind the vacuumed log prefix " +
+            s"(v$v unreadable) — re-sync from a snapshot or keep a longer " +
+            "vacuum retention", e)
+      }
+    val frames: Seq[DataFrame] = ((fromVersion + 1) to to).flatMap { v =>
+      val mv = manifestOrGuidance(v)
+      if (!mv.dataChange) Seq.empty
+      else mv match {
+        case d: Delta if d.dvs.nonEmpty =>
+          val dvDirs = d.dvs.values.flatten.map(_.path).toSeq.distinct
+          val targets = d.dvs.keys.toSeq.sorted
+          val tagged = readFiles(spark, table, targets, Map.empty,
+            keepIdentity = true)
+          Seq(tag(tagged.join(dvEntries(spark, table, dvDirs),
+            Seq(DvFileCol, DvIdxCol), "inner")
+            .drop(AbsPathCol, DvFileCol, DvIdxCol), "delete", v))
+        case d: Delta if d.remove.isEmpty =>
+          if (d.add.isEmpty) Seq.empty // pure offset/DDL commit
+          else Seq(tag(readFiles(spark, table, d.add, Map.empty), "insert", v))
+        case d: Delta =>
+          val prev = resolve(spark, fs, p, v - 1, cs)
+          val old = align(readFiles(spark, table, d.remove, prev.dvs))
+          if (d.add.isEmpty) // pure delete: every pre-image row died
+            Seq(tag(old, "delete", v))
+          else {
+            val neu = align(readFiles(spark, table, d.add, Map.empty))
+            Seq(tag(old.exceptAll(neu), "delete", v),
+              tag(neu.exceptAll(old), "insert", v))
+          }
+        case _ => // Replace or Ref base: overwrite/truncate (v=1: create)
+          val cur = resolve(spark, fs, p, v, cs)
+          val neu = align(readFiles(spark, table, cur.files, cur.dvs))
+          if (v == 1) Seq(tag(neu, "insert", v))
+          else {
+            val prev = resolve(spark, fs, p, v - 1, cs)
+            val old = align(readFiles(spark, table, prev.files, prev.dvs))
+            Seq(tag(old.exceptAll(neu), "delete", v),
+              tag(neu.exceptAll(old), "insert", v))
+          }
+      }
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(baseFields ++ Seq(
+          StructField(ChangeTypeCol, StringType),
+          StructField(CommitVersionCol, LongType, nullable = false))))
+    }
+  }
+
+  /** Exactly-once consumption of the ROW-LEVEL change feed — the
+    * [[consumeChanges]] cursor contract, but deliveries are
+    * [[rowChanges]] frames, so rewrite commits (delete/update/merge/
+    * DV/overwrite) deliver their exact row-level effect instead of
+    * failing or forcing a full resync. A new consumer receives the
+    * current snapshot as one all-`insert` delivery at the current
+    * version (the bootstrap — history before it may already be
+    * vacuumed), then each poll delivers the accumulated change rows
+    * since its cursor. Crash between delivery and the offset commit
+    * redelivers the same range (idempotent `deliver` = exactly-once).
+    * Returns the version the consumer is caught up to.
+    */
+  def consumeRowChanges(spark: SparkSession, table: String,
+      consumerId: String)
+      (deliver: (DataFrame, Long, Long) => Unit): Long = {
+    import org.apache.spark.sql.functions.lit
+    require(consumerId.nonEmpty, "consumerId must be non-empty")
+    val key = s"rowconsumer:$consumerId"
+    val (fs, p) = fsOf(spark, table)
+    val current = currentVersion(spark, table)
+    require(current > 0, s"no committed version in $table")
+    val from = txnsAt(fs, p, current).getOrElse(key, 0L)
+    if (from >= current) return current
+    val frame =
+      if (from == 0)
+        read(spark, table, current)
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(current))
+      else rowChanges(spark, table, from, current)
+    deliver(frame, from, current)
+    commitConsumerOffset(spark, fs, p, table, key, current)
   }
 
   /** Compact the current snapshot: bin-pack its files toward
