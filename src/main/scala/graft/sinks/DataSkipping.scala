@@ -57,10 +57,13 @@ object DataSkipping {
   /** Per-file statistics: exact row count + per-column ranges +
     * on-disk size (`0` = unknown, recorded by manifests written before
     * size stats — callers fall back to a listing, never a per-file
-    * status RPC).
+    * status RPC) + optional per-column NDV sketches (base64
+    * DataSketches HLL, written by `ManifestTable.analyze` — mergeable
+    * across files, so any live subset's distinct-count estimate is one
+    * driver-side union).
     */
   final case class FileStats(rows: Long, cols: Map[String, ColStats],
-      bytes: Long = 0L)
+      bytes: Long = 0L, ndv: Map[String, String] = Map.empty)
 
   /** String min/max longer than this are dropped, not truncated (a
     * truncated bound would lie about the range). 64 covers every key

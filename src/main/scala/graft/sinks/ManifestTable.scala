@@ -400,6 +400,11 @@ object ManifestTable {
       fst: FileStats): Unit = {
     fn.put("rows", fst.rows): Unit
     if (fst.bytes > 0) fn.put("bytes", fst.bytes): Unit
+    if (fst.ndv.nonEmpty) {
+      val nn = fn.putObject("ndv")
+      fst.ndv.toSeq.sortBy(_._1).foreach { case (c, b64) =>
+        nn.put(c, b64): Unit }
+    }
     if (fst.cols.nonEmpty) {
       val cn = fn.putObject("cols")
       fst.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -483,9 +488,19 @@ object ManifestTable {
         }
         cb.result()
     }
+    val ndv: Map[String, String] = Option(fn.get("ndv")) match {
+      case None => Map.empty
+      case Some(nn) =>
+        val nb = Map.newBuilder[String, String]
+        val nit = nn.properties().iterator()
+        while (nit.hasNext) {
+          val ne = nit.next(); nb += ne.getKey -> ne.getValue.asText()
+        }
+        nb.result()
+    }
     Option(fn.get("rows")).map(_.asLong()).map(rows =>
       FileStats(rows, cols,
-        Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L)))
+        Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L), ndv))
   }
 
   private def parseManifest(json: String): Manifest = {
@@ -2733,6 +2748,95 @@ object ManifestTable {
     }
     raceLost(table, currentVersion(spark, table) + 1)
   }
+
+  /** ANALYZE: compute per-file, per-column NDV sketches (DataSketches
+    * HLL via Spark's own `hll_sketch_agg`) for every live file still
+    * missing them, and commit the enriched statistics as one zero-file
+    * delta — the `ANALYZE TABLE ... COMPUTE STATISTICS` unit of the
+    * lake layer. Sketches are MERGEABLE, so any subset of live files
+    * answers a distinct-count estimate with one driver-side union —
+    * the cardinality input join planning needs
+    * ([[org.apache.spark.sql.GraftTableV2]] reports them through
+    * `SupportsReportStatistics`). Collection costs one scan of the
+    * not-yet-analyzed files (incremental by construction: re-running
+    * after appends sketches only the new files); values are sketched
+    * through a string rendering, so every atomic column type
+    * participates. Explicitly a maintenance operation, not a commit
+    * hot-path cost — the write paths stay untouched. Returns the
+    * committed version (the current one when nothing needed analyzing).
+    */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Seq.empty, lgK: Int = 12,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val (fs, p) = fsOf(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(spark, fs, p, base, cs)
+      if (snap.files.isEmpty) return base
+      val targets: Seq[String] =
+        if (columns.nonEmpty) columns
+        else recordedSchema(m).map(_.fields.toSeq).getOrElse(Seq.empty)
+          .filterNot(_.dataType match {
+            case _: StructType | _: ArrayType | _: MapType => true
+            case _ => false
+          }).map(_.name)
+      require(targets.nonEmpty,
+        s"analyze of $table has no sketchable columns (pass them explicitly)")
+      // only files that HAVE base stats (the row count anchors the
+      // entry) and still miss a target sketch — incremental re-analyze
+      val todo = snap.files.filter(f => snap.stats.get(f)
+        .exists(st => targets.exists(c => !st.ndv.contains(c))))
+      if (todo.isEmpty) return base
+      // raw file content (no DV application): sketches describe the
+      // immutable FILE, so they stay valid across later DV churn; the
+      // report-time union over live files is an upper-bound estimate
+      val tagged = readFiles(spark, table, todo, Map.empty,
+        keepIdentity = true)
+      val aggs = targets.map(c =>
+        hll_sketch_agg(col(c).cast("string"), lgK).as(c))
+      val rows = tagged.groupBy(col(DvFileCol))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val enc = java.util.Base64.getEncoder
+      val newStats: Map[String, FileStats] = rows.map { r =>
+        val rel = r.getString(0)
+        val sketches = targets.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(i + 1)) None
+          else Some(c -> enc.encodeToString(r.getAs[Array[Byte]](i + 1)))
+        }.toMap
+        val cur = snap.stats(rel)
+        rel -> cur.copy(ndv = cur.ndv ++ sketches)
+      }.toMap
+      if (commitDelta(fs, p, base + 1, Seq.empty,
+        m.map(_.txns).getOrElse(Map.empty),
+        stats = newStats,
+        parts = m.map(_.parts).getOrElse(Seq.empty),
+        schemaJson = m.flatMap(_.schemaJson))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Driver-side union of base64 HLL sketches → distinct-count
+    * estimate (None when `sketches` is empty).
+    */
+  def ndvEstimate(sketches: Seq[String], lgK: Int = 12): Option[Long] =
+    if (sketches.isEmpty) None
+    else {
+      val u = new org.apache.datasketches.hll.Union(lgK)
+      val dec = java.util.Base64.getDecoder
+      sketches.foreach(b64 => u.update(
+        org.apache.datasketches.hll.HllSketch.heapify(dec.decode(b64))))
+      Some(math.round(u.getEstimate))
+    }
 
   /** Delete data files not referenced by the RETAINED versions (the
     * `keepVersions` most recent — default 1, current only) plus all

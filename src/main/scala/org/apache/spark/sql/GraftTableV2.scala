@@ -142,9 +142,9 @@ object GraftTableV2 {
           "ManifestTable.compact(...) to materialize them, or read via " +
           "ManifestTable.read/scan")
       val cs = SparkSession.active.asInstanceOf[classic.SparkSession]
-      ParquetScanBuilder(cs,
+      new GraftStatsScanBuilder(cs,
         new SnapshotFileIndex(cs, tableRoot, files, partSchema),
-        schema, dataSchema, options)
+        schema, dataSchema, options, files)
     }
 
     /** `DELETE FROM cat.ns.t WHERE ...` — Spark translates the
@@ -192,6 +192,100 @@ object GraftTableV2 {
             }
         }
       }
+  }
+
+  /** [[ParquetScanBuilder]] with ONE override: `build()` wraps the
+    * scan so it reports MANIFEST statistics — exact row counts and
+    * analyzed per-column NDV/null-counts — through
+    * `SupportsReportStatistics`. Subclassing (rather than delegating)
+    * keeps every pushdown interface and `FileScanBuilder` type-check
+    * of the planner intact.
+    */
+  final class GraftStatsScanBuilder(
+      cs: classic.SparkSession,
+      fileIndex: PartitioningAwareFileIndex,
+      schema: StructType,
+      dataSchema: StructType,
+      options: CaseInsensitiveStringMap,
+      files: Seq[ManifestFile])
+    extends ParquetScanBuilder(cs, fileIndex, schema, dataSchema, options) {
+    override def build(): execution.datasources.v2.parquet.ParquetScan = {
+      val inner = super.build()
+      // a pushed-down aggregate changes the output cardinality — the
+      // parquet scan's own estimate is the honest one there
+      if (inner.pushedAggregate.nonEmpty) inner
+      else new GraftStatsScan(inner, files)
+    }
+  }
+
+  /** The DSv2 parquet scan with ONE override: `estimateStatistics`
+    * answers from the manifest — exact row counts (summed over the
+    * files surviving the scan's own partition/data-filter pruning),
+    * per-column null counts, and distinct-count estimates from the
+    * analyzed HLL sketches ([[graft.sinks.ManifestTable.analyze]]) —
+    * the inputs broadcast selection and cost-based join reordering
+    * need (VERDICT r12 next-round #6). Subclassing the real
+    * [[execution.datasources.v2.parquet.ParquetScan]] (constructor
+    * args copied from the built instance) keeps every planner
+    * type-check, split computation and reader path byte-identical.
+    */
+  final class GraftStatsScan(
+      inner: execution.datasources.v2.parquet.ParquetScan,
+      files: Seq[ManifestFile])
+    extends execution.datasources.v2.parquet.ParquetScan(
+      inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+      inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+      inner.pushedFilters, inner.options, inner.pushedAggregate,
+      inner.partitionFilters, inner.dataFilters,
+      inner.pushedVariantExtractions) {
+
+    override def estimateStatistics(): connector.read.Statistics = {
+      val base = super.estimateStatistics() // sizeInBytes over pruned files
+      // the files THIS scan reads (after its own pruning walk)
+      val prunedPaths: Set[Path] =
+        fileIndex.listFiles(partitionFilters, dataFilters)
+          .flatMap(_.files.map(_.getPath)).toSet
+      val pruned = files.filter(f => prunedPaths.contains(f.status.getPath))
+      val rowCount: java.util.OptionalLong =
+        if (pruned.nonEmpty && pruned.forall(_.stats.isDefined))
+          java.util.OptionalLong.of(pruned.iterator.map(_.stats.get.rows).sum)
+        else if (pruned.isEmpty) java.util.OptionalLong.of(0L)
+        else java.util.OptionalLong.empty()
+      val colStats = new java.util.HashMap[
+        connector.expressions.NamedReference,
+        connector.read.colstats.ColumnStatistics]()
+      if (pruned.nonEmpty && pruned.forall(_.stats.isDefined)) {
+        val stats = pruned.map(_.stats.get)
+        readSchema().fieldNames.foreach { c =>
+          val nulls: Option[Long] = {
+            val per = stats.map(_.cols.get(c).flatMap(_.nulls))
+            if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+          }
+          val ndv: Option[Long] =
+            if (stats.forall(_.ndv.contains(c)))
+              graft.sinks.ManifestTable.ndvEstimate(stats.map(_.ndv(c)))
+            else None
+          if (nulls.isDefined || ndv.isDefined) {
+            colStats.put(connector.expressions.FieldReference.column(c),
+              new connector.read.colstats.ColumnStatistics {
+                override def nullCount(): java.util.OptionalLong =
+                  nulls.fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+                override def distinctCount(): java.util.OptionalLong =
+                  ndv.fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+              }): Unit
+          }
+        }
+      }
+      new connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong = rowCount
+        override def columnStats(): java.util.Map[
+          connector.expressions.NamedReference,
+          connector.read.colstats.ColumnStatistics] = colStats
+      }
+    }
   }
 
   /** A V1 source filter as a Column predicate (None = untranslatable,

@@ -188,6 +188,103 @@ class CatalogSpec extends AnyFunSuite {
       s"the catalog scan must be the broadcast side:\n$plan")
   }
 
+  test("DSv2 scan reports exact row counts; analyze adds NDV for planning") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    (0L until 1000L).map(i => (i, s"k${i % 37}")).toDF("id", "k")
+      .createOrReplaceTempView("stats_src")
+    spark.sql(s"CREATE TABLE $cat.db.st AS " +
+      "SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, k FROM stats_src")
+    def relStats(sql: String): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+      spark.sql(sql).queryExecution.optimizedPlan.collectLeaves().head.stats
+    // exact row count from manifest statistics, no data I/O
+    val s0 = relStats(s"SELECT * FROM $cat.db.st")
+    assert(s0.rowCount.contains(BigInt(1000)),
+      s"DSv2 scan must report the exact row count: ${s0.rowCount}")
+    // a pruning predicate narrows the count to the surviving files
+    val sPruned = relStats(s"SELECT * FROM $cat.db.st WHERE id < 10")
+    assert(sPruned.rowCount.exists(c => c >= 10 && c < 1000),
+      s"pruned scan must report the kept files' rows: ${sPruned.rowCount}")
+    // ANALYZE commits per-file HLL sketches as a zero-file delta...
+    val t = s"$wh/db/st"
+    val v = ManifestTable.analyze(spark, t)
+    assert(v == ManifestTable.currentVersion(spark, t))
+    assert(ManifestTable.read(spark, t).count() == 1000,
+      "analyze must not change the data")
+    // ...and the scan reports distinct counts + null counts from them
+    val s1 = relStats(s"SELECT * FROM $cat.db.st")
+    val byName = s1.attributeStats.map { case (a, cs) => a.name -> cs }
+    val kStat = byName.get("k").getOrElse(fail(s"no stats for k: $byName"))
+    assert(kStat.distinctCount.exists(d => d >= 33 && d <= 41),
+      s"k has 37 distinct values, sketch said: ${kStat.distinctCount}")
+    assert(kStat.nullCount.contains(BigInt(0)))
+    val idStat = byName("id")
+    assert(idStat.distinctCount.exists(d => d >= 950 && d <= 1050),
+      s"id has 1000 distinct values, sketch said: ${idStat.distinctCount}")
+    // re-analyze after an append sketches ONLY the new files
+    spark.sql(s"INSERT INTO $cat.db.st VALUES (2000, 'kNew')")
+    val before = ManifestTable.currentVersion(spark, t)
+    ManifestTable.analyze(spark, t)
+    val h = ManifestTable.history(spark, t)
+      .filter(col("version") > before).count()
+    assert(h == 1, "incremental analyze commits exactly one delta")
+    val s2 = relStats(s"SELECT * FROM $cat.db.st")
+    assert(s2.rowCount.contains(BigInt(1001)))
+    assert(s2.attributeStats.map { case (a, cs) => a.name -> cs }
+      .get("k").flatMap(_.distinctCount).exists(d => d >= 34 && d <= 42),
+      "union over per-file sketches covers the appended file")
+  }
+
+  test("CBO consumes the reported cardinalities: 3-table join reorders without hints") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    (0L until 20000L).map(i => (i % 1000, i % 10, i))
+      .toDF("d1", "d2", "v").createOrReplaceTempView("cbo_fact")
+    (0L until 1000L).map(i => (i, s"t${i % 100}"))
+      .toDF("d1", "tag").createOrReplaceTempView("cbo_dima")
+    (0L until 10L).map(i => (i, s"n$i"))
+      .toDF("d2", "name").createOrReplaceTempView("cbo_dimb")
+    spark.sql(s"CREATE TABLE $cat.db.fact AS SELECT * FROM cbo_fact")
+    spark.sql(s"CREATE TABLE $cat.db.dima AS SELECT * FROM cbo_dima")
+    spark.sql(s"CREATE TABLE $cat.db.dimb AS SELECT * FROM cbo_dimb")
+    Seq("fact", "dima", "dimb").foreach(t =>
+      ManifestTable.analyze(spark, s"$wh/db/$t"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // written WORST-order: the unselective dimb join first; the
+      // filtered dima (tag ndv 100 → ~10 surviving rows) should join
+      // the fact table first once the optimizer sees real cardinalities
+      val q = spark.sql(
+        s"""SELECT count(*) AS c
+           |FROM $cat.db.fact f
+           |JOIN $cat.db.dimb b ON f.d2 = b.d2
+           |JOIN $cat.db.dima a ON f.d1 = a.d1
+           |WHERE a.tag = 't5'""".stripMargin)
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty)
+      // the DEEPEST join (executed first) must involve the filtered
+      // dima side, not the written-first dimb — i.e. CostBasedJoinReorder
+      // fired on our reported rowCount + NDV column statistics
+      val deepest = joins.last
+      val names = deepest.collectLeaves().flatMap(_.output.map(_.name)).toSet
+      assert(names.contains("tag") && !names.contains("name"),
+        s"CBO must reorder the filtered dim first; deepest join reads: $names")
+      // and the join's own cardinality estimate exists (JoinEstimation
+      // ran on real column stats, not defaults)
+      assert(joins.head.stats.rowCount.isDefined,
+        s"join estimate missing: ${joins.head.stats}")
+      // 10 d1 values carry tag t5; each appears 20 times in the fact
+      assert(q.head().getLong(0) == 200L, "the query itself stays correct")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+  }
+
   test("VERSION AS OF time travel through SQL") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
