@@ -188,18 +188,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS` commits add-column evolution as a
-    * zero-file delta (existing rows read the new columns as null) —
-    * the one ALTER that needs no data rewrite. Everything else
-    * (renames, type changes, drops) would break the name-based column
-    * mapping of existing files and is refused with the rewrite path
-    * named.
+  /** Zero-rewrite DDL: `ADD COLUMNS` commits add-column evolution
+    * (existing rows read the new columns as null), `RENAME COLUMN` and
+    * `DROP COLUMN` commit through name-based column mapping
+    * ([[ManifestTable.renameColumn]]/[[ManifestTable.dropColumn]] —
+    * data files untouched, stable physical names recorded in the
+    * schema). Type changes still need a rewrite and refuse with the
+    * path named.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(
       (name() +: ident.namespace().toSeq :+ ident.name()))
-    val adds = changes.map {
+    val path = tablePath(ident)
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         require(a.isNullable,
           s"new column '${a.fieldNames().head}' must be nullable — " +
@@ -210,15 +214,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"new column '${a.fieldNames().head}': FIRST/AFTER positions " +
             "are not supported — graft columns append (name-based " +
             "mapping; reorder via a rewrite if position matters)")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames().head, a.dataType(), nullable = true)
+        adds += org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true): Unit
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        ManifestTable.renameColumn(spark, path,
+          r.fieldNames().head, r.newName()): Unit
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        ManifestTable.dropColumn(spark, path, d.fieldNames().head): Unit
       case other => throw new UnsupportedOperationException(
-        s"graft tables support ALTER TABLE ADD COLUMNS (top-level, " +
-          s"nullable) only, got $other — renames/type changes/drops " +
+        s"graft tables support ALTER TABLE ADD COLUMNS / RENAME COLUMN " +
+          s"/ DROP COLUMN (top-level) only, got $other — type changes " +
           "need a rewrite via ManifestTable.write")
     }
-    ManifestTable.addColumns(spark, tablePath(ident),
-      org.apache.spark.sql.types.StructType(adds)): Unit
+    if (adds.nonEmpty)
+      ManifestTable.addColumns(spark, path,
+        org.apache.spark.sql.types.StructType(adds.toSeq)): Unit
     loadTable(ident)
   }
 

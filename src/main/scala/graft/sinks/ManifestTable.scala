@@ -1058,9 +1058,13 @@ object ManifestTable {
     val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
     // contracts BEFORE any data write: a type conflict or a violated
     // fail-expectation aborts with the table untouched
-    val evolved = enforceSchema(recordedSchema(m), df.schema, table)
+    val active = recordedSchema(m).exists(columnMapped)
+    val evolved = stampNewFields(
+      enforceSchema(recordedSchema(m), df.schema, table), active)
+    val mapping = Some(evolved).filter(columnMapped)
     val (toWrite, quality) = applyExpectations(df, expectations, table)
-    val fresh = writeSnapshot(fs, p, toWrite, base + 1, parts, 0L)
+    val fresh = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
+      base + 1, parts, 0L)
     if (!commitDelta(fs, p, base + 1, fresh,
       m.map(_.txns).getOrElse(Map.empty),
       collectStats(spark, p, fresh), parts = parts,
@@ -1105,14 +1109,18 @@ object ManifestTable {
       if (txns.get(txnAppId).exists(_ >= batchId))
         return base // replay; an already-written snapshot is vacuum's
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
-      val evolved = enforceSchema(recordedSchema(m), df.schema, table)
+      val active = recordedSchema(m).exists(columnMapped)
+      val evolved = stampNewFields(
+        enforceSchema(recordedSchema(m), df.schema, table), active)
+      val mapping = Some(evolved).filter(columnMapped)
       // the cached snapshot is only reusable if the layout it was
       // written with still matches — a concurrent first-writer can
       // change the sticky parts between attempts, and committing
       // mismatched metadata would null the partition column at scan
       if (fresh != null && freshParts != parts) fresh = null // orphan → vacuum
       if (fresh == null) {
-        fresh = writeSnapshot(fs, p, df, base + 1, parts, 0L)
+        fresh = writeSnapshot(fs, p, toPhysical(df, mapping),
+          base + 1, parts, 0L)
         freshParts = parts
       }
       if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
@@ -1188,6 +1196,175 @@ object ManifestTable {
   def lastStreamBatchId(spark: SparkSession, table: String,
       txnAppId: String = "default"): Option[Long] =
     streamTxns(spark, table).get(txnAppId)
+
+  // ---------------------------------------------------------------
+  // column mapping (rename/drop without touching data files — the
+  // Delta columnMapping = name mode)
+  // ---------------------------------------------------------------
+
+  /** Schema-metadata key carrying a field's PHYSICAL (on-disk) column
+    * name. Absent = physical == logical (every table starts this way);
+    * [[renameColumn]]/[[dropColumn]] activate the mapping by stamping
+    * every field, after which logical names are free to change while
+    * data files keep their original columns forever.
+    */
+  private val PhysicalKey = "graft.physical"
+
+  private def physicalOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** Is name-based column mapping active in this recorded schema? */
+  def columnMapped(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** The active mapping (None = identity — the overwhelmingly common
+    * case, with zero read-path overhead).
+    */
+  private def mappingOf(m: Option[Manifest])
+      : Option[org.apache.spark.sql.types.StructType] =
+    recordedSchema(m).filter(columnMapped)
+
+  private def mappingAt(fs: FileSystem, p: Path,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    schemaAt(fs, p, version).filter(columnMapped)
+
+  private def stamp(f: org.apache.spark.sql.types.StructField,
+      physical: String): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysicalKey, physical).build())
+
+  /** On a mapped table, fields added by evolution get a UNIQUE
+    * physical name — a column re-added after a drop must not
+    * resurrect the dropped column's data from old files.
+    */
+  private def stampNewFields(
+      evolved: org.apache.spark.sql.types.StructType,
+      active: Boolean): org.apache.spark.sql.types.StructType =
+    if (!active) evolved
+    else org.apache.spark.sql.types.StructType(evolved.fields.map(f =>
+      if (f.metadata.contains(PhysicalKey)) f
+      else stamp(f, f.name + "-" +
+        java.util.UUID.randomUUID().toString.take(8))))
+
+  /** Rename an outgoing (logical-named) frame to physical columns for
+    * the write. Identity without an active mapping.
+    */
+  private def toPhysical(df: DataFrame,
+      mapping: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    mapping.fold(df) { ms =>
+      import org.apache.spark.sql.functions.col
+      val byName = ms.fields.map(f => f.name -> physicalOf(f)).toMap
+      df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(byName.getOrElse(c, c))): _*)
+    }
+
+  /** Project a physical-named frame onto the logical schema: each
+    * recorded field from its physical column (null when absent from
+    * these files — post-evolution adds), dropped columns simply not
+    * selected. Identity columns survive when present.
+    */
+  private def applyMapping(df: DataFrame,
+      mapping: Option[org.apache.spark.sql.types.StructType],
+      keepIdentity: Boolean = false): DataFrame =
+    mapping.fold(df) { ms =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val have = df.columns.toSet
+      val idCols =
+        if (keepIdentity)
+          Seq(AbsPathCol, DvFileCol, DvIdxCol).filter(have)
+        else Seq.empty
+      df.select((ms.fields.toIndexedSeq.map { f =>
+        val phys = physicalOf(f)
+        if (have(phys)) col(phys).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ idCols.map(col)): _*)
+    }
+
+  /** Per-file statistics with physical column keys remapped to the
+    * current logical names, so logical predicates prune against them.
+    * Physical columns no longer mapped (dropped) fall away.
+    */
+  private def logicalStats(stats: Map[String, FileStats],
+      mapping: Option[org.apache.spark.sql.types.StructType])
+      : Map[String, FileStats] =
+    mapping.fold(stats) { ms =>
+      val p2l = ms.fields.map(f => physicalOf(f) -> f.name).toMap
+      stats.map { case (file, fst) =>
+        file -> fst.copy(
+          cols = fst.cols.flatMap { case (c, cs) => p2l.get(c).map(_ -> cs) },
+          ndv = fst.ndv.flatMap { case (c, v) => p2l.get(c).map(_ -> v) })
+      }
+    }
+
+  /** RENAME a column without touching any data file: activate the
+    * name-based mapping (every field stamped with its stable physical
+    * name — for pre-mapping fields that is their current name, exactly
+    * what the existing files contain) and change the LOGICAL name in
+    * one zero-file schema commit. Old snapshots time-travel under the
+    * old name (each version reads with its own recorded schema);
+    * partition columns are refused (their name is baked into the
+    * directory layout).
+    */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0, s"no committed version in $table")
+    val m = manifestAt(fs, p, base)
+    val cur = recordedSchema(m).getOrElse(throw new IllegalStateException(
+      s"$table predates schema-on-commit — rewrite it via write() first"))
+    def key(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    require(cur.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${cur.fieldNames.mkString(", ")}")
+    require(!cur.fieldNames.exists(e =>
+      key(e) == key(newName) && e != oldName),
+      s"column '$newName' already exists")
+    require(!m.exists(_.parts.contains(oldName)),
+      s"'$oldName' is a partition column — its name is baked into the " +
+        "directory layout; rewrite via write() to change it")
+    val evolved = StructType(cur.fields.map { f =>
+      val s = stamp(f, physicalOf(f)) // activation stamps EVERY field
+      if (f.name == oldName) s.copy(name = newName) else s
+    })
+    if (!commitDelta(fs, p, base + 1, Seq.empty,
+      m.map(_.txns).getOrElse(Map.empty),
+      parts = m.map(_.parts).getOrElse(Seq.empty),
+      schemaJson = Some(evolved.json))) raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
+    base + 1
+  }
+
+  /** DROP a column without touching any data file: remove it from the
+    * recorded schema (mapping activated, so a later re-add of the same
+    * logical name gets a fresh physical name and does NOT resurrect
+    * the dropped data). Partition columns and the last remaining
+    * column are refused. Old snapshots still see the column.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0, s"no committed version in $table")
+    val m = manifestAt(fs, p, base)
+    val cur = recordedSchema(m).getOrElse(throw new IllegalStateException(
+      s"$table predates schema-on-commit — rewrite it via write() first"))
+    require(cur.fieldNames.contains(name),
+      s"no column '$name' in ${cur.fieldNames.mkString(", ")}")
+    require(cur.fields.length > 1, "cannot drop the last column")
+    require(!m.exists(_.parts.contains(name)),
+      s"'$name' is a partition column — drop needs a rewrite via write()")
+    val evolved = StructType(cur.fields
+      .filterNot(_.name == name)
+      .map(f => stamp(f, physicalOf(f))))
+    if (!commitDelta(fs, p, base + 1, Seq.empty,
+      m.map(_.txns).getOrElse(Map.empty),
+      parts = m.map(_.parts).getOrElse(Seq.empty),
+      schemaJson = Some(evolved.json))) raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
+    base + 1
+  }
 
   /** Union `relFiles` grouped per snapshot dir, each under its own
     * `basePath`: Spark's partition-structure parser walks each file's
@@ -1278,13 +1455,15 @@ object ManifestTable {
     */
   private def readFiles(spark: SparkSession, table: String,
       relFiles: Seq[String], dvs: Map[String, Seq[DvRef]],
-      keepIdentity: Boolean = false): DataFrame = {
+      keepIdentity: Boolean = false,
+      mapping: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
     if (relFiles.isEmpty) return spark.emptyDataFrame
     val fileSet = relFiles.toSet
     val live = dvs.filter { case (f, _) => fileSet(f) }
     if (live.isEmpty && !keepIdentity)
-      return unionSnapshots(spark, table, relFiles)
+      return applyMapping(unionSnapshots(spark, table, relFiles), mapping)
     val branches = relFiles.groupBy(_.split("/").take(2).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (snap, fs) =>
@@ -1301,8 +1480,9 @@ object ManifestTable {
       else tagged.join(
         dvEntries(spark, table, live.values.flatten.map(_.path).toSeq.distinct),
         Seq(DvFileCol, DvIdxCol), "left_anti")
-    if (keepIdentity) filtered
-    else filtered.drop(AbsPathCol, DvFileCol, DvIdxCol)
+    if (keepIdentity) applyMapping(filtered, mapping, keepIdentity = true)
+    else applyMapping(
+      filtered.drop(AbsPathCol, DvFileCol, DvIdxCol), mapping)
   }
 
   /** Read a snapshot (default: current) — exactly the manifest's file
@@ -1319,7 +1499,8 @@ object ManifestTable {
     // stay TYPED: downstream column references resolve against the
     // recorded schema instead of failing on a zero-column frame
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v)
-    else readFiles(spark, table, snap.files, snap.dvs)
+    else readFiles(spark, table, snap.files, snap.dvs,
+      mapping = mappingAt(fs, p, v))
   }
 
   /** An empty frame carrying the recorded schema of `version` (falls
@@ -1357,14 +1538,18 @@ object ManifestTable {
   def readWhere(spark: SparkSession, table: String, predicate: Column,
       version: Long = -1L): DataFrame = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
+    val mapping = mappingAt(fs, p, v)
+    val stats = logicalStats(snap.stats, mapping)
     val predExpr = DataSkipping.expressionOf(predicate) // normalize once
     val kept = snap.files.filter(f =>
-      DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+      DataSkipping.mayMatch(stats.get(f), predExpr))
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v).filter(predicate)
     else if (kept.isEmpty)
       // schema-stable empty result: plan over the real files, read none
-      unionSnapshots(spark, table, snap.files).limit(0).filter(predicate)
-    else readFiles(spark, table, kept, snap.dvs).filter(predicate)
+      applyMapping(unionSnapshots(spark, table, snap.files), mapping)
+        .limit(0).filter(predicate)
+    else readFiles(spark, table, kept, snap.dvs, mapping = mapping)
+      .filter(predicate)
   }
 
   /** (files scanned, files total) a [[readWhere]] of `predicate` would
@@ -1372,10 +1557,11 @@ object ManifestTable {
     */
   def skippingReport(spark: SparkSession, table: String, predicate: Column,
       version: Long = -1L): (Int, Int) = {
-    val (_, _, _, snap) = resolveAt(spark, table, version)
+    val (fs, p, v, snap) = resolveAt(spark, table, version)
+    val stats = logicalStats(snap.stats, mappingAt(fs, p, v))
     val predExpr = DataSkipping.expressionOf(predicate) // normalize once
     val kept = snap.files.count(f =>
-      DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+      DataSkipping.mayMatch(stats.get(f), predExpr))
     (kept, snap.files.size)
   }
 
@@ -1402,11 +1588,30 @@ object ManifestTable {
       version: Long = -1L): DataFrame = {
     val (p, mfiles, parts, schema, dvDirs, _) =
       resolvedScan(spark, table, version)
-    // merge-on-read through the native scan: one anti-join against
-    // the sidecars (a no-op without deletion vectors)
-    applyDvAntiJoin(spark, table,
-      org.apache.spark.sql.GraftManifestScan.relation(spark, p,
-        mfiles, parts, schema), dvDirs)
+    schema.filter(columnMapped) match {
+      case None =>
+        // merge-on-read through the native scan: one anti-join against
+        // the sidecars (a no-op without deletion vectors)
+        applyDvAntiJoin(spark, table,
+          org.apache.spark.sql.GraftManifestScan.relation(spark, p,
+            mfiles, parts, schema), dvDirs)
+      case Some(ms) =>
+        // column-mapped table: the relation reads the PHYSICAL columns
+        // the files contain (pushed filters arrive in physical names
+        // through the alias, so stats pruning in the FileIndex still
+        // fires); the DV anti-join runs before the projection (it
+        // needs the hidden _metadata column), then one projection
+        // renames physical → logical and drops dropped columns
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val physSchema = StructType(ms.fields.map(f =>
+          StructField(physicalOf(f), f.dataType, f.nullable)))
+        val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
+          mfiles, parts, Some(physSchema))
+        applyDvAntiJoin(spark, table, rel, dvDirs)
+          .select(ms.fields.toIndexedSeq.map(f =>
+            col(physicalOf(f)).as(f.name)): _*)
+    }
   }
 
   /** INTERNAL (the scan/catalog plumbing contract): the resolved
@@ -1520,6 +1725,10 @@ object ManifestTable {
     // footer bounds become OUTER bounds, and the contract is exact or
     // absent — compaction materializes DVs and restores exact bounds
     if (snap.dvs.nonEmpty) return None
+    // column-mapped tables: footer stats key by the PHYSICAL name
+    val statKey = recordedSchema(m).filter(columnMapped)
+      .flatMap(_.fields.find(_.name == column).map(physicalOf))
+      .getOrElse(column)
     val isPartCol = m.exists(_.parts.contains(column))
     val expected: Option[DataType] =
       recordedSchema(m).flatMap(_.fields.find(_.name == column))
@@ -1550,7 +1759,7 @@ object ManifestTable {
     for (f <- snap.files) snap.stats.get(f) match {
       case None => return None
       case Some(fst) if fst.rows == 0 => () // empty file: no bound needed
-      case Some(fst) => fst.cols.get(column) match {
+      case Some(fst) => fst.cols.get(statKey) match {
         case Some(DataSkipping.ColStats(Some(lo), Some(hi), _)) =>
           val (cl, ch) = (coerce(lo), coerce(hi))
           if (cl.isEmpty || ch.isEmpty) return None
@@ -1818,15 +2027,31 @@ object ManifestTable {
       if (fromVersion == 0) Some(resolve(spark, fs, p, toVersion, cs)) else None
     val stats: Map[String, FileStats] =
       snap0.map(_.stats).getOrElse(Map.empty)
+    val recorded = recordedSchema(m)
+    val mapping = recorded.filter(columnMapped)
+    // column-mapped table: the relation reads PHYSICAL columns; one
+    // projection after the DV anti-join restores the logical names
+    val relSchema = mapping match {
+      case Some(ms) =>
+        import org.apache.spark.sql.types.{StructField, StructType}
+        Some(StructType(ms.fields.map(f =>
+          StructField(physicalOf(f), f.dataType, f.nullable))))
+      case None => recorded
+    }
     val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
       manifestFilesOf(fs, p, table, files, stats, parts), parts,
-      recordedSchema(m), isStreaming = true)
+      relSchema, isStreaming = true)
     // initial-snapshot batch of a DV-bearing table: apply the vectors
     // (append-range batches cannot carry DVs — a DV commit in the
     // range already failed the walk above)
-    applyDvAntiJoin(spark, table, rel,
+    val dv = applyDvAntiJoin(spark, table, rel,
       snap0.map(_.dvs.values.flatten.map(_.path).toSeq.distinct)
         .getOrElse(Seq.empty))
+    mapping.fold(dv) { ms =>
+      import org.apache.spark.sql.functions.col
+      dv.select(ms.fields.toIndexedSeq.map(f =>
+        col(physicalOf(f)).as(f.name)): _*)
+    }
   }
 
   /** Exactly-once INCREMENTAL CONSUMPTION of the change feed — the
@@ -1886,7 +2111,8 @@ object ManifestTable {
         val dvs =
           if (isSnapshot) resolveAt(spark, table, current)._4.dvs
           else Map.empty[String, Seq[DvRef]]
-        readFiles(spark, table, added, dvs)
+        readFiles(spark, table, added, dvs,
+          mapping = mappingAt(fs, p, current))
       } catch { case e: org.apache.spark.sql.AnalysisException =>
         // normally unreachable (vacuum reclaims an add-file only
         // together with the manifest naming it, and the walk throws
@@ -1973,6 +2199,8 @@ object ManifestTable {
     val to = if (toVersion > 0) toVersion else vs.foldLeft(0L)(math.max)
     require(fromVersion >= 0 && fromVersion <= to,
       s"bad row-CDF range ($fromVersion, $to]")
+    val mapTo = mappingAt(fs, p, to) // read every commit's files under
+    // the schema at `to` (a rename mid-range reports under the new name)
     val baseFields: Seq[org.apache.spark.sql.types.StructField] =
       schemaAt(fs, p, to).map(_.fields.toSeq).getOrElse(
         read(spark, table, to).schema.fields.toSeq)
@@ -2006,30 +2234,35 @@ object ManifestTable {
           val dvDirs = d.dvs.values.flatten.map(_.path).toSeq.distinct
           val targets = d.dvs.keys.toSeq.sorted
           val tagged = readFiles(spark, table, targets, Map.empty,
-            keepIdentity = true)
+            keepIdentity = true, mapping = mapTo)
           Seq(tag(tagged.join(dvEntries(spark, table, dvDirs),
             Seq(DvFileCol, DvIdxCol), "inner")
             .drop(AbsPathCol, DvFileCol, DvIdxCol), "delete", v))
         case d: Delta if d.remove.isEmpty =>
           if (d.add.isEmpty) Seq.empty // pure offset/DDL commit
-          else Seq(tag(readFiles(spark, table, d.add, Map.empty), "insert", v))
+          else Seq(tag(readFiles(spark, table, d.add, Map.empty,
+            mapping = mapTo), "insert", v))
         case d: Delta =>
           val prev = resolve(spark, fs, p, v - 1, cs)
-          val old = align(readFiles(spark, table, d.remove, prev.dvs))
+          val old = align(readFiles(spark, table, d.remove, prev.dvs,
+            mapping = mapTo))
           if (d.add.isEmpty) // pure delete: every pre-image row died
             Seq(tag(old, "delete", v))
           else {
-            val neu = align(readFiles(spark, table, d.add, Map.empty))
+            val neu = align(readFiles(spark, table, d.add, Map.empty,
+              mapping = mapTo))
             Seq(tag(old.exceptAll(neu), "delete", v),
               tag(neu.exceptAll(old), "insert", v))
           }
         case _ => // Replace or Ref base: overwrite/truncate (v=1: create)
           val cur = resolve(spark, fs, p, v, cs)
-          val neu = align(readFiles(spark, table, cur.files, cur.dvs))
+          val neu = align(readFiles(spark, table, cur.files, cur.dvs,
+            mapping = mapTo))
           if (v == 1) Seq(tag(neu, "insert", v))
           else {
             val prev = resolve(spark, fs, p, v - 1, cs)
-            val old = align(readFiles(spark, table, prev.files, prev.dvs))
+            val old = align(readFiles(spark, table, prev.files, prev.dvs,
+              mapping = mapTo))
             Seq(tag(old.exceptAll(neu), "delete", v),
               tag(neu.exceptAll(old), "insert", v))
           }
@@ -2188,9 +2421,11 @@ object ManifestTable {
     */
   private def hitFiles(spark: SparkSession, table: String,
       candidates: Seq[String], dvs: Map[String, Seq[DvRef]],
-      selector: DataFrame => DataFrame): Seq[String] = {
+      selector: DataFrame => DataFrame,
+      mapping: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
     val tagged = readFiles(spark, table, candidates, dvs,
-      keepIdentity = true)
+      keepIdentity = true, mapping = mapping)
     selector(tagged).select(AbsPathCol).distinct()
       .collect().map(r => matchRel(r.getString(0), candidates))
       .toSeq.distinct.sorted
@@ -2224,18 +2459,22 @@ object ManifestTable {
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      val mapping = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping)
       val predExpr = DataSkipping.expressionOf(predicate) // normalize once
       val candidates = snap.files.filter(f =>
-        DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+        DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base
       val hits = hitFiles(spark, table, candidates, snap.dvs,
-        _.filter(predicate))
+        _.filter(predicate), mapping)
       if (hits.isEmpty) return base
       // DV-filtered read: a rewrite must not resurrect rows an earlier
       // deletion vector removed (the rewrite drops the files' DVs)
-      val survivors = readFiles(spark, table, hits, snap.dvs)
+      val survivors = readFiles(spark, table, hits, snap.dvs,
+        mapping = mapping)
         .filter(not(coalesce(predicate, lit(false))))
-      val fresh = writeSnapshot(fs, p, survivors, base + 1, parts, 0L)
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(survivors, mapping), base + 1, parts, 0L)
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, fresh), remove = hits, parts = parts,
@@ -2281,16 +2520,18 @@ object ManifestTable {
       val (_, cs) = listLog(fs, p)
       val m = manifestAt(fs, p, base)
       val snap = resolve(spark, fs, p, base, cs)
+      val mapping = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping)
       val predExpr = DataSkipping.expressionOf(predicate)
       val candidates = snap.files.filter(f =>
-        DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+        DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base
       // matched rows THROUGH the DV-filtered read: disjoint from every
       // earlier DV by construction, so counts are additive. The
       // projection is 3 metadata-ish columns; localCheckpoint pins one
       // evaluation for the count pass and the sidecar write.
       val matched = readFiles(spark, table, candidates, snap.dvs,
-        keepIdentity = true)
+        keepIdentity = true, mapping = mapping)
         .filter(coalesce(predicate, lit(false)))
         .select(col(AbsPathCol), col(DvFileCol), col(DvIdxCol))
         .localCheckpoint()
@@ -2342,14 +2583,16 @@ object ManifestTable {
       val m = manifestAt(fs, p, base)
       val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      val mapping = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping)
       val predExpr = DataSkipping.expressionOf(predicate)
       val candidates = snap.files.filter(f =>
-        DataSkipping.mayMatch(snap.stats.get(f), predExpr))
+        DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base
       val hits = hitFiles(spark, table, candidates, snap.dvs,
-        _.filter(predicate))
+        _.filter(predicate), mapping)
       if (hits.isEmpty) return base
-      val src = readFiles(spark, table, hits, snap.dvs)
+      val src = readFiles(spark, table, hits, snap.dvs, mapping = mapping)
       val unknown = set.keySet -- src.columns
       require(unknown.isEmpty,
         s"UPDATE sets unknown column(s) ${unknown.mkString(", ")} — " +
@@ -2360,7 +2603,8 @@ object ManifestTable {
       }: _*)
       // type changes abort BEFORE any commit (the lake contract)
       val evolved = enforceSchema(recordedSchema(m), rewritten.schema, table)
-      val fresh = writeSnapshot(fs, p, rewritten, base + 1, parts, 0L)
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(rewritten, mapping), base + 1, parts, 0L)
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, fresh), remove = hits, parts = parts,
@@ -2403,8 +2647,10 @@ object ManifestTable {
     val dups = columns.fieldNames.groupBy(key).filter(_._2.length > 1)
     require(dups.isEmpty,
       s"duplicate new column name(s): ${dups.values.flatten.mkString(", ")}")
-    val evolved = StructType(cur.fields ++
-      columns.fields.map(_.copy(nullable = true)))
+    // on a mapped table the new fields get unique physical names — a
+    // name re-added after a drop must not resurrect the dropped data
+    val evolved = stampNewFields(StructType(cur.fields ++
+      columns.fields.map(_.copy(nullable = true))), columnMapped(cur))
     if (!commitDelta(fs, p, base + 1, Seq.empty,
       m.map(_.txns).getOrElse(Map.empty),
       parts = m.map(_.parts).getOrElse(Seq.empty),
@@ -2466,19 +2712,25 @@ object ManifestTable {
       val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
       val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      val mapping0 = mappingOf(m)
+      val snapL = snap.copy(stats = logicalStats(snap.stats, mapping0))
       val candidates =
-        mergeKeyCandidates(source, keyCols.map(k => k -> k), snap)
+        mergeKeyCandidates(source, keyCols.map(k => k -> k), snapL)
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
         else hitFiles(spark, table, candidates, snap.dvs,
-          _.join(srcKeys, keyCols, "left_semi"))
+          _.join(srcKeys, keyCols, "left_semi"), mapping0)
       val newData =
         if (hits.isEmpty) source
-        else readFiles(spark, table, hits, snap.dvs)
+        else readFiles(spark, table, hits, snap.dvs, mapping = mapping0)
           .join(srcKeys, keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = true)
-      val evolved = enforceSchema(recordedSchema(m), source.schema, table)
-      val fresh = writeSnapshot(fs, p, newData, base + 1, parts, 0L)
+      val active = recordedSchema(m).exists(columnMapped)
+      val evolved = stampNewFields(
+        enforceSchema(recordedSchema(m), source.schema, table), active)
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(newData, Some(evolved).filter(columnMapped)),
+        base + 1, parts, 0L)
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, fresh), remove = hits, parts = parts,
@@ -2610,17 +2862,20 @@ object ManifestTable {
       val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val recorded = recordedSchema(m)
+      val mapping0 = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping0)
       // candidate files: those that could hold a matched key, plus —
       // when by-source clauses exist — those where a by-source
       // condition could hold (an unconditioned clause keeps them all)
-      val keyCand = mergeKeyCandidates(src, keyPairs, snap)
+      val keyCand =
+        mergeKeyCandidates(src, keyPairs, snap.copy(stats = lstats))
       val bySourceCand: Seq[String] =
         if (bySource.isEmpty) Seq.empty
         else if (bySource.exists(_.condition.isEmpty)) snap.files
         else {
           val preds = bySource.flatMap(_.condition).map(pruneExpr)
           snap.files.filter(f =>
-            preds.exists(e => DataSkipping.mayMatch(snap.stats.get(f), e)))
+            preds.exists(e => DataSkipping.mayMatch(lstats.get(f), e)))
         }
       val candidates = (keyCand ++ bySourceCand).distinct.sorted
       // first-match application, shared by the hit scan and the
@@ -2656,12 +2911,13 @@ object ManifestTable {
           val (anyChange, _, _) =
             clausePlan(coalesce(col(s"s.$MarkCol"), lit(false)))
           joined.filter(anyChange)
-        })
+        }, mapping0)
       // rewrite the hit files under the clause plan
       val rewritten: Option[DataFrame] =
         if (hits.isEmpty) None
         else {
-          val tgt = readFiles(spark, table, hits, snap.dvs)
+          val tgt = readFiles(spark, table, hits, snap.dvs,
+            mapping = mapping0)
           val cols = tgt.columns.toIndexedSeq
           val joined = tgt.alias("t").join(srcMarked, keyCond, "left_outer")
           val (_, del, ups) =
@@ -2681,7 +2937,8 @@ object ManifestTable {
         else {
           val targetKeys =
             if (keyCand.isEmpty) null
-            else readFiles(spark, table, keyCand, snap.dvs)
+            else readFiles(spark, table, keyCand, snap.dvs,
+              mapping = mapping0)
               .select(keyPairs.map(kp => col(kp._1).as(s"_graft_tk_${kp._1}")): _*)
           val unmatched0 = src.alias("s")
           val unmatched =
@@ -2734,8 +2991,12 @@ object ManifestTable {
           // an insert-only merge with zero insert rows must not commit
           val hasRows = hits.nonEmpty || nd.limit(1).count() > 0
           if (!hasRows) return base
-          val evolved = enforceSchema(recorded, nd.schema, table)
-          val fresh = writeSnapshot(fs, p, nd, base + 1, parts, 0L)
+          val active = recorded.exists(columnMapped)
+          val evolved =
+            stampNewFields(enforceSchema(recorded, nd.schema, table), active)
+          val fresh = writeSnapshot(fs, p,
+            toPhysical(nd, Some(evolved).filter(columnMapped)),
+            base + 1, parts, 0L)
           if (commitDelta(fs, p, base + 1, fresh,
             m.map(_.txns).getOrElse(Map.empty),
             collectStats(spark, p, fresh), remove = hits, parts = parts,
@@ -2790,14 +3051,22 @@ object ManifestTable {
         s"analyze of $table has no sketchable columns (pass them explicitly)")
       // only files that HAVE base stats (the row count anchors the
       // entry) and still miss a target sketch — incremental re-analyze
+      val physLookup: Map[String, String] = recordedSchema(m)
+        .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
+        .getOrElse(Map.empty)
       val todo = snap.files.filter(f => snap.stats.get(f)
-        .exists(st => targets.exists(c => !st.ndv.contains(c))))
+        .exists(st => targets.exists(c =>
+          !st.ndv.contains(physLookup.getOrElse(c, c)))))
       if (todo.isEmpty) return base
+      val mapping = mappingOf(m)
+      val phys: Map[String, String] = mapping
+        .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
+        .getOrElse(Map.empty)
       // raw file content (no DV application): sketches describe the
       // immutable FILE, so they stay valid across later DV churn; the
       // report-time union over live files is an upper-bound estimate
       val tagged = readFiles(spark, table, todo, Map.empty,
-        keepIdentity = true)
+        keepIdentity = true, mapping = mapping)
       val aggs = targets.map(c =>
         hll_sketch_agg(col(c).cast("string"), lgK).as(c))
       val rows = tagged.groupBy(col(DvFileCol))
@@ -2805,9 +3074,12 @@ object ManifestTable {
       val enc = java.util.Base64.getEncoder
       val newStats: Map[String, FileStats] = rows.map { r =>
         val rel = r.getString(0)
+        // sketches key by PHYSICAL name — the namespace the footer
+        // stats use, remapped to logical at read time
         val sketches = targets.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(i + 1)) None
-          else Some(c -> enc.encodeToString(r.getAs[Array[Byte]](i + 1)))
+          else Some(phys.getOrElse(c, c) ->
+            enc.encodeToString(r.getAs[Array[Byte]](i + 1)))
         }.toMap
         val cur = snap.stats(rel)
         rel -> cur.copy(ndv = cur.ndv ++ sketches)

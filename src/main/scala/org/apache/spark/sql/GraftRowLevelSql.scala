@@ -308,7 +308,10 @@ class GraftDvReadRule extends Rule[LogicalPlan] {
 
   private def rewriteIfDv(r: DataSourceV2Relation): LogicalPlan =
     r.table match {
-      case t: GraftTableV2.GraftV2Table if t.dvDirs.nonEmpty =>
+      // DV-bearing or column-mapped: both need the native scan's
+      // read path (anti-join / physical→logical projection)
+      case t: GraftTableV2.GraftV2Table
+          if t.dvDirs.nonEmpty || t.columnMapped =>
         val spark = SparkSession.active
         val scanned = ManifestTable.scan(spark, t.tablePath, t.pinnedVersion)
           .asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed

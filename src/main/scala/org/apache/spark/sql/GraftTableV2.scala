@@ -106,7 +106,8 @@ object GraftTableV2 {
       dataSchema: StructType,
       partSchema: StructType,
       val dvDirs: Seq[String] = Seq.empty,
-      val pinnedVersion: Long = -1L) extends Table
+      val pinnedVersion: Long = -1L,
+      val columnMapped: Boolean = false) extends Table
       with SupportsRead with SupportsWrite with SupportsDelete {
 
     override def name(): String = ident
@@ -141,6 +142,15 @@ object GraftTableV2 {
           "analyzer rule applies the DV anti-join), run " +
           "ManifestTable.compact(...) to materialize them, or read via " +
           "ManifestTable.read/scan")
+      // same readerFeatures discipline for name-based column mapping:
+      // the bare parquet scan reads physical columns and would serve
+      // renamed/dropped columns wrong — the extension rule routes
+      // through the mapping-aware native scan instead
+      if (columnMapped) throw new UnsupportedOperationException(
+        s"table $ident uses column mapping (renamed/dropped columns) " +
+          "the bare SQL catalog scan cannot apply — enable " +
+          "graft.GraftExtensions, rewrite via ManifestTable.write, or " +
+          "read via ManifestTable.read/scan")
       val cs = SparkSession.active.asInstanceOf[classic.SparkSession]
       new GraftStatsScanBuilder(cs,
         new SnapshotFileIndex(cs, tableRoot, files, partSchema),
@@ -379,6 +389,7 @@ object GraftTableV2 {
     val (dataSchema, partSchema) =
       GraftManifestScan.schemasOf(cs, files, parts, recorded)
     new GraftV2Table(ident, tablePath, root, files, parts, dataSchema,
-      partSchema, dvDirs, v)
+      partSchema, dvDirs, v,
+      recorded.exists(ManifestTable.columnMapped))
   }
 }

@@ -414,9 +414,14 @@ class CatalogSpec extends AnyFunSuite {
     // evolution is a commit like any other: time travel sees the old schema
     assert(!spark.sql(s"SELECT * FROM $cat.db.a VERSION AS OF 2")
       .columns.contains("score"))
-    // destructive alters refuse with the rewrite path named
+    // type changes refuse (Spark's analyzer vetoes them for v2 tables
+    // before the catalog is even asked); unsupported catalog-level
+    // changes refuse with the rewrite path named. Renames and drops
+    // commit through column mapping — ColumnMappingSpec.
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN tag TYPE INT"))
     val e = intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.db.a RENAME COLUMN tag TO label"))
+      spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN tag COMMENT 'x'"))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .flatMap(t => Option(t.getMessage)).mkString.contains("rewrite"))
     // a case-insensitive clash would make every later reference
