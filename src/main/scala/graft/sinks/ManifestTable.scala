@@ -1095,6 +1095,7 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     var fresh: Seq[String] = null // snapshot written once, reused on retry
     var freshParts: Seq[String] = null // the layout fresh was written with
+    var freshSchemaJson: String = null // the schema fresh was written with
     var attempts = 0
     while (true) {
       // version FIRST, then txns from THAT version's manifest — one
@@ -1113,15 +1114,21 @@ object ManifestTable {
       val evolved = stampNewFields(
         enforceSchema(recordedSchema(m), df.schema, table), active)
       val mapping = Some(evolved).filter(columnMapped)
-      // the cached snapshot is only reusable if the layout it was
-      // written with still matches — a concurrent first-writer can
-      // change the sticky parts between attempts, and committing
-      // mismatched metadata would null the partition column at scan
-      if (fresh != null && freshParts != parts) fresh = null // orphan → vacuum
+      // the cached snapshot is only reusable if the layout AND the
+      // physical column names it was written with still match — a
+      // concurrent first-writer can change the sticky parts between
+      // attempts, and on a mapped table each retry re-stamps
+      // evolution-added fields with FRESH physical names (committing a
+      // schema whose physicals differ from the cached files would read
+      // the new columns as null)
+      if (fresh != null &&
+        (freshParts != parts || freshSchemaJson != evolved.json))
+        fresh = null // orphan → vacuum
       if (fresh == null) {
         fresh = writeSnapshot(fs, p, toPhysical(df, mapping),
           base + 1, parts, 0L)
         freshParts = parts
+        freshSchemaJson = evolved.json
       }
       if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
         collectStats(spark, p, fresh),
