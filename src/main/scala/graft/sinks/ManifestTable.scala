@@ -2307,6 +2307,17 @@ object ManifestTable {
     require(current > 0, s"no committed version in $table")
     val from = txnsAt(fs, p, current).getOrElse(key, 0L)
     if (from >= current) return current
+    // a range of pure metadata commits (offset advances, DDL, analyze)
+    // delivers nothing and must not commit either — delivering an
+    // empty frame and advancing would make every idle poll append an
+    // offset commit, and the poll/commit pair would ping-pong forever
+    if (from > 0 && !((from + 1) to current).exists { v =>
+      readManifest(fs, p, v) match {
+        case d: Delta => d.dataChange &&
+          (d.add.nonEmpty || d.remove.nonEmpty || d.dvs.nonEmpty)
+        case other => other.dataChange // replace/ref: content changed
+      }
+    }) return current
     val frame =
       if (from == 0)
         read(spark, table, current)
@@ -3061,10 +3072,21 @@ object ManifestTable {
       val physLookup: Map[String, String] = recordedSchema(m)
         .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
         .getOrElse(Map.empty)
-      val todo = snap.files.filter(f => snap.stats.get(f)
+      val allTodo = snap.files.filter(f => snap.stats.get(f)
         .exists(st => targets.exists(c =>
           !st.ndv.contains(physLookup.getOrElse(c, c)))))
-      if (todo.isEmpty) return base
+      if (allTodo.isEmpty) return base
+      // bound EACH stats delta to the sidecar threshold: one inline
+      // JSON delta carrying sketches for a million files would
+      // reintroduce the O(table) driver-parse ceiling the sidecar
+      // bases removed — a huge backlog lands as several bounded
+      // commits instead (the loop re-resolves and continues)
+      val chunk = {
+        val th = refThreshold(spark)
+        if (th > 0) th else 20000
+      }
+      val todo = allTodo.take(chunk)
+      val moreAfter = allTodo.size > todo.size
       val mapping = mappingOf(m)
       val phys: Map[String, String] = mapping
         .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
@@ -3097,9 +3119,10 @@ object ManifestTable {
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson))) {
         maybeCheckpoint(spark, fs, p, base + 1)
-        return base + 1
-      }
-      attempt += 1
+        // bounded-chunk commit landed; keep going until the backlog is
+        // drained (the loop re-resolves, so concurrent commits fold in)
+        if (!moreAfter) return base + 1
+      } else attempt += 1
     }
     raceLost(table, currentVersion(spark, table) + 1)
   }

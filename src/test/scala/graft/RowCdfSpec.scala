@@ -89,10 +89,17 @@ class RowCdfSpec extends AnyFunSuite {
     drain()
     assert(rows == Set((4L, "delete")),
       s"the rewrite must surface as its exact delete row: $rows")
-    // caught up: no redelivery (cursor advanced transactionally)
+    // caught up: no redelivery (cursor advanced transactionally), and
+    // an idle poll must not append an offset commit either — the poll
+    // would otherwise chase its own offset commits, growing the log on
+    // every idle trigger forever
     rows = Set.empty
     drain()
+    val vIdle = ManifestTable.currentVersion(spark, t)
+    drain(); drain()
     assert(rows.isEmpty, "a caught-up consumer must receive nothing")
+    assert(ManifestTable.currentVersion(spark, t) == vIdle,
+      "idle polls must not commit anything")
     // mixed range: DV delete + append in one poll
     ManifestTable.deleteVectors(spark, t, col("id") === 7L)
     ManifestTable.append(spark, Seq((100L, 1L)).toDF("id", "qty"), t)
