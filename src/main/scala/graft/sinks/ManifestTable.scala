@@ -1893,13 +1893,26 @@ object ManifestTable {
   def filesReport(spark: SparkSession, table: String,
       version: Long = -1L): DataFrame = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
-    val m = manifestAt(fs, p, v)
-    val parts = m.map(_.parts).getOrElse(Seq.empty)
-    val mfiles = manifestFilesOf(fs, p, table, snap.files, snap.stats, parts)
-    val rows = mfiles.map { mf =>
-      (mf.rel, mf.status.getLen, mf.stats.map(_.rows),
-        snap.dvs.getOrElse(mf.rel, Seq.empty).map(_.rows).sum)
-    }
+    val rows: Seq[(String, Long, Option[Long], Long)] =
+      if (snap.files.forall(f => snap.stats.get(f).exists(_.bytes > 0)))
+        // manifest-recorded sizes: zero filesystem round-trips — the
+        // census is a pure metadata walk even at millions of files
+        snap.files.map { f =>
+          val st = snap.stats(f)
+          (f, st.bytes, Some(st.rows),
+            snap.dvs.getOrElse(f, Seq.empty).map(_.rows).sum)
+        }
+      else {
+        // legacy manifests without size stats: one recursive listing
+        // per snapshot dir, never a per-file status RPC
+        val m = manifestAt(fs, p, v)
+        val parts = m.map(_.parts).getOrElse(Seq.empty)
+        manifestFilesOf(fs, p, table, snap.files, snap.stats, parts)
+          .map { mf =>
+            (mf.rel, mf.status.getLen, mf.stats.map(_.rows),
+              snap.dvs.getOrElse(mf.rel, Seq.empty).map(_.rows).sum)
+          }
+      }
     val sq = spark
     import sq.implicits._
     rows.toDF("file", "size_bytes", "rows", "dv_deleted_rows")

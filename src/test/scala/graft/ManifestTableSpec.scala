@@ -58,6 +58,36 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(cs.totalBytes == real)
   }
 
+  test("analyze sketches are mergeable: per-file HLL unions track true distincts") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = (0 until 4000).map(i => (i.toLong, s"k${i % 123}"))
+      .toDF("id", "k")
+    ManifestTable.write(spark, data.repartition(4), t)
+    ManifestTable.analyze(spark, t)
+    val stats = ManifestTable.fileStats(spark, t)
+    val sketches = stats.values.flatMap(_.ndv.get("k")).toSeq
+    assert(sketches.size == stats.size, "every file must carry a k sketch")
+    // the union across ALL files estimates the global distinct count
+    val full = ManifestTable.ndvEstimate(sketches).get
+    assert(full >= 117 && full <= 129, s"123 true distincts, union said $full")
+    // mergeability: any subset's union is a valid estimate bounded by
+    // the full union (+ sketch error) — the property that lets a
+    // pruned scan report its own cardinality without re-scanning
+    val partial = ManifestTable.ndvEstimate(sketches.take(2)).get
+    assert(partial <= full * 1.05 && partial > 0)
+    // id is near-unique: the union tracks 4000 within sketch error
+    val idEst = ManifestTable.ndvEstimate(
+      stats.values.flatMap(_.ndv.get("id")).toSeq).get
+    assert(idEst >= 3800 && idEst <= 4200, s"4000 ids, union said $idEst")
+    // the metadata-only files census needs zero filesystem calls when
+    // sizes are recorded (stats-backed branch) and stays consistent
+    val rep = ManifestTable.filesReport(spark, t)
+    assert(rep.count() == stats.size &&
+      rep.agg(org.apache.spark.sql.functions.sum("rows")).head().getLong(0)
+        == 4000L)
+  }
+
   test("append commits old-files + new-files") {
     val t = freshTable()
     ManifestTable.write(spark, df(30, "a"), t)
