@@ -673,6 +673,53 @@ class ManifestSkippingSpec extends AnyFunSuite {
       .filter(col("payload") === "merged").count() == 100)
   }
 
+  test("at scale: CDC mergeClauses rewrites only the clause-affected files") {
+    import graft.sinks.ManifestTable.{BySourceClause, MatchedClause, NotMatchedClause}
+    import spark.implicits._
+    val t = freshTable()
+    // 120k rows in 24 range-localized files (5k ids per file)
+    val base = spark.range(0L, 120000L).toDF("id")
+      .withColumn("bucket", (col("id") % 97).cast("int"))
+      .withColumn("payload", concat(lit("row-"), col("id")))
+    ManifestTable.write(spark, base.repartitionByRange(24, col("id")), t)
+    val before = ManifestTable.currentFiles(spark, t).toSet
+    assert(before.size == 24)
+    // CDC feed: one 100-key band (delete evens, update odds) plus 50
+    // brand-new keys to insert
+    val src = spark.range(30000L, 30100L).toDF("id")
+      .withColumn("op", when(col("id") % 2 === 0, "D").otherwise("U"))
+      .unionByName(spark.range(200000L, 200050L).toDF("id")
+        .withColumn("op", lit("I")))
+    ManifestTable.mergeClauses(spark, src, t, Seq("id" -> "id"),
+      matched = Seq(
+        MatchedClause(Some(col("s.op") === "D"), None),
+        MatchedClause(None, Some(Map("bucket" -> lit(777))))),
+      notMatched = Seq(NotMatchedClause(Some(col("s.op") === "I"),
+        Map("id" -> col("s.id"), "bucket" -> lit(1),
+          "payload" -> lit("ins")))),
+      // a stats-prunable by-source band: zero source keys live there,
+      // so every row in it updates
+      bySource = Seq(BySourceClause(
+        Some(col("t.id") >= 110000L && col("t.id") < 112000L),
+        Some(Map("bucket" -> lit(-1))))))
+    // the 100-key band lives in ONE file and the by-source band in ONE
+    // more — everything else must survive untouched
+    val after = ManifestTable.currentFiles(spark, t).toSet
+    assert(before.intersect(after).size == 22,
+      s"CDC merge must rewrite exactly the 2 affected files, kept " +
+        s"${before.intersect(after).size} of 24")
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 120000L, "50 deletes + 50 inserts balance")
+    assert(r.filter(col("bucket") === 777).count() == 50L,
+      "matched updates (odd band keys)")
+    assert(r.filter(col("bucket") === -1).count() == 2000L,
+      "by-source band updated in full")
+    assert(r.filter(col("payload") === "ins").count() == 50L,
+      "conditional inserts landed")
+    assert(r.filter(col("id") >= 30000L && col("id") < 30100L)
+      .count() == 50L, "matched deletes removed the even band keys")
+  }
+
   test("startsWith pruning survives astral-plane bounds (byte-prefix compare)") {
     import spark.implicits._
     val t = freshTable()
