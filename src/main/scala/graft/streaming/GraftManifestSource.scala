@@ -48,17 +48,32 @@ class GraftManifestSourceProvider extends StreamSourceProvider
       "format(\"graft\") needs .option(\"path\", <manifest table root>) " +
         "or .load(<path>)"))
 
+  private def isChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   /** The source schema is the native scan's (recorded schema, data
     * columns then partition columns) — pinned at stream start; schema
     * evolution mid-stream needs a restart, like the file sources.
+    * With `readChangeFeed = true` the row-CDF columns
+    * (`_change_type`, `_commit_version`) are appended.
     */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(),
-      schema.getOrElse(
-        ManifestTable.scan(sqlContext.sparkSession, tablePath(parameters))
-          .schema))
+      schema.getOrElse {
+        val base =
+          ManifestTable.scan(sqlContext.sparkSession, tablePath(parameters))
+            .schema
+        if (!isChangeFeed(parameters)) base
+        else StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            ManifestTable.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            ManifestTable.CommitVersionCol,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -67,7 +82,8 @@ class GraftManifestSourceProvider extends StreamSourceProvider
       tablePath(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      changeFeed = isChangeFeed(parameters))
 
   /** `df.writeStream.format("graft")` — the sink half of the
     * symmetry: each micro-batch folds in through
@@ -153,7 +169,8 @@ final case class GraftVersionOffset(version: Long) extends Offset {
 final class GraftManifestSource(spark: SparkSession, table: String,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Int],
-    startingVersion: Long = 0L) extends Source {
+    startingVersion: Long = 0L,
+    changeFeed: Boolean = false) extends Source {
 
   /** Highest version this source instance has offered, delivered or
     * seen COMMITTED — ratchets admission forward under
@@ -205,7 +222,11 @@ final class GraftManifestSource(spark: SparkSession, table: String,
       val from = math.max(start.map(versionOf).getOrElse(0L), startingVersion)
       val to = versionOf(end)
       floor = math.max(floor, to) // restart: resume admission past `to`
-      ManifestTable.streamBatch(spark, table, from, to)
+      // CDC mode: row-level change batches (appends as inserts,
+      // rewrites from their recorded change files) instead of the
+      // plain additions feed
+      if (changeFeed) ManifestTable.streamChangeBatch(spark, table, from, to)
+      else ManifestTable.streamBatch(spark, table, from, to)
     }
 
   override def commit(end: Offset): Unit = synchronized {

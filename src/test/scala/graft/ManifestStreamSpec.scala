@@ -261,6 +261,77 @@ class ManifestStreamSpec extends AnyFunSuite {
       .flatMap(t => Option(t.getMessage)).mkString.contains("append-only"))
   }
 
+  test("readChangeFeed: the stream serves row-level changes across rewrites") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t) // v1
+    ManifestTable.enableChangeFeed(spark, t) // v2
+    def runCdc(ckpt: String): Seq[(Long, String, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      val q = spark.readStream.format("graft")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.select("id", "tag", "_change_type").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          }: Unit
+        }.start()
+      try q.processAllAvailable()
+      finally q.stop()
+      buf.toSeq
+    }
+    // initial snapshot: every current row as an insert
+    val snap = runCdc(s"$root/ck")
+    assert(snap.size == 10 && snap.forall(_._3 == "insert"))
+    // a CoW delete, a DV delete, an update and an append — all while
+    // no stream runs; the restart must deliver their exact row effects
+    ManifestTable.delete(spark, t, col("id") === 3L) // v3
+    ManifestTable.deleteVectors(spark, t, col("id") === 7L) // v4
+    ManifestTable.update(spark, t, col("id") === 5L,
+      Map("tag" -> lit("upd"))) // v5
+    ManifestTable.append(spark, df(10, 12, "b"), t) // v6
+    val got = runCdc(s"$root/ck").toSet
+    assert(got == Set(
+      (3L, "a", "delete"), (7L, "a", "delete"),
+      (5L, "a", "delete"), (5L, "upd", "insert"),
+      (10L, "b", "insert"), (11L, "b", "insert")),
+      s"CDC stream must carry the exact row effects: $got")
+    // the plain additions stream still fails on the same rewrite range
+    // (its contract is unchanged)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToCompletion(t, s"$root/ck_plain_post")
+      ManifestTable.delete(spark, t, col("id") === 1L)
+      runToCompletion(t, s"$root/ck_plain_post")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(x => Option(x.getMessage)).mkString.contains("rewrite commit"))
+    // ...while the CDC stream keeps going through it
+    assert(runCdc(s"$root/ck").toSet == Set((1L, "a", "delete")))
+    // a rewrite from BEFORE the feed was enabled cannot be served: a
+    // fresh CDC stream starting mid-log at it fails with the remedy
+    val t2 = s"$root/t2"
+    ManifestTable.write(spark, df(0, 5, "x"), t2)
+    ManifestTable.delete(spark, t2, col("id") === 0L) // no change files
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft")
+        .option("path", t2).option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ck2")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(): Unit
+        }.start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(x => Option(x.getMessage)).mkString
+      .contains("enableChangeFeed"), s"got: $e2")
+  }
+
   test("batch read through format(\"graft\") is the native pruning scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import spark.implicits._

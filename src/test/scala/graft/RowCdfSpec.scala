@@ -65,6 +65,71 @@ class RowCdfSpec extends AnyFunSuite {
       s"truncate must delete the 19 survivors: ${trunc.size}")
   }
 
+  test("enableChangeFeed: commits persist change files; rowChanges prefers them; vacuum sweeps orphans") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      (0L until 20L).map(i => (i, i * 10)).toDF("id", "qty")
+        .repartitionByRange(4, col("id")), t) // v1
+    ManifestTable.enableChangeFeed(spark, t) // v2 (property commit)
+    assert(ManifestTable.tableProperties(spark, t)
+      .get(ManifestTable.ChangeFeedProp).contains("true"))
+    // property survives unrelated commits (sticky channel)
+    ManifestTable.append(spark, Seq((20L, 200L)).toDF("id", "qty"), t) // v3
+    assert(ManifestTable.tableProperties(spark, t)
+      .get(ManifestTable.ChangeFeedProp).contains("true"))
+    ManifestTable.delete(spark, t, col("id") === 4L) // v4: change files
+    ManifestTable.update(spark, t, col("id") === 6L,
+      Map("qty" -> lit(999L))) // v5
+    ManifestTable.deleteVectors(spark, t, col("id") === 8L) // v6
+    ManifestTable.merge(spark, Seq((9L, 900L), (30L, 300L)).toDF("id", "qty"),
+      t, Seq("id")) // v7
+    // every rewrite commit recorded its change dir
+    val changeDirs = new java.io.File(s"$t/changes").listFiles()
+    assert(changeDirs != null && changeDirs.length == 4,
+      s"4 rewrite commits → 4 change dirs, got ${changeDirs.length}")
+    // rowChanges over the feed (served from the recorded files) equals
+    // the expected multiset
+    val got = changeSet(ManifestTable.rowChanges(spark, t, 3))
+    val want = Set(
+      (4L, 40L, "delete", 4L),
+      (6L, 60L, "delete", 5L), (6L, 999L, "insert", 5L),
+      (8L, 80L, "delete", 6L),
+      (9L, 90L, "delete", 7L), (9L, 900L, "insert", 7L),
+      (30L, 300L, "insert", 7L))
+    assert(got == want, s"extra ${got -- want}; missing ${want -- got}")
+    // vacuum keeps referenced change dirs, sweeps orphans
+    val orphan = new java.io.File(s"$t/changes/c99-orphan")
+    orphan.mkdirs()
+    ManifestTable.vacuum(spark, t, keepVersions = 10, graceMs = 0L)
+    assert(!orphan.exists, "orphaned change dir must be swept")
+    assert(changeSet(ManifestTable.rowChanges(spark, t, 3)) == want,
+      "referenced change dirs survive vacuum")
+  }
+
+  test("CDC mergeClauses persists its clause-exact change rows") {
+    import graft.sinks.ManifestTable.{MatchedClause, NotMatchedClause}
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      (0L until 10L).map(i => (i, i)).toDF("id", "qty"), t)
+    ManifestTable.enableChangeFeed(spark, t)
+    ManifestTable.mergeClauses(spark,
+      Seq((2L, "D", 0L), (3L, "U", 77L), (50L, "I", 5L))
+        .toDF("id", "op", "v"), t, Seq("id" -> "id"),
+      matched = Seq(
+        MatchedClause(Some(col("s.op") === "D"), None),
+        MatchedClause(Some(col("s.op") === "U"),
+          Some(Map("qty" -> col("s.v"))))),
+      notMatched = Seq(NotMatchedClause(Some(col("s.op") === "I"),
+        Map("id" -> col("s.id"), "qty" -> col("s.v")))))
+    val v = ManifestTable.currentVersion(spark, t)
+    val got = changeSet(ManifestTable.rowChanges(spark, t, v - 1, v))
+    assert(got == Set(
+      (2L, 2L, "delete", v), (3L, 3L, "delete", v),
+      (3L, 77L, "insert", v), (50L, 5L, "insert", v)), s"got $got")
+  }
+
   test("consumeRowChanges: rewrites deliver rows instead of failing; exactly-once cursor") {
     import spark.implicits._
     val t = freshTable()
