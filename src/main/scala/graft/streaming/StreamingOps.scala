@@ -392,6 +392,87 @@ object StreamingOps {
       |FROM documents GROUP BY lang
       |ORDER BY lang ASC NULLS LAST""".stripMargin
 
+  private val e25Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** e25: the ROW-LEVEL CDC STREAM — the change feed enabled on a
+    * manifest table, the table driven through a rewrite-heavy life
+    * cycle (copy-on-write delete, update, merge-on-read DV delete,
+    * append), and
+    * `readStream.format("graft").option("readChangeFeed", "true")`
+    * tailing from `startingVersion` past the bulk load: every rewrite
+    * delivers its EXACT row effects from the change files the commit
+    * recorded (`_change_type` delete/insert — a plain additions
+    * stream fails on the very first of these commits), one version
+    * per trigger. The accumulated feed's census must hash-match the
+    * DuckDB set-algebra reconstruction — the p32 row-CDF contract
+    * served through the streaming front end, end to end.
+    */
+  def e25CdcStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sinks.{ManifestTable, Sinks}
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = Sinks.sessionScratchPath(spark,
+      "e25_cdc_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + e25Invocation.incrementAndGet())
+    val table = s"$root/table"
+    ManifestTable.write(spark, // v1: bulk load (not streamed)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    ManifestTable.enableChangeFeed(spark, table) // v2
+    ManifestTable.delete(spark, table, // v3: CoW delete
+      pmod(col("doc_id"), lit(10)) === 0)
+    ManifestTable.update(spark, table, // v4: CoW update
+      pmod(col("doc_id"), lit(10)) === 2,
+      Map("n_chars" -> (col("n_chars") + 500)))
+    ManifestTable.deleteVectors(spark, table, // v5: DV delete
+      pmod(col("doc_id"), lit(10)) === 4)
+    ManifestTable.append(spark, // v6: append
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+        pmod(col("doc_id"), lit(5)) === 0), table)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val q = spark.readStream.format("graft")
+      .option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2") // tail the churn, skip the load
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.synchronized { batches += b.localCheckpoint() }: Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    batches.reduce(_.unionByName(_))
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .orderBy(col("_change_type").asc, col("lang").asc_nulls_last)
+  }
+
+  /** DuckDB reconstruction of the streamed change feed. */
+  val e25Sql: String =
+    """WITH evens AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |feed AS (
+      |  SELECT 'delete' AS _change_type, lang, n_chars
+      |  FROM evens WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT 'insert', lang, n_chars + 500 FROM evens WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 4
+      |  UNION ALL
+      |  SELECT 'insert', lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)
+      |SELECT _change_type, lang, count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM feed GROUP BY 1, 2
+      |ORDER BY _change_type ASC, lang ASC NULLS LAST""".stripMargin
+
   /** foreachBatch upsert body: DYNAMIC partition overwrite keyed by
     * the FULL aggregate key (event_type, ws). The overwrite unit must
     * equal the update key: update output mode emits only the rows a
