@@ -2234,7 +2234,14 @@ object ManifestTable {
         schema, isStreaming = true)
     val frames: Seq[DataFrame] =
       ((fromVersion + 1) to toVersion).flatMap { v =>
-        val mv = readManifest(fs, p, v)
+        val mv =
+          try readManifest(fs, p, v)
+          catch { case e: java.io.IOException =>
+            throw new java.io.IOException(
+              s"CDC stream of $table is behind the vacuumed log prefix " +
+                s"(v$v unreadable) — restart from a fresh checkpoint to " +
+                "re-snapshot, or keep a longer vacuum retention", e)
+          }
         if (!mv.dataChange) Seq.empty
         else mv match {
           case d: Delta if d.cdcDir.isDefined =>
