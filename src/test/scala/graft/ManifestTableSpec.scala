@@ -516,6 +516,31 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("table properties survive sidecar (Ref) bases and checkpoints") {
+    spark.conf.set("spark.graft.manifest.refThreshold", "1")
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "2")
+    try {
+      val t = freshTable()
+      ManifestTable.write(spark, df(30, "a").repartition(3), t) // v1: Ref
+      ManifestTable.setProperty(spark, t, "graft.owner.team", "corpus") // v2
+      // through appends (+ interval checkpoint), a compact (Ref
+      // replace) and a rewrite, the sticky channel keeps the value
+      ManifestTable.append(spark, df(5, "b"), t) // v3
+      ManifestTable.compact(spark, t) // v4: sidecar replace
+      ManifestTable.delete(spark, t, col("id") === 1L) // v5
+      ManifestTable.append(spark, df(2, "c"), t) // v6 + checkpoint
+      assert(ManifestTable.tableProperties(spark, t)
+        .get("graft.owner.team").contains("corpus"),
+        "props must ride every commit kind, including pointer bases")
+      // updating the value is one zero-file commit
+      ManifestTable.setProperty(spark, t, "graft.owner.team", "ml")
+      assert(ManifestTable.tableProperties(spark, t)("graft.owner.team") == "ml")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.refThreshold")
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
+
   test("commit CAS: a second writer racing the same version loses cleanly") {
     val t = freshTable()
     val v1files = {
