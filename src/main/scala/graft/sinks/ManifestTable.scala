@@ -2214,8 +2214,18 @@ object ManifestTable {
         .withColumn(CommitVersionCol, lit(toVersion))
     val mTo = manifestAt(fs, p, toVersion)
     val recorded = recordedSchema(mTo)
-    val baseFields = recorded.map(_.fields.toSeq).getOrElse(Seq.empty)
     val mapping = recorded.filter(columnMapped)
+    // field ORDER must equal the source's declared schema (the engine
+    // binds the batch plan to the source output POSITIONALLY): the
+    // native scan serves data-then-partition order on plain tables and
+    // recorded order on mapped ones (its projection)
+    val partsTo = mTo.map(_.parts).getOrElse(Seq.empty)
+    val baseFields: Seq[org.apache.spark.sql.types.StructField] =
+      recorded.map { s =>
+        if (mapping.isDefined) s.fields.toSeq
+        else s.fields.toSeq.filterNot(f => partsTo.contains(f.name)) ++
+          s.fields.toSeq.filter(f => partsTo.contains(f.name))
+      }.getOrElse(Seq.empty)
     def align(df: DataFrame, ct: Option[String], v: Long): DataFrame = {
       val have = df.columns.toSet
       val fields =

@@ -332,6 +332,50 @@ class ManifestStreamSpec extends AnyFunSuite {
       .contains("enableChangeFeed"), s"got: $e2")
   }
 
+  test("readChangeFeed on a partitioned table binds columns correctly") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    // recorded order (id, tag, qty) differs from the scan's declared
+    // data-then-partition order (id, qty, tag) — the engine binds the
+    // batch POSITIONALLY, so a recorded-order CDC batch would swap
+    // columns
+    ManifestTable.write(spark,
+      (0L until 12L).map(i => (i, s"t${i % 2}", i * 10))
+        .toDF("id", "tag", "qty"),
+      t, partitionCols = Seq("tag"))
+    ManifestTable.enableChangeFeed(spark, t)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.select("id", "tag", "qty", "_change_type").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                r.getString(3)))
+          }: Unit
+        }.start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    drain(s"$root/ck")
+    assert(buf.size == 12 &&
+      buf.forall { case (id, tag, qty, ct) =>
+        tag == s"t${id % 2}" && qty == id * 10 && ct == "insert" },
+      s"snapshot columns must bind by name, not swap: ${buf.take(3)}")
+    buf.clear()
+    ManifestTable.delete(spark, t, col("id") === 4L) // change files
+    ManifestTable.append(spark,
+      Seq((20L, "t0", 200L)).toDF("id", "tag", "qty"), t)
+    drain(s"$root/ck")
+    assert(buf.toSet == Set((4L, "t0", 40L, "delete"),
+      (20L, "t0", 200L, "insert")),
+      s"rewrite + append batches must bind correctly: $buf")
+  }
+
   test("batch read through format(\"graft\") is the native pruning scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import spark.implicits._
