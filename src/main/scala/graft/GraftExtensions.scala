@@ -50,5 +50,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Hash32].getName, "graft_md5_32"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Hash32(exprs.head)))
+    // CDC from SQL text (VERDICT r13 next-round #6): the Delta-style
+    // table-valued function serving the row-level change feed —
+    //   SELECT * FROM table_changes('lake.ns.t', 2, 5)
+    // resolves the table through its catalog (or takes a table path
+    // directly) and plans ManifestTable.rowChanges(from, to] inline.
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "table_changes"),
+      TableChangesFunction.plan _))
+  }
+}
+
+/** Builder for the `table_changes(table, from[, to])` TVF: arguments
+  * must be foldable (they parameterize PLANNING — the function decides
+  * which commit ranges to read before any row flows). `table` is
+  * either a `cat.ns.t` name whose catalog is a [[catalog.GraftCatalog]]
+  * or a filesystem path to the manifest table; `from` is exclusive,
+  * `to` inclusive (default: current version) — exactly
+  * [[graft.sinks.ManifestTable.rowChanges]].
+  */
+private[graft] object TableChangesFunction {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def scalar(e: Expression, what: String): Any = {
+    require(e.foldable, s"table_changes: $what must be a literal, got $e")
+    e.eval()
+  }
+
+  private def longOf(e: Expression, what: String): Long =
+    scalar(e, what) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer version, got $other")
+    }
+
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 2 || exprs.size == 3,
+      s"table_changes(table, from[, to]) takes 2 or 3 arguments, " +
+        s"got ${exprs.size}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tableArg = String.valueOf(scalar(exprs(0), "table"))
+    val from = longOf(exprs(1), "from")
+    val to = if (exprs.size > 2) longOf(exprs(2), "to") else -1L
+    val path =
+      if (tableArg.contains("/")) tableArg
+      else {
+        val segs = tableArg.split("\\.")
+        require(segs.length >= 2,
+          s"table_changes: table must be 'cat.ns.t' or a path, got '$tableArg'")
+        org.apache.spark.sql.GraftColumnBridge
+          .catalogPlugin(spark, segs.head) match {
+          case g: graft.catalog.GraftCatalog =>
+            g.procTablePath(segs.tail.mkString("."))
+          case other => throw new IllegalArgumentException(
+            s"table_changes: catalog '${segs.head}' is not a graft " +
+              s"catalog (got ${other.getClass.getName})")
+        }
+      }
+    graft.sinks.ManifestTable.rowChanges(spark, path, from, to)
+      .queryExecution.analyzed
   }
 }

@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +38,8 @@ import graft.sinks.ManifestTable
   * "catalog" is one `listStatus` per level, and every per-table
   * operation is O(manifest), never O(data).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -160,23 +162,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         (name() +: ident.namespace().toSeq :+ ident.name()))
-    // refuse properties the layout cannot honor instead of silently
-    // dropping them: LOCATION/EXTERNAL would place the table somewhere
-    // other than the warehouse path this catalog derives from the
-    // name, and arbitrary TBLPROPERTIES have nowhere durable to live
-    // (manifests carry engine metadata only) — accepting them would
-    // lie to the user (ADVICE r12). `owner`/`provider` are injected by
-    // Spark itself on every CREATE and carry no placement semantics.
-    if (properties != null) {
-      import scala.jdk.CollectionConverters._
-      val injected = Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)
-      val refused = properties.keySet().asScala.filterNot(injected).toSeq.sorted
-      if (refused.nonEmpty) throw new UnsupportedOperationException(
-        s"graft tables do not support table properties " +
-          s"(got: ${refused.mkString(", ")}) — tables live at " +
-          s"<warehouse>/<namespace>/<name>; LOCATION/EXTERNAL/" +
-          "TBLPROPERTIES cannot be honored")
-    }
+    // TBLPROPERTIES are recorded on the CREATE commit itself (the
+    // sticky `props` manifest channel — `SHOW TBLPROPERTIES` reads
+    // them back, `ALTER TABLE ... SET/UNSET TBLPROPERTIES` evolves
+    // them). Placement properties are still refused rather than
+    // silently dropped: LOCATION/EXTERNAL would place the table
+    // somewhere other than the warehouse path this catalog derives
+    // from the name. `owner`/`provider` are injected by Spark itself
+    // on every CREATE and carry no placement semantics.
+    val userProps: Map[String, String] =
+      if (properties == null) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val injected = Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)
+        val all = properties.asScala.toMap
+        val refused = all.keySet.filter(placementProps).toSeq.sorted
+        if (refused.nonEmpty) throw new UnsupportedOperationException(
+          s"graft tables live at <warehouse>/<namespace>/<name> — " +
+            s"placement properties cannot be honored " +
+            s"(got: ${refused.mkString(", ")})")
+        all.filterNot { case (k, _) => injected(k) }
+      }
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames().mkString(".")
@@ -184,9 +190,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft tables support identity partitioning only, got $other " +
           "(cluster by expression via ManifestTable.compact(clusterBy))")
     }
-    ManifestTable.create(spark, tablePath(ident), schema, partCols): Unit
+    ManifestTable.create(spark, tablePath(ident), schema, partCols,
+      userProps): Unit
     loadTable(ident)
   }
+
+  /** Properties that would change WHERE the table lives — the catalog
+    * derives the path from the name, so these are refused loudly
+    * everywhere (CREATE and ALTER) instead of silently dropped.
+    */
+  private val placementProps: Set[String] =
+    Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL, "path")
 
   /** Zero-rewrite DDL: `ADD COLUMNS` commits add-column evolution
     * (existing rows read the new columns as null), `RENAME COLUMN` and
@@ -203,7 +217,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = tablePath(ident)
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.types.StructField]
+    // SET/UNSET TBLPROPERTIES batch into ONE zero-file commit
+    val propSets = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val propUnsets = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
+      case s: TableChange.SetProperty =>
+        if (placementProps(s.property())) throw new UnsupportedOperationException(
+          s"graft tables live at <warehouse>/<namespace>/<name> — " +
+            s"placement property '${s.property()}' cannot be honored")
+        propSets += s.property() -> s.value(): Unit
+      case r: TableChange.RemoveProperty =>
+        propUnsets += r.property(): Unit
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         require(a.isNullable,
           s"new column '${a.fieldNames().head}' must be nullable — " +
@@ -229,6 +253,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (adds.nonEmpty)
       ManifestTable.addColumns(spark, path,
         org.apache.spark.sql.types.StructType(adds.toSeq)): Unit
+    if (propSets.nonEmpty || propUnsets.nonEmpty)
+      ManifestTable.updateProperties(spark, path, propSets.toMap,
+        propUnsets.toSeq): Unit
     loadTable(ident)
   }
 
@@ -250,6 +277,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new java.io.IOException(
         s"rename ${oldIdent} -> ${newIdent} failed")
   }
+
+  // ---------------------------------------------------------------
+  // procedures: the SQL maintenance front door —
+  // CALL cat.system.{compact,vacuum,analyze,restore}(...)
+  // ---------------------------------------------------------------
+
+  /** The `table` procedure argument is a NAME in this catalog
+    * (`ns.t`), resolved to its warehouse path with the same
+    * traversal-guarded derivation `loadTable` uses; the table must
+    * exist.
+    */
+  private[graft] def procTablePath(nameArg: String): String = {
+    val segs = nameArg.split("\\.").toSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"bad table name '$nameArg' (want 'ns.t' within catalog ${name()})")
+    val ident = Identifier.of(segs.init.toArray, segs.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (name() +: segs))
+    tablePath(ident)
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(ident, procTablePath)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---------------------------------------------------------------
   // namespaces (a namespace is a directory)

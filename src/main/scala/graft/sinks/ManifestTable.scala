@@ -724,16 +724,17 @@ object ManifestTable {
       parts: Seq[String], schemaJson: Option[String],
       quality: Map[String, Long] = Map.empty,
       dataChange: Boolean = true,
-      props: Map[String, String] = Map.empty): Boolean = {
+      props: Map[String, String] = Map.empty,
+      dvs: Map[String, Seq[DvRef]] = Map.empty): Boolean = {
     val th = refThreshold(spark)
     if (th > 0 && relFiles.size > th) {
       val (ref, n, refRows) =
-        writeRefData(spark, table, version, relFiles, stats, Map.empty)
+        writeRefData(spark, table, version, relFiles, stats, dvs)
       casCreate(fs, table, manifestPath(table, version),
         renderRefNode(version, ref, n, refRows, txns, parts, schemaJson,
           quality, dataChange, props))
     } else commitManifest(fs, table, version, relFiles, txns, stats,
-      parts, schemaJson, quality, dataChange, props)
+      parts, schemaJson, quality, dataChange, props, dvs)
   }
 
   /** Reconstruct the complete state of `version`: walk BACKWARD from
@@ -943,11 +944,12 @@ object ManifestTable {
       schemaJson: Option[String] = None,
       quality: Map[String, Long] = Map.empty,
       dataChange: Boolean = true,
-      props: Map[String, String] = Map.empty): Boolean =
+      props: Map[String, String] = Map.empty,
+      dvs: Map[String, Seq[DvRef]] = Map.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
       renderNode(version, "files", relFiles, txns, stats, parts = parts,
         schemaJson = schemaJson, quality = quality, dataChange = dataChange,
-        props = props))
+        props = props, dvs = dvs))
 
   /** Commit a DELTA manifest — O(files added + removed), never
     * O(table). `remove` is non-empty only for row-level rewrites
@@ -1259,20 +1261,27 @@ object ManifestTable {
     */
   val ChangeFeedProp = "graft.enableChangeFeed"
 
-  /** The sticky table properties of the current snapshot. */
-  def tableProperties(spark: SparkSession, table: String): Map[String, String] = {
+  /** The sticky table properties of a snapshot (default: current). */
+  def tableProperties(spark: SparkSession, table: String,
+      version: Long = -1L): Map[String, String] = {
     val (fs, p) = fsOf(spark, table)
-    manifestAt(fs, p, currentVersion(spark, table))
-      .map(_.props).getOrElse(Map.empty)
+    val v = if (version > 0) version else currentVersion(spark, table)
+    manifestAt(fs, p, v).map(_.props).getOrElse(Map.empty)
   }
 
-  /** Set a sticky table property in one zero-file commit (carried on
-    * every later manifest like the txn map). Returns the committed
-    * version (the current one when the value is already set).
+  /** Apply a batch of sticky-property changes (`set` wins over `unset`
+    * on a shared key being illegal by construction — callers pass
+    * disjoint sets) in ONE zero-file commit — the `ALTER TABLE ... SET
+    * / UNSET TBLPROPERTIES` commit unit. Returns the committed version
+    * (the current one when the changes are already in effect).
     */
-  def setProperty(spark: SparkSession, table: String, key: String,
-      value: String, maxAttempts: Int = 5): Long = {
-    require(key.nonEmpty, "property key must be non-empty")
+  def updateProperties(spark: SparkSession, table: String,
+      set: Map[String, String], unset: Seq[String] = Seq.empty,
+      maxAttempts: Int = 5): Long = {
+    require(set.keys.forall(_.nonEmpty), "property keys must be non-empty")
+    val overlap = set.keySet.intersect(unset.toSet)
+    require(overlap.isEmpty,
+      s"properties both set and unset: ${overlap.mkString(", ")}")
     val (fs, p) = fsOf(spark, table)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1280,12 +1289,13 @@ object ManifestTable {
       require(base > 0, s"no committed version in $table")
       val m = manifestAt(fs, p, base)
       val props = m.map(_.props).getOrElse(Map.empty)
-      if (props.get(key).contains(value)) return base
+      val next = (props -- unset) ++ set
+      if (next == props) return base
       if (commitDelta(fs, p, base + 1, Seq.empty,
         m.map(_.txns).getOrElse(Map.empty),
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
-        props = props + (key -> value))) {
+        props = next)) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -1293,6 +1303,23 @@ object ManifestTable {
     }
     raceLost(table, currentVersion(spark, table) + 1)
   }
+
+  /** Set one sticky table property in one zero-file commit (carried on
+    * every later manifest like the txn map). Returns the committed
+    * version (the current one when the value is already set).
+    */
+  def setProperty(spark: SparkSession, table: String, key: String,
+      value: String, maxAttempts: Int = 5): Long =
+    updateProperties(spark, table, Map(key -> value),
+      maxAttempts = maxAttempts)
+
+  /** Remove one sticky table property in one zero-file commit (no-op
+    * commit-free when absent).
+    */
+  def unsetProperty(spark: SparkSession, table: String, key: String,
+      maxAttempts: Int = 5): Long =
+    updateProperties(spark, table, Map.empty, Seq(key),
+      maxAttempts = maxAttempts)
 
   /** Enable the row-level change feed (see [[ChangeFeedProp]]). */
   def enableChangeFeed(spark: SparkSession, table: String): Long =
@@ -1789,14 +1816,15 @@ object ManifestTable {
     */
   def create(spark: SparkSession, table: String,
       schema: org.apache.spark.sql.types.StructType,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      props: Map[String, String] = Map.empty): Long = {
     require(partitionCols.forall(c => schema.fieldNames.contains(c)),
       s"partition columns ${partitionCols.mkString(", ")} must be in the schema")
     val (fs, p) = fsOf(spark, table)
     require(currentVersion(spark, table) == 0,
       s"$table already exists (committed versions present)")
     if (!commitManifest(fs, p, 1, Seq.empty, Map.empty, Map.empty,
-      partitionCols, Some(schema.json))) raceLost(table, 1)
+      partitionCols, Some(schema.json), props = props)) raceLost(table, 1)
     1L
   }
 
@@ -2972,6 +3000,73 @@ object ManifestTable {
       m.map(_.parts).getOrElse(Seq.empty),
       m.flatMap(_.schemaJson),
       props = m.map(_.props).getOrElse(Map.empty))) raceLost(table, base + 1)
+    base + 1
+  }
+
+  /** RESTORE (rollback): re-publish `version`'s complete state — file
+    * list, statistics, deletion vectors, schema, partition layout and
+    * table properties — as a NEW head commit (the Delta `RESTORE TABLE
+    * ... TO VERSION AS OF n` semantics). The log is preserved: restore
+    * is one more replace commit, so the bad commits stay inspectable
+    * in `history()` and a restore can itself be restored away. The
+    * CURRENT txn watermarks are kept, NOT version `n`'s — idempotence
+    * watermarks are monotone by contract, and rolling them back would
+    * let an already-applied streaming micro-batch re-append after the
+    * restore (the one deliberate divergence from "everything as of n").
+    *
+    * Refuses (table unchanged) when any of `version`'s data files or
+    * DV sidecars no longer exist — [[vacuum]] past `version` makes it
+    * unrestorable, and a partial restore would silently lose rows.
+    * Restoring the current version is a no-op (returns it). Cost:
+    * O(files at `version`) existence metadata, zero data I/O — restore
+    * never rewrites a data file, it re-points the manifest at the
+    * still-immutable old ones.
+    *
+    * Incremental consumers observe a REPLACE commit, exactly like an
+    * overwrite: the file-level feed applies its rewrite policy
+    * (fail/resync — [[consumeChanges]]), and the row-level change feed
+    * has no precomputed change files for it (a restore is declared as
+    * a rollback, not row edits).
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    require(version > 0, s"bad restore version $version")
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0, s"no committed version in $table")
+    require(version <= base,
+      s"cannot restore $table to v$version: latest committed is v$base")
+    if (version == base) return base
+    val (_, cs) = listLog(fs, p)
+    val snap = resolve(spark, fs, p, version, cs)
+    // every data file and DV sidecar of the target snapshot must still
+    // exist — vacuum(retainVersions < base-version distance) deletes
+    // them, after which the restore must refuse loudly, not lose rows.
+    // One recursive listing per snapshot dir, never per-file RPCs.
+    val liveRels: Set[String] = snap.files
+      .map(_.split("/").take(2).mkString("/")).distinct
+      .flatMap { snapDir =>
+        val dir = new Path(p, snapDir)
+        if (fs.exists(dir)) listDataFiles(fs, dir).map(f => relativize(p, f.getPath))
+        else Seq.empty
+      }.toSet
+    val missing = snap.files.filterNot(liveRels)
+    val missingDvs = snap.dvs.valuesIterator.flatten.map(_.path).toSeq
+      .distinct.filterNot(d => fs.exists(new Path(p, d)))
+    if (missing.nonEmpty || missingDvs.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $table to v$version: " +
+          s"${missing.size} data file(s) and ${missingDvs.size} DV " +
+          s"sidecar(s) no longer exist (vacuumed past v$version) — " +
+          s"first missing: ${(missing ++ missingDvs).headOption.getOrElse("")}")
+    val mOld = manifestAt(fs, p, version) // schema/layout/props as of n
+    val mCur = manifestAt(fs, p, base)    // txn watermarks stay current
+    if (!commitFullList(spark, fs, p, base + 1, snap.files,
+      mCur.map(_.txns).getOrElse(Map.empty), snap.stats,
+      mOld.map(_.parts).getOrElse(Seq.empty),
+      mOld.flatMap(_.schemaJson),
+      props = mOld.map(_.props).getOrElse(Map.empty),
+      dvs = snap.dvs)) raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
   }
 

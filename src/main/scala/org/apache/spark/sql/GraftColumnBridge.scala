@@ -73,6 +73,25 @@ object GraftColumnBridge {
         cds.queryExecution.toRdd)(cs))
   }
 
+  /** Look up a registered catalog plugin by name (the private[sql]
+    * catalogManager) — how the `table_changes` TVF resolves a
+    * `cat.ns.t` argument to the catalog that owns it.
+    */
+  def catalogPlugin(spark: SparkSession,
+      name: String): connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+      .catalog(name)
+
+  /** Apply an extensions object's injected TABLE functions to an
+    * existing session's table-function registry (the TVF twin of
+    * [[registerInto]]).
+    */
+  def registerTableFunctionsInto(ext: SparkSessionExtensions,
+      spark: SparkSession): Unit =
+    ext.registerTableFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState
+        .tableFunctionRegistry)
+
   /** Idempotently add a planner strategy to a live session (the
     * config-time path is GraftExtensions.injectPlannerStrategy; this
     * covers sessions built without the extension config, mirroring

@@ -107,7 +107,8 @@ object GraftTableV2 {
       partSchema: StructType,
       val dvDirs: Seq[String] = Seq.empty,
       val pinnedVersion: Long = -1L,
-      val columnMapped: Boolean = false) extends Table
+      val columnMapped: Boolean = false,
+      tblProps: Map[String, String] = Map.empty) extends Table
       with SupportsRead with SupportsWrite with SupportsDelete {
 
     override def name(): String = ident
@@ -118,8 +119,14 @@ object GraftTableV2 {
     override def partitioning(): Array[Transform] =
       partCols.map(Expressions.identity).toArray
 
+    /** The table's STICKY properties (the manifest `props` channel) as
+      * recorded at the pinned snapshot, plus the engine-injected
+      * location/provider — what `SHOW TBLPROPERTIES` and `DESCRIBE
+      * EXTENDED` render.
+      */
     override def properties(): java.util.Map[String, String] = {
       val m = new java.util.HashMap[String, String]()
+      tblProps.foreach { case (k, v) => m.put(k, v) }
       m.put("location", tablePath)
       m.put("provider", "graft")
       m
@@ -390,6 +397,7 @@ object GraftTableV2 {
       GraftManifestScan.schemasOf(cs, files, parts, recorded)
     new GraftV2Table(ident, tablePath, root, files, parts, dataSchema,
       partSchema, dvDirs, v,
-      recorded.exists(ManifestTable.columnMapped))
+      recorded.exists(ManifestTable.columnMapped),
+      ManifestTable.tableProperties(spark, tablePath, v))
   }
 }
