@@ -3037,7 +3037,17 @@ object ManifestTable {
       s"cannot restore $table to v$version: latest committed is v$base")
     if (version == base) return base
     val (_, cs) = listLog(fs, p)
-    val snap = resolve(spark, fs, p, version, cs)
+    // vacuum prunes both superseded data files AND the log prefix
+    // below its retention floor — a pruned manifest chain is the same
+    // refusal as missing files, with the same guidance
+    val snap =
+      try resolve(spark, fs, p, version, cs)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"cannot restore $table to v$version: its manifest chain " +
+              s"was vacuumed (log retention passed v$version)", e)
+      }
     // every data file and DV sidecar of the target snapshot must still
     // exist — vacuum(retainVersions < base-version distance) deletes
     // them, after which the restore must refuse loudly, not lose rows.

@@ -685,4 +685,86 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.consumeChanges(spark, t, "cr") { (_, _, _) =>
       fail("caught-up consumer must not be called") }
   }
+
+  test("restore re-publishes a version: content, DVs, schema, props; txns stay current") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark, df(100, "a").repartition(4), t) // v1
+    ManifestTable.setProperty(spark, t, "team", "ml") // v2
+    ManifestTable.deleteVectors(spark, t, col("id") < 10L) // v3: DV-bearing
+    ManifestTable.appendStreamBatch(spark, df(5, "s"), t, batchId = 7L) // v4
+    assert(ManifestTable.read(spark, t).count() == 95)
+    val good = ManifestTable.currentVersion(spark, t)
+    assert(good == 4L)
+    // the bad commits: a property flip and a destructive overwrite
+    ManifestTable.setProperty(spark, t, "team", "oops") // v5
+    ManifestTable.write(spark, df(1, "bad"), t) // v6
+    assert(ManifestTable.read(spark, t).count() == 1)
+    val rv = ManifestTable.restore(spark, t, good)
+    assert(rv == 7L, "restore is one more commit, the log is preserved")
+    // content: exactly v4's — the DV deletes still apply (the restore
+    // manifest re-carries the deletion vectors, not just the files)
+    val back = ManifestTable.read(spark, t)
+    assert(back.count() == 95)
+    assert(back.filter(col("id") < 10L && col("tag") === "a").count() == 0,
+      "restored deletion vectors must still suppress their rows")
+    assert(ManifestTable.hasDeletionVectors(spark, t))
+    // metadata: properties roll back WITH the version (Delta RESTORE
+    // restores table metadata)...
+    assert(ManifestTable.tableProperties(spark, t).get("team").contains("ml"))
+    // ...but txn watermarks do NOT: they are monotone idempotence
+    // state — a replayed micro-batch must still be recognized
+    assert(ManifestTable.lastStreamBatchId(spark, t).contains(7L))
+    ManifestTable.appendStreamBatch(spark, df(999, "replay"), t, batchId = 7L)
+    assert(ManifestTable.read(spark, t).count() == 95,
+      "a replayed batch id must stay deduplicated across a restore")
+    // every old version is still readable; history shows the rollback
+    assert(ManifestTable.read(spark, t, version = 6).count() == 1)
+    val kinds = ManifestTable.history(spark, t).orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kinds.last == (7L, "replace"))
+    // restoring the current version is a no-op, not a commit
+    assert(ManifestTable.restore(spark, t, 7L) == 7L)
+    assert(ManifestTable.currentVersion(spark, t) == 7L)
+    // a restore can itself be restored away (back to the bad state)
+    assert(ManifestTable.restore(spark, t, 6L) == 8L)
+    assert(ManifestTable.read(spark, t).count() == 1)
+  }
+
+  test("restore refuses when the target's files were vacuumed; table unchanged") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(50, "a"), t) // v1
+    ManifestTable.write(spark, df(20, "b"), t) // v2: supersedes v1's files
+    ManifestTable.vacuum(spark, t, keepVersions = 1, graceMs = 0L)
+    val e = intercept[IllegalStateException](ManifestTable.restore(spark, t, 1L))
+    assert(e.getMessage.contains("vacuum"), s"got: $e")
+    assert(ManifestTable.currentVersion(spark, t) == 2L,
+      "a refused restore must not commit anything")
+    assert(ManifestTable.read(spark, t).count() == 20)
+    // out-of-range versions refuse with the latest named
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.restore(spark, t, 99L))
+    assert(e2.getMessage.contains("latest"))
+  }
+
+  test("row-level CDF across a restore commit is the net rollback diff") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(20, "good"), t) // v1
+    ManifestTable.write(spark, df(3, "bad"), t) // v2: the bad overwrite
+    ManifestTable.restore(spark, t, 1L) // v3
+    // (v2, v3]: the restore undoes the overwrite — net effect is
+    // deleting the bad rows and re-inserting the good ones (computed
+    // by snapshot diff: a restore has no precomputed change files)
+    val ch = ManifestTable.rowChanges(spark, t, 2L, 3L)
+      .groupBy("_change_type", "tag").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch == Set(("delete", "bad", 3L), ("insert", "good", 20L)),
+      s"got: $ch")
+    // and over the whole history the feed still nets to the live state
+    val net = ManifestTable.rowChanges(spark, t, 0L)
+      .groupBy("tag").agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(net == Map("good" -> 20L, "bad" -> 0L))
+  }
 }
