@@ -187,20 +187,30 @@ object ManifestTable {
       * ([[deleteVectors]]). Empty for every other commit kind.
       */
     def dvs: Map[String, Seq[DvRef]]
+
+    /** COMMIT AUDIT metadata (the Delta `commitInfo` action): which
+      * OPERATION produced this commit plus its parameters, stamped by
+      * every commit path and surfaced by [[history]]/`t$history` —
+      * what makes a production log debuggable ("who rewrote these
+      * files?"). Per-commit, never sticky; absent on legacy manifests.
+      */
+    def op: Map[String, String]
   }
   private final case class Replace(files: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
       parts: Seq[String], schemaJson: Option[String],
       quality: Map[String, Long], dataChange: Boolean,
       dvs: Map[String, Seq[DvRef]] = Map.empty,
-      props: Map[String, String] = Map.empty) extends Manifest
+      props: Map[String, String] = Map.empty,
+      op: Map[String, String] = Map.empty) extends Manifest
   private final case class Delta(add: Seq[String], remove: Seq[String],
       stats: Map[String, FileStats], txns: Map[String, Long],
       parts: Seq[String], schemaJson: Option[String],
       quality: Map[String, Long], dataChange: Boolean,
       dvs: Map[String, Seq[DvRef]] = Map.empty,
       props: Map[String, String] = Map.empty,
-      cdcDir: Option[String] = None) extends Manifest
+      cdcDir: Option[String] = None,
+      op: Map[String, String] = Map.empty) extends Manifest
 
   /** A POINTER base manifest (the Delta parquet-checkpoint recipe,
     * VERDICT r12 next-round #1): the committed JSON carries only the
@@ -219,7 +229,8 @@ object ManifestTable {
       refRows: Option[Long], txns: Map[String, Long], parts: Seq[String],
       schemaJson: Option[String], quality: Map[String, Long],
       dataChange: Boolean,
-      props: Map[String, String] = Map.empty) extends Manifest {
+      props: Map[String, String] = Map.empty,
+      op: Map[String, String] = Map.empty) extends Manifest {
     def stats: Map[String, FileStats] = Map.empty
     def dvs: Map[String, Seq[DvRef]] = Map.empty
   }
@@ -370,7 +381,8 @@ object ManifestTable {
       dataChange: Boolean = true,
       dvs: Map[String, Seq[DvRef]] = Map.empty,
       props: Map[String, String] = Map.empty,
-      cdcDir: Option[String] = None): String = {
+      cdcDir: Option[String] = None,
+      op: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("fmt", Fmt): Unit
     root.put("version", version): Unit
@@ -402,7 +414,7 @@ object ManifestTable {
         fillStatNode(sn.putObject(file), fst)
       }
     }
-    putMeta(root, txns, schemaJson, quality, props)
+    putMeta(root, txns, schemaJson, quality, props, op)
     if (cdcDir.nonEmpty) root.put("cdcDir", cdcDir.get): Unit
     mapper.writeValueAsString(root)
   }
@@ -440,7 +452,12 @@ object ManifestTable {
   private def putMeta(root: com.fasterxml.jackson.databind.node.ObjectNode,
       txns: Map[String, Long], schemaJson: Option[String],
       quality: Map[String, Long],
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      op: Map[String, String] = Map.empty): Unit = {
+    if (op.nonEmpty) {
+      val on = root.putObject("op")
+      op.toSeq.sortBy(_._1).foreach { case (k, v) => on.put(k, v): Unit }
+    }
     if (props.nonEmpty) {
       val pn = root.putObject("props")
       props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v): Unit }
@@ -463,7 +480,8 @@ object ManifestTable {
       refRows: Option[Long], txns: Map[String, Long], parts: Seq[String],
       schemaJson: Option[String], quality: Map[String, Long],
       dataChange: Boolean,
-      props: Map[String, String] = Map.empty): String = {
+      props: Map[String, String] = Map.empty,
+      op: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("fmt", Fmt): Unit
     root.put("version", version): Unit
@@ -475,7 +493,7 @@ object ManifestTable {
       val pn = root.putArray("parts")
       parts.foreach(c => pn.add(c): Unit)
     }
-    putMeta(root, txns, schemaJson, quality, props)
+    putMeta(root, txns, schemaJson, quality, props, op)
     mapper.writeValueAsString(root)
   }
 
@@ -580,6 +598,16 @@ object ManifestTable {
         }
         b.result()
     }
+    val op: Map[String, String] = Option(root.get("op")) match {
+      case None => Map.empty
+      case Some(on) =>
+        val b = Map.newBuilder[String, String]
+        val it = on.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asText()
+        }
+        b.result()
+    }
     val cdcDir = Option(root.get("cdcDir")).map(_.asText())
     val dvs: Map[String, Seq[DvRef]] = Option(root.get("dvs")) match {
       case None => Map.empty
@@ -600,14 +628,14 @@ object ManifestTable {
       Ref(root.get("filesRef").asText(),
         Option(root.get("nFiles")).map(_.asLong()).getOrElse(0L),
         Option(root.get("refRows")).map(_.asLong()),
-        txns, parts, schemaJson, quality, dataChange, props)
+        txns, parts, schemaJson, quality, dataChange, props, op)
     else strings("add") match {
       case Some(a) =>
         Delta(a, remove, stats, txns, parts, schemaJson, quality, dataChange,
-          dvs, props, cdcDir)
+          dvs, props, cdcDir, op)
       case None => Replace(strings("files").getOrElse(
         throw new java.io.IOException(s"bad manifest: $json")),
-        stats, txns, parts, schemaJson, quality, dataChange, dvs, props)
+        stats, txns, parts, schemaJson, quality, dataChange, dvs, props, op)
     }
   }
 
@@ -725,16 +753,17 @@ object ManifestTable {
       quality: Map[String, Long] = Map.empty,
       dataChange: Boolean = true,
       props: Map[String, String] = Map.empty,
-      dvs: Map[String, Seq[DvRef]] = Map.empty): Boolean = {
+      dvs: Map[String, Seq[DvRef]] = Map.empty,
+      op: Map[String, String] = Map.empty): Boolean = {
     val th = refThreshold(spark)
     if (th > 0 && relFiles.size > th) {
       val (ref, n, refRows) =
         writeRefData(spark, table, version, relFiles, stats, dvs)
       casCreate(fs, table, manifestPath(table, version),
         renderRefNode(version, ref, n, refRows, txns, parts, schemaJson,
-          quality, dataChange, props))
+          quality, dataChange, props, op))
     } else commitManifest(fs, table, version, relFiles, txns, stats,
-      parts, schemaJson, quality, dataChange, props, dvs)
+      parts, schemaJson, quality, dataChange, props, dvs, op)
   }
 
   /** Reconstruct the complete state of `version`: walk BACKWARD from
@@ -945,11 +974,12 @@ object ManifestTable {
       quality: Map[String, Long] = Map.empty,
       dataChange: Boolean = true,
       props: Map[String, String] = Map.empty,
-      dvs: Map[String, Seq[DvRef]] = Map.empty): Boolean =
+      dvs: Map[String, Seq[DvRef]] = Map.empty,
+      op: Map[String, String] = Map.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
       renderNode(version, "files", relFiles, txns, stats, parts = parts,
         schemaJson = schemaJson, quality = quality, dataChange = dataChange,
-        props = props, dvs = dvs))
+        props = props, dvs = dvs, op = op))
 
   /** Commit a DELTA manifest — O(files added + removed), never
     * O(table). `remove` is non-empty only for row-level rewrites
@@ -964,10 +994,11 @@ object ManifestTable {
       quality: Map[String, Long] = Map.empty,
       dvs: Map[String, Seq[DvRef]] = Map.empty,
       props: Map[String, String] = Map.empty,
-      cdcDir: Option[String] = None): Boolean =
+      cdcDir: Option[String] = None,
+      op: Map[String, String] = Map.empty): Boolean =
     casCreate(fs, table, manifestPath(table, version),
       renderNode(version, "add", add, txns, stats, remove, parts, schemaJson,
-        quality, dvs = dvs, props = props, cdcDir = cdcDir))
+        quality, dvs = dvs, props = props, cdcDir = cdcDir, op = op))
 
   /** Best-effort full checkpoint at `version` (skipped if present;
     * losing the create race or failing outright only lengthens later
@@ -1043,6 +1074,17 @@ object ManifestTable {
     listDataFiles(fs, snapDir).map(f => relativize(p, f.getPath)).sorted
   }
 
+  /** Commit-audit map stamped on every commit (the Delta commitInfo
+    * recipe): the operation name, its non-empty parameters, and the
+    * engine marker. Tiny by construction — predicates are truncated,
+    * never megabyte plans.
+    */
+  private def opInfo(operation: String,
+      params: (String, String)*): Map[String, String] =
+    (Seq("operation" -> operation, "engine" -> "graft") ++
+      params.filter(_._2.nonEmpty).map { case (k, v) =>
+        k -> (if (v.length > 256) v.take(253) + "..." else v) }).toMap
+
   private def raceLost(table: String, version: Long): Nothing =
     throw new java.io.IOException(
       s"manifest commit lost the race for v$version of $table; " +
@@ -1081,7 +1123,9 @@ object ManifestTable {
       m.map(_.txns).getOrElse(Map.empty),
       collectStats(spark, p, files), parts,
       Some(df.schema.json), quality,
-      props = m.map(_.props).getOrElse(Map.empty))) raceLost(table, base + 1)
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo("write", "partitionBy" -> parts.mkString(","))))
+      raceLost(table, base + 1)
     base + 1 // a replace manifest is its own base — no checkpoint needed
   }
 
@@ -1110,7 +1154,8 @@ object ManifestTable {
       m.map(_.txns).getOrElse(Map.empty),
       collectStats(spark, p, fresh), parts = parts,
       schemaJson = Some(evolved.json), quality = quality,
-      props = m.map(_.props).getOrElse(Map.empty)))
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo("append", "files" -> fresh.size.toString)))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
@@ -1176,7 +1221,9 @@ object ManifestTable {
         collectStats(spark, p, fresh),
         parts = parts,
         schemaJson = Some(evolved.json),
-        props = m.map(_.props).getOrElse(Map.empty))) {
+        props = m.map(_.props).getOrElse(Map.empty),
+        op = opInfo("streaming-append", "txnAppId" -> txnAppId,
+          "batchId" -> batchId.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -1295,7 +1342,10 @@ object ManifestTable {
         m.map(_.txns).getOrElse(Map.empty),
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
-        props = next)) {
+        props = next,
+        op = opInfo("set-properties",
+          "set" -> set.keys.toSeq.sorted.mkString(","),
+          "unset" -> unset.sorted.mkString(",")))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -1475,7 +1525,9 @@ object ManifestTable {
       m.map(_.txns).getOrElse(Map.empty),
       parts = m.map(_.parts).getOrElse(Seq.empty),
       schemaJson = Some(evolved.json),
-      props = m.map(_.props).getOrElse(Map.empty))) raceLost(table, base + 1)
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo("rename-column", "from" -> oldName, "to" -> newName)))
+      raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
   }
@@ -1506,7 +1558,9 @@ object ManifestTable {
       m.map(_.txns).getOrElse(Map.empty),
       parts = m.map(_.parts).getOrElse(Seq.empty),
       schemaJson = Some(evolved.json),
-      props = m.map(_.props).getOrElse(Map.empty))) raceLost(table, base + 1)
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo("drop-column", "column" -> name)))
+      raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
   }
@@ -1824,7 +1878,9 @@ object ManifestTable {
     require(currentVersion(spark, table) == 0,
       s"$table already exists (committed versions present)")
     if (!commitManifest(fs, p, 1, Seq.empty, Map.empty, Map.empty,
-      partitionCols, Some(schema.json), props = props)) raceLost(table, 1)
+      partitionCols, Some(schema.json), props = props,
+      op = opInfo("create",
+        "partitionBy" -> partitionCols.mkString(",")))) raceLost(table, 1)
     1L
   }
 
@@ -2014,13 +2070,23 @@ object ManifestTable {
         kv.toSeq.sortBy(_._1).foreach { case (k, x) => n.put(k, x): Unit }
         n
       }
+      // commit audit (the op channel): which OPERATION produced the
+      // commit + its parameters — null for pre-audit manifests
+      val opParams = mapper.writeValueAsString {
+        val n = mapper.createObjectNode()
+        (m.op - "operation").toSeq.sortBy(_._1)
+          .foreach { case (k, x) => n.put(k, x): Unit }
+        n
+      }
       (v, kind, added, removed, rowsAdded, asJson(m.txns),
-        asJson(m.quality), timeOf(v))
+        asJson(m.quality), timeOf(v),
+        m.op.get("operation").orNull, opParams)
     }
     val sq = spark
     import sq.implicits._
     rows.toDF("version", "kind", "files_added", "files_removed",
-      "rows_added", "txns", "quality", "ts_millis")
+      "rows_added", "txns", "quality", "ts_millis",
+      "operation", "op_params")
   }
 
   /** Metadata-only FILE CENSUS of a snapshot (the `$files` metadata
@@ -2415,7 +2481,9 @@ object ManifestTable {
       if (commitDelta(fs, p, base + 1, Seq.empty, txns + (key -> current),
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
-        props = m.map(_.props).getOrElse(Map.empty))) {
+        props = m.map(_.props).getOrElse(Map.empty),
+        op = opInfo("consumer-offset", "consumer" -> key,
+          "upTo" -> current.toString))) {
         // consumer commits land on the same version sequence as
         // appends — they must pull their weight in checkpoint cadence
         // or an alternating appender/consumer pair could starve
@@ -2663,7 +2731,10 @@ object ManifestTable {
         // same rows, new files: a pure reorganization — incremental
         // consumers skip this commit instead of redelivering the table
         dataChange = false,
-        props = m.map(_.props).getOrElse(Map.empty)))
+        props = m.map(_.props).getOrElse(Map.empty),
+        op = opInfo("compact",
+          "targetFileBytes" -> targetFileBytes.toString,
+          "clustered" -> (if (clusterBy.nonEmpty) "true" else ""))))
         return Sinks.CompactStats(before.size, files.size, totalBytes)
       attempt += 1
     }
@@ -2781,7 +2852,9 @@ object ManifestTable {
         collectStats(spark, p, fresh), remove = hits, parts = parts,
         schemaJson = m.flatMap(_.schemaJson),
         props = m.map(_.props).getOrElse(Map.empty),
-        cdcDir = cdc)) {
+        cdcDir = cdc,
+        op = opInfo("delete", "predicate" -> predicate.toString,
+          "rewrittenFiles" -> hits.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -2859,7 +2932,9 @@ object ManifestTable {
         schemaJson = m.flatMap(_.schemaJson),
         dvs = refs,
         props = m.map(_.props).getOrElse(Map.empty),
-        cdcDir = cdc)) {
+        cdcDir = cdc,
+        op = opInfo("delete-vectors", "predicate" -> predicate.toString,
+          "targetFiles" -> refs.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -2933,7 +3008,10 @@ object ManifestTable {
         collectStats(spark, p, fresh), remove = hits, parts = parts,
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
-        cdcDir = cdc)) {
+        cdcDir = cdc,
+        op = opInfo("update", "predicate" -> predicate.toString,
+          "columns" -> set.keys.toSeq.sorted.mkString(","),
+          "rewrittenFiles" -> hits.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -2980,7 +3058,10 @@ object ManifestTable {
       m.map(_.txns).getOrElse(Map.empty),
       parts = m.map(_.parts).getOrElse(Seq.empty),
       schemaJson = Some(evolved.json),
-      props = m.map(_.props).getOrElse(Map.empty))) raceLost(table, base + 1)
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo("add-columns",
+        "columns" -> columns.fieldNames.mkString(","))))
+      raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
   }
@@ -2999,7 +3080,8 @@ object ManifestTable {
       m.map(_.txns).getOrElse(Map.empty), Map.empty,
       m.map(_.parts).getOrElse(Seq.empty),
       m.flatMap(_.schemaJson),
-      props = m.map(_.props).getOrElse(Map.empty))) raceLost(table, base + 1)
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo("truncate"))) raceLost(table, base + 1)
     base + 1
   }
 
@@ -3075,7 +3157,9 @@ object ManifestTable {
       mOld.map(_.parts).getOrElse(Seq.empty),
       mOld.flatMap(_.schemaJson),
       props = mOld.map(_.props).getOrElse(Map.empty),
-      dvs = snap.dvs)) raceLost(table, base + 1)
+      dvs = snap.dvs,
+      op = opInfo("restore", "toVersion" -> version.toString)))
+      raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
   }
@@ -3157,7 +3241,9 @@ object ManifestTable {
         collectStats(spark, p, fresh), remove = hits, parts = parts,
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
-        cdcDir = cdc)) {
+        cdcDir = cdc,
+        op = opInfo("merge", "keys" -> keyCols.mkString(","),
+          "rewrittenFiles" -> hits.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
       }
@@ -3446,7 +3532,12 @@ object ManifestTable {
             collectStats(spark, p, fresh), remove = hits, parts = parts,
             schemaJson = Some(evolved.json),
             props = m.map(_.props).getOrElse(Map.empty),
-            cdcDir = cdc)) {
+            cdcDir = cdc,
+            op = opInfo("merge",
+              "keys" -> keyPairs.map(_._1).mkString(","),
+              "clauses" -> (matched.size + notMatched.size +
+                bySource.size).toString,
+              "rewrittenFiles" -> hits.size.toString))) {
             maybeCheckpoint(spark, fs, p, base + 1)
             return base + 1
           }
@@ -3546,7 +3637,10 @@ object ManifestTable {
         stats = newStats,
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
-        props = m.map(_.props).getOrElse(Map.empty))) {
+        props = m.map(_.props).getOrElse(Map.empty),
+        op = opInfo("analyze",
+          "columns" -> targets.mkString(","),
+          "files" -> newStats.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         // bounded-chunk commit landed; keep going until the backlog is
         // drained (the loop re-resolves, so concurrent commits fold in)

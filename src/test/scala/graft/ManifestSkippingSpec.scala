@@ -684,6 +684,7 @@ class ManifestSkippingSpec extends AnyFunSuite {
     ManifestTable.write(spark, base.repartitionByRange(24, col("id")), t)
     val before = ManifestTable.currentFiles(spark, t).toSet
     assert(before.size == 24)
+    val statsBefore = ManifestTable.fileStats(spark, t)
     // CDC feed: one 100-key band (delete evens, update odds) plus 50
     // brand-new keys to insert
     val src = spark.range(30000L, 30100L).toDF("id")
@@ -702,12 +703,26 @@ class ManifestSkippingSpec extends AnyFunSuite {
       bySource = Seq(BySourceClause(
         Some(col("t.id") >= 110000L && col("t.id") < 112000L),
         Some(Map("bucket" -> lit(-1))))))
-    // the 100-key band lives in ONE file and the by-source band in ONE
-    // more — everything else must survive untouched
+    // EXACTLY the files whose id-range overlaps a clause band may be
+    // rewritten — computed from the manifest's own per-file stats
+    // rather than assumed (repartitionByRange samples its boundaries
+    // with an RDD-id-dependent seed, so a band can straddle two files
+    // depending on what ran before in the shared session; the
+    // narrowing contract is layout-relative, not "exactly 2")
+    def overlaps(f: String, lo: Long, hi: Long): Boolean = {
+      val cs = statsBefore(f).cols("id")
+      val mn = cs.min.get.asInstanceOf[Long]
+      val mx = cs.max.get.asInstanceOf[Long]
+      mx >= lo && mn < hi
+    }
+    val affected = before.filter(f =>
+      overlaps(f, 30000L, 30100L) || overlaps(f, 110000L, 112000L))
+    assert(affected.nonEmpty && affected.size <= 4,
+      s"the two clause bands span at most 2 files each: $affected")
     val after = ManifestTable.currentFiles(spark, t).toSet
-    assert(before.intersect(after).size == 22,
-      s"CDC merge must rewrite exactly the 2 affected files, kept " +
-        s"${before.intersect(after).size} of 24")
+    assert(before.intersect(after) == before -- affected,
+      s"CDC merge must rewrite exactly the ${affected.size} " +
+        s"band-overlapping files, kept ${before.intersect(after).size} of 24")
     val r = ManifestTable.read(spark, t)
     assert(r.count() == 120000L, "50 deletes + 50 inserts balance")
     assert(r.filter(col("bucket") === 777).count() == 50L,

@@ -686,6 +686,48 @@ class ManifestTableSpec extends AnyFunSuite {
       fail("caught-up consumer must not be called") }
   }
 
+  test("every commit kind stamps its operation in the audit channel (history)") {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val t = freshTable()
+    ManifestTable.write(spark, df(30, "a").repartition(2), t) // v1
+    ManifestTable.append(spark, df(5, "b"), t) // v2
+    ManifestTable.appendStreamBatch(spark, df(2, "s"), t, batchId = 3L) // v3
+    ManifestTable.setProperty(spark, t, "k", "v") // v4
+    ManifestTable.deleteVectors(spark, t,
+      col("id") === 0L && col("tag") === "a") // v5
+    ManifestTable.delete(spark, t,
+      col("id") === 1L && col("tag") === "a") // v6
+    ManifestTable.update(spark, t,
+      col("id") === 2L && col("tag") === "a", Map("bucket" -> lit(9))) // v7
+    ManifestTable.merge(spark, df(3, "m"), t, Seq("id", "tag")) // v8
+    ManifestTable.analyze(spark, t) // v9
+    ManifestTable.addColumns(spark, t,
+      StructType(Seq(StructField("score", DoubleType)))) // v10
+    ManifestTable.compact(spark, t) // v11
+    ManifestTable.restore(spark, t, 2L) // v12
+    ManifestTable.truncate(spark, t) // v13
+    val h = ManifestTable.history(spark, t).orderBy("version")
+      .select("version", "operation", "op_params")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Map(1L -> "write", 2L -> "append",
+      3L -> "streaming-append", 4L -> "set-properties",
+      5L -> "delete-vectors", 6L -> "delete", 7L -> "update",
+      8L -> "merge", 9L -> "analyze", 10L -> "add-columns",
+      11L -> "compact", 12L -> "restore", 13L -> "truncate")
+    assert(h == expected, s"got: ${h.toSeq.sortBy(_._1)}")
+    // parameters ride along: the delete records its predicate, the
+    // restore its target version, and every commit the engine marker
+    val byV = ManifestTable.history(spark, t)
+      .collect().map(r => r.getAs[Long]("version") ->
+        r.getAs[String]("op_params")).toMap
+    assert(byV(6L).contains("predicate") && byV(6L).contains("engine"))
+    assert(byV(12L).contains("\"toVersion\":\"2\""), s"got: ${byV(12L)}")
+    assert(byV(3L).contains("\"batchId\":\"3\""))
+    // audit survives checkpoint/sidecar resolution: history reads the
+    // COMMIT manifests, never a checkpoint's copy
+    assert(ManifestTable.read(spark, t).count() == 0)
+  }
+
   test("restore re-publishes a version: content, DVs, schema, props; txns stay current") {
     import spark.implicits._
     val t = freshTable()
