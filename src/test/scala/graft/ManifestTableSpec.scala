@@ -435,6 +435,20 @@ class ManifestTableSpec extends AnyFunSuite {
     val sidecarMs = (System.nanoTime() - t0) / 1000000
     assert(resolved.size == 12000 && resolved == files.sorted)
     assert(ManifestTable.fileStats(spark, t).size == 12000)
+    // the DISTRIBUTED parse path (a 10^7-file base would cross the
+    // threshold naturally; force it here) resolves identically — the
+    // per-row stat/dv JSON work runs in the Spark job, the driver
+    // only builds maps from typed rows
+    spark.conf.set("spark.graft.manifest.distributedParseThreshold", "0")
+    val tD = System.nanoTime()
+    try {
+      assert(ManifestTable.currentFiles(spark, t) == resolved)
+      assert(ManifestTable.fileStats(spark, t).size == 12000)
+      assert(ManifestTable.rowCount(spark, t).contains(24000L))
+    } finally spark.conf.unset(
+      "spark.graft.manifest.distributedParseThreshold")
+    val distMs = (System.nanoTime() - tD) / 1000000
+    info(s"12k-file distributed-parse resolution: $distMs ms")
     assert(ManifestTable.rowCount(spark, t).contains(24000L),
       "metadata row count must survive the sidecar round-trip")
     assert(ManifestTable.columnBounds(spark, t, "id")
