@@ -1612,4 +1612,47 @@ object PipelineOps {
 
   /** Identical protocol to p32 → identical oracle. */
   val p34Sql: String = p32Sql
+
+  private val p35Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p35: BLOOM-FILTER point lookup (VERDICT r13 next-round #5) — the
+    * interactive query a lake serves constantly ("show me document X")
+    * on a layout range statistics cannot prune: the corpus is HASH
+    * repartitioned, so every file's doc_id min/max spans ~the whole
+    * domain. The table declares `graft.bloom.columns=doc_id` at CREATE
+    * (a sticky property — the SQL form is TBLPROPERTIES), commits
+    * build one filter per file per declared column as a `blooms/`
+    * parquet sidecar, and `readWhere` consults them for the IN-list:
+    * files whose filter proves none of the three probe keys present
+    * are dropped before any data I/O (no false negatives → sound;
+    * ManifestSkippingSpec pins the measured ≥90% prune). The oracle
+    * filters the source directly — a hash match proves bloom pruning
+    * dropped nothing it shouldn't.
+    */
+  def p35BloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val inv = p35Invocation.incrementAndGet()
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p35_bloom_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    graft.sinks.ManifestTable.create(spark, table, docs.schema,
+      props = Map(
+        graft.sinks.ManifestTable.BloomColumnsProp -> "doc_id"))
+    graft.sinks.ManifestTable.append(spark, docs.repartition(16), table)
+    val (mn, mx) = docIdBounds(docs)
+    val probes = Seq(mn, mn + (mx - mn) / 2, mx).distinct
+    graft.sinks.ManifestTable.readWhere(spark, table,
+      col("doc_id").isin(probes: _*))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val p35Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id = (SELECT min(doc_id) FROM documents)
+      |   OR doc_id = (SELECT min(doc_id) +
+      |        (max(doc_id) - min(doc_id)) // 2 FROM documents)
+      |   OR doc_id = (SELECT max(doc_id) FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

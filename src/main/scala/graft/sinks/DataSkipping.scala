@@ -60,10 +60,15 @@ object DataSkipping {
     * status RPC) + optional per-column NDV sketches (base64
     * DataSketches HLL, written by `ManifestTable.analyze` — mergeable
     * across files, so any live subset's distinct-count estimate is one
-    * driver-side union).
+    * driver-side union) + optional per-column BLOOM-FILTER references
+    * (column → table-relative sidecar dir holding the file's serialized
+    * filter — built at commit time for `graft.bloom.columns`, consulted
+    * by equality/IN pruning; a reference, never inline bits, because a
+    * useful filter is ~100 KB and manifests must stay metadata-sized).
     */
   final case class FileStats(rows: Long, cols: Map[String, ColStats],
-      bytes: Long = 0L, ndv: Map[String, String] = Map.empty)
+      bytes: Long = 0L, ndv: Map[String, String] = Map.empty,
+      bloom: Map[String, String] = Map.empty)
 
   /** String min/max longer than this are dropped, not truncated (a
     * truncated bound would lie about the range). 64 covers every key

@@ -431,6 +431,11 @@ object ManifestTable {
       fst.ndv.toSeq.sortBy(_._1).foreach { case (c, b64) =>
         nn.put(c, b64): Unit }
     }
+    if (fst.bloom.nonEmpty) {
+      val bn = fn.putObject("bloom")
+      fst.bloom.toSeq.sortBy(_._1).foreach { case (c, dir) =>
+        bn.put(c, dir): Unit }
+    }
     if (fst.cols.nonEmpty) {
       val cn = fn.putObject("cols")
       fst.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -536,9 +541,19 @@ object ManifestTable {
         }
         nb.result()
     }
+    val bloom: Map[String, String] = Option(fn.get("bloom")) match {
+      case None => Map.empty
+      case Some(bn) =>
+        val bb = Map.newBuilder[String, String]
+        val bit = bn.properties().iterator()
+        while (bit.hasNext) {
+          val be = bit.next(); bb += be.getKey -> be.getValue.asText()
+        }
+        bb.result()
+    }
     Option(fn.get("rows")).map(_.asLong()).map(rows =>
       FileStats(rows, cols,
-        Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L), ndv))
+        Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L), ndv, bloom))
   }
 
   private def parseManifest(json: String): Manifest = {
@@ -1098,17 +1113,118 @@ object ManifestTable {
     if (n > 0 && version % n == 0) writeCheckpoint(spark, fs, table, version)
   }
 
+  /** Declares the columns that get a per-file BLOOM FILTER at commit
+    * time (comma-separated logical names; sticky table property, so
+    * `ALTER TABLE ... SET TBLPROPERTIES ('graft.bloom.columns'='doc_id')`
+    * turns the index on from SQL). Why: min/max statistics prune
+    * nothing for a point lookup on a high-cardinality UNSORTED column —
+    * every file's range covers the key; a bloom filter answers
+    * "definitely not in this file" for exactly that shape. Filter size
+    * is governed by `spark.graft.bloom.expectedItems` (default 200k,
+    * sized to one compacted file's rows) and `spark.graft.bloom.fpp`
+    * (default 0.01); the bits live in a parquet sidecar under
+    * `blooms/`, the manifest carries only per-file references.
+    */
+  val BloomColumnsProp = "graft.bloom.columns"
+
+  private def bloomColumns(props: Map[String, String]): Seq[String] =
+    props.get(BloomColumnsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   /** Per-file column statistics for freshly committed files (footer +
     * partition-value ranges — see [[DataSkipping.collect]]). Disable
     * per session with `spark.graft.manifest.collectStats=false`; a
-    * stats-less commit is only unprunable, never wrong.
+    * stats-less commit is only unprunable, never wrong. When the
+    * table's properties declare [[BloomColumnsProp]], one Spark job
+    * additionally builds per-file bloom filters for the NEW files
+    * (O(files in this commit), like every other stat) and attaches
+    * their sidecar references.
     */
   private def collectStats(spark: SparkSession, table: Path,
-      relFiles: Seq[String]): Map[String, FileStats] =
+      relFiles: Seq[String],
+      props: Map[String, String] = Map.empty): Map[String, FileStats] =
     if (!spark.conf.get("spark.graft.manifest.collectStats", "true").toBoolean)
       Map.empty
-    else DataSkipping.collect(spark.sparkContext.hadoopConfiguration,
-      table, relFiles)
+    else {
+      val base = DataSkipping.collect(
+        spark.sparkContext.hadoopConfiguration, table, relFiles)
+      val cols = bloomColumns(props)
+      if (cols.isEmpty || base.isEmpty) base
+      else attachBlooms(spark, table, relFiles, base, cols)
+    }
+
+  /** Build per-file bloom filters for `cols` over the freshly written
+    * `relFiles` in ONE Spark aggregation (values inserted as their
+    * `cast(col AS STRING)` rendering — [[graft.functions.BloomAgg]]),
+    * persist the serialized filters as a parquet sidecar under
+    * `blooms/`, and attach per-file references to `stats`. FAIL-OPEN
+    * at every step: a column absent from the files (schema evolution,
+    * column mapping) simply gets no filter, and any error returns the
+    * range-only stats — a missing filter is only unprunable, never
+    * wrong. The sidecar is written BEFORE the manifest publishes
+    * (same orphan-on-lost-race handling as every sidecar; vacuum
+    * sweeps unreferenced dirs).
+    */
+  private def attachBlooms(spark: SparkSession, table: Path,
+      relFiles: Seq[String], stats: Map[String, FileStats],
+      cols: Seq[String]): Map[String, FileStats] =
+    try {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.GraftColumnBridge
+      val df = spark.read.parquet(
+        relFiles.map(f => new Path(table, f).toString): _*)
+      val have = df.columns.toSet
+      val targets = cols.filter(have)
+      if (targets.isEmpty) return stats
+      val items = spark.conf.get("spark.graft.bloom.expectedItems",
+        "200000").toLong
+      val fpp = spark.conf.get("spark.graft.bloom.fpp", "0.01").toDouble
+      val aggs = targets.map(c => GraftColumnBridge.column(
+        graft.functions.BloomAgg(
+          GraftColumnBridge.eagerExpression(col(c).cast("string")),
+          items, fpp).toAggregateExpression()).as(c))
+      val rows = df
+        .select(col("_metadata.file_path").as("_bf_path") +:
+          targets.map(c => col(c)): _*)
+        .groupBy(col("_bf_path"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val dir = s"blooms/f${java.util.UUID.randomUUID()}"
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](
+        rows.length * targets.size)
+      val fileRefs = Map.newBuilder[String, Map[String, String]]
+      rows.foreach { r =>
+        val abs = r.getString(0)
+        relFiles.find(rel => abs.endsWith("/" + rel) || abs.endsWith(rel))
+          .foreach { rel =>
+            val refs = Map.newBuilder[String, String]
+            targets.zipWithIndex.foreach { case (c, i) =>
+              if (!r.isNullAt(i + 1)) {
+                out.add(org.apache.spark.sql.Row(rel, c,
+                  r.getAs[Array[Byte]](i + 1))): Unit
+                refs += c -> dir
+              }
+            }
+            fileRefs += rel -> refs.result(): Unit
+          }
+      }
+      if (out.isEmpty) return stats
+      import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+      spark.createDataFrame(out, StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("col", StringType, nullable = false),
+        StructField("bits", BinaryType, nullable = false))))
+        .coalesce(1)
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(new Path(table, dir).toString)
+      val refMap = fileRefs.result()
+      stats.map { case (f, fst) =>
+        f -> refMap.get(f).filter(_.nonEmpty)
+          .fold(fst)(refs => fst.copy(bloom = fst.bloom ++ refs))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => stats // fail open
+    }
 
   /** Write `df` into a fresh snapshot dir for `version` and return the
     * table-relative paths of its data files — the shared first half of
@@ -1174,7 +1290,8 @@ object ManifestTable {
       maxRecordsPerFile)
     if (!commitFullList(spark, fs, p, base + 1, files,
       m.map(_.txns).getOrElse(Map.empty),
-      collectStats(spark, p, files), parts,
+      collectStats(spark, p, files,
+        m.map(_.props).getOrElse(Map.empty)), parts,
       Some(df.schema.json), quality,
       props = m.map(_.props).getOrElse(Map.empty),
       op = opInfo("write", "partitionBy" -> parts.mkString(","))))
@@ -1205,7 +1322,7 @@ object ManifestTable {
       base + 1, parts, 0L)
     if (!commitDelta(fs, p, base + 1, fresh,
       m.map(_.txns).getOrElse(Map.empty),
-      collectStats(spark, p, fresh), parts = parts,
+      collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), parts = parts,
       schemaJson = Some(evolved.json), quality = quality,
       props = m.map(_.props).getOrElse(Map.empty),
       op = opInfo("append", "files" -> fresh.size.toString)))
@@ -1271,7 +1388,7 @@ object ManifestTable {
         freshSchemaJson = evolved.json
       }
       if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
-        collectStats(spark, p, fresh),
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
         parts = parts,
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
@@ -1539,7 +1656,8 @@ object ManifestTable {
       stats.map { case (file, fst) =>
         file -> fst.copy(
           cols = fst.cols.flatMap { case (c, cs) => p2l.get(c).map(_ -> cs) },
-          ndv = fst.ndv.flatMap { case (c, v) => p2l.get(c).map(_ -> v) })
+          ndv = fst.ndv.flatMap { case (c, v) => p2l.get(c).map(_ -> v) },
+          bloom = fst.bloom.flatMap { case (c, v) => p2l.get(c).map(_ -> v) })
       }
     }
 
@@ -1793,8 +1911,8 @@ object ManifestTable {
     val mapping = mappingAt(fs, p, v)
     val stats = logicalStats(snap.stats, mapping)
     val predExpr = DataSkipping.expressionOf(predicate) // normalize once
-    val kept = snap.files.filter(f =>
-      DataSkipping.mayMatch(stats.get(f), predExpr))
+    val kept = bloomPrune(spark, p, snap.files.filter(f =>
+      DataSkipping.mayMatch(stats.get(f), predExpr)), stats, predExpr)
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v).filter(predicate)
     else if (kept.isEmpty)
       // schema-stable empty result: plan over the real files, read none
@@ -1802,6 +1920,113 @@ object ManifestTable {
         .limit(0).filter(predicate)
     else readFiles(spark, table, kept, snap.dvs, mapping = mapping)
       .filter(predicate)
+  }
+
+  /** BLOOM-FILTER file pruning, the tier below range pruning
+    * (VERDICT r13 next-round #5): for every top-level AND-conjunct of
+    * the form `col = literal` / `col IN (...)` whose column carries
+    * commit-time bloom filters ([[BloomColumnsProp]]), drop the files
+    * whose filter proves NONE of the conjunct's values is present —
+    * sound because a bloom filter has no false negatives, and exactly
+    * the shape range statistics cannot prune (point lookups on
+    * high-cardinality unsorted columns, where every file's min/max
+    * covers the key). Runs only on the files that SURVIVED range
+    * pruning, loads each referenced sidecar dir once with a
+    * file-pushdown filter, and fails open on every uncertainty:
+    * missing filter, unsupported literal rendering, IO error, or a
+    * survivor set too large for the lookup to be worth it.
+    */
+  private def bloomPrune(spark: SparkSession, p: Path, kept: Seq[String],
+      stats: Map[String, FileStats],
+      predExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
+    val targets = bloomTargets(predExpr)
+    if (targets.isEmpty || kept.isEmpty || kept.size > 10000) return kept
+    val needed: Set[String] = kept.flatMap(f =>
+      stats.get(f).toSeq.flatMap(fst =>
+        targets.flatMap { case (c, _) => fst.bloom.get(c) })).toSet
+    if (needed.isEmpty) return kept
+    try {
+      import org.apache.spark.sql.functions.col
+      val bits: Map[(String, String), Array[Byte]] = needed.toSeq
+        .flatMap { dir =>
+          spark.read.parquet(new Path(p, dir).toString)
+            .filter(col("file").isin(kept: _*))
+            .collect().map(r =>
+              (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+        }.toMap
+      val cache = scala.collection.mutable.Map
+        .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
+      kept.filter { f =>
+        targets.forall { case (c, vals) =>
+          bits.get((f, c)) match {
+            case None => true // no filter for this file/col: keep
+            case Some(raw) =>
+              val bf = cache.getOrElseUpdate((f, c),
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(raw)))
+              vals.exists(bf.mightContainString)
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => kept } // fail open
+  }
+
+  /** Equality conjuncts usable for bloom pruning, with literals
+    * rendered EXACTLY as the build side rendered the column
+    * (`cast(col AS STRING)`): strings, integral types and booleans
+    * round-trip that rendering; anything else (doubles, dates,
+    * decimals — rendering drift risk) is skipped, fail-open. Only
+    * top-level AND-conjuncts qualify — a disjunct's failure proves
+    * nothing. The predicate arrives in negation-normal form, so a
+    * `NOT IN` keeps its `Not` wrapper and is correctly not matched.
+    */
+  private def bloomTargets(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def canon(v: Any): Option[String] = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case i: java.lang.Integer => Some(i.toString)
+      case l: java.lang.Long => Some(l.toString)
+      case sh: java.lang.Short => Some(sh.toString)
+      case b: java.lang.Byte => Some(b.toString)
+      case bo: java.lang.Boolean => Some(bo.toString)
+      case _ => None
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lit(x: Expression): Option[Any] = x match {
+      case Literal(null, _) => None
+      case Literal(v, _) => Some(v)
+      case _ => None
+    }
+    def eq(a: Expression, b: Expression): Seq[(String, Seq[String])] =
+      (for { n <- attr(a); v <- lit(b); c <- canon(v) }
+        yield (n, Seq(c))).toSeq
+    e match {
+      case And(l, r) => bloomTargets(l) ++ bloomTargets(r)
+      case EqualTo(a, b) => eq(a, b) ++ eq(b, a)
+      case In(a, list) =>
+        (for {
+          n <- attr(a)
+          vs = list.map(lit)
+          if vs.forall(_.isDefined)
+          cs = vs.flatten.map(canon)
+          if cs.forall(_.isDefined)
+        } yield (n, cs.flatten)).toSeq
+      case InSet(a, set) =>
+        (for {
+          n <- attr(a)
+          cs = set.toSeq.map(canon)
+          if cs.forall(_.isDefined)
+        } yield (n, cs.flatten)).toSeq
+      case _ => Seq.empty
+    }
   }
 
   /** (files scanned, files total) a [[readWhere]] of `predicate` would
@@ -1812,9 +2037,9 @@ object ManifestTable {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
     val stats = logicalStats(snap.stats, mappingAt(fs, p, v))
     val predExpr = DataSkipping.expressionOf(predicate) // normalize once
-    val kept = snap.files.count(f =>
-      DataSkipping.mayMatch(stats.get(f), predExpr))
-    (kept, snap.files.size)
+    val kept = bloomPrune(spark, p, snap.files.filter(f =>
+      DataSkipping.mayMatch(stats.get(f), predExpr)), stats, predExpr)
+    (kept.size, snap.files.size)
   }
 
   /** The per-file statistics of a snapshot (for tests/introspection). */
@@ -2779,7 +3004,8 @@ object ManifestTable {
         math.max(targetFileBytes / bytesPerRow, 1L))
       if (commitFullList(spark, fs, p, base + 1, files,
         m.map(_.txns).getOrElse(Map.empty),
-        collectStats(spark, p, files), parts,
+        collectStats(spark, p, files,
+        m.map(_.props).getOrElse(Map.empty)), parts,
         m.flatMap(_.schemaJson),
         // same rows, new files: a pure reorganization — incremental
         // consumers skip this commit instead of redelivering the table
@@ -2902,7 +3128,7 @@ object ManifestTable {
             .withColumn(ChangeTypeCol, lit("delete"))))
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
-        collectStats(spark, p, fresh), remove = hits, parts = parts,
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), remove = hits, parts = parts,
         schemaJson = m.flatMap(_.schemaJson),
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
@@ -3058,7 +3284,7 @@ object ManifestTable {
         }
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
-        collectStats(spark, p, fresh), remove = hits, parts = parts,
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), remove = hits, parts = parts,
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
@@ -3291,7 +3517,7 @@ object ManifestTable {
         }
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
-        collectStats(spark, p, fresh), remove = hits, parts = parts,
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), remove = hits, parts = parts,
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
@@ -3582,7 +3808,7 @@ object ManifestTable {
             }
           if (commitDelta(fs, p, base + 1, fresh,
             m.map(_.txns).getOrElse(Map.empty),
-            collectStats(spark, p, fresh), remove = hits, parts = parts,
+            collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), remove = hits, parts = parts,
             schemaJson = Some(evolved.json),
             props = m.map(_.props).getOrElse(Map.empty),
             cdcDir = cdc,
@@ -3797,6 +4023,20 @@ object ManifestTable {
         resolve(spark, fs, p, ver, cs).dvs.values.flatten.map(_.path)).toSet
       fs.listStatus(delDir).foreach { d =>
         if (!liveDv.contains(relativize(p, d.getPath)) &&
+          d.getModificationTime < cutoff)
+          fs.delete(d.getPath, true): Unit
+      }
+    }
+    // bloom-filter sidecars: a dir under blooms/ is live iff some
+    // retained version's file statistics reference it (same write-
+    // before-publish in-flight protection as every sidecar)
+    val bloomDir = new Path(p, "blooms")
+    if (fs.exists(bloomDir)) {
+      val liveBf: Set[String] = retained.flatMap(ver =>
+        resolve(spark, fs, p, ver, cs).stats.values
+          .flatMap(_.bloom.values)).toSet
+      fs.listStatus(bloomDir).foreach { d =>
+        if (!liveBf.contains(relativize(p, d.getPath)) &&
           d.getModificationTime < cutoff)
           fs.delete(d.getPath, true): Unit
       }
