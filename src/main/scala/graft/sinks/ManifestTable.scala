@@ -1001,8 +1001,20 @@ object ManifestTable {
     * link holds the data (vacuum also sweeps stale staged files as a
     * backstop for hard crashes).
     */
+  /** TEST-ONLY deterministic interleaving hook: invoked immediately
+    * before every publish attempt with (table path, target file name).
+    * Race specs use it to run a COMPLETE competing commit inside
+    * another writer's compute→publish window — the exact interleaving
+    * optimistic concurrency must survive — without sleeps or luck.
+    * The hook runs on the committing thread (the commit monitor is
+    * reentrant), and production never sets it.
+    */
+  @volatile private[graft] var preCommitHook: (String, String) => Unit =
+    (_, _) => ()
+
   private def casCreate(fs: FileSystem, table: Path, target: Path,
-      payload: String): Boolean =
+      payload: String): Boolean = {
+    preCommitHook(table.toString, target.getName)
     commitMonitor(table).synchronized {
       fs.mkdirs(target.getParent)
       val staged = new Path(target.getParent,
@@ -1029,6 +1041,7 @@ object ManifestTable {
         }
       } finally if (wrote || fs.exists(staged)) fs.delete(staged, false): Unit
     }
+  }
 
   /** Commit a REPLACE manifest (full file list — the overwrite/compact
     * commit unit, its own resolution base) for `version`. Returns
