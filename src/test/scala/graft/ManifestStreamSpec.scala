@@ -376,6 +376,72 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"rewrite + append batches must bind correctly: $buf")
   }
 
+  test("one batch spanning an add-column commit null-fills older files") {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 4, "a"), t) // v1
+    // drain v1, checkpointing the offset BEFORE the evolution
+    assert(runToCompletion(t, s"$root/ckpt").size == 4)
+    ManifestTable.append(spark, df(4, 7, "b"), t) // v2: pre-evolution files
+    ManifestTable.addColumns(spark, t,
+      StructType(Seq(StructField("score", DoubleType)))) // v3: zero files
+    ManifestTable.append(spark,
+      Seq((7L, "c", 1.5), (8L, "c", 2.5)).toDF("id", "tag", "score"), t) // v4
+    // restart with NO rate limit: the admitted range (v1, v4] spans the
+    // add-column commit, so ONE batch unions pre- and post-evolution
+    // files — older files must surface the new column as null, newer
+    // ones their values (the recorded schema at the range END governs)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[Double])]
+    val q = spark.readStream.format("graft").option("path", t).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.columns.toSeq == Seq("id", "tag", "score"),
+          s"mid-range evolution batch schema: ${b.columns.toSeq}")
+        buf.synchronized {
+          buf ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        }: Unit
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = buf.sortBy(_._1)
+    assert(got.map(_._1) == Seq(4L, 5L, 6L, 7L, 8L))
+    assert(got.filter(_._2 == "b").forall(_._3.isEmpty),
+      s"pre-evolution rows must null-fill the new column: $got")
+    assert(got.filter(_._2 == "c").flatMap(_._3) == Seq(1.5, 2.5),
+      s"post-evolution rows must carry their values: $got")
+  }
+
+  test("one batch spanning a rename commit (column mapping) serves logical names") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 3, "a"), t) // v1
+    assert(runToCompletion(t, s"$root/ckpt").size == 3)
+    ManifestTable.append(spark, df(3, 5, "b"), t) // v2: files store "tag"
+    ManifestTable.renameColumn(spark, t, "tag", "label") // v3: zero files
+    ManifestTable.append(spark, df(5, 6, "c")
+      .withColumnRenamed("tag", "label"), t) // v4: files ALSO store "tag" physically
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft").option("path", t).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.columns.toSeq == Seq("id", "label"),
+          s"mapped batch must serve LOGICAL names: ${b.columns.toSeq}")
+        buf.synchronized {
+          buf ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+        }: Unit
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(buf.sortBy(_._1) ==
+      Seq((3L, "b"), (4L, "b"), (5L, "c")),
+      s"rename mid-range must not drop or misname rows: ${buf.sortBy(_._1)}")
+  }
+
   test("batch read through format(\"graft\") is the native pruning scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import spark.implicits._
