@@ -77,13 +77,26 @@ class GraftManifestSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // `startingTimestamp` is sugar over `startingVersion`: resolve the
+    // wall-clock to the latest commit AT OR BEFORE it (the same
+    // monotonized-mtime resolver TIMESTAMP AS OF uses) and tail the
+    // commits AFTER that snapshot — the Delta startingTimestamp
+    // semantics. Mutually exclusive with an explicit startingVersion.
+    val fromTs = parameters.get("startingTimestamp").map { ts =>
+      require(!parameters.contains("startingVersion"),
+        "pass startingVersion OR startingTimestamp, not both")
+      ManifestTable.versionAtTimestamp(sqlContext.sparkSession,
+        tablePath(parameters), java.sql.Timestamp.valueOf(ts).getTime)
+    }
     new GraftManifestSource(sqlContext.sparkSession,
       tablePath(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      fromTs.orElse(parameters.get("startingVersion").map(_.toLong))
+        .getOrElse(0L),
       changeFeed = isChangeFeed(parameters))
+  }
 
   /** `df.writeStream.format("graft")` — the sink half of the
     * symmetry: each micro-batch folds in through

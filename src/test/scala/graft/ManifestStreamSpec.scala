@@ -149,6 +149,44 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"two-table streaming pipeline must be exactly-once: $got")
   }
 
+  test("startingTimestamp resolves to a version and tails after it") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t) // v1: history
+    Thread.sleep(40) // distinct commit mtimes (ms granularity)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(40)
+    ManifestTable.append(spark, df(10, 13, "b"), t) // v2: after the cut
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("graft")
+      .option("path", t).option("startingTimestamp", cut.toString).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.collect().map(r => s"${r.getLong(0)}:${r.getString(1)}")
+        }: Unit
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(buf.sorted == Seq("10:b", "11:b", "12:b"),
+      s"the cut falls after v1: only v2 plays, no backfill: $buf")
+    // both knobs together refuse (source creation runs on the stream
+    // thread — the error surfaces when the query is driven)
+    val q2 = spark.readStream.format("graft")
+      .option("path", t).option("startingVersion", "1")
+      .option("startingTimestamp", cut.toString).load()
+      .writeStream.option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+      .start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(x => Option(x.getMessage)).mkString.contains("not both"),
+      s"got: $e")
+  }
+
   test("startingVersion tails only commits after it (no historical backfill)") {
     val root = freshRoot()
     val t = s"$root/t"
