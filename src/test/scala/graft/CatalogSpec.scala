@@ -182,6 +182,11 @@ class CatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(kinds == Seq(1L, 2L, 3L, 4L))
     assert(ManifestTable.currentVersion(spark, s"$wh/db/r") == 4)
+    // the catalog advertises its procedures
+    val procs = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .collect().map(_.getAs[String]("procedure_name")).toSeq.sorted
+    assert(procs == Seq("analyze", "compact", "restore", "vacuum"),
+      s"got: $procs")
   }
 
   test("programmatic read of a created/truncated (empty) table stays typed") {
