@@ -1949,7 +1949,7 @@ object ManifestTable {
     * missing filter, unsupported literal rendering, IO error, or a
     * survivor set too large for the lookup to be worth it.
     */
-  private def bloomPrune(spark: SparkSession, p: Path, kept: Seq[String],
+  def bloomPrune(spark: SparkSession, p: Path, kept: Seq[String],
       stats: Map[String, FileStats],
       predExpr: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[String] = {

@@ -117,11 +117,28 @@ object GraftManifestScan {
       // dataFilters stay in the post-scan Filter too, so manifest
       // statistics may prune them best-effort (fail-open is safe)
       val statConjuncts = dataFilters.map(DataSkipping.normalize)
-      val kept = files.filter { f =>
+      val rangeKept = files.filter { f =>
         lazy val row = InternalRow.fromSeq(partRow(f))
         exactPart.forall(_.eval(row)) &&
           statConjuncts.forall(c => DataSkipping.mayMatch(f.stats, c))
       }
+      // BLOOM tier (same fail-open contract): when surviving files
+      // carry filters for an equality/IN conjunct's column, the
+      // point-lookup pruning the native readWhere does also serves
+      // SQL text through this index — planning-time sidecar reads,
+      // exactly the Delta/Iceberg index-lookup shape
+      val kept =
+        if (statConjuncts.isEmpty ||
+          !rangeKept.exists(_.stats.exists(_.bloom.nonEmpty))) rangeKept
+        else {
+          val pred = statConjuncts.reduce(
+            org.apache.spark.sql.catalyst.expressions.And(_, _))
+          val statsMap = rangeKept.flatMap(f => f.stats.map(f.rel -> _)).toMap
+          val keptRels = graft.sinks.ManifestTable.bloomPrune(
+            SparkSession.active, tableRoot, rangeKept.map(_.rel),
+            statsMap, pred).toSet
+          rangeKept.filter(f => keptRels.contains(f.rel))
+        }
       kept.groupBy(partRow).toSeq
         .sortBy(_._2.head.rel)
         .map { case (values, fs) =>

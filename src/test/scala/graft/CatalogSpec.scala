@@ -550,6 +550,37 @@ class CatalogSpec extends AnyFunSuite {
       "refused alters leave the schema untouched")
   }
 
+  test("SQL point lookup bloom-prunes through the DSv2 scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.conf.set("spark.graft.bloom.expectedItems", "5000")
+    try {
+      // the bloom columns are declared in PURE SQL; the keys are
+      // hashes, so every file's min/max covers the whole domain and
+      // range pruning alone keeps everything
+      spark.sql(s"CREATE TABLE $cat.db.bl (seq BIGINT, key STRING) " +
+        "TBLPROPERTIES ('graft.bloom.columns'='key')")
+      spark.range(10000).toDF("seq")
+        .withColumn("key", md5(col("seq").cast("string")))
+        .createOrReplaceTempView("bloom_src")
+      spark.sql(s"INSERT INTO $cat.db.bl " +
+        "SELECT /*+ REPARTITION(10) */ seq, key FROM bloom_src")
+      val probe = spark.sql(
+        s"SELECT key FROM $cat.db.bl WHERE seq = 4321").head().getString(0)
+      val q = spark.sql(s"SELECT seq FROM $cat.db.bl WHERE key = '$probe'")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(4321L))
+      val planned = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions.collect {
+          case fp: FilePartition => fp.files.length }.sum
+      }.sum
+      assert(planned <= 2,
+        s"SQL text must bloom-prune to <=2 of 10 files: $planned")
+    } finally spark.conf.unset("spark.graft.bloom.expectedItems")
+  }
+
   test("table_changes TVF serves the row-level change feed from SQL text") {
     // config-time wiring is spark.sql.extensions=graft.GraftExtensions;
     // the shared test session registers the injected TVFs directly

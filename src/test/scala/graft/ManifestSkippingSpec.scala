@@ -954,6 +954,20 @@ class ManifestSkippingSpec extends AnyFunSuite {
         col("key") === probe)
       assert(total2 == 20 && kept2 == 20,
         s"no declared bloom columns -> range-only keeps all: $kept2/$total2")
+      // the NATIVE COMPOSABLE SCAN prunes through the same tier: a
+      // plain .filter on the relation reaches the FileIndex as pushed
+      // conjuncts, and the bloom lookup runs at PLANNING time
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val q = ManifestTable.scan(spark, t).filter(col("key") === probe)
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(12345L))
+      val scanExec = q.queryExecution.sparkPlan.collect {
+        case x: FileSourceScanExec => x }.head
+      val planned = scanExec.relation.location
+        .listFiles(scanExec.partitionFilters, scanExec.dataFilters)
+        .map(_.files.size).sum
+      assert(planned < totalC,
+        s"the SQL-composable scan must bloom-prune at planning: " +
+          s"$planned of $totalC (post-compact files)")
     } finally spark.conf.unset("spark.graft.bloom.expectedItems")
   }
 }
