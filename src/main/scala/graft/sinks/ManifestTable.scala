@@ -3411,16 +3411,20 @@ object ManifestTable {
       s"cannot restore $table to v$version: latest committed is v$base")
     if (version == base) return base
     val (_, cs) = listLog(fs, p)
-    // vacuum prunes both superseded data files AND the log prefix
-    // below its retention floor — a pruned manifest chain is the same
-    // refusal as missing files, with the same guidance
+    // vacuum prunes superseded data files, the log prefix below its
+    // retention floor, AND orphaned parquet sidecar bases — a pruned
+    // manifest chain (FileNotFound on a v-file) or a swept sidecar
+    // (the parquet read's AnalysisException) is the same refusal as
+    // missing data files, with the same guidance
     val snap =
       try resolve(spark, fs, p, version, cs)
       catch {
-        case e: java.io.FileNotFoundException =>
+        case e @ (_: java.io.FileNotFoundException |
+            _: org.apache.spark.sql.AnalysisException) =>
           throw new IllegalStateException(
             s"cannot restore $table to v$version: its manifest chain " +
-              s"was vacuumed (log retention passed v$version)", e)
+              s"or sidecar base was vacuumed (log retention passed " +
+              s"v$version)", e)
       }
     // every data file and DV sidecar of the target snapshot must still
     // exist — vacuum(retainVersions < base-version distance) deletes
@@ -4030,28 +4034,30 @@ object ManifestTable {
     // retained version's DV map references it; unreferenced dirs older
     // than the grace are swept whole (a sidecar is written BEFORE the
     // manifest that references it — same in-flight protection as data)
+    // DV and bloom sidecars: a dir is live iff some retained version
+    // references it (same write-before-publish in-flight protection
+    // as data files). ONE resolve pass serves both sweeps.
     val delDir = new Path(p, "deletes")
-    if (fs.exists(delDir)) {
-      val liveDv: Set[String] = retained.flatMap(ver =>
-        resolve(spark, fs, p, ver, cs).dvs.values.flatten.map(_.path)).toSet
-      fs.listStatus(delDir).foreach { d =>
-        if (!liveDv.contains(relativize(p, d.getPath)) &&
-          d.getModificationTime < cutoff)
-          fs.delete(d.getPath, true): Unit
-      }
-    }
-    // bloom-filter sidecars: a dir under blooms/ is live iff some
-    // retained version's file statistics reference it (same write-
-    // before-publish in-flight protection as every sidecar)
     val bloomDir = new Path(p, "blooms")
-    if (fs.exists(bloomDir)) {
-      val liveBf: Set[String] = retained.flatMap(ver =>
-        resolve(spark, fs, p, ver, cs).stats.values
-          .flatMap(_.bloom.values)).toSet
-      fs.listStatus(bloomDir).foreach { d =>
-        if (!liveBf.contains(relativize(p, d.getPath)) &&
-          d.getModificationTime < cutoff)
-          fs.delete(d.getPath, true): Unit
+    if (fs.exists(delDir) || fs.exists(bloomDir)) {
+      val retainedSnaps = retained.map(ver => resolve(spark, fs, p, ver, cs))
+      if (fs.exists(delDir)) {
+        val liveDv: Set[String] = retainedSnaps.flatMap(
+          _.dvs.values.flatten.map(_.path)).toSet
+        fs.listStatus(delDir).foreach { d =>
+          if (!liveDv.contains(relativize(p, d.getPath)) &&
+            d.getModificationTime < cutoff)
+            fs.delete(d.getPath, true): Unit
+        }
+      }
+      if (fs.exists(bloomDir)) {
+        val liveBf: Set[String] = retainedSnaps.flatMap(
+          _.stats.values.flatMap(_.bloom.values)).toSet
+        fs.listStatus(bloomDir).foreach { d =>
+          if (!liveBf.contains(relativize(p, d.getPath)) &&
+            d.getModificationTime < cutoff)
+            fs.delete(d.getPath, true): Unit
+        }
       }
     }
     val mdir = new Path(p, ManifestDir)

@@ -970,4 +970,39 @@ class ManifestSkippingSpec extends AnyFunSuite {
           s"$planned of $totalC (post-compact files)")
     } finally spark.conf.unset("spark.graft.bloom.expectedItems")
   }
+
+  test("vacuum sweeps unreferenced bloom sidecars, keeps referenced ones") {
+    import spark.implicits._
+    val t = freshTable()
+    spark.conf.set("spark.graft.bloom.expectedItems", "2000")
+    try {
+      ManifestTable.create(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType))),
+        props = Map(ManifestTable.BloomColumnsProp -> "key"))
+      def corpus(lo: Long, hi: Long) = spark.range(lo, hi).toDF("seq")
+        .withColumn("key", md5(col("seq").cast("string")))
+      ManifestTable.append(spark, corpus(0, 1000).repartition(4), t) // v2
+      // overwrite: new files, NEW bloom dir; v2's becomes garbage once
+      // v2 leaves retention
+      ManifestTable.write(spark, corpus(1000, 3000).repartition(4), t) // v3
+      val bloomRoot = new java.io.File(t, "blooms")
+      assert(bloomRoot.listFiles().length == 2,
+        "append + overwrite each wrote a bloom sidecar dir")
+      ManifestTable.vacuum(spark, t, keepVersions = 1, graceMs = 0L)
+      assert(bloomRoot.listFiles().length == 1,
+        "the superseded commit's bloom dir is swept; the live one stays")
+      // the surviving filters still serve lookups
+      val probe = ManifestTable.read(spark, t)
+        .filter(col("seq") === 2048L).head().getString(1)
+      val (kept, total) = ManifestTable.skippingReport(spark, t,
+        col("key") === probe)
+      assert(total == 4 && kept <= 2, s"post-vacuum bloom prune: $kept/$total")
+      assert(ManifestTable.readWhere(spark, t, col("key") === probe)
+        .head().getLong(0) == 2048L)
+    } finally spark.conf.unset("spark.graft.bloom.expectedItems")
+  }
 }
