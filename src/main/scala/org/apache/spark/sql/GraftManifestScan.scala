@@ -94,8 +94,22 @@ object GraftManifestScan {
     private[sql] def partRow(f: ManifestFile): Seq[Any] =
       f.partValues.zip(partTypes).map { case (v, dt) => toCatalyst(v, dt) }
 
+    // one-entry memo: the planner asks the same pinned-snapshot index
+    // the same question more than once per query (FileSourceStrategy,
+    // estimateStatistics) — and the bloom tier does real sidecar I/O,
+    // which should run once. Keyed on the filters' rendering; sound
+    // because the snapshot is immutable and pruning is deterministic.
+    @volatile private var lastCall
+      : Option[(String, Seq[PartitionDirectory])] = None
+
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val memoKey = (partitionFilters ++ dataFilters).map(_.toString)
+        .mkString(";")
+      lastCall match {
+        case Some((k, res)) if k == memoKey => return res
+        case _ => ()
+      }
       // partitionFilters are a CORRECTNESS contract, not an
       // optimization: FileSourceStrategy REMOVES partition-only
       // predicates from the post-scan Filter, trusting the index to
@@ -139,12 +153,14 @@ object GraftManifestScan {
             statsMap, pred).toSet
           rangeKept.filter(f => keptRels.contains(f.rel))
         }
-      kept.groupBy(partRow).toSeq
+      val res = kept.groupBy(partRow).toSeq
         .sortBy(_._2.head.rel)
         .map { case (values, fs) =>
           PartitionDirectory(InternalRow.fromSeq(values),
             fs.map(f => FileStatusWithMetadata(f.status)))
         }
+      lastCall = Some((memoKey, res))
+      res
     }
 
     override def inputFiles: Array[String] =
