@@ -1182,7 +1182,7 @@ object ManifestTable {
       relFiles: Seq[String], stats: Map[String, FileStats],
       cols: Seq[String]): Map[String, FileStats] =
     try {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, concat, element_at, expr, lit, split}
       import org.apache.spark.sql.GraftColumnBridge
       val df = spark.read.parquet(
         relFiles.map(f => new Path(table, f).toString): _*)
@@ -1196,43 +1196,38 @@ object ManifestTable {
         graft.functions.BloomAgg(
           GraftColumnBridge.eagerExpression(col(c).cast("string")),
           items, fpp).toAggregateExpression()).as(c))
-      val rows = df
-        .select(col("_metadata.file_path").as("_bf_path") +:
-          targets.map(c => col(c)): _*)
-        .groupBy(col("_bf_path"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
+      // table-relative path derived IN the job (the relocation-stable
+      // split-on-/data/s recipe the DV identity uses) — the serialized
+      // filter bits flow straight from the aggregation into the
+      // sidecar parquet and NEVER through the driver: a useful filter
+      // is ~100 KB, and collecting files × columns of them would be
+      // the exact driver bottleneck this feature must not have at
+      // a thousand-file commit
+      val relCol = concat(lit("data/s"),
+        element_at(split(col("_metadata.file_path"), "/data/s"), -1))
       val dir = s"blooms/f${java.util.UUID.randomUUID()}"
-      val out = new java.util.ArrayList[org.apache.spark.sql.Row](
-        rows.length * targets.size)
-      val fileRefs = Map.newBuilder[String, Map[String, String]]
-      rows.foreach { r =>
-        val abs = r.getString(0)
-        relFiles.find(rel => abs.endsWith("/" + rel) || abs.endsWith(rel))
-          .foreach { rel =>
-            val refs = Map.newBuilder[String, String]
-            targets.zipWithIndex.foreach { case (c, i) =>
-              if (!r.isNullAt(i + 1)) {
-                out.add(org.apache.spark.sql.Row(rel, c,
-                  r.getAs[Array[Byte]](i + 1))): Unit
-                refs += c -> dir
-              }
-            }
-            fileRefs += rel -> refs.result(): Unit
-          }
-      }
-      if (out.isEmpty) return stats
-      import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
-      spark.createDataFrame(out, StructType(Seq(
-        StructField("file", StringType, nullable = false),
-        StructField("col", StringType, nullable = false),
-        StructField("bits", BinaryType, nullable = false))))
-        .coalesce(1)
+      def q(s: String) = s.replace("'", "\\'")
+      df.select(relCol.as("file") +: targets.map(c => col(c)): _*)
+        .groupBy(col("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        // long layout (file, col, bits): one row per filter
+        .select(col("file"), expr(
+          s"stack(${targets.size}, " +
+            targets.map(c => s"'${q(c)}', `$c`").mkString(", ") +
+            ") AS (col, bits)"))
+        .filter(col("bits").isNotNull)
         .write.mode(SaveMode.ErrorIfExists)
         .parquet(new Path(table, dir).toString)
-      val refMap = fileRefs.result()
+      // read back only the TINY (file, col) pairs to attach references
+      val pairs = spark.read.parquet(new Path(table, dir).toString)
+        .select("file", "col").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      if (pairs.isEmpty) return stats
+      val refMap: Map[String, Map[String, String]] = pairs.toSeq
+        .groupBy(_._1)
+        .map { case (f, cs) => f -> cs.map(_._2 -> dir).toMap }
       stats.map { case (f, fst) =>
-        f -> refMap.get(f).filter(_.nonEmpty)
+        f -> refMap.get(f)
           .fold(fst)(refs => fst.copy(bloom = fst.bloom ++ refs))
       }
     } catch {
@@ -1954,7 +1949,12 @@ object ManifestTable {
       predExpr: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[String] = {
     val targets = bloomTargets(predExpr)
-    if (targets.isEmpty || kept.isEmpty || kept.size > 10000) return kept
+    // survivor cap: the lookup materializes one ~100 KB filter per
+    // surviving file×column on the driver — past ~2k files that is
+    // hundreds of MB for a prune a compacted layout rarely needs;
+    // fail open instead (range pruning and row-group pushdown still
+    // apply)
+    if (targets.isEmpty || kept.isEmpty || kept.size > 2048) return kept
     val needed: Set[String] = kept.flatMap(f =>
       stats.get(f).toSeq.flatMap(fst =>
         targets.flatMap { case (c, _) => fst.bloom.get(c) })).toSet
