@@ -1252,15 +1252,28 @@ object ManifestTable {
   }
 
   /** Commit-audit map stamped on every commit (the Delta commitInfo
-    * recipe): the operation name, its non-empty parameters, and the
-    * engine marker. Tiny by construction — predicates are truncated,
-    * never megabyte plans.
+    * recipe): the operation name, its non-empty parameters, the engine
+    * marker, and the IN-COMMIT TIMESTAMP — `max(now, previous ts + 1)`
+    * against the base manifest, so recorded commit times are STRICTLY
+    * MONOTONE by construction (the Delta ICT recipe): `TIMESTAMP AS
+    * OF` and `history().ts_millis` answer from the log itself and
+    * survive a table copy/rsync that resets every file mtime (the
+    * mtime path stays as the fallback for pre-audit manifests). Tiny
+    * by construction — predicates are truncated, never megabyte plans.
     */
-  private def opInfo(operation: String,
-      params: (String, String)*): Map[String, String] =
-    (Seq("operation" -> operation, "engine" -> "graft") ++
+  private def opInfo(prev: Option[Manifest], operation: String,
+      params: (String, String)*): Map[String, String] = {
+    val ts = math.max(System.currentTimeMillis(),
+      prev.flatMap(opTs).getOrElse(Long.MinValue) + 1)
+    (Seq("operation" -> operation, "engine" -> "graft",
+      "ts" -> ts.toString) ++
       params.filter(_._2.nonEmpty).map { case (k, v) =>
         k -> (if (v.length > 256) v.take(253) + "..." else v) }).toMap
+  }
+
+  /** The recorded in-commit timestamp, if this manifest carries one. */
+  private def opTs(m: Manifest): Option[Long] =
+    m.op.get("ts").flatMap(_.toLongOption)
 
   private def raceLost(table: String, version: Long): Nothing =
     throw new java.io.IOException(
@@ -1302,7 +1315,7 @@ object ManifestTable {
         m.map(_.props).getOrElse(Map.empty)), parts,
       Some(df.schema.json), quality,
       props = m.map(_.props).getOrElse(Map.empty),
-      op = opInfo("write", "partitionBy" -> parts.mkString(","))))
+      op = opInfo(m, "write", "partitionBy" -> parts.mkString(","))))
       raceLost(table, base + 1)
     base + 1 // a replace manifest is its own base — no checkpoint needed
   }
@@ -1333,7 +1346,7 @@ object ManifestTable {
       collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), parts = parts,
       schemaJson = Some(evolved.json), quality = quality,
       props = m.map(_.props).getOrElse(Map.empty),
-      op = opInfo("append", "files" -> fresh.size.toString)))
+      op = opInfo(m, "append", "files" -> fresh.size.toString)))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
@@ -1400,7 +1413,7 @@ object ManifestTable {
         parts = parts,
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
-        op = opInfo("streaming-append", "txnAppId" -> txnAppId,
+        op = opInfo(m, "streaming-append", "txnAppId" -> txnAppId,
           "batchId" -> batchId.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
@@ -1521,7 +1534,7 @@ object ManifestTable {
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
         props = next,
-        op = opInfo("set-properties",
+        op = opInfo(m, "set-properties",
           "set" -> set.keys.toSeq.sorted.mkString(","),
           "unset" -> unset.sorted.mkString(",")))) {
         maybeCheckpoint(spark, fs, p, base + 1)
@@ -1705,7 +1718,7 @@ object ManifestTable {
       parts = m.map(_.parts).getOrElse(Seq.empty),
       schemaJson = Some(evolved.json),
       props = m.map(_.props).getOrElse(Map.empty),
-      op = opInfo("rename-column", "from" -> oldName, "to" -> newName)))
+      op = opInfo(m, "rename-column", "from" -> oldName, "to" -> newName)))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
@@ -1738,7 +1751,7 @@ object ManifestTable {
       parts = m.map(_.parts).getOrElse(Seq.empty),
       schemaJson = Some(evolved.json),
       props = m.map(_.props).getOrElse(Map.empty),
-      op = opInfo("drop-column", "column" -> name)))
+      op = opInfo(m, "drop-column", "column" -> name)))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
@@ -2170,7 +2183,7 @@ object ManifestTable {
       s"$table already exists (committed versions present)")
     if (!commitManifest(fs, p, 1, Seq.empty, Map.empty, Map.empty,
       partitionCols, Some(schema.json), props = props,
-      op = opInfo("create",
+      op = opInfo(None, "create",
         "partitionBy" -> partitionCols.mkString(",")))) raceLost(table, 1)
     1L
   }
@@ -2281,18 +2294,31 @@ object ManifestTable {
       Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
     } catch { case _: java.time.format.DateTimeParseException => None }
 
-  /** Commit wall-clock times of `vs` (ascending): the manifest files'
-    * modification times, MONOTONIZED along the version order (max-so-
-    * far — the Delta recipe: clock skew between writers must never
-    * make a later commit appear earlier, or timestamp resolution
-    * loses `version order == time order`).
+  /** Commit wall-clock times of `vs` (ascending): the IN-COMMIT
+    * timestamp each manifest records (strictly monotone by
+    * construction — [[opInfo]]), falling back to the manifest file's
+    * modification time for pre-audit manifests; the whole sequence is
+    * MONOTONIZED along the version order (max-so-far — the Delta
+    * recipe: clock skew between writers, or a mixed recorded/mtime
+    * prefix, must never make a later commit appear earlier, or
+    * timestamp resolution loses `version order == time order`).
+    * Recorded timestamps also survive a table COPY that resets every
+    * mtime — time travel answers from the log itself. `manifestOf`
+    * lets callers that already parsed the manifests (history) avoid a
+    * second read; the default reads each head.
     */
   private def commitTimes(fs: FileSystem, p: Path,
-      vs: Seq[Long]): Seq[(Long, Long)] = {
+      vs: Seq[Long],
+      manifestOf: Long => Option[Manifest] = null): Seq[(Long, Long)] = {
+    val lookup: Long => Option[Manifest] =
+      if (manifestOf != null) manifestOf
+      else v => try Some(readManifest(fs, p, v))
+        catch { case _: java.io.IOException => None }
     var prev = Long.MinValue
     vs.sorted.map { v =>
-      prev = math.max(prev,
+      val t = lookup(v).flatMap(opTs).getOrElse(
         fs.getFileStatus(manifestPath(p, v)).getModificationTime)
+      prev = math.max(prev, t)
       (v, prev)
     }
   }
@@ -2302,9 +2328,10 @@ object ManifestTable {
     * timestamp before the earliest retained commit or after the latest
     * one throws with the usable range (resolving "after latest" to the
     * head would silently turn a time-travel read into a changing
-    * current read). Commit time is the manifest file's mtime,
-    * monotonized (see [[commitTimes]]) — O(retained versions) metadata
-    * statuses, never a data read.
+    * current read). Commit time is the manifest's RECORDED in-commit
+    * timestamp (mtime fallback for pre-audit manifests), monotonized
+    * (see [[commitTimes]]) — O(retained versions) manifest-head reads,
+    * never a data read, and stable across table copies.
     */
   def versionAtTimestamp(spark: SparkSession, table: String,
       tsMillis: Long): Long = {
@@ -2337,9 +2364,13 @@ object ManifestTable {
   def history(spark: SparkSession, table: String): DataFrame = {
     val (fs, p) = fsOf(spark, table)
     val (vs, _) = listLog(fs, p)
-    val timeOf: Map[Long, Long] = commitTimes(fs, p, vs).toMap
+    // ONE manifest read per version serves the row AND its commit time
+    val parsed: Map[Long, Manifest] =
+      vs.map(v => v -> readManifest(fs, p, v)).toMap
+    val timeOf: Map[Long, Long] =
+      commitTimes(fs, p, vs, parsed.get).toMap
     val rows = vs.sorted.map { v =>
-      val m = readManifest(fs, p, v)
+      val m = parsed(v)
       def rowsOf(addList: Seq[String]): Option[Long] =
         if (addList.nonEmpty && addList.forall(m.stats.contains))
           Some(addList.iterator.map(m.stats(_).rows).sum)
@@ -2773,7 +2804,7 @@ object ManifestTable {
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
         props = m.map(_.props).getOrElse(Map.empty),
-        op = opInfo("consumer-offset", "consumer" -> key,
+        op = opInfo(m, "consumer-offset", "consumer" -> key,
           "upTo" -> current.toString))) {
         // consumer commits land on the same version sequence as
         // appends — they must pull their weight in checkpoint cadence
@@ -3024,7 +3055,7 @@ object ManifestTable {
         // consumers skip this commit instead of redelivering the table
         dataChange = false,
         props = m.map(_.props).getOrElse(Map.empty),
-        op = opInfo("compact",
+        op = opInfo(m, "compact",
           "targetFileBytes" -> targetFileBytes.toString,
           "clustered" -> (if (clusterBy.nonEmpty) "true" else ""))))
         return Sinks.CompactStats(before.size, files.size, totalBytes)
@@ -3145,7 +3176,7 @@ object ManifestTable {
         schemaJson = m.flatMap(_.schemaJson),
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
-        op = opInfo("delete", "predicate" -> predicate.toString,
+        op = opInfo(m, "delete", "predicate" -> predicate.toString,
           "rewrittenFiles" -> hits.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
@@ -3225,7 +3256,7 @@ object ManifestTable {
         dvs = refs,
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
-        op = opInfo("delete-vectors", "predicate" -> predicate.toString,
+        op = opInfo(m, "delete-vectors", "predicate" -> predicate.toString,
           "targetFiles" -> refs.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
@@ -3301,7 +3332,7 @@ object ManifestTable {
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
-        op = opInfo("update", "predicate" -> predicate.toString,
+        op = opInfo(m, "update", "predicate" -> predicate.toString,
           "columns" -> set.keys.toSeq.sorted.mkString(","),
           "rewrittenFiles" -> hits.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
@@ -3351,7 +3382,7 @@ object ManifestTable {
       parts = m.map(_.parts).getOrElse(Seq.empty),
       schemaJson = Some(evolved.json),
       props = m.map(_.props).getOrElse(Map.empty),
-      op = opInfo("add-columns",
+      op = opInfo(m, "add-columns",
         "columns" -> columns.fieldNames.mkString(","))))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
@@ -3373,7 +3404,7 @@ object ManifestTable {
       m.map(_.parts).getOrElse(Seq.empty),
       m.flatMap(_.schemaJson),
       props = m.map(_.props).getOrElse(Map.empty),
-      op = opInfo("truncate"))) raceLost(table, base + 1)
+      op = opInfo(m, "truncate"))) raceLost(table, base + 1)
     base + 1
   }
 
@@ -3454,7 +3485,7 @@ object ManifestTable {
       mOld.flatMap(_.schemaJson),
       props = mOld.map(_.props).getOrElse(Map.empty),
       dvs = snap.dvs,
-      op = opInfo("restore", "toVersion" -> version.toString)))
+      op = opInfo(mCur, "restore", "toVersion" -> version.toString)))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
@@ -3538,7 +3569,7 @@ object ManifestTable {
         schemaJson = Some(evolved.json),
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
-        op = opInfo("merge", "keys" -> keyCols.mkString(","),
+        op = opInfo(m, "merge", "keys" -> keyCols.mkString(","),
           "rewrittenFiles" -> hits.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
         return base + 1
@@ -3829,7 +3860,7 @@ object ManifestTable {
             schemaJson = Some(evolved.json),
             props = m.map(_.props).getOrElse(Map.empty),
             cdcDir = cdc,
-            op = opInfo("merge",
+            op = opInfo(m, "merge",
               "keys" -> keyPairs.map(_._1).mkString(","),
               "clauses" -> (matched.size + notMatched.size +
                 bySource.size).toString,
@@ -3934,7 +3965,7 @@ object ManifestTable {
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
         props = m.map(_.props).getOrElse(Map.empty),
-        op = opInfo("analyze",
+        op = opInfo(m, "analyze",
           "columns" -> targets.mkString(","),
           "files" -> newStats.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)

@@ -742,6 +742,37 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 0)
   }
 
+  test("in-commit timestamps: time travel survives a copy that resets mtimes") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(5, "a"), t) // v1
+    Thread.sleep(30)
+    ManifestTable.append(spark, df(3, "b"), t) // v2
+    Thread.sleep(30)
+    ManifestTable.append(spark, df(2, "c"), t) // v3
+    val times = ManifestTable.history(spark, t).orderBy("version")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ts_millis")).toMap
+    // recorded timestamps are STRICTLY monotone by construction
+    assert(times(1) < times(2) && times(2) < times(3), s"got $times")
+    assert(ManifestTable.versionAtTimestamp(spark, t, times(2)) == 2L)
+    // COPY the table (fresh mtimes everywhere — the rsync/backup
+    // scenario): commit times answer from the LOG, not the filesystem
+    val dst = freshTable()
+    val src = java.nio.file.Paths.get(t)
+    java.nio.file.Files.walk(src).forEach { f =>
+      val to = java.nio.file.Paths.get(dst).resolve(src.relativize(f))
+      if (java.nio.file.Files.isDirectory(f))
+        java.nio.file.Files.createDirectories(to): Unit
+      else java.nio.file.Files.copy(f, to): Unit // mtime = NOW
+    }
+    val copiedTimes = ManifestTable.history(spark, dst).orderBy("version")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ts_millis")).toMap
+    assert(copiedTimes == times,
+      s"copied-table commit times must equal the original's: $copiedTimes")
+    assert(ManifestTable.versionAtTimestamp(spark, dst, times(2)) == 2L,
+      "TIMESTAMP AS OF on the copy resolves the ORIGINAL commit times")
+    assert(ManifestTable.read(spark, dst, version = 2).count() == 8)
+  }
+
   test("restore re-publishes a version: content, DVs, schema, props; txns stay current") {
     import spark.implicits._
     val t = freshTable()
