@@ -88,14 +88,33 @@ private[catalog] object GraftProcedures {
     ident.name() match {
       case "compact" => new OneRow("compact",
         Array(in("table", StringType),
-          inDefault("target_file_mb", LongType, "512")),
+          inDefault("target_file_mb", LongType, "512"),
+          inDefault("cluster_by", StringType, "''")),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false),
           StructField("bytes", LongType, nullable = false))),
         { input =>
+          // cluster_by = 'a' re-clusters on one key; 'a,b' Z-ORDERS
+          // the rewrite across both (the OPTIMIZE ZORDER BY surface)
+          val clusterCols =
+            if (input.isNullAt(2)) Seq.empty
+            else input.getUTF8String(2).toString.split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+          import org.apache.spark.sql.functions.col
+          val clusterBy = clusterCols match {
+            case Seq() => Seq.empty
+            case Seq(a) => Seq(col(a))
+            case Seq(a, b) => Seq(graft.sinks.Sinks.zOrderKey(col(a), col(b)))
+            case Seq(a, b, c) =>
+              Seq(graft.sinks.Sinks.zOrderKey3(col(a), col(b), col(c)))
+            case more => throw new IllegalArgumentException(
+              s"cluster_by supports up to 3 columns, got ${more.size} " +
+                s"(${more.mkString(", ")})")
+          }
           val st = ManifestTable.compact(spark, tableArg(input),
-            targetFileBytes = input.getLong(1) << 20)
+            targetFileBytes = input.getLong(1) << 20,
+            clusterBy = clusterBy)
           InternalRow(st.filesBefore, st.filesAfter, st.totalBytes)
         })
       case "vacuum" => new OneRow("vacuum",

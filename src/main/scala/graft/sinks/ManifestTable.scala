@@ -304,6 +304,52 @@ object ManifestTable {
     (dropPred.fold(pinned)(pinned.filter), counts)
   }
 
+  /** CHECK CONSTRAINTS as sticky table properties (the Delta
+    * `delta.constraints.<name>` recipe): a property
+    * `graft.constraints.<name>` holds a boolean SQL expression over
+    * the table's columns — settable from SQL text via `ALTER TABLE
+    * ... SET TBLPROPERTIES ('graft.constraints.valid_chars' =
+    * 'n_chars >= 0')` — and EVERY commit that introduces or modifies
+    * rows (write/append/streaming append/update/merge/mergeClauses)
+    * verifies it first: any violating row aborts the commit with the
+    * table untouched. Constraints live WITH the table, not the job, so
+    * every writer — batch, streaming, SQL — meets the same contract;
+    * dropping the property (UNSET TBLPROPERTIES) retires the check.
+    */
+  val ConstraintPropPrefix = "graft.constraints."
+
+  private def constraintExpectations(
+      props: Map[String, String]): Seq[Expectation] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith(ConstraintPropPrefix) =>
+        Expectation(k.stripPrefix(ConstraintPropPrefix),
+          org.apache.spark.sql.functions.expr(v), Expectation.Fail)
+    }.sortBy(_.name)
+
+  /** Verify the table's CHECK constraints against rows a rewrite is
+    * about to commit — one counting aggregation, throw on any
+    * violation. Unlike [[applyExpectations]] there is no checkpoint
+    * pin: rewrite frames derive deterministically from immutable
+    * files + the caller's source, so the verify pass and the write
+    * pass provably see the same rows.
+    */
+  private def enforceConstraints(df: DataFrame,
+      props: Map[String, String], table: String): Unit = {
+    val cs = constraintExpectations(props)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    val aggs = cs.map(e =>
+      sum(when(coalesce(e.predicate, lit(false)), 0L).otherwise(1L)).as(e.name))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = cs.zipWithIndex.collect {
+      case (e, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'${e.name}' (${row.getLong(i)} rows)"
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"CHECK constraint(s) violated writing to $table: " +
+        bad.mkString(", ") + " — commit aborted, table unchanged")
+  }
+
   /** A resolved snapshot: the complete file list of a version plus the
     * per-file statistics and deletion vectors that survived to it.
     */
@@ -1306,7 +1352,8 @@ object ManifestTable {
     // UN-partitions the table (append-family ops are the ones that
     // inherit the recorded layout; they must match existing metadata)
     val parts = partitionCols
-    val (toWrite, quality) = applyExpectations(df, expectations, table)
+    val (toWrite, quality) = applyExpectations(df, expectations ++
+      constraintExpectations(m.map(_.props).getOrElse(Map.empty)), table)
     val files = writeSnapshot(fs, p, toWrite, base + 1, parts,
       maxRecordsPerFile)
     if (!commitFullList(spark, fs, p, base + 1, files,
@@ -1338,7 +1385,8 @@ object ManifestTable {
     val evolved = stampNewFields(
       enforceSchema(recordedSchema(m), df.schema, table), active)
     val mapping = Some(evolved).filter(columnMapped)
-    val (toWrite, quality) = applyExpectations(df, expectations, table)
+    val (toWrite, quality) = applyExpectations(df, expectations ++
+      constraintExpectations(m.map(_.props).getOrElse(Map.empty)), table)
     val fresh = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
       base + 1, parts, 0L)
     if (!commitDelta(fs, p, base + 1, fresh,
@@ -1403,6 +1451,7 @@ object ManifestTable {
         (freshParts != parts || freshSchemaJson != evolved.json))
         fresh = null // orphan → vacuum
       if (fresh == null) {
+        enforceConstraints(df, m.map(_.props).getOrElse(Map.empty), table)
         fresh = writeSnapshot(fs, p, toPhysical(df, mapping),
           base + 1, parts, 0L)
         freshParts = parts
@@ -3312,6 +3361,8 @@ object ManifestTable {
       }: _*)
       // type changes abort BEFORE any commit (the lake contract)
       val evolved = enforceSchema(recordedSchema(m), rewritten.schema, table)
+      enforceConstraints(rewritten,
+        m.map(_.props).getOrElse(Map.empty), table)
       val fresh = writeSnapshot(fs, p,
         toPhysical(rewritten, mapping), base + 1, parts, 0L)
       // change feed: the matched rows' pre-image as deletes and their
@@ -3543,6 +3594,10 @@ object ManifestTable {
       val active = recordedSchema(m).exists(columnMapped)
       val evolved = stampNewFields(
         enforceSchema(recordedSchema(m), source.schema, table), active)
+      // the source rows are the only NEW content (whole-row upsert);
+      // untouched survivor rows already satisfied the constraints
+      enforceConstraints(source,
+        m.map(_.props).getOrElse(Map.empty), table)
       val fresh = writeSnapshot(fs, p,
         toPhysical(newData, Some(evolved).filter(columnMapped)),
         base + 1, parts, 0L)
@@ -3830,6 +3885,8 @@ object ManifestTable {
           val active = recorded.exists(columnMapped)
           val evolved =
             stampNewFields(enforceSchema(recorded, nd.schema, table), active)
+          enforceConstraints(nd,
+            m.map(_.props).getOrElse(Map.empty), table)
           val fresh = writeSnapshot(fs, p,
             toPhysical(nd, Some(evolved).filter(columnMapped)),
             base + 1, parts, 0L)

@@ -550,6 +550,30 @@ class CatalogSpec extends AnyFunSuite {
       "refused alters leave the schema untouched")
   }
 
+  test("CHECK constraints declared in SQL gate SQL writes") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ck (id BIGINT, n INT) " +
+      "TBLPROPERTIES ('graft.constraints.nonneg'='n >= 0')")
+    spark.sql(s"INSERT INTO $cat.db.ck VALUES (1, 5), (2, 0)")
+    def msgs(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.db.ck VALUES (3, -1)"))
+    assert(msgs(e).contains("nonneg"), s"got: $e")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.ck")
+      .head().getLong(0) == 2, "the violating insert left nothing behind")
+    // tightening the contract later via ALTER applies to NEW writes
+    spark.sql(s"ALTER TABLE $cat.db.ck SET TBLPROPERTIES " +
+      "('graft.constraints.known_id'='id < 1000')")
+    assertThrows[Exception](
+      spark.sql(s"INSERT INTO $cat.db.ck VALUES (5000, 1)"))
+    spark.sql(s"INSERT INTO $cat.db.ck VALUES (999, 1)")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.ck")
+      .head().getLong(0) == 3)
+  }
+
   test("SQL point lookup bloom-prunes through the DSv2 scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.datasources.FilePartition

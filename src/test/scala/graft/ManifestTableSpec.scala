@@ -742,6 +742,57 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 0)
   }
 
+  test("CHECK constraints gate every row-introducing commit path") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t) // v1 (no constraints yet)
+    ManifestTable.setProperty(spark, t,
+      s"${ManifestTable.ConstraintPropPrefix}pos", "id >= 0")
+    ManifestTable.setProperty(spark, t,
+      s"${ManifestTable.ConstraintPropPrefix}tagged", "tag IS NOT NULL")
+    // conforming rows flow through every path
+    ManifestTable.append(spark, df(5, "b"), t)
+    assert(ManifestTable.read(spark, t).count() == 15)
+    def bad(n: Long, tag: String) =
+      Seq((n, tag, 0)).toDF("id", "tag", "bucket")
+    // batch append
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.append(spark, bad(-1L, "x"), t))
+    assert(e1.getMessage.contains("pos"), s"got: $e1")
+    // a NULL predicate result is a violation too (CHECK semantics:
+    // must be provably true)
+    assertThrows[IllegalArgumentException](
+      ManifestTable.append(spark, bad(1L, null), t))
+    // streaming append
+    assertThrows[IllegalArgumentException](
+      ManifestTable.appendStreamBatch(spark, bad(-5L, "s"), t, batchId = 99L))
+    // overwrite
+    assertThrows[IllegalArgumentException](
+      ManifestTable.write(spark, bad(-9L, "w"), t))
+    // UPDATE rewriting a row INTO violation
+    assertThrows[IllegalArgumentException](
+      ManifestTable.update(spark, t, col("id") === 2L,
+        Map("id" -> lit(-7L))))
+    // MERGE with a violating source row
+    assertThrows[IllegalArgumentException](
+      ManifestTable.merge(spark, bad(-3L, "m"), t, Seq("id")))
+    // CDC MERGE whose SET violates
+    assertThrows[IllegalArgumentException](
+      ManifestTable.mergeClauses(spark, bad(3L, "src"), t,
+        Seq("id" -> "id"),
+        matched = Seq(ManifestTable.MatchedClause(None,
+          Some(Map("tag" -> lit(null.asInstanceOf[String])))))))
+    // every abort left the table byte-identical
+    assert(ManifestTable.read(spark, t).count() == 15)
+    assert(ManifestTable.read(spark, t).filter(col("id") < 0L).count() == 0)
+    assert(ManifestTable.read(spark, t).filter(col("tag").isNull).count() == 0)
+    // UNSET retires the check
+    ManifestTable.unsetProperty(spark, t,
+      s"${ManifestTable.ConstraintPropPrefix}pos")
+    ManifestTable.append(spark, bad(-1L, "ok"), t)
+    assert(ManifestTable.read(spark, t).count() == 16)
+  }
+
   test("in-commit timestamps: time travel survives a copy that resets mtimes") {
     val t = freshTable()
     ManifestTable.write(spark, df(5, "a"), t) // v1
