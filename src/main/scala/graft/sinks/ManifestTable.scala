@@ -1578,6 +1578,15 @@ object ManifestTable {
       val props = m.map(_.props).getOrElse(Map.empty)
       val next = (props -- unset) ++ set
       if (next == props) return base
+      // ADDING (or changing) a CHECK constraint validates the EXISTING
+      // rows first (the Delta ADD CONSTRAINT contract): declaring a
+      // contract the table already violates would poison every later
+      // write with a confusing failure — one scan now, refused loudly.
+      // An unknown column in the expression fails the same way here.
+      val newChecks = set.filter { case (k, v) =>
+        k.startsWith(ConstraintPropPrefix) && !props.get(k).contains(v) }
+      if (newChecks.nonEmpty)
+        enforceConstraints(read(spark, table, base), newChecks, table)
       if (commitDelta(fs, p, base + 1, Seq.empty,
         m.map(_.txns).getOrElse(Map.empty),
         parts = m.map(_.parts).getOrElse(Seq.empty),

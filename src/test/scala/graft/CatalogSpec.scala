@@ -572,6 +572,45 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.db.ck VALUES (999, 1)")
     assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.ck")
       .head().getLong(0) == 3)
+    // ADDING a constraint the existing rows violate refuses (the
+    // Delta ADD CONSTRAINT contract) — no poisoned table state
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.ck SET TBLPROPERTIES " +
+        "('graft.constraints.tiny'='n < 1')"))
+    assert(msgs(e2).contains("tiny"), s"got: $e2")
+    assert(!spark.sql(s"SHOW TBLPROPERTIES $cat.db.ck").collect()
+      .exists(_.getString(0) == "graft.constraints.tiny"),
+      "the refused constraint must not be recorded")
+    // an unknown column in the expression fails at declaration too
+    assertThrows[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.ck SET TBLPROPERTIES " +
+        "('graft.constraints.ghost'='no_such_col > 0')"))
+  }
+
+  test("CALL system.compact cluster_by: OPTIMIZE ZORDER from SQL") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.range(1500000L).select((col("id") % 63).as("x"),
+      ((col("id") * 37) % 61).as("y"), col("id").as("v"))
+      .createOrReplaceTempView("zorder_src")
+    spark.sql(s"CREATE TABLE $cat.db.z AS " +
+      "SELECT /*+ REPARTITION(8) */ x, y, v FROM zorder_src")
+    val t = s"$wh/db/z"
+    // random layout: an x-equality predicate prunes nothing
+    val (k0, t0) = ManifestTable.skippingReport(spark, t,
+      col("x") === 7L)
+    assert(k0 == t0, s"pre-cluster keeps all: $k0/$t0")
+    spark.sql(s"CALL $cat.system.compact(table => 'db.z', " +
+      "target_file_mb => 1, cluster_by => 'x,y')")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.z")
+      .head().getLong(0) == 1500000, "clustering preserves every row")
+    // z-ordered files carry tight ranges on BOTH columns: either
+    // single-column predicate now prunes
+    val (kx, tx) = ManifestTable.skippingReport(spark, t, col("x") === 7L)
+    val (ky, _) = ManifestTable.skippingReport(spark, t, col("y") === 9L)
+    assert(tx > 1 && kx < tx && ky < tx,
+      s"post-zorder pruning: x $kx/$tx, y $ky/$tx")
   }
 
   test("SQL point lookup bloom-prunes through the DSv2 scan") {
