@@ -1655,4 +1655,60 @@ object PipelineOps {
       |        (max(doc_id) - min(doc_id)) // 2 FROM documents)
       |   OR doc_id = (SELECT max(doc_id) FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  private val p36Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p36: `replaceWhere` — the ATOMIC BACKFILL primitive a training-
+    * data pipeline runs daily ("recompute this slice and swap it in"):
+    * one commit deletes every row of the bottom-half doc_id slice and
+    * inserts its recomputed replacement (all parities, +1000 chars),
+    * with the Delta contract that every incoming row must satisfy the
+    * condition. Copy-on-write narrowing rewrites only the slice-
+    * overlapping files (the corpus is range-localized on doc_id, so
+    * ~half the files survive BY IDENTITY — ManifestSkippingSpec pins
+    * that); no reader can observe the slice missing, because there is
+    * no intermediate delete-only version. The oracle reconstructs the
+    * swap with set algebra.
+    */
+  def p36ReplaceWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val inv = p36Invocation.incrementAndGet()
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p36_rw_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    graft.sinks.ManifestTable.write(spark,
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    val (mn, mx) = docIdBounds(docs)
+    val cut = mn + (mx - mn) / 2
+    graft.sinks.ManifestTable.replaceWhere(spark,
+      docs.filter(col("doc_id") <= cut)
+        .withColumn("n_chars", col("n_chars") + 1000),
+      table, col("doc_id") <= cut)
+    graft.sinks.ManifestTable.read(spark, table)
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_chars").cast("bigint")
+          .as("total_chars"),
+        org.apache.spark.sql.functions.min("doc_id").as("min_doc_id"),
+        org.apache.spark.sql.functions.max("doc_id").as("max_doc_id"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val p36Sql: String =
+    """WITH cut AS (SELECT min(doc_id) +
+      |  (max(doc_id) - min(doc_id)) // 2 AS c FROM documents),
+      |swapped AS (
+      |  SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+      |  WHERE doc_id <= (SELECT c FROM cut)
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id > (SELECT c FROM cut))
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM swapped
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 }

@@ -3244,6 +3244,108 @@ object ManifestTable {
     raceLost(table, currentVersion(spark, table) + 1)
   }
 
+  /** ATOMIC predicate-scoped overwrite (the Delta `replaceWhere`
+    * contract): in ONE commit, delete every existing row matching
+    * `condition` and insert `df` — the backfill primitive ("recompute
+    * yesterday's partition and swap it in") that two separate
+    * delete+append commits cannot give, because a reader between them
+    * would see the slice missing. Every incoming row must itself
+    * satisfy `condition` (verified first, commit refused otherwise —
+    * silently writing rows OUTSIDE the declared slice would widen the
+    * replacement beyond what the caller promised to replace).
+    *
+    * Copy-on-write with the same three-stage narrowing as [[delete]]:
+    * statistics prune to candidate files, one scan finds the files
+    * actually containing matches, only those rewrite (their
+    * non-matching rows survive) — plus `df`'s new rows — as an
+    * O(touched files + new data) delta commit. A partition-aligned
+    * condition (`lang = 'en'`) therefore rewrites exactly that
+    * partition's files and nothing else. Schema enforcement/evolution,
+    * CHECK constraints, deletion vectors on rewritten files, CDC
+    * change files and the audit stamp all apply exactly as on the
+    * other row-level paths. Reachable from SQL as static-partition
+    * `INSERT OVERWRITE ... PARTITION (p = v)` and from
+    * `df.writeTo(t).overwrite(cond)` (the DSv2 overwrite-by-filter
+    * surface).
+    */
+  def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
+      condition: Column, maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not, sum, when}
+    val (fs, p) = fsOf(spark, table)
+    // the incoming rows must live INSIDE the slice they replace
+    val outRow = df.agg(sum(when(coalesce(condition, lit(false)), 0L)
+      .otherwise(1L))).head()
+    val outside = if (outRow.isNullAt(0)) 0L else outRow.getLong(0)
+    if (outside > 0) throw new IllegalArgumentException(
+      s"replaceWhere into $table: $outside incoming row(s) do not " +
+        s"satisfy the replace condition ($condition) — writing them " +
+        "would widen the replacement beyond the declared slice; " +
+        "filter the input or widen the condition")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(spark, fs, p, base, cs)
+      val parts = stickyParts(Seq.empty, m.map(_.parts).getOrElse(Seq.empty))
+      val mapping = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping)
+      val active = recordedSchema(m).exists(columnMapped)
+      val evolved = stampNewFields(
+        enforceSchema(recordedSchema(m), df.schema, table), active)
+      enforceConstraints(df, m.map(_.props).getOrElse(Map.empty), table)
+      val predExpr = DataSkipping.expressionOf(condition)
+      val candidates = snap.files.filter(f =>
+        DataSkipping.mayMatch(lstats.get(f), predExpr))
+      val hits =
+        if (candidates.isEmpty) Seq.empty
+        else hitFiles(spark, table, candidates, snap.dvs,
+          _.filter(condition), mapping)
+      // nothing to delete AND nothing to insert: no commit
+      if (hits.isEmpty && df.isEmpty) return base
+      val survivors =
+        if (hits.isEmpty) None
+        else Some(readFiles(spark, table, hits, snap.dvs, mapping = mapping)
+          .filter(not(coalesce(condition, lit(false)))))
+      val combined = survivors
+        .fold(df)(_.unionByName(df, allowMissingColumns = true))
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(combined, Some(evolved).filter(columnMapped)),
+        base + 1, parts, 0L)
+      // change feed: the replaced slice as deletes, the new rows as
+      // inserts (both exact — no diffing needed)
+      val cdc =
+        if (!changeFeedOn(m)) None
+        else {
+          val dels =
+            if (hits.isEmpty) None
+            else Some(readFiles(spark, table, hits, snap.dvs,
+              mapping = mapping)
+              .filter(coalesce(condition, lit(false)))
+              .withColumn(ChangeTypeCol, lit("delete")))
+          val ins = df.withColumn(ChangeTypeCol, lit("insert"))
+          Some(writeChangeDir(spark, p, base + 1,
+            dels.fold(ins)(_.unionByName(ins, allowMissingColumns = true))))
+        }
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
+        remove = hits, parts = parts,
+        schemaJson = Some(evolved.json),
+        props = m.map(_.props).getOrElse(Map.empty),
+        cdcDir = cdc,
+        op = opInfo(m, "replace-where",
+          "condition" -> condition.toString,
+          "rewrittenFiles" -> hits.size.toString))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
   /** Row-level DELETE, MERGE-ON-READ (deletion vectors): remove the
     * rows matching `predicate` WITHOUT rewriting any data file — the
     * commit writes a parquet SIDECAR of (file, row-index) pairs under

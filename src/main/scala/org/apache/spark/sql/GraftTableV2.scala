@@ -134,7 +134,8 @@ object GraftTableV2 {
 
     override def capabilities(): JSet[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       // readerFeatures gate AT SCAN TIME, not load time: a DV-bearing
@@ -192,19 +193,45 @@ object GraftTableV2 {
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder with SupportsTruncate {
+      new WriteBuilder with SupportsTruncate
+          with connector.write.SupportsOverwrite {
         private var overwrite = false
+        // Some(cond): predicate-scoped overwrite (static-partition
+        // INSERT OVERWRITE, df.writeTo(...).overwrite(cond)) — the
+        // atomic replaceWhere commit
+        private var overwriteCond: Option[Column] = None
         override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+          import org.apache.spark.sql.functions.lit
+          if (filters.isEmpty || filters.contains(sources.AlwaysTrue())) {
+            overwrite = true // whole-table overwrite: the replace commit
+          } else {
+            val cols = filters.map(f =>
+              GraftTableV2.filterToColumn(f).getOrElse(
+                // dropping an untranslatable conjunct would REPLACE A
+                // WIDER SLICE than asked — refuse instead
+                throw new UnsupportedOperationException(
+                  s"cannot translate overwrite filter $f — use " +
+                    "ManifestTable.replaceWhere for arbitrary predicates")))
+            overwriteCond = Some(cols.foldLeft(lit(true))(_ && _))
+          }
+          this
+        }
         override def build(): Write = new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: Dataset[Row], legacyOverwrite: Boolean): Unit = {
                 val spark = data.sparkSession
-                if (overwrite)
-                  ManifestTable.write(spark, data.toDF(), tablePath,
-                    partCols): Unit
-                else
-                  ManifestTable.append(spark, data.toDF(), tablePath): Unit
+                overwriteCond match {
+                  case Some(cond) =>
+                    ManifestTable.replaceWhere(spark, data.toDF(),
+                      tablePath, cond): Unit
+                  case None if overwrite =>
+                    ManifestTable.write(spark, data.toDF(), tablePath,
+                      partCols): Unit
+                  case None =>
+                    ManifestTable.append(spark, data.toDF(), tablePath): Unit
+                }
               }
             }
         }

@@ -587,6 +587,36 @@ class CatalogSpec extends AnyFunSuite {
         "('graft.constraints.ghost'='no_such_col > 0')"))
   }
 
+  test("static-partition INSERT OVERWRITE replaces only that partition") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (1,'en'), (2,'en'), (3,'de')")
+    val t = s"$wh/db/p"
+    val deFiles = ManifestTable.currentFiles(spark, t)
+      .filter(_.contains("lang=de")).toSet
+    // the static-partition overwrite routes to the atomic replaceWhere
+    // commit: en's rows are swapped, de's FILES are untouched
+    spark.sql(s"INSERT OVERWRITE $cat.db.p PARTITION (lang = 'en') " +
+      "VALUES (CAST(10 AS BIGINT)), (CAST(11 AS BIGINT))")
+    val rows = spark.sql(s"SELECT id, lang FROM $cat.db.p ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((3L, "de"), (10L, "en"), (11L, "en")), s"got: $rows")
+    assert(ManifestTable.currentFiles(spark, t)
+      .filter(_.contains("lang=de")).toSet == deFiles,
+      "the untouched partition survives BY FILE IDENTITY")
+    assert(ManifestTable.history(spark, t).orderBy("version").collect()
+      .last.getAs[String]("operation") == "replace-where")
+    // the DataFrame V2 overwrite surface hits the same path
+    import spark.implicits._
+    Seq((20L, "de")).toDF("id", "lang")
+      .writeTo(s"$cat.db.p").overwrite(col("lang") === "de")
+    val rows2 = spark.sql(s"SELECT id FROM $cat.db.p ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows2 == Seq(10L, 11L, 20L), s"got: $rows2")
+  }
+
   test("CALL system.compact cluster_by: OPTIMIZE ZORDER from SQL") {
     import spark.implicits._
     val (cat, wh) = freshCatalog()

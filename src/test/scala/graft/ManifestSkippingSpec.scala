@@ -971,6 +971,52 @@ class ManifestSkippingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bloom.expectedItems")
   }
 
+  test("replaceWhere: atomic predicate-scoped overwrite, narrow rewrite") {
+    import spark.implicits._
+    val t = rangedTable() // 100 rows [0,100) in 5 range files of 20
+    val before = ManifestTable.currentFiles(spark, t).toSet
+    // recompute the [20,40) slice: 10 replacement rows, one commit
+    val repl = (20 until 30).map(i => (i.toLong, "R", 9))
+      .toDF("id", "tag", "bucket")
+    val cond = col("id") >= 20L && col("id") < 40L
+    val v = ManifestTable.replaceWhere(spark, repl, t, cond)
+    assert(v == 2L)
+    val after = ManifestTable.currentFiles(spark, t).toSet
+    assert(before.intersect(after).size == 4,
+      "only the [20,40) file may be rewritten")
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 90, "100 - 20 replaced + 10 new")
+    assert(r.filter(cond).count() == 10)
+    assert(r.filter(col("tag") === "R").count() == 10)
+    assert(r.filter(col("id") >= 30L && col("id") < 40L).count() == 0,
+      "the whole declared slice is replaced, not just colliding ids")
+    // ATOMICITY is the point: no intermediate slice-missing version
+    // exists — v1 is intact, v2 is the complete swap
+    assert(ManifestTable.read(spark, t, version = 1).count() == 100)
+    assert(ManifestTable.history(spark, t).orderBy("version").collect()
+      .last.getAs[String]("operation") == "replace-where")
+    // rows OUTSIDE the declared slice refuse the whole commit
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.replaceWhere(spark,
+        Seq((55L, "X", 0)).toDF("id", "tag", "bucket"), t, cond))
+    assert(e.getMessage.contains("declared slice"), s"got: $e")
+    assert(ManifestTable.read(spark, t).count() == 90, "refusal = no commit")
+    // CDC: the replaced slice arrives as exact deletes + inserts
+    ManifestTable.enableChangeFeed(spark, t)
+    val vBefore = ManifestTable.currentVersion(spark, t)
+    ManifestTable.replaceWhere(spark,
+      Seq((95L, "R2", 1)).toDF("id", "tag", "bucket"), t,
+      col("id") >= 90L)
+    val ch = ManifestTable.rowChanges(spark, t, vBefore)
+      .groupBy("_change_type").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(ch == Map("delete" -> 10L, "insert" -> 1L), s"got: $ch")
+    // empty slice + empty input commits nothing
+    val cur = ManifestTable.currentVersion(spark, t)
+    assert(ManifestTable.replaceWhere(spark,
+      repl.filter(col("id") > 9999L), t, col("id") > 9999L) == cur)
+  }
+
   test("vacuum sweeps unreferenced bloom sidecars, keeps referenced ones") {
     import spark.implicits._
     val t = freshTable()
