@@ -89,7 +89,8 @@ private[catalog] object GraftProcedures {
       case "compact" => new OneRow("compact",
         Array(in("table", StringType),
           inDefault("target_file_mb", LongType, "512"),
-          inDefault("cluster_by", StringType, "''")),
+          inDefault("cluster_by", StringType, "''"),
+          inDefault("where", StringType, "''")),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false),
@@ -112,9 +113,16 @@ private[catalog] object GraftProcedures {
               s"cluster_by supports up to 3 columns, got ${more.size} " +
                 s"(${more.mkString(", ")})")
           }
+          // where = 'lang = ''en''' scopes the rewrite to the files
+          // that may hold matching rows (OPTIMIZE ... WHERE)
+          val whereCond =
+            if (input.isNullAt(3)) None
+            else Option(input.getUTF8String(3).toString.trim)
+              .filter(_.nonEmpty)
+              .map(org.apache.spark.sql.functions.expr)
           val st = ManifestTable.compact(spark, tableArg(input),
             targetFileBytes = input.getLong(1) << 20,
-            clusterBy = clusterBy)
+            clusterBy = clusterBy, where = whereCond)
           InternalRow(st.filesBefore, st.filesAfter, st.totalBytes)
         })
       case "vacuum" => new OneRow("vacuum",

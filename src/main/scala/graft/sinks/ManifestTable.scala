@@ -1122,10 +1122,12 @@ object ManifestTable {
       dvs: Map[String, Seq[DvRef]] = Map.empty,
       props: Map[String, String] = Map.empty,
       cdcDir: Option[String] = None,
-      op: Map[String, String] = Map.empty): Boolean =
+      op: Map[String, String] = Map.empty,
+      dataChange: Boolean = true): Boolean =
     casCreate(fs, table, manifestPath(table, version),
       renderNode(version, "add", add, txns, stats, remove, parts, schemaJson,
-        quality, dvs = dvs, props = props, cdcDir = cdcDir, op = op))
+        quality, dvs = dvs, props = props, cdcDir = cdcDir, op = op,
+        dataChange = dataChange))
 
   /** Best-effort full checkpoint at `version` (skipped if present;
     * losing the create race or failing outright only lengthens later
@@ -3071,7 +3073,8 @@ object ManifestTable {
       partitionCols: Seq[String] = Seq.empty,
       targetFileBytes: Long = 512L << 20,
       maxAttempts: Int = 5,
-      clusterBy: Seq[Column] = Seq.empty): Sinks.CompactStats = {
+      clusterBy: Seq[Column] = Seq.empty,
+      where: Option[Column] = None): Sinks.CompactStats = {
     val (fs, p) = fsOf(spark, table)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -3087,6 +3090,68 @@ object ManifestTable {
       val snapB = resolve(spark, fs, p, base, listLog(fs, p)._2)
       val before = snapB.files
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      // SCOPED compaction (the OPTIMIZE ... WHERE surface): bin-pack
+      // only the files that MAY hold matching rows (stats selection —
+      // whole files rewrite either way, so any selector is row-exact),
+      // commit an O(selected) delta with dataChange=false, leave the
+      // rest of a 100 TB table untouched. At scale this is how
+      // maintenance actually runs: compact yesterday's partition, not
+      // the table.
+      where match {
+        case Some(cond) =>
+          val mapping = mappingOf(m)
+          val lstats = logicalStats(snapB.stats, mapping)
+          val sel = DataSkipping.expressionOf(cond)
+          val selected = before.filter(f =>
+            DataSkipping.mayMatch(lstats.get(f), sel))
+          val selBytes = snapshotBytes(fs, p, selected, snapB.stats)
+          val selHasDvs = selected.exists(snapB.dvs.contains)
+          // one selected file with no DVs and no re-clustering ask is
+          // already compact — nothing to do, no commit
+          if (selected.size <= 1 && !selHasDvs && clusterBy.isEmpty)
+            return Sinks.CompactStats(before.size, before.size,
+              snapshotBytes(fs, p, before, snapB.stats))
+          val sub0 = readFiles(spark, table, selected, snapB.dvs,
+            mapping = mapping)
+          val targetFiles = math.max(1L,
+            (selBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val sub =
+            if (clusterBy.isEmpty)
+              // explicit coalesce: the scan splits small files into
+              // >= default-parallelism partitions, and each write task
+              // emits its own file — without this the "compaction"
+              // would preserve the small-file count it exists to fix
+              sub0.coalesce(targetFiles)
+            else
+              sub0.repartitionByRange(targetFiles, clusterBy.map(_.asc): _*)
+                .sortWithinPartitions(clusterBy.map(_.asc): _*)
+          val subRows = math.max(
+            if (selected.forall(snapB.stats.contains))
+              selected.iterator.map(snapB.stats(_).rows).sum -
+                selected.iterator.flatMap(f =>
+                  snapB.dvs.getOrElse(f, Seq.empty)).map(_.rows).sum
+            else sub0.count(), 1L)
+          val bpr = math.max(selBytes / subRows, 1L)
+          val fresh = writeSnapshot(fs, p,
+            toPhysical(sub, mapping), base + 1, parts,
+            math.max(targetFileBytes / bpr, 1L))
+          if (commitDelta(fs, p, base + 1, fresh,
+            m.map(_.txns).getOrElse(Map.empty),
+            collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
+            remove = selected, parts = parts,
+            schemaJson = m.flatMap(_.schemaJson),
+            dataChange = false, // same logical rows, new files
+            props = m.map(_.props).getOrElse(Map.empty),
+            op = opInfo(m, "compact",
+              "targetFileBytes" -> targetFileBytes.toString,
+              "where" -> cond.toString,
+              "clustered" -> (if (clusterBy.nonEmpty) "true" else "")))) {
+            maybeCheckpoint(spark, fs, p, base + 1)
+            return Sinks.CompactStats(before.size,
+              before.size - selected.size + fresh.size, selBytes)
+          }
+          attempt += 1
+        case None => // whole-table compaction below
       val totalBytes = snapshotBytes(fs, p, before, snapB.stats)
       val df0 = read(spark, table, base)
       val df =
@@ -3118,6 +3183,7 @@ object ManifestTable {
           "clustered" -> (if (clusterBy.nonEmpty) "true" else ""))))
         return Sinks.CompactStats(before.size, files.size, totalBytes)
       attempt += 1
+      }
     }
     raceLost(table, currentVersion(spark, table) + 1)
   }

@@ -615,6 +615,20 @@ class CatalogSpec extends AnyFunSuite {
     val rows2 = spark.sql(s"SELECT id FROM $cat.db.p ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(rows2 == Seq(10L, 11L, 20L), s"got: $rows2")
+    // OPTIMIZE ... WHERE from SQL: scoped compact leaves the other
+    // partition's files untouched by identity
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (12, 'en'), (13, 'en')")
+    val deNow = ManifestTable.currentFiles(spark, t)
+      .filter(_.contains("lang=de")).toSet
+    spark.sql(s"CALL $cat.system.compact(table => 'db.p', " +
+      "where => 'lang = \\'en\\'')")
+    assert(ManifestTable.currentFiles(spark, t)
+      .filter(_.contains("lang=de")).toSet == deNow)
+    assert(ManifestTable.currentFiles(spark, t)
+      .count(_.contains("lang=en")) == 1,
+      "the en partition bin-packs to one file")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.p")
+      .head().getLong(0) == 5)
   }
 
   test("CALL system.compact cluster_by: OPTIMIZE ZORDER from SQL") {

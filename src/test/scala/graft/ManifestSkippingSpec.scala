@@ -1017,6 +1017,57 @@ class ManifestSkippingSpec extends AnyFunSuite {
       repl.filter(col("id") > 9999L), t, col("id") > 9999L) == cur)
   }
 
+  test("scoped compact (OPTIMIZE WHERE): only matching files rewrite; consumers skip it") {
+    import spark.implicits._
+    val t = freshTable()
+    // partitioned corpus: en gets 6 small files, de 2
+    val df = ((0 until 60).map(i => (i.toLong, "en")) ++
+      (60 until 80).map(i => (i.toLong, "de")))
+      .toDF("id", "lang")
+    ManifestTable.write(spark,
+      df.repartition(8, col("id")), t, partitionCols = Seq("lang"))
+    val before = ManifestTable.currentFiles(spark, t)
+    val deBefore = before.filter(_.contains("lang=de")).toSet
+    assert(before.count(_.contains("lang=en")) >= 2)
+    // a consumer is caught up pre-compaction
+    var delivered = -1L
+    ManifestTable.consumeChanges(spark, t, "sc") { (d, _, _) =>
+      delivered = d.count() }
+    assert(delivered == 80)
+    // scoped compact: ONLY the en partition's files rewrite
+    val st = ManifestTable.compact(spark, t,
+      where = Some(col("lang") === "en"))
+    val after = ManifestTable.currentFiles(spark, t)
+    assert(after.filter(_.contains("lang=de")).toSet == deBefore,
+      "out-of-scope files survive BY IDENTITY")
+    assert(after.count(_.contains("lang=en")) <
+      before.count(_.contains("lang=en")),
+      s"in-scope files bin-pack: ${after.size} of ${before.size}")
+    assert(st.filesAfter < st.filesBefore)
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 80 && r.filter(col("lang") === "en").count() == 60,
+      "scoped compaction is a pure reorganization")
+    // dataChange=false: the caught-up consumer sees NOTHING to deliver
+    ManifestTable.consumeChanges(spark, t, "sc") { (_, _, _) =>
+      fail("a scoped compaction must not redeliver rows") }
+    // DV materialization rides the scoped rewrite like the full one
+    ManifestTable.deleteVectors(spark, t,
+      col("id") < 5L && col("lang") === "en")
+    assert(ManifestTable.rowCount(spark, t).contains(75L))
+    ManifestTable.compact(spark, t, where = Some(col("lang") === "en"))
+    assert(!ManifestTable.hasDeletionVectors(spark, t),
+      "in-scope DVs materialize through the scoped rewrite")
+    assert(ManifestTable.read(spark, t).count() == 75)
+    // an already-compact selection (one clean file) commits nothing
+    ManifestTable.compact(spark, t, where = Some(col("lang") === "de"))
+    assert(ManifestTable.currentFiles(spark, t)
+      .count(_.contains("lang=de")) == 1)
+    val v = ManifestTable.currentVersion(spark, t)
+    ManifestTable.compact(spark, t, where = Some(col("lang") === "de"))
+    assert(ManifestTable.currentVersion(spark, t) == v,
+      "one clean file in scope = nothing to do, no commit")
+  }
+
   test("vacuum sweeps unreferenced bloom sidecars, keeps referenced ones") {
     import spark.implicits._
     val t = freshTable()
