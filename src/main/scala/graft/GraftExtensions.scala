@@ -79,13 +79,23 @@ private[graft] object TableChangesFunction {
     e.eval()
   }
 
-  private def longOf(e: Expression, what: String): Long =
+  /** A range bound: an integer log VERSION, or a timestamp string /
+    * literal resolved to the latest version at or before it (the
+    * TIMESTAMP AS OF resolver — the Delta table_changes surface
+    * accepts both forms).
+    */
+  private def boundOf(e: Expression, what: String, path: String): Long =
     scalar(e, what) match {
       case i: Int => i.toLong
       case l: Long => l
       case s: Short => s.toLong
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        graft.sinks.ManifestTable.versionAtTimestamp(
+          org.apache.spark.sql.SparkSession.active, path,
+          java.sql.Timestamp.valueOf(s.toString).getTime)
       case other => throw new IllegalArgumentException(
-        s"table_changes: $what must be an integer version, got $other")
+        s"table_changes: $what must be an integer version or a " +
+          s"timestamp string, got $other")
     }
 
   def plan(exprs: Seq[Expression]): LogicalPlan = {
@@ -94,8 +104,6 @@ private[graft] object TableChangesFunction {
         s"got ${exprs.size}")
     val spark = org.apache.spark.sql.SparkSession.active
     val tableArg = String.valueOf(scalar(exprs(0), "table"))
-    val from = longOf(exprs(1), "from")
-    val to = if (exprs.size > 2) longOf(exprs(2), "to") else -1L
     val path =
       if (tableArg.contains("/")) tableArg
       else {
@@ -111,6 +119,8 @@ private[graft] object TableChangesFunction {
               s"catalog (got ${other.getClass.getName})")
         }
       }
+    val from = boundOf(exprs(1), "from", path)
+    val to = if (exprs.size > 2) boundOf(exprs(2), "to", path) else -1L
     graft.sinks.ManifestTable.rowChanges(spark, path, from, to)
       .queryExecution.analyzed
   }

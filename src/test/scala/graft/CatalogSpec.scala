@@ -728,6 +728,16 @@ class CatalogSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(
       s"SELECT * FROM table_changes('$t', (SELECT max(id) FROM $cat.db.tc))")
       .collect())
+    // timestamp bounds resolve through TIMESTAMP AS OF: from = v2's
+    // recorded commit instant delivers exactly the commits after it
+    val ts2 = new java.sql.Timestamp(
+      ManifestTable.history(spark, t).filter(col("version") === 2)
+        .head().getAs[Long]("ts_millis")).toString
+    val viaTs = spark.sql(
+      s"SELECT id, _change_type FROM table_changes('$t', '$ts2') " +
+        "ORDER BY _commit_version, id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaTs == Seq((2L, "delete"), (4L, "insert")), s"got: $viaTs")
   }
 
   test("rename, namespaces, and illegal identifiers") {
