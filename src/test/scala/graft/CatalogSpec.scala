@@ -187,6 +187,10 @@ class CatalogSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("procedure_name")).toSeq.sorted
     assert(procs == Seq("analyze", "compact", "restore", "vacuum"),
       s"got: $procs")
+    // and describes one (name + description surface)
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("compact"), s"got: $desc")
   }
 
   test("programmatic read of a created/truncated (empty) table stays typed") {

@@ -337,6 +337,16 @@ class ManifestStreamSpec extends AnyFunSuite {
       (5L, "a", "delete"), (5L, "upd", "insert"),
       (10L, "b", "insert"), (11L, "b", "insert")),
       s"CDC stream must carry the exact row effects: $got")
+    // a replaceWhere (atomic slice swap) streams its recorded change
+    // rows like every other rewrite kind
+    ManifestTable.replaceWhere(spark,
+      Seq((10L, "r"), (13L, "r")).toDF("id", "tag"), t,
+      col("id") >= 10L) // v7: deletes 10,11; inserts 10,13
+    val rw = runCdc(s"$root/ck").toSet
+    assert(rw == Set(
+      (10L, "b", "delete"), (11L, "b", "delete"),
+      (10L, "r", "insert"), (13L, "r", "insert")),
+      s"replaceWhere must stream exact slice-swap effects: $rw")
     // the plain additions stream still fails on the same rewrite range
     // (its contract is unchanged)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
