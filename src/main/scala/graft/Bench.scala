@@ -11,6 +11,18 @@ import scala.util.control.NonFatal
   * JIT and by host-noise spikes (observed 4-10× swings on an idle
   * box), so min-of-2 is the stable, comparable-across-rounds number.
   *
+  * Reps run as SEPARATED PASSES over the whole query list (rep 1 of
+  * every query, then rep 2 of every query) rather than back-to-back:
+  * a host-contention window shorter than a full pass (~75 s at sf0.1)
+  * then lands on at most ONE rep of any query, and min-of-reps
+  * discounts it — the same interleaving defense `dev/ab.py` applies
+  * between code versions, applied inside the artifact itself. (The
+  * r14 driver run had a mid-run window that inflated BOTH
+  * back-to-back reps of q01 by 22×; pass separation makes that shape
+  * impossible for windows narrower than a pass.) Min semantics are
+  * unchanged: pass 1 absorbs per-query codegen exactly like rep 1
+  * did, pass 2 runs warm.
+  *
   * The artifact is self-defending against host contention: it records
   * EVERY rep time per query (`"reps"`), a fixed-cost CPU calibration
   * kernel timed at start and end (`"calibration"`), and the run's
@@ -61,21 +73,36 @@ object Bench {
     // deterministic execution order; a tiny warmup query absorbs
     // one-time session costs (codegen bootstrap, parquet footer cache)
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val ordered = selected.toSeq.sortBy(_._1)
+    // one DISCARDED warm rep of the first measured query: the first
+    // timed execution of the run otherwise also pays shuffle-service /
+    // scheduler bootstrap that no later query pays (VERDICT r14 #1)
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case NonFatal(_) => () }
+    }
     val calStart = calibrate(spark, 3)
     val wall0 = System.nanoTime()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until reps).flatMap { _ =>
+    // rep passes over the WHOLE list (see class doc): times(name) grows
+    // by one entry per pass, in pass order
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    ordered.foreach { case (name, _) => times(name) = Vector.empty }
+    (0 until reps).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           // noop sink: materializes every output column (a bare count()
           // lets Catalyst prune projection expressions away, so
           // select-only scalar-function queries would measure ~nothing)
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case NonFatal(_) => None }
+          times(name) :+= (System.nanoTime() - t0) / 1e9
+        } catch { case NonFatal(_) => () }
       }
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = times(name)
       // any successful rep counts; -1 only when EVERY rep failed
-      (name, if (times.isEmpty) -1.0 else times.min, times)
+      (name, if (ts.isEmpty) -1.0 else ts.min, ts)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
     val calEnd = calibrate(spark, 3)
