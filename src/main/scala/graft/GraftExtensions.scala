@@ -66,9 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * must be foldable (they parameterize PLANNING — the function decides
   * which commit ranges to read before any row flows). `table` is
   * either a `cat.ns.t` name whose catalog is a [[catalog.GraftCatalog]]
-  * or a filesystem path to the manifest table; `from` is exclusive,
-  * `to` inclusive (default: current version) — exactly
-  * [[graft.sinks.ManifestTable.rowChanges]].
+  * or a filesystem path to the manifest table. Bounds follow the DELTA
+  * `table_changes` contract (ADVICE r14): `from` and `to` are both
+  * INCLUSIVE versions — the changes of the `from` commit itself are
+  * delivered (the underlying [[graft.sinks.ManifestTable.rowChanges]]
+  * is exclusive-from, so `from` translates to `from - 1`). Timestamp
+  * bounds parse like SQL CAST (date-only and ISO forms accepted) in
+  * the SESSION time zone; a `from` timestamp delivers every commit
+  * stamped at-or-after it (clamped to the log start when earlier than
+  * every retained commit), a `to` timestamp the commits at-or-before
+  * it.
   */
 private[graft] object TableChangesFunction {
   import org.apache.spark.sql.catalyst.expressions.Expression
@@ -79,24 +86,31 @@ private[graft] object TableChangesFunction {
     e.eval()
   }
 
-  /** A range bound: an integer log VERSION, or a timestamp string /
-    * literal resolved to the latest version at or before it (the
-    * TIMESTAMP AS OF resolver — the Delta table_changes surface
-    * accepts both forms).
+  /** A range bound resolved to the EXCLUSIVE-from / inclusive-to
+    * version `rowChanges` wants: integer versions translate
+    * `from → from - 1` (inclusive surface); timestamp strings resolve
+    * through the session-zone parser — strictly-before for `from`
+    * (inclusive at-or-after delivery), at-or-before for `to`.
     */
-  private def boundOf(e: Expression, what: String, path: String): Long =
+  private def boundOf(e: Expression, what: String, path: String,
+      isFrom: Boolean): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
     scalar(e, what) match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case s: Short => s.toLong
+      case i: Int => if (isFrom) math.max(0L, i.toLong - 1L) else i.toLong
+      case l: Long => if (isFrom) math.max(0L, l - 1L) else l
+      case s: Short => if (isFrom) math.max(0L, s.toLong - 1L) else s.toLong
       case s: org.apache.spark.unsafe.types.UTF8String =>
-        graft.sinks.ManifestTable.versionAtTimestamp(
-          org.apache.spark.sql.SparkSession.active, path,
-          java.sql.Timestamp.valueOf(s.toString).getTime)
+        val millis =
+          graft.sinks.ManifestTable.parseTimestampMillis(spark, s.toString)
+        if (isFrom)
+          graft.sinks.ManifestTable.versionStrictlyBefore(spark, path, millis)
+        else
+          graft.sinks.ManifestTable.versionAtTimestamp(spark, path, millis)
       case other => throw new IllegalArgumentException(
         s"table_changes: $what must be an integer version or a " +
           s"timestamp string, got $other")
     }
+  }
 
   def plan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.size == 2 || exprs.size == 3,
@@ -119,8 +133,10 @@ private[graft] object TableChangesFunction {
               s"catalog (got ${other.getClass.getName})")
         }
       }
-    val from = boundOf(exprs(1), "from", path)
-    val to = if (exprs.size > 2) boundOf(exprs(2), "to", path) else -1L
+    val from = boundOf(exprs(1), "from", path, isFrom = true)
+    val to =
+      if (exprs.size > 2) boundOf(exprs(2), "to", path, isFrom = false)
+      else -1L
     graft.sinks.ManifestTable.rowChanges(spark, path, from, to)
       .queryExecution.analyzed
   }

@@ -326,21 +326,30 @@ object ManifestTable {
           org.apache.spark.sql.functions.expr(v), Expectation.Fail)
     }.sortBy(_.name)
 
-  /** Verify the table's CHECK constraints against rows a rewrite is
-    * about to commit — one counting aggregation, throw on any
-    * violation. Unlike [[applyExpectations]] there is no checkpoint
-    * pin: rewrite frames derive deterministically from immutable
-    * files + the caller's source, so the verify pass and the write
-    * pass provably see the same rows.
+  /** Verify the table's CHECK constraints against rows a commit is
+    * about to introduce — one counting aggregation, throw on any
+    * violation. Returns the frame the caller MUST use for the write:
+    * when constraints exist the frame is pinned first
+    * (`localCheckpoint`, exactly as [[applyExpectations]] does),
+    * because the counting job and the subsequent write must see the
+    * SAME rows — a non-deterministic frame (rand-bearing assignments,
+    * a view over mutating state) could pass the check on one
+    * evaluation and write violating rows from another (ADVICE r14).
+    * With no constraints declared the frame passes through untouched
+    * (zero cost). Callers that already pinned (replaceWhere, merge —
+    * their frames are re-evaluated for slice checks / key scans too)
+    * pass `pin = false` to skip the redundant materialization.
     */
   private def enforceConstraints(df: DataFrame,
-      props: Map[String, String], table: String): Unit = {
+      props: Map[String, String], table: String,
+      pin: Boolean = true): DataFrame = {
     val cs = constraintExpectations(props)
-    if (cs.isEmpty) return
+    if (cs.isEmpty) return df
     import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    val checked = if (pin) df.localCheckpoint() else df
     val aggs = cs.map(e =>
       sum(when(coalesce(e.predicate, lit(false)), 0L).otherwise(1L)).as(e.name))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = checked.agg(aggs.head, aggs.tail: _*).head()
     val bad = cs.zipWithIndex.collect {
       case (e, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
         s"'${e.name}' (${row.getLong(i)} rows)"
@@ -348,6 +357,34 @@ object ManifestTable {
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"CHECK constraint(s) violated writing to $table: " +
         bad.mkString(", ") + " — commit aborted, table unchanged")
+    checked
+  }
+
+  /** Validate `graft.constraints.*` property EXPRESSIONS against a
+    * schema at declaration time: parse each and analyze it as a filter
+    * over an empty frame of the schema, so a malformed expression, an
+    * unknown column, or a non-boolean type is refused with the
+    * constraint named — zero data I/O.
+    */
+  private[graft] def validateConstraints(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      props: Map[String, String]): Unit = {
+    val checks = props.toSeq
+      .filter(_._1.startsWith(ConstraintPropPrefix)).sortBy(_._1)
+    if (checks.isEmpty) return
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    checks.foreach { case (k, v) =>
+      val name = k.stripPrefix(ConstraintPropPrefix)
+      try {
+        empty.filter(org.apache.spark.sql.functions.expr(v))
+          .queryExecution.analyzed: Unit
+      } catch {
+        case scala.util.control.NonFatal(x) =>
+          throw new IllegalArgumentException(
+            s"invalid CHECK constraint '$name' ($v): ${x.getMessage}", x)
+      }
+    }
   }
 
   /** A resolved snapshot: the complete file list of a version plus the
@@ -1453,8 +1490,11 @@ object ManifestTable {
         (freshParts != parts || freshSchemaJson != evolved.json))
         fresh = null // orphan → vacuum
       if (fresh == null) {
-        enforceConstraints(df, m.map(_.props).getOrElse(Map.empty), table)
-        fresh = writeSnapshot(fs, p, toPhysical(df, mapping),
+        // the returned (possibly pinned) frame feeds the write: the
+        // checked rows and the written rows are provably the same
+        val checked =
+          enforceConstraints(df, m.map(_.props).getOrElse(Map.empty), table)
+        fresh = writeSnapshot(fs, p, toPhysical(checked, mapping),
           base + 1, parts, 0L)
         freshParts = parts
         freshSchemaJson = evolved.json
@@ -1588,7 +1628,10 @@ object ManifestTable {
       val newChecks = set.filter { case (k, v) =>
         k.startsWith(ConstraintPropPrefix) && !props.get(k).contains(v) }
       if (newChecks.nonEmpty)
-        enforceConstraints(read(spark, table, base), newChecks, table)
+        // validation-only read over immutable files: nothing is
+        // written from this frame, so no pin needed
+        enforceConstraints(read(spark, table, base), newChecks, table,
+          pin = false): Unit
       if (commitDelta(fs, p, base + 1, Seq.empty,
         m.map(_.txns).getOrElse(Map.empty),
         parts = m.map(_.parts).getOrElse(Seq.empty),
@@ -2238,6 +2281,12 @@ object ManifestTable {
       props: Map[String, String] = Map.empty): Long = {
     require(partitionCols.forall(c => schema.fieldNames.contains(c)),
       s"partition columns ${partitionCols.mkString(", ")} must be in the schema")
+    // CHECK constraints declared AT CREATE validate eagerly against
+    // the schema (parse + analyze) — a malformed or column-less
+    // expression is refused here instead of surfacing as a confusing
+    // analysis failure on the first write (ADVICE r14; the ALTER path
+    // already validates via enforceConstraints over existing rows)
+    validateConstraints(spark, schema, props)
     val (fs, p) = fsOf(spark, table)
     require(currentVersion(spark, table) == 0,
       s"$table already exists (committed versions present)")
@@ -2409,6 +2458,45 @@ object ManifestTable {
         s"(v${times.last._1} at ${fmt(times.last._2)}) — use a timestamp " +
         "in range, VERSION AS OF, or read the current table without travel")
     times.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** The LATEST version committed strictly BEFORE `tsMillis`, or 0
+    * when every retained commit is at-or-after it — the INCLUSIVE-from
+    * resolver for timestamp RANGE reads: "deliver the commits stamped
+    * at-or-after the timestamp" becomes "tail exclusively after this
+    * version". Unlike [[versionAtTimestamp]] this never throws on an
+    * out-of-range timestamp: earlier-than-everything clamps to the log
+    * start (0 = from the beginning — the Delta `startingTimestamp`
+    * clamp, ADVICE r14), and a future timestamp resolves to the head
+    * (tail new commits only).
+    */
+  def versionStrictlyBefore(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val (fs, p) = fsOf(spark, table)
+    val (vs, _) = listLog(fs, p)
+    require(vs.nonEmpty, s"no committed version in $table")
+    commitTimes(fs, p, vs).takeWhile(_._2 < tsMillis)
+      .lastOption.map(_._1).getOrElse(0L)
+  }
+
+  /** Parse a timestamp string the way SQL `CAST(x AS TIMESTAMP)` does
+    * — date-only (`2026-08-15`), space- or `T`-separated datetime,
+    * optional fraction and zone suffix — resolved in the SESSION time
+    * zone, never the JVM default (ADVICE r14: `Timestamp.valueOf`
+    * parsed in JVM-local time and refused date-only/ISO forms, so a
+    * host whose JVM TZ differed from the session zone read a shifted
+    * commit range). Returns epoch milliseconds.
+    */
+  def parseTimestampMillis(spark: SparkSession, s: String): Long = {
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+      spark.conf.get("spark.sql.session.timeZone"))
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+      .map(micros => Math.floorDiv(micros, 1000L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse timestamp '$s' — want 'yyyy-MM-dd', " +
+          "'yyyy-MM-dd HH:mm:ss[.f]' or ISO-8601 ('T' separator, " +
+          "optional zone)"))
   }
 
   /** Commit history (the DESCRIBE HISTORY analogue): one row per log
@@ -3338,8 +3426,14 @@ object ManifestTable {
       condition: Column, maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not, sum, when}
     val (fs, p) = fsOf(spark, table)
+    // pin ONE evaluation of the caller's frame (ADVICE r14): the
+    // slice-membership check below, the constraint check, the write
+    // and the CDC tagging all re-evaluate it, and a non-deterministic
+    // input could pass the checks on one evaluation then write rows
+    // outside the declared slice from another
+    val pinned = df.localCheckpoint()
     // the incoming rows must live INSIDE the slice they replace
-    val outRow = df.agg(sum(when(coalesce(condition, lit(false)), 0L)
+    val outRow = pinned.agg(sum(when(coalesce(condition, lit(false)), 0L)
       .otherwise(1L))).head()
     val outside = if (outRow.isNullAt(0)) 0L else outRow.getLong(0)
     if (outside > 0) throw new IllegalArgumentException(
@@ -3360,7 +3454,8 @@ object ManifestTable {
       val active = recordedSchema(m).exists(columnMapped)
       val evolved = stampNewFields(
         enforceSchema(recordedSchema(m), df.schema, table), active)
-      enforceConstraints(df, m.map(_.props).getOrElse(Map.empty), table)
+      enforceConstraints(pinned, m.map(_.props).getOrElse(Map.empty),
+        table, pin = false): Unit
       val predExpr = DataSkipping.expressionOf(condition)
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(lstats.get(f), predExpr))
@@ -3369,13 +3464,13 @@ object ManifestTable {
         else hitFiles(spark, table, candidates, snap.dvs,
           _.filter(condition), mapping)
       // nothing to delete AND nothing to insert: no commit
-      if (hits.isEmpty && df.isEmpty) return base
+      if (hits.isEmpty && pinned.isEmpty) return base
       val survivors =
         if (hits.isEmpty) None
         else Some(readFiles(spark, table, hits, snap.dvs, mapping = mapping)
           .filter(not(coalesce(condition, lit(false)))))
       val combined = survivors
-        .fold(df)(_.unionByName(df, allowMissingColumns = true))
+        .fold(pinned)(_.unionByName(pinned, allowMissingColumns = true))
       val fresh = writeSnapshot(fs, p,
         toPhysical(combined, Some(evolved).filter(columnMapped)),
         base + 1, parts, 0L)
@@ -3390,7 +3485,7 @@ object ManifestTable {
               mapping = mapping)
               .filter(coalesce(condition, lit(false)))
               .withColumn(ChangeTypeCol, lit("delete")))
-          val ins = df.withColumn(ChangeTypeCol, lit("insert"))
+          val ins = pinned.withColumn(ChangeTypeCol, lit("insert"))
           Some(writeChangeDir(spark, p, base + 1,
             dels.fold(ins)(_.unionByName(ins, allowMissingColumns = true))))
         }
@@ -3538,10 +3633,12 @@ object ManifestTable {
       }: _*)
       // type changes abort BEFORE any commit (the lake contract)
       val evolved = enforceSchema(recordedSchema(m), rewritten.schema, table)
-      enforceConstraints(rewritten,
+      // checked == rewritten unless constraints exist, in which case it
+      // is the pinned evaluation (SET expressions may be rand-bearing)
+      val checked = enforceConstraints(rewritten,
         m.map(_.props).getOrElse(Map.empty), table)
       val fresh = writeSnapshot(fs, p,
-        toPhysical(rewritten, mapping), base + 1, parts, 0L)
+        toPhysical(checked, mapping), base + 1, parts, 0L)
       // change feed: the matched rows' pre-image as deletes and their
       // post-image (SET applied) as inserts
       val cdc =
@@ -3746,7 +3843,13 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val (fs, p) = fsOf(spark, table)
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // pin ONE evaluation of the source (the mergeClauses discipline,
+    // extended here per ADVICE r14): the key-bounds agg, the hit scan,
+    // the rewrite union, the constraint check and the CDC tagging all
+    // re-evaluate it — a non-deterministic source could otherwise pass
+    // the checks on one evaluation and commit different rows
+    val src = source.localCheckpoint()
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentVersion(spark, table)
@@ -3758,23 +3861,24 @@ object ManifestTable {
       val mapping0 = mappingOf(m)
       val snapL = snap.copy(stats = logicalStats(snap.stats, mapping0))
       val candidates =
-        mergeKeyCandidates(source, keyCols.map(k => k -> k), snapL)
+        mergeKeyCandidates(src, keyCols.map(k => k -> k), snapL)
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
         else hitFiles(spark, table, candidates, snap.dvs,
           _.join(srcKeys, keyCols, "left_semi"), mapping0)
       val newData =
-        if (hits.isEmpty) source
+        if (hits.isEmpty) src
         else readFiles(spark, table, hits, snap.dvs, mapping = mapping0)
           .join(srcKeys, keyCols, "left_anti")
-          .unionByName(source, allowMissingColumns = true)
+          .unionByName(src, allowMissingColumns = true)
       val active = recordedSchema(m).exists(columnMapped)
       val evolved = stampNewFields(
-        enforceSchema(recordedSchema(m), source.schema, table), active)
+        enforceSchema(recordedSchema(m), src.schema, table), active)
       // the source rows are the only NEW content (whole-row upsert);
-      // untouched survivor rows already satisfied the constraints
-      enforceConstraints(source,
-        m.map(_.props).getOrElse(Map.empty), table)
+      // untouched survivor rows already satisfied the constraints —
+      // src is pinned above, so no second pin
+      enforceConstraints(src,
+        m.map(_.props).getOrElse(Map.empty), table, pin = false): Unit
       val fresh = writeSnapshot(fs, p,
         toPhysical(newData, Some(evolved).filter(columnMapped)),
         base + 1, parts, 0L)
@@ -3790,7 +3894,7 @@ object ManifestTable {
               mapping = mappingOf(m))
               .join(srcKeys, keyCols, "left_semi")
               .withColumn(ChangeTypeCol, lit("delete")))
-          val added = source.withColumn(ChangeTypeCol, lit("insert"))
+          val added = src.withColumn(ChangeTypeCol, lit("insert"))
           Some(writeChangeDir(spark, p, base + 1,
             replaced.fold(added)(r =>
               r.unionByName(added, allowMissingColumns = true))))
@@ -4062,10 +4166,13 @@ object ManifestTable {
           val active = recorded.exists(columnMapped)
           val evolved =
             stampNewFields(enforceSchema(recorded, nd.schema, table), active)
-          enforceConstraints(nd,
+          // nd derives from the pinned src but clause SET expressions
+          // may be rand-bearing — checked is the pinned evaluation when
+          // constraints exist, nd itself otherwise
+          val checked = enforceConstraints(nd,
             m.map(_.props).getOrElse(Map.empty), table)
           val fresh = writeSnapshot(fs, p,
-            toPhysical(nd, Some(evolved).filter(columnMapped)),
+            toPhysical(checked, Some(evolved).filter(columnMapped)),
             base + 1, parts, 0L)
           // change feed: multiset diff of the hit files' pre-image vs
           // their rewrite (updates = delete+insert, unchanged cancel),

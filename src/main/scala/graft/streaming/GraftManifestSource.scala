@@ -78,16 +78,21 @@ class GraftManifestSourceProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    // `startingTimestamp` is sugar over `startingVersion`: resolve the
-    // wall-clock to the latest commit AT OR BEFORE it (the same
-    // monotonized-mtime resolver TIMESTAMP AS OF uses) and tail the
-    // commits AFTER that snapshot — the Delta startingTimestamp
-    // semantics. Mutually exclusive with an explicit startingVersion.
+    // `startingTimestamp` is sugar over `startingVersion`: deliver
+    // every commit stamped AT OR AFTER the timestamp, i.e. tail
+    // exclusively after the latest commit strictly BEFORE it (the
+    // Delta startingTimestamp contract — a commit stamped exactly at
+    // the timestamp is INCLUDED; a timestamp before the earliest
+    // retained commit clamps to the full initial snapshot; a future
+    // timestamp tails new commits only — ADVICE r14). The string
+    // parses like SQL CAST (date-only and ISO 'T' forms accepted) in
+    // the SESSION zone. Mutually exclusive with startingVersion.
     val fromTs = parameters.get("startingTimestamp").map { ts =>
       require(!parameters.contains("startingVersion"),
         "pass startingVersion OR startingTimestamp, not both")
-      ManifestTable.versionAtTimestamp(sqlContext.sparkSession,
-        tablePath(parameters), java.sql.Timestamp.valueOf(ts).getTime)
+      ManifestTable.versionStrictlyBefore(sqlContext.sparkSession,
+        tablePath(parameters),
+        ManifestTable.parseTimestampMillis(sqlContext.sparkSession, ts))
     }
     new GraftManifestSource(sqlContext.sparkSession,
       tablePath(parameters),

@@ -589,6 +589,24 @@ class CatalogSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(
       s"ALTER TABLE $cat.db.ck SET TBLPROPERTIES " +
         "('graft.constraints.ghost'='no_such_col > 0')"))
+    // CREATE-time constraints validate EAGERLY (ADVICE r14): malformed
+    // SQL, unknown columns and non-boolean expressions refuse at
+    // CREATE with the constraint named — not on the first write
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.bad1 (id BIGINT) " +
+        "TBLPROPERTIES ('graft.constraints.broken'='id >= ')"))
+    assert(msgs(e3).contains("broken"), s"got: $e3")
+    val e4 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.bad2 (id BIGINT) " +
+        "TBLPROPERTIES ('graft.constraints.ghost'='no_such_col > 0')"))
+    assert(msgs(e4).contains("ghost"), s"got: $e4")
+    assertThrows[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.bad3 (id BIGINT) " +
+        "TBLPROPERTIES ('graft.constraints.notbool'='id + 1')"))
+    // none of the refused CREATEs left a table behind
+    assert(!spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .exists(r => r.getString(1).startsWith("bad")),
+      "refused CREATE must not materialize the table")
   }
 
   test("static-partition INSERT OVERWRITE replaces only that partition") {
@@ -706,25 +724,33 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $cat.db.tc WHERE id = 2") // v3
     spark.sql(s"INSERT INTO $cat.db.tc VALUES (4,'d')") // v4
     val t = s"$wh/db/tc"
-    // catalog-name form: resolved through the graft catalog
+    // catalog-name form: resolved through the graft catalog. The
+    // from-bound is INCLUSIVE (the Delta table_changes contract,
+    // ADVICE r14): from = 3 delivers v3's delete too.
     val viaSql = spark.sql(
       s"SELECT id, _change_type, _commit_version " +
-        s"FROM table_changes('$cat.db.tc', 2) ORDER BY _commit_version, id")
+        s"FROM table_changes('$cat.db.tc', 3) ORDER BY _commit_version, id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(viaSql == Seq((2L, "delete", 3L), (4L, "insert", 4L)),
       s"got: $viaSql")
-    // hash-equal to the programmatic path (the p32 contract)
+    // hash-equal to the programmatic path (exclusive-from surface: the
+    // TVF's inclusive from=3 is rowChanges' exclusive from=2)
     val prog = ManifestTable.rowChanges(spark, t, 2)
       .select("id", "_change_type", "_commit_version")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(viaSql.toSet == prog)
+    // the from commit's OWN changes are delivered (inclusive): from=2
+    // includes v2's three inserts
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM table_changes('$cat.db.tc', 2)")
+      .head().getLong(0) == 5)
     // path form works without any catalog; explicit to-version bounds
     assert(spark.sql(
-      s"SELECT count(*) AS c FROM table_changes('$t', 2, 3)")
+      s"SELECT count(*) AS c FROM table_changes('$t', 3, 3)")
       .head().getLong(0) == 1)
     // the TVF composes like any relation (join back to the table)
     val joined = spark.sql(
-      s"SELECT c.id FROM table_changes('$cat.db.tc', 2) c " +
+      s"SELECT c.id FROM table_changes('$cat.db.tc', 3) c " +
         s"JOIN $cat.db.tc x ON c.id = x.id WHERE c._change_type = 'insert'")
       .collect().map(_.getLong(0)).toSeq
     assert(joined == Seq(4L))
@@ -732,16 +758,52 @@ class CatalogSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(
       s"SELECT * FROM table_changes('$t', (SELECT max(id) FROM $cat.db.tc))")
       .collect())
-    // timestamp bounds resolve through TIMESTAMP AS OF: from = v2's
-    // recorded commit instant delivers exactly the commits after it
-    val ts2 = new java.sql.Timestamp(
-      ManifestTable.history(spark, t).filter(col("version") === 2)
-        .head().getAs[Long]("ts_millis")).toString
+    // timestamp bounds: a from-timestamp delivers every commit stamped
+    // AT-OR-AFTER it — v2's exact recorded instant includes v2 itself
+    // (ADVICE r14; previously the equal-stamped commit was skipped)
+    val ts2millis = ManifestTable.history(spark, t)
+      .filter(col("version") === 2).head().getAs[Long]("ts_millis")
+    val ts2 = new java.sql.Timestamp(ts2millis).toString
     val viaTs = spark.sql(
       s"SELECT id, _change_type FROM table_changes('$t', '$ts2') " +
         "ORDER BY _commit_version, id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(viaTs == Seq((2L, "delete"), (4L, "insert")), s"got: $viaTs")
+    assert(viaTs == Seq((1L, "insert"), (2L, "insert"), (3L, "insert"),
+      (2L, "delete"), (4L, "insert")), s"got: $viaTs")
+    // …and equals the integer form with the same inclusive bound
+    val viaV2 = spark.sql(
+      s"SELECT id, _change_type FROM table_changes('$t', 2) " +
+        "ORDER BY _commit_version, id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaTs == viaV2)
+    // timestamp strings resolve in the SESSION zone, not the JVM zone
+    // (ADVICE r14), and ISO-8601 'T' forms parse: render v2's instant
+    // as a LOCAL datetime in a zone far from the JVM default and get
+    // the same range back
+    val jvmZone = java.time.ZoneId.systemDefault().getId
+    val farZone =
+      if (jvmZone == "America/Anchorage") "Asia/Tokyo"
+      else "America/Anchorage"
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", farZone)
+      val localIso = java.time.Instant.ofEpochMilli(ts2millis)
+        .atZone(java.time.ZoneId.of(farZone)).toLocalDateTime.toString
+      val viaZoned = spark.sql(
+        s"SELECT id, _change_type FROM table_changes('$t', '$localIso') " +
+          "ORDER BY _commit_version, id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(viaZoned == viaTs,
+        s"session-zone parse of '$localIso' in $farZone must equal the " +
+          s"integer-version range; got $viaZoned")
+      // date-only strings parse too (midnight in the session zone,
+      // clamped to the log start when earlier than every commit)
+      val viaDate = spark.sql(
+        s"SELECT count(*) AS c FROM table_changes('$t', '1970-01-01')")
+        .head().getLong(0)
+      assert(viaDate == 5L, s"early date-only bound must clamp to the " +
+        s"full feed; got $viaDate")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
   }
 
   test("rename, namespaces, and illegal identifiers") {

@@ -187,6 +187,49 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"got: $e")
   }
 
+  test("startingTimestamp: equal-stamped commit included; early timestamp clamps to snapshot") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, df(0, 10, "a"), t) // v1
+    Thread.sleep(40)
+    ManifestTable.append(spark, df(10, 13, "b"), t) // v2
+    Thread.sleep(40)
+    ManifestTable.append(spark, df(13, 15, "c"), t) // v3
+    // a commit stamped EXACTLY at the given timestamp is delivered
+    // (the Delta at-or-after contract — ADVICE r14: the equal-stamped
+    // commit used to be skipped). v2's recorded in-commit instant:
+    val ts2 = new java.sql.Timestamp(
+      ManifestTable.history(spark, t).filter(col("version") === 2)
+        .head().getAs[Long]("ts_millis")).toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(opts: Map[String, String], ckpt: String): Seq[String] = {
+      buf.clear()
+      var reader = spark.readStream.format("graft").option("path", t)
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(r => s"${r.getLong(0)}:${r.getString(1)}")
+          }: Unit
+        }.start()
+      try q.processAllAvailable()
+      finally q.stop()
+      buf.toSeq.sorted
+    }
+    val atTs = drain(Map("startingTimestamp" -> ts2), s"$root/ckpt_at")
+    assert(atTs == ((10 until 13).map(i => s"$i:b") ++
+      (13 until 15).map(i => s"$i:c")).sorted,
+      s"commit stamped at the timestamp must be INCLUDED: $atTs")
+    // a timestamp before the earliest retained commit clamps to the
+    // full initial snapshot instead of throwing (ADVICE r14); ISO
+    // date-only form exercises the flexible parser
+    val early = drain(Map("startingTimestamp" -> "1970-01-01"),
+      s"$root/ckpt_early")
+    assert(early.size == 15 && early.contains("0:a"),
+      s"pre-history timestamp must clamp to the full snapshot: $early")
+  }
+
   test("startingVersion tails only commits after it (no historical backfill)") {
     val root = freshRoot()
     val t = s"$root/t"

@@ -793,6 +793,60 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 16)
   }
 
+  test("non-deterministic caller frames: the checked evaluation IS the written one") {
+    import org.apache.spark.sql.DataFrame
+    // Every evaluation of this frame yields strictly larger v values
+    // (a shared counter ticks per row), so a constraint `v <= n` PASSES
+    // on the frame's first evaluation and VIOLATES on any later one —
+    // the exact breach shape the localCheckpoint pin must rule out
+    // (ADVICE r14): without the pin, the counting check would see
+    // evaluation #1 and the write would land evaluation #2's rows.
+    val next = udf(() => ManifestTableSpec.evalCounter.incrementAndGet())
+      .asNondeterministic()
+    def shifty(n: Int): DataFrame =
+      spark.range(n).select(col("id"), next().as("v"))
+    def vs(t: String): Seq[Long] =
+      ManifestTable.read(spark, t).select("v").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    val check = s"${ManifestTable.ConstraintPropPrefix}cap"
+
+    // streaming append
+    val t1 = freshTable()
+    ManifestTable.create(spark, t1, shifty(1).schema)
+    ManifestTable.setProperty(spark, t1, check, "v <= 100")
+    ManifestTableSpec.evalCounter.set(0L)
+    ManifestTable.appendStreamBatch(spark, shifty(100), t1, batchId = 1L)
+    assert(vs(t1) == (1L to 100L),
+      "streaming append must write the SAME evaluation the check saw")
+
+    // replaceWhere: slice check + constraint check + write + CDC must
+    // all see one evaluation
+    val t2 = freshTable()
+    ManifestTable.create(spark, t2, shifty(1).schema)
+    ManifestTable.setProperty(spark, t2, check, "v <= 100")
+    ManifestTable.enableChangeFeed(spark, t2)
+    ManifestTableSpec.evalCounter.set(0L)
+    val v2 = ManifestTable.replaceWhere(spark, shifty(100), t2, col("id") >= 0L)
+    assert(vs(t2) == (1L to 100L),
+      "replaceWhere must write the SAME evaluation the slice/constraint checks saw")
+    val cdcVs = ManifestTable.rowChanges(spark, t2, v2 - 1, v2)
+      .filter(col(ManifestTable.ChangeTypeCol) === "insert")
+      .select("v").collect().map(_.getLong(0)).toSeq.sorted
+    assert(cdcVs == (1L to 100L),
+      "the change feed must record the WRITTEN rows, not a fresh evaluation")
+
+    // merge: key scan + constraint check + write see one source evaluation
+    val t3 = freshTable()
+    import spark.implicits._
+    ManifestTable.write(spark,
+      (0L until 50L).map(i => (i, 0L)).toDF("id", "v"), t3)
+    ManifestTable.setProperty(spark, t3, check, "v <= 100")
+    ManifestTableSpec.evalCounter.set(0L)
+    ManifestTable.merge(spark, shifty(100), t3, Seq("id"))
+    assert(vs(t3) == (1L to 100L),
+      "merge must upsert the SAME source evaluation its checks saw")
+  }
+
   test("in-commit timestamps: time travel survives a copy that resets mtimes") {
     val t = freshTable()
     ManifestTable.write(spark, df(5, "a"), t) // v1
@@ -905,4 +959,12 @@ class ManifestTableSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(net == Map("good" -> 20L, "bad" -> 0L))
   }
+}
+
+/** Shared mutable state for the non-determinism pin spec: a counter the
+  * test UDF ticks per evaluated row, making every evaluation of the
+  * same frame observably different (local mode: tasks share the JVM).
+  */
+object ManifestTableSpec {
+  val evalCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 }
