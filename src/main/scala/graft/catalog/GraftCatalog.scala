@@ -207,8 +207,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `DROP COLUMN` commit through name-based column mapping
     * ([[ManifestTable.renameColumn]]/[[ManifestTable.dropColumn]] —
     * data files untouched, stable physical names recorded in the
-    * schema). Type changes still need a rewrite and refuse with the
-    * path named.
+    * schema), `ALTER COLUMN ... TYPE` commits lossless type WIDENING
+    * ([[ManifestTable.widenColumnType]] — int→long, float→double,
+    * decimal growth; existing files read cast-up). Narrowing and other
+    * type changes still need a rewrite and refuse with the path named.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -245,10 +247,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           r.fieldNames().head, r.newName()): Unit
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         ManifestTable.dropColumn(spark, path, d.fieldNames().head): Unit
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+        // zero-file TYPE WIDENING (int→long, float→double, decimal
+        // growth); narrowing and other changes refuse inside
+        ManifestTable.widenColumnType(spark, path,
+          u.fieldNames().head, u.newDataType()): Unit
       case other => throw new UnsupportedOperationException(
         s"graft tables support ALTER TABLE ADD COLUMNS / RENAME COLUMN " +
-          s"/ DROP COLUMN (top-level) only, got $other — type changes " +
-          "need a rewrite via ManifestTable.write")
+          s"/ DROP COLUMN / ALTER COLUMN TYPE (lossless widening, " +
+          s"top-level) only, got $other — other type changes need a " +
+          "rewrite via ManifestTable.write")
     }
     if (adds.nonEmpty)
       ManifestTable.addColumns(spark, path,

@@ -1044,15 +1044,52 @@ object ManifestTable {
     }
   }
 
+  /** The LOSSLESSLY-WIDER of two atomic types, when one widens to the
+    * other (the Delta type-widening lattice, VERDICT r14 #4): the
+    * integral chain byte→short→int→long, float→double, and decimal
+    * growth where integer digits AND scale both grow-or-hold (so no
+    * value can overflow or lose fraction digits). `None` = neither
+    * widens to the other (a genuine conflict). Top-level atomic types
+    * only — nested type changes still need a rewrite.
+    */
+  private[graft] def widerOf(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 0; case ShortType => 1
+      case IntegerType => 2; case LongType => 3; case _ => -1
+    }
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if rank(a) >= 0 && rank(b) >= 0 =>
+        Some(if (rank(a) >= rank(b)) a else b)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) =>
+        def dominates(w: DecimalType, n: DecimalType): Boolean =
+          w.precision - w.scale >= n.precision - n.scale && w.scale >= n.scale
+        if (dominates(x, y)) Some(x)
+        else if (dominates(y, x)) Some(y)
+        else None
+      case _ => None
+    }
+  }
+
   /** SCHEMA ENFORCEMENT + EVOLUTION at commit time (the lake
     * contract): a column present in both the table and the incoming
-    * frame must have the SAME type (nullability ignored) — a
-    * mismatch throws BEFORE any commit, instead of poisoning the
-    * table into an unreadable union; columns only in the incoming
-    * frame are ADD-COLUMN evolution (appended to the recorded
-    * schema, older files read them as null); columns missing from
-    * the incoming frame stay (its rows read as null there). Returns
-    * the evolved schema to record in the new manifest.
+    * frame must have the SAME type (nullability ignored) or a type
+    * that WIDENS losslessly along [[widerOf]]'s lattice — a wider
+    * incoming type evolves the recorded schema in place (a zero-file
+    * schema change: existing files keep their narrow physical data and
+    * readers widen — VERDICT r14 #4), a narrower incoming type keeps
+    * the recorded wide type (the new files' narrow values read
+    * widened), and anything else throws BEFORE any commit instead of
+    * poisoning the table into an unreadable union. Columns only in the
+    * incoming frame are ADD-COLUMN evolution (appended to the recorded
+    * schema, older files read them as null); columns missing from the
+    * incoming frame stay (its rows read as null there). Returns the
+    * evolved schema to record in the new manifest.
     */
   private def enforceSchema(
       recorded: Option[org.apache.spark.sql.types.StructType],
@@ -1062,18 +1099,30 @@ object ManifestTable {
     recorded match {
       case None => incoming // legacy table or first commit: adopt
       case Some(cur) =>
+        val incByName = incoming.fields.map(f => f.name -> f).toMap
         val curByName = cur.fields.map(f => f.name -> f).toMap
         val conflicts = incoming.fields.flatMap { f =>
           curByName.get(f.name).collect {
-            case c if stripNullability(c.dataType) != stripNullability(f.dataType) =>
+            case c if stripNullability(c.dataType) != stripNullability(f.dataType) &&
+                widerOf(c.dataType, f.dataType).isEmpty =>
               s"'${f.name}': table has ${c.dataType.sql}, incoming has ${f.dataType.sql}"
           }
         }
         if (conflicts.nonEmpty) throw new IllegalArgumentException(
           s"schema mismatch appending to $table — ${conflicts.mkString("; ")}. " +
-            "Cast the incoming columns to the table types (type CHANGES need a " +
-            "rewrite via write(), which replaces the recorded schema).")
-        StructType(cur.fields ++
+            "Cast the incoming columns to the table types (only lossless " +
+            "WIDENING evolves in place; other type changes need a rewrite " +
+            "via write(), which replaces the recorded schema).")
+        // widen in place, PRESERVING field metadata (physical-name
+        // stamps on mapped tables ride the copy)
+        val widened = cur.fields.map { c =>
+          incByName.get(c.name) match {
+            case Some(f) if stripNullability(c.dataType) != stripNullability(f.dataType) =>
+              c.copy(dataType = widerOf(c.dataType, f.dataType).get)
+            case _ => c
+          }
+        }
+        StructType(widened ++
           incoming.fields.filterNot(f => curByName.contains(f.name)))
     }
   }
@@ -1947,17 +1996,44 @@ object ManifestTable {
     * absolute path) for callers that need them ([[deleteVectors]],
     * [[hitFiles]]).
     */
+  /** Cast any column whose inferred file type is NARROWER than the
+    * recorded schema's up to the recorded type — the reader-side half
+    * of zero-rewrite type widening (VERDICT r14 #4): files written
+    * before a widening commit keep their narrow physical encoding, and
+    * every read funnels through this cast so the served type is the
+    * RECORDED one regardless of which files survive pruning. A no-op
+    * (zero plan overhead) when every type already matches — the
+    * overwhelmingly common case.
+    */
+  private def widenTo(df: DataFrame,
+      recorded: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    recorded.fold(df) { s =>
+      import org.apache.spark.sql.functions.col
+      val want = s.fields.map(f => f.name -> f.dataType).toMap
+      if (!df.schema.fields.exists(f =>
+        want.get(f.name).exists(_ != f.dataType))) df
+      else df.select(df.schema.fields.toIndexedSeq.map { f =>
+        want.get(f.name) match {
+          case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+          case _ => col(f.name)
+        }
+      }: _*)
+    }
+
   private def readFiles(spark: SparkSession, table: String,
       relFiles: Seq[String], dvs: Map[String, Seq[DvRef]],
       keepIdentity: Boolean = false,
-      mapping: Option[org.apache.spark.sql.types.StructType] = None)
+      mapping: Option[org.apache.spark.sql.types.StructType] = None,
+      recorded: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions.col
     if (relFiles.isEmpty) return spark.emptyDataFrame
     val fileSet = relFiles.toSet
     val live = dvs.filter { case (f, _) => fileSet(f) }
     if (live.isEmpty && !keepIdentity)
-      return applyMapping(unionSnapshots(spark, table, relFiles), mapping)
+      return widenTo(
+        applyMapping(unionSnapshots(spark, table, relFiles), mapping),
+        recorded)
     val branches = relFiles.groupBy(_.split("/").take(2).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (snap, fs) =>
@@ -1974,9 +2050,12 @@ object ManifestTable {
       else tagged.join(
         dvEntries(spark, table, live.values.flatten.map(_.path).toSeq.distinct),
         Seq(DvFileCol, DvIdxCol), "left_anti")
-    if (keepIdentity) applyMapping(filtered, mapping, keepIdentity = true)
-    else applyMapping(
-      filtered.drop(AbsPathCol, DvFileCol, DvIdxCol), mapping)
+    // the identity columns are never in `recorded`, so widenTo leaves
+    // them untouched on the keepIdentity path
+    if (keepIdentity)
+      widenTo(applyMapping(filtered, mapping, keepIdentity = true), recorded)
+    else widenTo(applyMapping(
+      filtered.drop(AbsPathCol, DvFileCol, DvIdxCol), mapping), recorded)
   }
 
   /** Read a snapshot (default: current) — exactly the manifest's file
@@ -1993,8 +2072,13 @@ object ManifestTable {
     // stay TYPED: downstream column references resolve against the
     // recorded schema instead of failing on a zero-column frame
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v)
-    else readFiles(spark, table, snap.files, snap.dvs,
-      mapping = mappingAt(fs, p, v))
+    else {
+      // each version reads under its OWN recorded schema (time travel
+      // across a widening commit serves the era's types)
+      val rec = schemaAt(fs, p, v)
+      readFiles(spark, table, snap.files, snap.dvs,
+        mapping = rec.filter(columnMapped), recorded = rec)
+    }
   }
 
   /** An empty frame carrying the recorded schema of `version` (falls
@@ -2032,7 +2116,8 @@ object ManifestTable {
   def readWhere(spark: SparkSession, table: String, predicate: Column,
       version: Long = -1L): DataFrame = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
-    val mapping = mappingAt(fs, p, v)
+    val rec = schemaAt(fs, p, v)
+    val mapping = rec.filter(columnMapped)
     val stats = logicalStats(snap.stats, mapping)
     val predExpr = DataSkipping.expressionOf(predicate) // normalize once
     val kept = bloomPrune(spark, p, snap.files.filter(f =>
@@ -2040,10 +2125,10 @@ object ManifestTable {
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v).filter(predicate)
     else if (kept.isEmpty)
       // schema-stable empty result: plan over the real files, read none
-      applyMapping(unionSnapshots(spark, table, snap.files), mapping)
-        .limit(0).filter(predicate)
-    else readFiles(spark, table, kept, snap.dvs, mapping = mapping)
-      .filter(predicate)
+      widenTo(applyMapping(unionSnapshots(spark, table, snap.files), mapping),
+        rec).limit(0).filter(predicate)
+    else readFiles(spark, table, kept, snap.dvs, mapping = mapping,
+      recorded = rec).filter(predicate)
   }
 
   /** BLOOM-FILTER file pruning, the tier below range pruning
@@ -2796,7 +2881,8 @@ object ManifestTable {
         if (baseFields.nonEmpty) baseFields
         else df.schema.fields.toSeq.filterNot(_.name == ChangeTypeCol)
       df.select((fields.map(f =>
-        if (have(f.name)) col(f.name)
+        // cast normalizes change files written before a widening commit
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)) :+
         ct.fold(col(ChangeTypeCol))(lit(_).as(ChangeTypeCol))): _*)
         .withColumn(CommitVersionCol, lit(v))
@@ -3019,8 +3105,10 @@ object ManifestTable {
       if (df.columns.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(baseFields))
+      // cast-to-base normalizes pre-widening narrow files so the
+      // multiset diffs (exceptAll) type-align across a widening commit
       else df.select(baseFields.map(f =>
-        if (have(f.name)) col(f.name)
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)): _*)
     }
     def tag(df: DataFrame, ct: String, v: Long): DataFrame =
@@ -3045,7 +3133,7 @@ object ManifestTable {
             new Path(p, d.cdcDir.get).toString)
           val have = df.columns.toSet
           Seq(df.select((baseFields.map(f =>
-            if (have(f.name)) col(f.name)
+            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)) :+
             col(ChangeTypeCol)): _*)
             .withColumn(CommitVersionCol, lit(v)))
@@ -3507,6 +3595,89 @@ object ManifestTable {
     raceLost(table, currentVersion(spark, table) + 1)
   }
 
+  /** Commit a DYNAMIC PARTITION OVERWRITE: the staged files (already
+    * written under the table's `data/` by the V2 batch writer —
+    * [[org.apache.spark.sql.GraftTableV2]]'s `BatchWrite`, the
+    * write-then-publish half of the protocol) atomically REPLACE every
+    * live file in exactly the Hive-partition directories the staged
+    * files touch (VERDICT r14 #2: `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`, `writeTo(t).overwritePartitions()`
+    * — the everyday backfill: "overwrite whatever partitions this
+    * batch touches"). On an unpartitioned table this is a full
+    * overwrite (the Delta/Hive contract). One delta commit
+    * (remove = files in touched partitions, add = staged), optimistic
+    * CAS loop, constraints verified against the immutable staged files
+    * BEFORE publishing, CDC (replaced rows as deletes, staged rows as
+    * inserts) when the feed is on. Untouched partitions — files, DVs,
+    * stats — ride through unchanged; at 100 TB the commit is
+    * O(files in touched partitions), never O(table).
+    */
+  def commitDynamicOverwrite(spark: SparkSession, table: String,
+      staged: Seq[String], maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.lit
+    val (fs, p) = fsOf(spark, table)
+    // partition fragment of a rel path (`data/sX/a=1/b=2/f.parquet` →
+    // `a=1/b=2`; unpartitioned → "")
+    def fragOf(rel: String): String = {
+      val segs = rel.split("/")
+      segs.drop(2).dropRight(1).mkString("/")
+    }
+    if (staged.isEmpty)
+      // zero input rows touch zero partitions: nothing replaced, no
+      // commit (the Hive/Delta dynamic-overwrite contract)
+      return currentVersion(spark, table)
+    val touched = staged.map(fragOf).distinct.toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      require(!recordedSchema(m).exists(columnMapped),
+        s"dynamic partition overwrite on column-mapped $table is not " +
+          "supported — the V2 writer stages logical-named files; use " +
+          "replaceWhere")
+      val snap = resolve(spark, fs, p, base, cs)
+      val parts = m.map(_.parts).getOrElse(Seq.empty)
+      val remove =
+        if (parts.isEmpty) snap.files // unpartitioned: full overwrite
+        else snap.files.filter(f => touched.contains(fragOf(f)))
+      val props = m.map(_.props).getOrElse(Map.empty)
+      // staged files are immutable — the checked rows ARE the
+      // committed rows, no pin needed
+      enforceConstraints(readFiles(spark, table, staged, Map.empty),
+        props, table, pin = false): Unit
+      val cdc =
+        if (!changeFeedOn(m)) None
+        else {
+          val dels =
+            if (remove.isEmpty) None
+            else Some(readFiles(spark, table, remove, snap.dvs,
+              mapping = mappingOf(m))
+              .withColumn(ChangeTypeCol, lit("delete")))
+          val ins = readFiles(spark, table, staged, Map.empty)
+            .withColumn(ChangeTypeCol, lit("insert"))
+          Some(writeChangeDir(spark, p, base + 1,
+            dels.fold(ins)(_.unionByName(ins, allowMissingColumns = true))))
+        }
+      if (commitDelta(fs, p, base + 1, staged,
+        m.map(_.txns).getOrElse(Map.empty),
+        collectStats(spark, p, staged, props),
+        remove = remove, parts = parts,
+        schemaJson = m.flatMap(_.schemaJson),
+        props = props,
+        cdcDir = cdc,
+        op = opInfo(m, "dynamic-overwrite",
+          "partitions" -> touched.size.toString,
+          "replacedFiles" -> remove.size.toString))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
   /** Row-level DELETE, MERGE-ON-READ (deletion vectors): remove the
     * rows matching `predicate` WITHOUT rewriting any data file — the
     * commit writes a parquet SIDECAR of (file, row-index) pairs under
@@ -3709,6 +3880,48 @@ object ManifestTable {
       props = m.map(_.props).getOrElse(Map.empty),
       op = opInfo(m, "add-columns",
         "columns" -> columns.fieldNames.mkString(","))))
+      raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
+    base + 1
+  }
+
+  /** WIDEN a column's type without touching any data file (the
+    * `ALTER TABLE ... ALTER COLUMN ... TYPE` unit, VERDICT r14 #4):
+    * the new type must be losslessly wider along [[widerOf]]'s
+    * lattice (int→long, float→double, decimal growth) — one zero-file
+    * schema commit; existing files keep their narrow physical data and
+    * every reader casts up at the read funnel. NARROWING (or any other
+    * change) still refuses: values could overflow, and readers would
+    * have to fail row-by-row. Old versions time-travel under their own
+    * recorded type.
+    */
+  def widenColumnType(spark: SparkSession, table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types.StructType
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0, s"no committed version in $table")
+    val m = manifestAt(fs, p, base)
+    val cur = recordedSchema(m).getOrElse(throw new IllegalStateException(
+      s"$table predates schema-on-commit — rewrite it via write() first"))
+    val f = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column '$name' in $table (have: ${cur.fieldNames.mkString(", ")})"))
+    if (f.dataType == newType) return base // no-op
+    require(widerOf(f.dataType, newType).contains(newType),
+      s"ALTER COLUMN '$name' TYPE ${newType.sql}: not a lossless widening " +
+        s"of ${f.dataType.sql} (graft widens byte→short→int→long, " +
+        "float→double, and decimal growth; other changes need a rewrite " +
+        "via write())")
+    val evolved = StructType(cur.fields.map(c =>
+      if (c.name == name) c.copy(dataType = newType) else c))
+    if (!commitDelta(fs, p, base + 1, Seq.empty,
+      m.map(_.txns).getOrElse(Map.empty),
+      parts = m.map(_.parts).getOrElse(Seq.empty),
+      schemaJson = Some(evolved.json),
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo(m, "widen-column",
+        "column" -> name, "type" -> newType.sql)))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1

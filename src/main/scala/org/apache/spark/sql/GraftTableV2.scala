@@ -135,7 +135,8 @@ object GraftTableV2 {
     override def capabilities(): JSet[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.OVERWRITE_BY_FILTER)
+        TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       // readerFeatures gate AT SCAN TIME, not load time: a DV-bearing
@@ -194,12 +195,19 @@ object GraftTableV2 {
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate
-          with connector.write.SupportsOverwrite {
+          with connector.write.SupportsOverwrite
+          with connector.write.SupportsDynamicOverwrite {
         private var overwrite = false
         // Some(cond): predicate-scoped overwrite (static-partition
         // INSERT OVERWRITE, df.writeTo(...).overwrite(cond)) — the
         // atomic replaceWhere commit
         private var overwriteCond: Option[Column] = None
+        // dynamic partition overwrite: needs the REAL V2 BatchWrite
+        // (no V1 fallback exec exists for OverwritePartitionsDynamic)
+        private var dynamic = false
+        override def overwriteDynamicPartitions(): WriteBuilder = {
+          dynamic = true; this
+        }
         override def truncate(): WriteBuilder = { overwrite = true; this }
         override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
           import org.apache.spark.sql.functions.lit
@@ -217,25 +225,226 @@ object GraftTableV2 {
           }
           this
         }
-        override def build(): Write = new V1Write {
-          override def toInsertableRelation: InsertableRelation =
-            new InsertableRelation {
-              override def insert(data: Dataset[Row], legacyOverwrite: Boolean): Unit = {
-                val spark = data.sparkSession
-                overwriteCond match {
-                  case Some(cond) =>
-                    ManifestTable.replaceWhere(spark, data.toDF(),
-                      tablePath, cond): Unit
-                  case None if overwrite =>
-                    ManifestTable.write(spark, data.toDF(), tablePath,
-                      partCols): Unit
-                  case None =>
-                    ManifestTable.append(spark, data.toDF(), tablePath): Unit
+        override def build(): Write =
+          if (dynamic)
+            new GraftDynamicOverwriteWrite(info, tablePath, partCols)
+          else new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: Dataset[Row], legacyOverwrite: Boolean): Unit = {
+                  val spark = data.sparkSession
+                  overwriteCond match {
+                    case Some(cond) =>
+                      ManifestTable.replaceWhere(spark, data.toDF(),
+                        tablePath, cond): Unit
+                    case None if overwrite =>
+                      ManifestTable.write(spark, data.toDF(), tablePath,
+                        partCols): Unit
+                    case None =>
+                      ManifestTable.append(spark, data.toDF(), tablePath): Unit
+                  }
                 }
               }
-            }
+          }
+      }
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE as a REAL V2 [[Write]] (VERDICT r14
+    * #2): `OverwritePartitionsDynamic` has no V1-fallback exec, so
+    * `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` and
+    * `df.writeTo(t).overwritePartitions()` need a genuine
+    * [[connector.write.BatchWrite]]. The design rides the manifest
+    * protocol's write-then-publish invariant: executor tasks write
+    * partitioned parquet DIRECTLY into a fresh staging snapshot dir
+    * (`data/sdyn-*` — no commit protocol, no renames: files are
+    * invisible until a manifest references them, and orphans from
+    * failed tasks are exactly the lost-race debris vacuum already
+    * sweeps), then ONE driver-side CAS commit swaps exactly the
+    * touched partitions ([[ManifestTable.commitDynamicOverwrite]]).
+    *
+    * Scale posture: [[connector.write.RequiresDistributionAndOrdering]]
+    * asks Spark to CLUSTER and SORT the incoming rows by the partition
+    * columns — each partition value lands in one task, each task holds
+    * ONE open parquet writer at a time (no small-file explosion, no
+    * per-task writer map at 10k partitions), and the shuffle is the
+    * only data movement. The parquet encoding itself is Spark's own
+    * [[execution.datasources.parquet.ParquetFileFormat]] writer
+    * (vectorized-compatible output, session compression/timestamp
+    * settings honored via `prepareWrite`).
+    */
+  final class GraftDynamicOverwriteWrite(info: LogicalWriteInfo,
+      tablePath: String, partCols: Seq[String])
+    extends Write with connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+    override def requiredDistribution(): connector.distributions.Distribution =
+      if (partCols.isEmpty) connector.distributions.Distributions.unspecified()
+      else connector.distributions.Distributions.clustered(
+        partCols.map(c => Expressions.column(c): connector.expressions.Expression)
+          .toArray)
+
+    override def requiredOrdering(): Array[connector.expressions.SortOrder] =
+      partCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+        .toArray
+
+    override def toBatch: connector.write.BatchWrite = {
+      val cs = SparkSession.active.asInstanceOf[classic.SparkSession]
+      val rowSchema = info.schema()
+      val missing = partCols.filterNot(rowSchema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"dynamic overwrite input lacks partition column(s) " +
+          s"${missing.mkString(", ")}")
+      val dataSchema = StructType(
+        rowSchema.fields.filterNot(f => partCols.contains(f.name)))
+      val stagingRel =
+        "data/sdyn-" + java.util.UUID.randomUUID().toString.take(12)
+      val hadoopConf = cs.sessionState.newHadoopConf()
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(hadoopConf)
+      fs.mkdirs(new Path(root, stagingRel))
+      // prepareWrite configures the job conf (write support, schema,
+      // compression, timestamp type) — ship THAT conf to the tasks
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(hadoopConf)
+      val owf = new execution.datasources.parquet.ParquetFileFormat()
+        .prepareWrite(cs, job, Map.empty, dataSchema)
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        job.getConfiguration)
+      val zone = cs.sessionState.conf.sessionLocalTimeZone
+      new connector.write.BatchWrite {
+        override def createBatchWriterFactory(
+            pInfo: connector.write.PhysicalWriteInfo)
+            : connector.write.DataWriterFactory =
+          new GraftDynamicWriterFactory(tablePath, stagingRel, rowSchema,
+            partCols, owf, serConf, zone)
+        override def commit(
+            messages: Array[connector.write.WriterCommitMessage]): Unit = {
+          val staged = messages.toSeq.collect {
+            case GraftTaskFiles(fs) => fs
+          }.flatten
+          ManifestTable.commitDynamicOverwrite(SparkSession.active,
+            tablePath, staged): Unit
+        }
+        override def abort(
+            messages: Array[connector.write.WriterCommitMessage]): Unit = {
+          // staged files were never published — drop the whole dir
+          fs.delete(new Path(root, stagingRel), true): Unit
         }
       }
+    }
+  }
+
+  /** The rel paths one task staged (its WriterCommitMessage). */
+  final case class GraftTaskFiles(files: Seq[String])
+    extends connector.write.WriterCommitMessage
+
+  /** Serializable factory for the executor-side partitioned writers. */
+  final class GraftDynamicWriterFactory(tableRoot: String,
+      stagingRel: String, rowSchema: StructType, partCols: Seq[String],
+      owf: execution.datasources.OutputWriterFactory,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      zoneId: String) extends connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : connector.write.DataWriter[catalyst.InternalRow] =
+      new GraftDynamicWriter(tableRoot, stagingRel, rowSchema, partCols,
+        owf, conf, zoneId, partitionId, taskId)
+  }
+
+  /** One task's writer: rows arrive clustered AND sorted by the
+    * partition columns (the Write's required ordering), so a single
+    * open [[execution.datasources.OutputWriter]] suffices — when the
+    * partition fragment changes, close and open the next. Every opened
+    * file gets a task-unique name, so speculative/retried attempts can
+    * never collide; their unreferenced output is vacuum debris, not
+    * corruption. Hive fragments are rendered with Spark's own
+    * escaping + null encoding
+    * ([[org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils]]),
+    * and the value strings via session-zone casts — byte-identical to
+    * what `df.write.partitionBy` produces, so the manifest's partition
+    * parsing and pruning see one dialect.
+    */
+  final class GraftDynamicWriter(tableRoot: String, stagingRel: String,
+      rowSchema: StructType, partCols: Seq[String],
+      owf: execution.datasources.OutputWriterFactory,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      zoneId: String, partitionId: Int, taskId: Long)
+    extends connector.write.DataWriter[catalyst.InternalRow] {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+
+    private val allAttrs = DataTypeUtils.toAttributes(rowSchema)
+    private val byName = allAttrs.map(a => a.name -> a).toMap
+    private val dataAttrs = allAttrs.filterNot(a => partCols.contains(a.name))
+    private val dataSchema = StructType(
+      rowSchema.fields.filterNot(f => partCols.contains(f.name)))
+    private val dataProj = UnsafeProjection.create(dataAttrs, allAttrs)
+    // partition values rendered exactly as Spark renders Hive dirs:
+    // cast-to-string in the session zone, null → DEFAULT_PARTITION_NAME
+    private val partProj =
+      if (partCols.isEmpty) null
+      else UnsafeProjection.create(
+        partCols.map(c => Cast(byName(c), types.StringType, Option(zoneId))),
+        allAttrs)
+
+    private val ctx = {
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+      import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+      new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID(new TaskID(new JobID("graft-dyn", 0),
+          TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
+    }
+    private val ext = owf.getFileExtension(ctx)
+
+    private var curFrag: String = null
+    private var cur: execution.datasources.OutputWriter = null
+    private var opened = 0
+    private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    private def fragOf(row: InternalRow): String = {
+      if (partCols.isEmpty) return ""
+      val p = partProj(row)
+      partCols.indices.map { i =>
+        val v = if (p.isNullAt(i)) null else p.getUTF8String(i).toString
+        ExternalCatalogUtils.getPartitionPathString(partCols(i),
+          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME else v)
+      }.mkString("/")
+    }
+
+    private def closeCur(): Unit =
+      if (cur != null) { cur.close(); cur = null }
+
+    private def open(frag: String): Unit = {
+      val name = f"part-$partitionId%05d-$taskId-$opened%04d$ext"
+      opened += 1
+      val rel =
+        if (frag.isEmpty) s"$stagingRel/$name" else s"$stagingRel/$frag/$name"
+      cur = owf.newInstance(
+        new Path(tableRoot, rel).toString, dataSchema, ctx)
+      curFrag = frag
+      written += rel: Unit
+    }
+
+    override def write(row: InternalRow): Unit = {
+      val frag = fragOf(row)
+      if (cur == null || frag != curFrag) { closeCur(); open(frag) }
+      cur.write(dataProj(row))
+    }
+
+    override def commit(): connector.write.WriterCommitMessage = {
+      closeCur()
+      GraftTaskFiles(written.toSeq)
+    }
+
+    override def abort(): Unit = {
+      closeCur()
+      val fs = new Path(tableRoot).getFileSystem(conf.value)
+      written.foreach(rel =>
+        fs.delete(new Path(tableRoot, rel), false): Unit)
+    }
+
+    override def close(): Unit = closeCur()
   }
 
   /** [[ParquetScanBuilder]] with ONE override: `build()` wraps the
