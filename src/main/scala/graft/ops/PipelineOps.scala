@@ -1711,6 +1711,85 @@ object PipelineOps {
       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       |FROM swapped
       |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+  private val p37Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p37: DYNAMIC PARTITION OVERWRITE (VERDICT r14 next-round #2) —
+    * the everyday backfill form: "overwrite whatever partitions this
+    * batch touches". Driven end-to-end through SQL text on a
+    * registered catalog: CTAS loads the corpus partitioned by
+    * `bkt = doc_id % 4`, then under
+    * `partitionOverwriteMode=dynamic` one `INSERT OVERWRITE` carries a
+    * recomputed batch touching ONLY partitions 0 and 1 (the
+    * `doc_id % 10 < 5` half of them, +1000 chars) — those two
+    * partitions are atomically replaced in a
+    * single commit (the V2 `BatchWrite` → `commitDynamicOverwrite`
+    * swap) while partitions 2 and 3 ride through file-identical
+    * (CatalogSpec pins the byte-identity; at 100 TB the commit is
+    * O(files in touched partitions), never O(table)). The oracle
+    * reconstructs the swap with set algebra, so a hash match proves
+    * the replace hit exactly the declared partitions: a row wrongly
+    * surviving in bkt 0/1 or wrongly dropped from bkt 2/3 would shift
+    * the census.
+    */
+  def p37DynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val inv = p37Invocation.incrementAndGet()
+    val cat = s"p37lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p37_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("p37_docs")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(
+      s"""CREATE TABLE $cat.corpus.docs
+         |(doc_id BIGINT, lang STRING, n_chars BIGINT, bkt BIGINT)
+         |PARTITIONED BY (bkt)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.corpus.docs
+         |SELECT doc_id, lang, n_chars, doc_id % 4 AS bkt
+         |FROM p37_docs""".stripMargin)
+    val prev =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // the backfill batch: recomputed rows for partitions 0 and 1 only
+      // — and only the doc_id%10<5 SUBSET of them, so a hash match
+      // proves full replacement (the %10>=5 originals of bkt 0/1 must
+      // vanish), not a merge
+      spark.sql(
+        s"""INSERT OVERWRITE $cat.corpus.docs
+           |SELECT doc_id, lang, n_chars + 1000, doc_id % 4 AS bkt
+           |FROM p37_docs WHERE doc_id % 4 <= 1 AND doc_id % 10 < 5""".stripMargin)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM $cat.corpus.docs
+         |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin)
+  }
+
+  val p37Sql: String =
+    """WITH swapped AS (
+      |  SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+      |  WHERE doc_id % 4 <= 1 AND doc_id % 10 < 5
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 4 > 1)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM swapped
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   private val p38Invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** p38: zero-rewrite TYPE WIDENING (VERDICT r14 #4) — the

@@ -133,7 +133,13 @@ object GraftTableV2 {
     }
 
     override def capabilities(): JSet[TableCapability] =
+      // BATCH_WRITE rides alongside V1_BATCH_WRITE: append/overwrite
+      // writes still build a V1Write (the V1Writes rule keys on the
+      // BUILT Write's type, not the capability), while dynamic
+      // overwrite builds the real V2 BatchWrite the strict
+      // TableCapabilityCheck (BATCH_WRITE && OVERWRITE_DYNAMIC) demands
       java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.OVERWRITE_BY_FILTER,
         TableCapability.OVERWRITE_DYNAMIC)

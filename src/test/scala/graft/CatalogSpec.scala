@@ -653,6 +653,72 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 5)
   }
 
+  test("dynamic partition overwrite: only touched partitions swap, identity pinned") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.dyn (id BIGINT, v STRING, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.db.dyn VALUES " +
+      "(1,'a','x'), (2,'b','x'), (3,'c','y'), (4,'d','z')")
+    val t = s"$wh/db/dyn"
+    def filesByPart(): Map[String, Set[String]] =
+      ManifestTable.currentFiles(spark, t).toSeq
+        .groupBy(f => f.split("/").dropRight(1).last).map {
+          case (k, v) => k -> v.toSet
+        }
+    val before = filesByPart()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // the batch touches p=x and p=w only: p=y / p=z must survive
+      // BYTE-IDENTICALLY (same files — the partition-identity pin)
+      spark.sql(s"INSERT OVERWRITE $cat.db.dyn VALUES " +
+        "(10,'A','x'), (11,'B','x'), (12,'W','w')")
+      val after = filesByPart()
+      assert(after("p=y") == before("p=y") && after("p=z") == before("p=z"),
+        s"untouched partitions must keep their exact files:\n$before\n$after")
+      assert((after("p=x") & before("p=x")).isEmpty,
+        "the touched partition must be fully replaced")
+      val got = spark.sql(s"SELECT id, v, p FROM $cat.db.dyn ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(got == Seq((3L, "c", "y"), (4L, "d", "z"), (10L, "A", "x"),
+        (11L, "B", "x"), (12L, "W", "w")), s"got: $got")
+      // one ATOMIC commit: version advanced by exactly 1 and history
+      // records the dynamic overwrite with its partition count
+      val op = ManifestTable.history(spark, t)
+        .orderBy(col("version").desc).head()
+      assert(op.getAs[String]("operation") == "dynamic-overwrite",
+        s"got: $op")
+      // writeTo(...).overwritePartitions() — the DataFrame API route
+      import spark.implicits._
+      Seq((20L, "Z", "z")).toDF("id", "v", "p")
+        .writeTo(s"$cat.db.dyn").overwritePartitions()
+      val got2 = spark.sql(
+        s"SELECT id FROM $cat.db.dyn WHERE p = 'z'").collect()
+        .map(_.getLong(0)).toSeq
+      assert(got2 == Seq(20L), s"got: $got2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.dyn")
+        .head().getLong(0) == 5)
+      // null partition values round-trip through the Hive default dir
+      Seq((30L, "N", null.asInstanceOf[String])).toDF("id", "v", "p")
+        .writeTo(s"$cat.db.dyn").overwritePartitions()
+      assert(spark.sql(s"SELECT id FROM $cat.db.dyn WHERE p IS NULL")
+        .collect().map(_.getLong(0)).toSeq == Seq(30L))
+      // unpartitioned table: dynamic overwrite = full overwrite (the
+      // Hive/Delta contract)
+      spark.sql(s"CREATE TABLE $cat.db.flat (id BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.flat VALUES (1), (2)")
+      spark.sql(s"INSERT OVERWRITE $cat.db.flat VALUES (9)")
+      assert(spark.sql(s"SELECT id FROM $cat.db.flat").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("CALL system.compact cluster_by: OPTIMIZE ZORDER from SQL") {
     import spark.implicits._
     val (cat, wh) = freshCatalog()
