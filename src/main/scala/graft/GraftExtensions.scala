@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog table plans as the native scan's anti-join instead of
     // hitting the readerFeatures refusal
     ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftDvReadRule)
+    // readStream.table("lake.ns.t"): route the V2 streaming relation
+    // to the engine's V1 source (the dsv1-behind-dsv2 fallback slot)
+    ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftNamedStreamRule)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((

@@ -1570,6 +1570,78 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  /** Exactly-once publish of STAGED files as streaming micro-batch
+    * `batchId` of app `txnAppId` — the V2-streaming half of
+    * [[appendStreamBatch]] (VERDICT r14 #3: `writeStream.toTable`).
+    * The data was already written by executor tasks straight into a
+    * fresh snapshot dir (the write-then-publish invariant:
+    * unreferenced files are invisible), so the driver's job here is
+    * ONLY the watermark-guarded commit: a replayed epoch whose id the
+    * app's watermark already covers publishes nothing and its staged
+    * files are deleted (they were never referenced — same-path
+    * cleanup vacuum would otherwise sweep). The optimistic CAS loop
+    * REUSES the staged files across attempts; at 100 TB the commit is
+    * O(staged files), never O(table).
+    *
+    * `writeSchema` is the streaming query's output schema: it
+    * evolves the recorded schema exactly as [[append]] does (new
+    * columns append, lossless widening widens, conflicts refuse
+    * BEFORE publishing — the staged files just become vacuum debris).
+    */
+  def commitStreamedFiles(spark: SparkSession, table: String,
+      staged: Seq[String], batchId: Long, txnAppId: String,
+      writeSchema: org.apache.spark.sql.types.StructType): Long = {
+    val (fs, p) = fsOf(spark, table)
+    def sweep(): Unit =
+      staged.foreach(rel => fs.delete(new Path(p, rel), false): Unit)
+    var attempts = 0
+    while (true) {
+      val base = currentVersion(spark, table)
+      val m = manifestAt(fs, p, base)
+      val txns = m.map(_.txns).getOrElse(Map.empty)
+      if (txns.get(txnAppId).exists(_ >= batchId)) { sweep(); return base }
+      if (staged.isEmpty) return base // empty epoch: nothing to publish
+      require(!recordedSchema(m).exists(columnMapped),
+        s"streaming write into column-mapped $table is not supported " +
+          "via the V2 table sink — the tasks stage logical-named " +
+          "files; stream through foreachBatch + appendStreamBatch")
+      val parts = m.map(_.parts).getOrElse(Seq.empty)
+      // the tasks rendered Hive fragments for the partitioning the
+      // TABLE declared at stream start; a concurrent layout change
+      // (write() re-partitioning the table mid-stream) would make the
+      // staged dirs lie about their partition values — refuse loudly
+      // rather than publish a mis-partitioned commit
+      val stagedKeys = staged.head.split("/").drop(2).dropRight(1)
+        .map(_.split("=", 2).head).toSeq
+      require(stagedKeys == parts,
+        s"staged files carry partition layout [${stagedKeys.mkString(",")}] " +
+          s"but $table now records [${parts.mkString(",")}] — the table " +
+          "was re-partitioned mid-stream; restart the streaming query")
+      val props = m.map(_.props).getOrElse(Map.empty)
+      val evolved = stampNewFields(
+        enforceSchema(recordedSchema(m), writeSchema, table), active = false)
+      // staged files are immutable — the checked rows ARE the
+      // committed rows, no pin needed
+      enforceConstraints(readFiles(spark, table, staged, Map.empty),
+        props, table, pin = false): Unit
+      if (commitDelta(fs, p, base + 1, staged, txns + (txnAppId -> batchId),
+        collectStats(spark, p, staged, props), parts = parts,
+        schemaJson = Some(evolved.json), props = props,
+        op = opInfo(m, "streaming-append", "txnAppId" -> txnAppId,
+          "batchId" -> batchId.toString,
+          "files" -> staged.size.toString))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempts += 1
+      if (attempts >= 50)
+        throw new java.io.IOException(
+          s"commitStreamedFiles: lost the commit race $attempts times " +
+            s"on $table — livelock or misconfigured concurrent writers")
+    }
+    -1L // unreachable
+  }
+
   /** Drive an append-mode stream into a manifest table: foreachBatch +
     * [[appendStreamBatch]] — the composition that makes the manifest
     * log a Structured Streaming exactly-once sink. The transaction app
