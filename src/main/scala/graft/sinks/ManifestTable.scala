@@ -2858,25 +2858,47 @@ object ManifestTable {
   private[graft] def streamBatch(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     val (fs, p) = fsOf(spark, table)
-    val (_, cs) = listLog(fs, p)
     val files =
-      if (fromVersion == 0) resolveFiles(spark, fs, p, toVersion, cs)
+      if (fromVersion == 0) resolveFiles(spark, fs, p, toVersion,
+        listLog(fs, p)._2)
       else appendAddsBetween(fs, p, table, fromVersion, toVersion) match {
         case Right(adds) => adds
-        case Left(rewriteAt) => throw new IllegalStateException(
-          s"streamed range ($fromVersion, $toVersion] of $table contains " +
-            s"a rewrite commit (v$rewriteAt: delete/merge/overwrite) a " +
-            "file-additions stream cannot express — restart the stream " +
-            "from a fresh checkpoint to re-snapshot the table, or gate " +
-            "rewrites to quiesced windows (compactions are skipped).")
+        case Left(rewriteAt) => throw streamRewriteError(
+          table, fromVersion, toVersion, rewriteAt)
       }
-    val m = manifestAt(fs, p, toVersion)
+    streamFilesBatch(spark, table, files, toVersion,
+      snapshot = fromVersion == 0)
+  }
+
+  private[graft] def streamRewriteError(table: String, fromVersion: Long,
+      toVersion: Long, rewriteAt: Long): IllegalStateException =
+    new IllegalStateException(
+      s"streamed range ($fromVersion, $toVersion] of $table contains " +
+        s"a rewrite commit (v$rewriteAt: delete/merge/overwrite) a " +
+        "file-additions stream cannot express — restart the stream " +
+        "from a fresh checkpoint to re-snapshot the table, or gate " +
+        "rewrites to quiesced windows (compactions are skipped).")
+
+  /** Plan one streaming micro-batch over an EXPLICIT file subset —
+    * the delivery half [[streamBatch]] and the file/byte-granular
+    * admission path ([[addsWithSizes]] / [[snapshotFilesWithSizes]])
+    * share: schema pinned to `atVersion`'s manifest, column-mapping
+    * projection, and — for snapshot deliveries — the DV anti-join
+    * (applying the FULL snapshot DV set to a subset is exact: DV rows
+    * for undelivered files simply never match).
+    */
+  private[graft] def streamFilesBatch(spark: SparkSession, table: String,
+      files: Seq[String], atVersion: Long, snapshot: Boolean): DataFrame = {
+    val (fs, p) = fsOf(spark, table)
+    val m = manifestAt(fs, p, atVersion)
     val parts = m.map(_.parts).getOrElse(Seq.empty)
     // the snapshot's stats map also covers range-scoped files (stats
     // ride adds); files later removed by a compaction in the range
     // still resolve statuses from their immutable snapshot dirs
     val snap0 =
-      if (fromVersion == 0) Some(resolve(spark, fs, p, toVersion, cs)) else None
+      if (snapshot)
+        Some(resolve(spark, fs, p, atVersion, listLog(fs, p)._2))
+      else None
     val stats: Map[String, FileStats] =
       snap0.map(_.stats).getOrElse(Map.empty)
     val recorded = recordedSchema(m)
@@ -2904,6 +2926,57 @@ object ManifestTable {
       dv.select(ms.fields.toIndexedSeq.map(f =>
         col(physicalOf(f)).as(f.name)): _*)
     }
+  }
+
+  /** The snapshot at `version` as a DETERMINISTICALLY ORDERED file
+    * list with manifest-recorded sizes — the unit the file/byte-
+    * granular streaming admission indexes into. The order (rel-path
+    * sort) must be reproducible across restarts and source instances:
+    * a checkpointed mid-snapshot offset `(version, i)` is a position
+    * in exactly this list.
+    */
+  private[graft] def snapshotFilesWithSizes(spark: SparkSession,
+      table: String, version: Long): Seq[(String, Long)] = {
+    val (fs, p) = fsOf(spark, table)
+    val snap = resolve(spark, fs, p, version, listLog(fs, p)._2)
+    snap.files.sorted.map(f =>
+      f -> snap.stats.get(f).map(_.bytes).getOrElse(0L))
+  }
+
+  /** Per-version ordered ADDS with manifest-recorded sizes for
+    * `(from, to]` — the incremental unit of file/byte-granular
+    * admission. Intra-version order is the manifest's own add-list
+    * order (persisted, hence restart-stable). Compactions and
+    * metadata commits contribute an EMPTY list (they must still
+    * advance the offset); a rewrite commit returns `Left(version)` —
+    * the walk admits everything before it and the delivery of the
+    * rewrite itself fails with [[streamRewriteError]].
+    */
+  private[graft] def addsWithSizes(spark: SparkSession, table: String,
+      from: Long, to: Long): Either[Long, Seq[(Long, Seq[(String, Long)])]] = {
+    val (fs, p) = fsOf(spark, table)
+    val out = Seq.newBuilder[(Long, Seq[(String, Long)])]
+    var v = from + 1
+    while (v <= to) {
+      val mv =
+        try readManifest(fs, p, v)
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"streamed range of $table is behind the vacuumed log " +
+              s"prefix (v$v unreadable) — exactly-once delivery cannot " +
+              "be reconstructed; restart from a fresh checkpoint", e)
+        }
+      mv match {
+        case d: Delta if d.remove.isEmpty && d.dvs.isEmpty && d.dataChange =>
+          out += v -> d.add.map(f =>
+            f -> mv.stats.get(f).map(_.bytes).getOrElse(0L))
+        case other if !other.dataChange =>
+          out += v -> Seq.empty // compaction: same rows, advance only
+        case _ => return Left(v) // delete/merge/DV rewrite or overwrite
+      }
+      v += 1
+    }
+    Right(out.result())
   }
 
   /** One CDC STREAMING micro-batch: the row-level changes of

@@ -26,13 +26,17 @@ import graft.sinks.ManifestTable
   *    stream loudly (a file-additions stream cannot express removals;
   *    restart from a fresh checkpoint to re-snapshot);
   *  - `maxVersionsPerTrigger` bounds admission per micro-batch (the
-  *    rate-limit knob); an idle trigger admits nothing and emits
+  *    rate-limit knob); `maxFilesPerTrigger` / `maxBytesPerTrigger`
+  *    bound it at FILE/BYTE granularity, splitting WITHIN a version
+  *    (the initial snapshot included) with restart-exact mid-version
+  *    offsets — one huge backfill commit no longer admits unbounded
+  *    data per trigger; an idle trigger admits nothing and emits
   *    nothing.
   *
   * At 100 TB the tailing job does O(appended-files) work per trigger —
   * the table's size never enters the read path. Options:
-  * `path` (table root, required), `maxVersionsPerTrigger`
-  * (default unlimited).
+  * `path` (table root, required), `maxVersionsPerTrigger`,
+  * `maxFilesPerTrigger`, `maxBytesPerTrigger` (all default unlimited).
   *
   * Batch reads work too: `spark.read.format("graft").load(path)` is
   * the statistics-pruning native scan ([[ManifestTable.scan]]).
@@ -94,13 +98,24 @@ class GraftManifestSourceProvider extends StreamSourceProvider
         tablePath(parameters),
         ManifestTable.parseTimestampMillis(sqlContext.sparkSession, ts))
     }
+    // file/byte-granular admission (VERDICT r14 #7): split WITHIN a
+    // version (snapshot included) while keeping offset exactness.
+    // maxBytesPerTrigger accepts size strings ("64m") like the file
+    // sources; both must be positive.
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toLong)
+    val maxBytes = parameters.get("maxBytesPerTrigger")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+    require(maxFiles.forall(_ > 0), "maxFilesPerTrigger must be positive")
+    require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
     new GraftManifestSource(sqlContext.sparkSession,
       tablePath(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
       fromTs.orElse(parameters.get("startingVersion").map(_.toLong))
         .getOrElse(0L),
-      changeFeed = isChangeFeed(parameters))
+      changeFeed = isChangeFeed(parameters),
+      maxFilesPerTrigger = maxFiles,
+      maxBytesPerTrigger = maxBytes)
   }
 
   /** `df.writeStream.format("graft")` — the sink half of the
@@ -175,9 +190,35 @@ class GraftManifestSourceProvider extends StreamSourceProvider
   }
 }
 
-/** One version-offset of the manifest log. */
-final case class GraftVersionOffset(version: Long) extends Offset {
-  override def json: String = version.toString
+/** One position in the streamed file sequence. The WHOLE-VERSION
+  * boundary form (`index < 0`) serializes as the plain version number
+  * — byte-identical to every pre-r15 checkpoint, so existing streams
+  * restart unchanged. File/byte-granular admission (VERDICT r14 #7)
+  * adds MID-VERSION positions: `(version, index, snap)` = "the first
+  * `index` files of `version`'s unit are delivered", where the unit
+  * is the pinned initial snapshot's sorted file list (`snap = true`)
+  * or the version's manifest add list (`snap = false`) — both
+  * persisted/deterministic orders, so a checkpointed mid-version
+  * offset resolves to the same files on any restart.
+  */
+final case class GraftVersionOffset(version: Long, index: Long = -1L,
+    snap: Boolean = false) extends Offset {
+  override def json: String =
+    if (index < 0) version.toString
+    else s"""{"v":$version,"i":$index,"s":${if (snap) 1 else 0}}"""
+  /** Total delivery order: a boundary sorts after any mid-version
+    * position of the same version.
+    */
+  def key: (Long, Long) = (version, if (index < 0) Long.MaxValue else index)
+}
+
+object GraftVersionOffset {
+  private val MidForm = """\{"v":(\d+),"i":(\d+),"s":([01])\}""".r
+  def parse(json: String): GraftVersionOffset = json.trim match {
+    case MidForm(v, i, s) => GraftVersionOffset(v.toLong, i.toLong, s == "1")
+    case plain => GraftVersionOffset(plain.toLong)
+  }
+  val ordering: Ordering[GraftVersionOffset] = Ordering.by(_.key)
 }
 
 /** The V1 streaming source (the Delta-source architecture: `getBatch`
@@ -188,69 +229,219 @@ final class GraftManifestSource(spark: SparkSession, table: String,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Int],
     startingVersion: Long = 0L,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
-  /** Highest version this source instance has offered, delivered or
-    * seen COMMITTED — ratchets admission forward under
-    * `maxVersionsPerTrigger`. NOT durable state: on restart the
-    * engine restores it through `getBatch` (a pending uncommitted
-    * batch) or [[commit]] (recovery of committed batches) before new
-    * offsets matter — without the commit hook, a rate-limited restart
-    * whose last batch committed would offer an offset BELOW the
-    * checkpoint and redeliver already-committed versions. Starts at
-    * `startingVersion`: `0` (the default) delivers the full current
-    * snapshot as the first batch; `N > 0` tails ONLY commits after
-    * version N — the "new appends only" production tail that skips
-    * the historical backfill (the Delta `startingVersion` knob);
-    * versions ≤ N are never admitted, even when the table has not
-    * reached N yet at stream start.
+  /** File/byte-granular admission (VERDICT r14 #7) splits WITHIN a
+    * version — including the initial snapshot, so one huge backfill
+    * commit no longer admits unbounded data per trigger (the
+    * Delta/file-source rate-limit contract). Offsets stay exact
+    * across restarts: mid-version positions index persisted,
+    * deterministic file orders ([[GraftVersionOffset]]).
     */
-  private var floor = math.max(0L, startingVersion)
+  private val fileGranular =
+    maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
+  require(!(fileGranular && changeFeed),
+    "maxFilesPerTrigger/maxBytesPerTrigger cannot combine with " +
+      "readChangeFeed — a CDC version is one atomic change set; rate " +
+      "limit the feed with maxVersionsPerTrigger")
 
-  private def versionOf(o: Offset): Long = o.json.toLong
+  /** Highest position this source instance has offered, delivered or
+    * seen COMMITTED — ratchets admission forward under the rate
+    * limits. NOT durable state: on restart the engine restores it
+    * through `getBatch` (a pending uncommitted batch) or [[commit]]
+    * (recovery of committed batches) before new offsets matter —
+    * without the commit hook, a rate-limited restart whose last batch
+    * committed would offer an offset BELOW the checkpoint and
+    * redeliver already-committed data. Starts at `startingVersion`:
+    * `0` (the default) delivers the current snapshot first; `N > 0`
+    * tails ONLY commits after version N — the "new appends only"
+    * production tail that skips the historical backfill (the Delta
+    * `startingVersion` knob); versions ≤ N are never admitted, even
+    * when the table has not reached N yet at stream start.
+    */
+  private var floor = GraftVersionOffset(math.max(0L, startingVersion))
+
+  private def ratchet(o: GraftVersionOffset): Unit =
+    if (GraftVersionOffset.ordering.gt(o, floor)) floor = o
+
+  /** The pinned snapshot file list mid-snapshot offsets index into —
+    * memoized per version (re-resolved identically on restart; the
+    * sort makes the order instance-independent).
+    */
+  private var snapMemo: (Long, IndexedSeq[(String, Long)]) = (-1L, null)
+  private def snapshotList(v: Long): IndexedSeq[(String, Long)] = {
+    if (snapMemo._1 != v)
+      snapMemo = v -> ManifestTable.snapshotFilesWithSizes(spark, table, v)
+        .toIndexedSeq
+    snapMemo._2
+  }
+
+  private def limitReached(files: Long, bytes: Long): Boolean =
+    maxFilesPerTrigger.exists(files >= _) ||
+      maxBytesPerTrigger.exists(bytes >= _)
 
   override def getOffset: Option[Offset] = synchronized {
     val current = ManifestTable.currentVersion(spark, table)
     // nothing yet: table absent, or the tail starts beyond the head
     if (current == 0 || current <= startingVersion) return None
-    val offered = maxVersionsPerTrigger match {
-      // the INITIAL SNAPSHOT is always delivered whole at the CURRENT
-      // version (Delta's initial-snapshot semantics): floor == 0 means
-      // this fresh stream's first batch resolves the snapshot, and
-      // rate-limiting it to floor+n would instead replay the log
-      // commit-by-commit from v1 — any historical rewrite commit would
-      // permanently wedge the stream, and a restart from a fresh
-      // checkpoint replays into the same rewrite (ADVICE r12). The
-      // limit applies to post-snapshot increments only. (On restart
-      // the engine restores `floor` through getBatch/commit before
-      // getOffset runs, so floor == 0 here really is a fresh stream;
-      // startingVersion > 0 tails increments from the start and rate
-      // limits from its very first batch.)
-      case Some(_) if floor == 0L => current
-      case Some(n) => math.min(current, floor + math.max(1, n))
-      case None => current
+    if (!fileGranular) {
+      val offered = maxVersionsPerTrigger match {
+        // the INITIAL SNAPSHOT is always delivered whole at the CURRENT
+        // version (Delta's initial-snapshot semantics): floor == 0 means
+        // this fresh stream's first batch resolves the snapshot, and
+        // rate-limiting it to floor+n would instead replay the log
+        // commit-by-commit from v1 — any historical rewrite commit would
+        // permanently wedge the stream, and a restart from a fresh
+        // checkpoint replays into the same rewrite (ADVICE r12). The
+        // limit applies to post-snapshot increments only. (On restart
+        // the engine restores `floor` through getBatch/commit before
+        // getOffset runs, so floor == 0 here really is a fresh stream;
+        // startingVersion > 0 tails increments from the start and rate
+        // limits from its very first batch.)
+        case Some(_) if floor.version == 0L => current
+        case Some(n) => math.min(current, floor.version + math.max(1, n))
+        case None => current
+      }
+      val o = GraftVersionOffset(offered)
+      ratchet(o)
+      return if (offered <= startingVersion) None else Some(o)
     }
-    floor = math.max(floor, offered)
-    if (offered <= startingVersion) None
-    else Some(GraftVersionOffset(offered))
+    val offered = nextFileGranular(current)
+    offered.foreach(ratchet)
+    offered
+  }
+
+  /** The file/byte-limited walk: continue the pinned snapshot if one
+    * is mid-delivery (or start it on a fresh stream), else admit
+    * whole-version adds until a limit trips mid-version. Always
+    * admits at least one file per trigger; versions with no adds
+    * (compactions, metadata) advance the boundary for free; a rewrite
+    * commit first drains everything before it, then gets offered as a
+    * bare boundary so delivery fails with the loud
+    * [[ManifestTable.streamRewriteError]] contract.
+    */
+  private def nextFileGranular(current: Long): Option[GraftVersionOffset] = {
+    // snapshot phase: fresh stream (nothing delivered, no tail start)
+    // or a checkpointed mid-snapshot position
+    if (floor.snap ||
+        (floor.version == 0L && floor.index < 0 && startingVersion == 0L)) {
+      val snapV = if (floor.snap) floor.version else current
+      val list = snapshotList(snapV)
+      val i0 = if (floor.snap) floor.index else 0L
+      if (i0 < list.size) {
+        var i = i0
+        var nf = 0L
+        var nb = 0L
+        while (i < list.size && !limitReached(nf, nb)) {
+          nb += list(i.toInt)._2; nf += 1; i += 1
+        }
+        return Some(
+          if (i >= list.size) GraftVersionOffset(snapV) // snapshot done
+          else GraftVersionOffset(snapV, i, snap = true))
+      }
+      // list exhausted exactly at floor: emit the boundary and tail on
+      if (floor.snap) return Some(GraftVersionOffset(floor.version))
+    }
+    // incremental phase: start within floor.version when mid-adds
+    val midAdds = !floor.snap && floor.index >= 0
+    val walkFrom = if (midAdds) floor.version - 1 else floor.version
+    val capped = maxVersionsPerTrigger
+      .map(n => math.min(current, floor.version + math.max(1, n)))
+      .getOrElse(current)
+    if (capped <= walkFrom) return None
+    val per = ManifestTable.addsWithSizes(spark, table, walkFrom,
+      capped) match {
+      case Right(s) => s
+      case Left(rw) =>
+        ManifestTable.addsWithSizes(spark, table, walkFrom, rw - 1) match {
+          case Right(s) if s.nonEmpty => s
+          // nothing deliverable before the rewrite: offer it as a
+          // boundary — getBatch throws the documented failure
+          case _ => return Some(GraftVersionOffset(rw))
+        }
+    }
+    var nf = 0L
+    var nb = 0L
+    var pos = floor
+    var vi = 0
+    while (vi < per.size) {
+      val (v, fs0) = per(vi)
+      val skip = if (midAdds && v == floor.version) floor.index else 0L
+      // a limit met at a version BOUNDARY stops there (never emit a
+      // zero-progress mid position of the next version)
+      if (limitReached(nf, nb) && fs0.size > skip)
+        return Some(pos).filter(GraftVersionOffset.ordering.gt(_, floor))
+      var i = skip
+      while (i < fs0.size) {
+        if (limitReached(nf, nb))
+          return Some(GraftVersionOffset(v, i, snap = false))
+        nb += fs0(i.toInt)._2; nf += 1; i += 1
+      }
+      pos = GraftVersionOffset(v) // version fully admitted
+      vi += 1
+    }
+    Some(pos).filter(GraftVersionOffset.ordering.gt(_, floor))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     synchronized {
-      val from = math.max(start.map(versionOf).getOrElse(0L), startingVersion)
-      val to = versionOf(end)
-      floor = math.max(floor, to) // restart: resume admission past `to`
+      val endO = GraftVersionOffset.parse(end.json)
+      val rawStart = start.map(o => GraftVersionOffset.parse(o.json))
+        .getOrElse(GraftVersionOffset(0L))
+      val from =
+        if (rawStart.version < startingVersion)
+          GraftVersionOffset(startingVersion)
+        else rawStart
+      ratchet(endO) // restart: resume admission past `end`
       // CDC mode: row-level change batches (appends as inserts,
       // rewrites from their recorded change files) instead of the
-      // plain additions feed
-      if (changeFeed) ManifestTable.streamChangeBatch(spark, table, from, to)
-      else ManifestTable.streamBatch(spark, table, from, to)
+      // plain additions feed — always whole-version (see require)
+      if (changeFeed)
+        return ManifestTable.streamChangeBatch(spark, table,
+          from.version, endO.version)
+      if (from.index < 0 && !from.snap && endO.index < 0 && !endO.snap)
+        // boundary-to-boundary: the whole-version path, byte-identical
+        // to pre-r15 behavior (fresh checkpoints included)
+        return ManifestTable.streamBatch(spark, table,
+          from.version, endO.version)
+      if (endO.snap || from.snap) {
+        // snapshot-subset delivery: positions index the pinned list
+        val snapV = endO.version
+        val list = snapshotList(snapV)
+        val i0 = if (from.snap) from.index else 0L
+        val i1 = if (endO.snap) endO.index else list.size.toLong
+        return ManifestTable.streamFilesBatch(spark, table,
+          list.slice(i0.toInt, i1.toInt).map(_._1), snapV, snapshot = true)
+      }
+      // incremental slice: rest of a mid-adds start version, whole
+      // versions between, head of a mid-adds end version
+      val walkFrom = if (from.index >= 0) from.version - 1 else from.version
+      val per = ManifestTable.addsWithSizes(spark, table, walkFrom,
+        endO.version) match {
+        case Right(s) => s
+        case Left(rw) => throw ManifestTable.streamRewriteError(
+          table, walkFrom, endO.version, rw)
+      }
+      val files = per.flatMap { case (v, fs) =>
+        val afterStart =
+          if (from.index >= 0 && v == from.version) fs.drop(from.index.toInt)
+          else fs
+        if (endO.index >= 0 && v == endO.version) {
+          val already = if (from.index >= 0 && v == from.version)
+            from.index else 0L
+          afterStart.take((endO.index - already).toInt)
+        } else afterStart
+      }.map(_._1)
+      ManifestTable.streamFilesBatch(spark, table, files, endO.version,
+        snapshot = false)
     }
 
   override def commit(end: Offset): Unit = synchronized {
     // called for completed batches, INCLUDING during restart recovery:
     // the admission floor must never regress below a committed offset
-    floor = math.max(floor, versionOf(end))
+    ratchet(GraftVersionOffset.parse(end.json))
   }
 
   override def stop(): Unit = ()

@@ -73,6 +73,20 @@ object GraftColumnBridge {
         cds.queryExecution.toRdd)(cs))
   }
 
+  /** Flip a V1 source `getBatch` plan (its `isStreaming = true` file
+    * relations) back to a batch-executable frame — spec-harness use:
+    * direct-driving a streaming Source's offset protocol and
+    * collecting each batch without the engine.
+    */
+  def unstream(data: Dataset[Row]): DataFrame = {
+    val cds = data.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(cds.sparkSession,
+      cds.queryExecution.logical.transform {
+        case lr: execution.datasources.LogicalRelation =>
+          lr.copy(isStreaming = false)
+      })
+  }
+
   /** Look up a registered catalog plugin by name (the private[sql]
     * catalogManager) — how the `table_changes` TVF resolves a
     * `cat.ns.t` argument to the catalog that owns it.

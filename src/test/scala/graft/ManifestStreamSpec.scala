@@ -533,6 +533,156 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"rename mid-range must not drop or misname rows: ${buf.sortBy(_._1)}")
   }
 
+  // ---- file/byte-granular admission (VERDICT r14 #7) ----
+
+  /** Drive the SOURCE directly (deterministic offsets, no engine
+    * scheduling): one getOffset/getBatch/commit round per entry —
+    * returns (offset json, ids delivered) per batch.
+    */
+  private def driveSource(src: graft.streaming.GraftManifestSource,
+      from: Option[org.apache.spark.sql.execution.streaming.Offset] = None)
+      : Seq[(String, Seq[Long])] = {
+    val out = Seq.newBuilder[(String, Seq[Long])]
+    var start = from
+    // the engine's recovery contract: committed offsets are replayed
+    // through commit() before any getOffset
+    from.foreach(src.commit)
+    var o = src.getOffset
+    while (o.nonEmpty) {
+      val b = src.getBatch(start, o.get)
+      val ids = org.apache.spark.sql.GraftColumnBridge.unstream(b)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
+      out += o.get.json -> ids
+      src.commit(o.get)
+      start = o
+      o = src.getOffset
+    }
+    out.result()
+  }
+
+  private def sourceFor(t: String, maxFiles: Option[Long],
+      maxBytes: Option[Long] = None): graft.streaming.GraftManifestSource =
+    new graft.streaming.GraftManifestSource(spark, t,
+      ManifestTable.scan(spark, t).schema,
+      maxVersionsPerTrigger = None, startingVersion = 0L,
+      changeFeed = false, maxFilesPerTrigger = maxFiles,
+      maxBytesPerTrigger = maxBytes)
+
+  test("maxFilesPerTrigger splits the snapshot AND versions; no loss, no dupes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    // snapshot = 4 + 2 = 6 files; then a 3-file and a 1-file append
+    ManifestTable.write(spark,
+      (0L until 8L).toDF("id").repartition(4), t)
+    ManifestTable.append(spark,
+      (8L until 12L).toDF("id").repartition(2), t)
+    val batches = driveSource(sourceFor(t, maxFiles = Some(4)))
+    // snapshot (6 files at v2): 4-file mid offset, then the boundary
+    assert(batches.map(_._1).take(2) ==
+      Seq("""{"v":2,"i":4,"s":1}""", "2"),
+      s"snapshot must split at file granularity: ${batches.map(_._1)}")
+    assert(batches.size == 2)
+    assert(batches.flatMap(_._2).sorted == (0L until 12L),
+      "split delivery must be exactly-once")
+    // post-snapshot appends: a version larger than the limit splits
+    ManifestTable.append(spark,
+      (12L until 24L).toDF("id").repartition(6), t) // v3: 6 files
+    ManifestTable.append(spark,
+      (24L until 26L).toDF("id"), t) // v4
+    val more = driveSource(sourceFor(t, maxFiles = Some(4)),
+      from = Some(graft.streaming.GraftVersionOffset(2L)))
+    assert(more.map(_._1).head == """{"v":3,"i":4,"s":0}""",
+      s"a big append must split mid-version: ${more.map(_._1)}")
+    assert(more.flatMap(_._2).sorted == (12L until 26L),
+      s"mid-version continuation must lose and duplicate nothing")
+  }
+
+  test("restart mid-version resumes from the exact file position") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, (0L until 4L).toDF("id").repartition(1), t)
+    val src1 = sourceFor(t, maxFiles = Some(2))
+    // deliver the snapshot, then TWO files into v2, then "crash"
+    val o1 = src1.getOffset.get // boundary(1): the one-file snapshot
+    assert(o1.json == "1")
+    src1.getBatch(None, o1); src1.commit(o1)
+    ManifestTable.append(spark,
+      (4L until 16L).toDF("id").repartition(6), t) // v2: 6 files
+    val o2 = src1.getOffset.get
+    assert(o2.json == """{"v":2,"i":2,"s":0}""")
+    val got1 = org.apache.spark.sql.GraftColumnBridge.unstream(
+      src1.getBatch(Some(o1), o2)).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq
+    src1.commit(o2)
+    // recovery: a FRESH source instance told only the committed offset
+    val src2 = sourceFor(t, maxFiles = Some(2))
+    src2.commit(org.apache.spark.sql.execution.streaming.SerializedOffset(
+      o2.json)) // the engine's restart contract
+    val rest = driveSource(src2, from = Some(o2))
+    assert(rest.map(_._1) ==
+      Seq("""{"v":2,"i":4,"s":0}""", "2"),
+      s"restart must continue from file index 2 of v2: ${rest.map(_._1)}")
+    assert((got1 ++ rest.flatMap(_._2)).sorted == (4L until 16L),
+      "the version's files must arrive exactly once across the restart")
+  }
+
+  test("maxBytesPerTrigger bounds batches but always admits one file") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark,
+      (0L until 9L).toDF("id").repartition(3), t)
+    // 1 byte < any parquet file: one file per trigger, three triggers
+    val batches = driveSource(sourceFor(t, maxFiles = None,
+      maxBytes = Some(1L)))
+    assert(batches.size == 3,
+      s"1-byte budget must admit exactly one file per trigger: " +
+        s"${batches.map(_._1)}")
+    assert(batches.flatMap(_._2).sorted == (0L until 9L))
+  }
+
+  test("file limits refuse readChangeFeed; engine path delivers split batches") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark,
+      (0L until 12L).toDF("id").repartition(4), t)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "2")
+        .load().writeStream
+        .option("checkpointLocation", s"$root/ckpt_refuse")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("maxVersionsPerTrigger")),
+      s"expected the CDC rate-limit refusal, got $e")
+    // end-to-end through the engine: 4 snapshot files, 2 per trigger
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("path", t)
+      .option("maxFilesPerTrigger", "2")
+      .load().writeStream
+      .option("checkpointLocation", s"$root/ckpt_split")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.synchronized { counts += b.count() }: Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(counts.size == 2 && counts.sum == 12L,
+      s"4 files at 2 per trigger = two engine batches: $counts")
+  }
+
   test("batch read through format(\"graft\") is the native pruning scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import spark.implicits._
