@@ -63,6 +63,29 @@ private[catalog] object GraftProcedures {
     }
   }
 
+  /** Like [[OneRow]] but the body returns a LISTING (zero or more
+    * rows of `resultSchema`) — the `vacuum_report` dry-run shape.
+    */
+  private final class Rows(
+      procName: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      run: InternalRow => Array[InternalRow])
+    extends BoundProcedure with UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val out = run(input)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = resultSchema
+      }).iterator()
+    }
+  }
+
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
   private def inDefault(name: String, dt: DataType,
@@ -129,12 +152,36 @@ private[catalog] object GraftProcedures {
         Array(in("table", StringType),
           inDefault("keep_versions", IntegerType, "1"),
           inDefault("grace_ms", LongType,
-            ManifestTable.DefaultVacuumGraceMs.toString)),
+            ManifestTable.DefaultVacuumGraceMs.toString),
+          // force = true overrides the orphaned-consumer refusal
+          // (VERDICT r14 #8) — the consumer then fails with re-sync
+          // guidance on its next poll
+          inDefault("force", org.apache.spark.sql.types.BooleanType,
+            "false")),
         StructType(Seq(
           StructField("deleted_objects", IntegerType, nullable = false))),
         { input =>
           InternalRow(ManifestTable.vacuum(spark, tableArg(input),
-            keepVersions = input.getInt(1), graceMs = input.getLong(2)))
+            keepVersions = input.getInt(1), graceMs = input.getLong(2),
+            force = !input.isNullAt(3) && input.getBoolean(3)))
+        })
+      case "vacuum_report" => new Rows("vacuum_report",
+        Array(in("table", StringType),
+          inDefault("keep_versions", IntegerType, "1"),
+          inDefault("grace_ms", LongType,
+            ManifestTable.DefaultVacuumGraceMs.toString)),
+        StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("path", StringType, nullable = false))),
+        { input =>
+          // DRY RUN: everything a real vacuum with these parameters
+          // would delete, plus orphaned-consumer rows — nothing is
+          // touched
+          ManifestTable.vacuumReport(spark, tableArg(input),
+            keepVersions = input.getInt(1), graceMs = input.getLong(2))
+            .collect()
+            .map(r => InternalRow(utf8(r.getString(0)),
+              utf8(r.getString(1))): InternalRow)
         })
       case "analyze" => new OneRow("analyze",
         Array(in("table", StringType),
@@ -162,5 +209,6 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  val names: Seq[String] = Seq("analyze", "compact", "restore", "vacuum")
+  val names: Seq[String] =
+    Seq("analyze", "compact", "restore", "vacuum", "vacuum_report")
 }

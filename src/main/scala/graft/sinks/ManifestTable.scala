@@ -4707,9 +4707,47 @@ object ManifestTable {
     * pass `0L` only when no concurrent writer can exist. The
     * reader-side grace contract stays the caller's: vacuum only when
     * no reader can still hold a manifest older than the retained set.
+    *
+    * SAFETY RAILS (VERDICT r14 #8): the run REFUSES when the
+    * retention floor would orphan a REGISTERED change consumer's
+    * cursor (a `consumer:<id>` transaction behind the floor — the
+    * consumer's next poll needs the pruned manifests/files and would
+    * only fail after the data is gone); pass `force = true` to
+    * proceed anyway (the consumer then hits the documented re-sync
+    * error). Anonymous streaming-source checkpoints live ENGINE-side
+    * (nothing table-side records them), so they cannot be guarded —
+    * their failure path stays the same loud behind-the-log error.
+    * [[vacuumReport]] is the DRY RUN: the same walk, deleting
+    * nothing, listing every object a real run would remove.
     */
   def vacuum(spark: SparkSession, table: String,
-      keepVersions: Int = 1, graceMs: Long = DefaultVacuumGraceMs): Int = {
+      keepVersions: Int = 1, graceMs: Long = DefaultVacuumGraceMs,
+      force: Boolean = false): Int =
+    vacuumImpl(spark, table, keepVersions, graceMs, force,
+      dryRun = false)._1
+
+  /** DRY RUN of [[vacuum]]: one row per object a real run with the
+    * same parameters would delete — `kind` (data / snapshot-dir /
+    * dv-sidecar / bloom-sidecar / manifest / checkpoint / staged /
+    * checkpoint-sidecar / change-files) and the table-relative
+    * `path`; consumers the retention would orphan appear as
+    * `orphaned-consumer` rows instead of a refusal. Deletes nothing,
+    * writes nothing (the floor checkpoint a real run would
+    * materialize is assumed to succeed, as it does).
+    */
+  def vacuumReport(spark: SparkSession, table: String,
+      keepVersions: Int = 1,
+      graceMs: Long = DefaultVacuumGraceMs): DataFrame = {
+    val rows = vacuumImpl(spark, table, keepVersions, graceMs,
+      force = true, dryRun = true)._2
+    val sq = spark
+    import sq.implicits._
+    rows.toDF("kind", "path")
+  }
+
+  private def vacuumImpl(spark: SparkSession, table: String,
+      keepVersions: Int, graceMs: Long, force: Boolean,
+      dryRun: Boolean): (Int, Seq[(String, String)]) = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val (fs, p) = fsOf(spark, table)
     val (vs, cs) = listLog(fs, p)
@@ -4719,6 +4757,34 @@ object ManifestTable {
     val vset = vs.toSet
     val retained = (math.max(1L, v - keepVersions + 1) to v).filter(vset)
     val floor = retained.min
+    val report = Seq.newBuilder[(String, String)]
+    // the consumer guard: a registered cursor at `ver` needs manifests
+    // and add-files of versions > ver — both leave with this retention
+    val lagging = manifestAt(fs, p, v).map(_.txns).getOrElse(Map.empty)
+      .collect {
+        case (k, ver) if k.startsWith("consumer:") && ver + 1 < floor =>
+          k.stripPrefix("consumer:") -> ver
+      }.toSeq.sortBy(_._1)
+    if (lagging.nonEmpty) {
+      if (dryRun) lagging.foreach { case (id, ver) =>
+        report += "orphaned-consumer" ->
+          s"$id at v$ver (retention floor v$floor)"
+      }
+      else if (!force) throw new IllegalStateException(
+        s"vacuum of $table with keepVersions=$keepVersions (retention " +
+          s"floor v$floor) would orphan registered change consumer(s) " +
+          lagging.map { case (id, ver) => s"'$id' at v$ver" }
+            .mkString(", ") +
+          " — their next poll needs the pruned log. Advance the " +
+          "consumer first, keep more versions, or pass force = true " +
+          "to proceed (the consumer then fails with re-sync guidance)")
+    }
+    var removed = 0
+    def act(path: Path, kind: String, recursive: Boolean): Unit = {
+      if (kind == "data") removed += 1
+      if (dryRun) report += kind -> relativize(p, path)
+      else fs.delete(path, recursive): Unit
+    }
     // the retention floor must be self-basing once the older log
     // prefix is gone: materialize a checkpoint there unless its own
     // manifest already is a base. writeCheckpoint is best-effort
@@ -4730,13 +4796,18 @@ object ManifestTable {
       case _: Delta => true
       case _ => false // Replace and Ref bases are self-basing
     }
-    if (!cs.contains(floor) && floorIsDelta) writeCheckpoint(spark, fs, p, floor)
-    val floorSelfBasing = !floorIsDelta ||
+    if (!dryRun && !cs.contains(floor) && floorIsDelta)
+      writeCheckpoint(spark, fs, p, floor)
+    // a dry run reports the manifests a REAL run would prune (its
+    // floor checkpoint is best-effort but reliably succeeds)
+    val floorSelfBasing = dryRun || !floorIsDelta ||
       fs.exists(checkpointPath(p, floor))
     val live = retained
       .flatMap(ver => currentFiles(spark, table, ver)).toSet
     val dataDir = new Path(p, "data")
-    var removed = 0
+    // files THIS pass deletes (dry run: would delete) — the emptied-
+    // dir check below must see the post-pass state either way
+    val slated = scala.collection.mutable.Set.empty[String]
     // snapshot dirs whose files THIS pass deletes: removable once empty
     // even though the deletions bump their mtime past the cutoff
     val emptiedHere = scala.collection.mutable.Set.empty[String]
@@ -4744,7 +4815,8 @@ object ManifestTable {
       listDataFiles(fs, dataDir).foreach { f =>
         if (!live.contains(relativize(p, f.getPath)) &&
           f.getModificationTime < cutoff) {
-          fs.delete(f.getPath, false); removed += 1
+          slated += f.getPath.toString
+          act(f.getPath, "data", recursive = false)
           // the snapshot root is the direct child of data/
           var d = f.getPath.getParent
           while (d.getParent != null && d.getParent.getName != "data")
@@ -4754,10 +4826,12 @@ object ManifestTable {
       }
       // drop snapshot dirs emptied of data files entirely
       fs.listStatus(dataDir).foreach { d =>
-        if (d.isDirectory && listDataFiles(fs, d.getPath).isEmpty &&
+        if (d.isDirectory &&
+          listDataFiles(fs, d.getPath)
+            .forall(x => slated.contains(x.getPath.toString)) &&
           (d.getModificationTime < cutoff ||
             emptiedHere.contains(d.getPath.toString)))
-          fs.delete(d.getPath, true): Unit
+          act(d.getPath, "snapshot-dir", recursive = true)
       }
     }
     // deletion-vector sidecars: a dir under deletes/ is live iff some
@@ -4777,7 +4851,7 @@ object ManifestTable {
         fs.listStatus(delDir).foreach { d =>
           if (!liveDv.contains(relativize(p, d.getPath)) &&
             d.getModificationTime < cutoff)
-            fs.delete(d.getPath, true): Unit
+            act(d.getPath, "dv-sidecar", recursive = true)
         }
       }
       if (fs.exists(bloomDir)) {
@@ -4786,11 +4860,14 @@ object ManifestTable {
         fs.listStatus(bloomDir).foreach { d =>
           if (!liveBf.contains(relativize(p, d.getPath)) &&
             d.getModificationTime < cutoff)
-            fs.delete(d.getPath, true): Unit
+            act(d.getPath, "bloom-sidecar", recursive = true)
         }
       }
     }
     val mdir = new Path(p, ManifestDir)
+    // heads this pass prunes — the sidecar liveness walk below must
+    // see the post-pass log either way (dry run deletes nothing)
+    val slatedHeads = scala.collection.mutable.Set.empty[String]
     // serialize with same-JVM commits so the staged-file backstop can
     // never race a commit currently between create and publish
     commitMonitor(p).synchronized {
@@ -4810,7 +4887,13 @@ object ManifestTable {
         val staleStaged = n.startsWith(".") && n.contains(".tmp-") &&
           m.getModificationTime <
             System.currentTimeMillis() - math.max(graceMs, 600000L)
-        if (stale || staleStaged) fs.delete(m.getPath, false): Unit
+        if (stale || staleStaged) {
+          slatedHeads += m.getPath.toString
+          act(m.getPath,
+            if (staleStaged) "staged"
+            else if (n.startsWith("c")) "checkpoint" else "manifest",
+            recursive = false)
+        }
       }
     }
     // parquet-sidecar dirs (cpdata): live iff some REMAINING manifest
@@ -4823,7 +4906,8 @@ object ManifestTable {
     val chDir = new Path(p, "changes")
     if (fs.exists(cpdata) || fs.exists(chDir)) {
       val heads = fs.listStatus(mdir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+          !slatedHeads.contains(st.getPath.toString))
         .flatMap { st =>
           try Some(parseManifest(readJson(fs, st.getPath)))
           catch { case _: java.io.IOException => None }
@@ -4838,14 +4922,14 @@ object ManifestTable {
       if (fs.exists(cpdata)) fs.listStatus(cpdata).foreach { d =>
         if (!liveRefs.contains(relativize(p, d.getPath)) &&
           d.getModificationTime < cutoff)
-          fs.delete(d.getPath, true): Unit
+          act(d.getPath, "checkpoint-sidecar", recursive = true)
       }
       if (fs.exists(chDir)) fs.listStatus(chDir).foreach { d =>
         if (!liveCdc.contains(relativize(p, d.getPath)) &&
           d.getModificationTime < cutoff)
-          fs.delete(d.getPath, true): Unit
+          act(d.getPath, "change-files", recursive = true)
       }
     }
-    removed
+    (removed, report.result())
   }
 }

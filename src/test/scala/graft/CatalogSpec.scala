@@ -153,6 +153,13 @@ class CatalogSpec extends AnyFunSuite {
       "vacuum never touches the live snapshot")
     // positional args work too; unknown procedure refuses with names
     assert(spark.sql(s"CALL $cat.system.vacuum('db.c')").head().getInt(0) == 0)
+    // the DRY RUN procedure: nothing left to delete here, zero rows,
+    // and nothing is touched
+    assert(spark.sql(
+      s"CALL $cat.system.vacuum_report(table => 'db.c', grace_ms => 0)")
+      .collect().isEmpty)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.c")
+      .head().getLong(0) == 400)
     val e = intercept[Exception](spark.sql(s"CALL $cat.system.bogus('db.c')"))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .flatMap(x => Option(x.getMessage)).mkString.contains("compact"))
@@ -185,7 +192,8 @@ class CatalogSpec extends AnyFunSuite {
     // the catalog advertises its procedures
     val procs = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.getAs[String]("procedure_name")).toSeq.sorted
-    assert(procs == Seq("analyze", "compact", "restore", "vacuum"),
+    assert(procs ==
+      Seq("analyze", "compact", "restore", "vacuum", "vacuum_report"),
       s"got: $procs")
     // and describes one (name + description surface)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact")

@@ -664,16 +664,69 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.append(spark, df(4, "b"), t) // v3
     ManifestTable.compact(spark, t) // v4: v3's files leave the snapshot
     ManifestTable.append(spark, df(2, "c"), t) // v5
-    // retention outruns the consumer: vacuum reclaims an add-file
-    // only together with the manifest naming it, so the walk hits the
+    // retention outruns the consumer: the safety rail REFUSES first
+    // (VERDICT r14 #8) — only force = true reproduces the orphaning
+    val guarded = intercept[IllegalStateException](
+      ManifestTable.vacuum(spark, t, keepVersions = 2, graceMs = 0L))
+    assert(guarded.getMessage.contains("'cv'") &&
+      guarded.getMessage.contains("force"),
+      s"expected the consumer guard naming 'cv', got: $guarded")
+    // the consumer SURVIVES a guarded (refused) vacuum: nothing was
+    // deleted, its next poll still works
+    ManifestTable.append(spark, df(1, "still"), t)
+    var survived = 0L
+    ManifestTable.consumeChanges(spark, t, "cv2") { (d, _, _) =>
+      survived = d.count() }
+    assert(survived > 0L, "a refused vacuum must leave the log intact")
+    // force: vacuum reclaims an add-file only together with the
+    // manifest naming it, so the lagging consumer's walk hits the
     // unreadable v3 manifest and throws the LOG-PREFIX guidance (the
     // AnalysisException belt in consumeChanges only covers a vacuum
     // racing the poll itself)
-    ManifestTable.vacuum(spark, t, keepVersions = 2, graceMs = 0L)
+    ManifestTable.vacuum(spark, t, keepVersions = 2, graceMs = 0L,
+      force = true)
     val e = intercept[java.io.IOException](
       ManifestTable.consumeChanges(spark, t, "cv") { (_, _, _) => () })
     assert(e.getMessage.contains("re-sync"),
       s"expected the guided retention error, got: $e")
+  }
+
+  test("vacuumReport is a true dry run: exact listing, nothing deleted") {
+    val t = freshTable()
+    ManifestTable.write(spark, df(10, "a"), t) // v1
+    ManifestTable.append(spark, df(4, "b"), t) // v2
+    ManifestTable.compact(spark, t) // v3: v1+v2 files leave the snapshot
+    ManifestTable.consumeChanges(spark, t, "lag") { (_, _, _) => () }
+    ManifestTable.append(spark, df(2, "c"), t)
+    ManifestTable.append(spark, df(2, "d"), t)
+    val (fs, p) = (new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(t))
+    def census(): Int = fs.listStatus(new org.apache.hadoop.fs.Path(p,
+      "_manifests")).length +
+      ManifestTable.currentFiles(spark, t).size
+    val before = census()
+    val report = ManifestTable.vacuumReport(spark, t,
+      keepVersions = 1, graceMs = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(census() == before, "a dry run must not delete anything")
+    assert(ManifestTable.read(spark, t).count() == 18L)
+    val kinds = report.map(_._1).toSet
+    assert(kinds.contains("data") && kinds.contains("manifest"),
+      s"the report must list stale data files and log prefix: $kinds")
+    assert(report.exists(_._1 == "orphaned-consumer"),
+      s"the lagging consumer must be reported, not thrown: $report")
+    assert(report.filter(_._1 == "data").forall(_._2.startsWith("data/")),
+      s"paths are table-relative: $report")
+    // the real run (force past the reported consumer) deletes exactly
+    // the reported data files
+    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 1,
+      graceMs = 0L, force = true)
+    assert(deleted == report.count(_._1 == "data"),
+      s"dry run promised ${report.count(_._1 == "data")}, " +
+        s"real run deleted $deleted")
+    assert(ManifestTable.read(spark, t).count() == 18L,
+      "vacuum never touches the live snapshot")
   }
 
   test("consumeChanges on a rewrite range: fail loudly, or full resync by policy") {
