@@ -165,6 +165,33 @@ private[catalog] object GraftProcedures {
             keepVersions = input.getInt(1), graceMs = input.getLong(2),
             force = !input.isNullAt(3) && input.getBoolean(3)))
         })
+      case "describe_detail" => new Rows("describe_detail",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("format", StringType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("last_modified_millis", LongType, nullable = false),
+          StructField("partition_columns", StringType, nullable = false),
+          StructField("num_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = true),
+          StructField("num_rows", LongType, nullable = true),
+          StructField("num_deletion_vectors", LongType, nullable = false),
+          StructField("properties", StringType, nullable = false))),
+        { input =>
+          // the DESCRIBE DETAIL summary (also the t$detail metadata
+          // table); partition columns render comma-joined here because
+          // procedure results are scalar rows
+          ManifestTable.detailReport(spark, tableArg(input)).collect()
+            .map { r =>
+              InternalRow(utf8(r.getString(0)), utf8(r.getString(1)),
+                r.getLong(2), r.getLong(3),
+                utf8(r.getSeq[String](4).mkString(",")), r.getLong(5),
+                if (r.isNullAt(6)) null else r.getLong(6),
+                if (r.isNullAt(7)) null else r.getLong(7),
+                r.getLong(8), utf8(r.getString(9))): InternalRow
+            }
+        })
       case "vacuum_report" => new Rows("vacuum_report",
         Array(in("table", StringType),
           inDefault("keep_versions", IntegerType, "1"),
@@ -209,6 +236,6 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  val names: Seq[String] =
-    Seq("analyze", "compact", "restore", "vacuum", "vacuum_report")
+  val names: Seq[String] = Seq("analyze", "compact", "describe_detail",
+    "restore", "vacuum", "vacuum_report")
 }

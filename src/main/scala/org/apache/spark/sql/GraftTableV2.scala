@@ -692,7 +692,7 @@ object GraftTableV2 {
   }
 
   /** The Iceberg-style metadata suffixes [[metadataTable]] serves. */
-  val MetadataKinds: Set[String] = Set("history", "files")
+  val MetadataKinds: Set[String] = Set("history", "files", "detail")
 
   /** `cat.ns.`t$history`` / `t$files` — commit log and file census as
     * queryable tables.
@@ -702,6 +702,7 @@ object GraftTableV2 {
     val df = kind match {
       case "history" => ManifestTable.history(spark, tablePath)
       case "files" => ManifestTable.filesReport(spark, tablePath)
+      case "detail" => ManifestTable.detailReport(spark, tablePath)
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' (know: ${MetadataKinds.mkString(", ")})")
     }

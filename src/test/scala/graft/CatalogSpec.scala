@@ -192,13 +192,59 @@ class CatalogSpec extends AnyFunSuite {
     // the catalog advertises its procedures
     val procs = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.getAs[String]("procedure_name")).toSeq.sorted
-    assert(procs ==
-      Seq("analyze", "compact", "restore", "vacuum", "vacuum_report"),
+    assert(procs == Seq("analyze", "compact", "describe_detail",
+      "restore", "vacuum", "vacuum_report"),
       s"got: $procs")
     // and describes one (name + description surface)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("compact"), s"got: $desc")
+  }
+
+  test("SHOW CREATE TABLE round-trips; t$detail / describe_detail summarize") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.d (id BIGINT, lang STRING, n BIGINT) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES " +
+      "('graft.constraints.pos'='n >= 0', 'team'='data')")
+    // the recorded schema orders partition columns LAST (id, n, lang)
+    spark.sql(s"INSERT INTO $cat.db.d VALUES " +
+      "(1,10,'en'), (2,20,'en'), (3,30,'de')")
+    // the copy-paste-a-DDL workflow (VERDICT r14 missing #6)
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.db.d")
+      .head().getString(0)
+    for (frag <- Seq("CREATE TABLE", "id BIGINT", "lang STRING",
+        "USING graft", "PARTITIONED BY (lang)",
+        "'graft.constraints.pos' = 'n >= 0'", "'team' = 'data'"))
+      assert(ddl.contains(frag), s"DDL must carry '$frag':\n$ddl")
+    // the emitted DDL recreates an equivalent table (LOCATION names
+    // this table's path — strip it, the catalog derives placement)
+    val replay = ddl.linesIterator
+      .filterNot(_.trim.startsWith("LOCATION"))
+      .mkString("\n")
+      .replace(s"$cat.db.d", s"$cat.db.d2")
+    spark.sql(replay)
+    assert(spark.table(s"$cat.db.d2").schema ==
+      spark.table(s"$cat.db.d").schema)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.d2").collect()
+      .exists(r => r.getString(0) == "graft.constraints.pos"),
+      "constraints must ride the replayed DDL")
+    // DESCRIBE DETAIL, both spellings: the metadata table ...
+    val det = spark.sql(s"SELECT * FROM $cat.db.`d$$detail`").head()
+    assert(det.getAs[String]("format") == "graft")
+    assert(det.getAs[Long]("version") == 2L)
+    assert(det.getAs[scala.collection.Seq[String]]("partition_columns")
+      .toSeq == Seq("lang"))
+    assert(det.getAs[Long]("num_files") >= 2L) // two lang partitions
+    assert(det.getAs[Long]("num_rows") == 3L)
+    assert(det.getAs[Long]("size_bytes") > 0L)
+    assert(det.getAs[String]("properties").contains("\"team\":\"data\""))
+    // ... and the CALL procedure
+    val proc = spark.sql(
+      s"CALL $cat.system.describe_detail(table => 'db.d')").head()
+    assert(proc.getAs[Long]("num_rows") == 3L &&
+      proc.getAs[String]("partition_columns") == "lang",
+      s"got: $proc")
   }
 
   test("programmatic read of a created/truncated (empty) table stays typed") {
