@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -39,7 +39,7 @@ import graft.sinks.ManifestTable
   * operation is O(manifest), never O(data).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -170,29 +170,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // somewhere other than the warehouse path this catalog derives
     // from the name. `owner`/`provider` are injected by Spark itself
     // on every CREATE and carry no placement semantics.
-    val userProps: Map[String, String] =
-      if (properties == null) Map.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        val injected = Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)
-        val all = properties.asScala.toMap
-        val refused = all.keySet.filter(placementProps).toSeq.sorted
-        if (refused.nonEmpty) throw new UnsupportedOperationException(
-          s"graft tables live at <warehouse>/<namespace>/<name> — " +
-            s"placement properties cannot be honored " +
-            s"(got: ${refused.mkString(", ")})")
-        all.filterNot { case (k, _) => injected(k) }
-      }
-    val partCols = partitions.toSeq.map {
+    ManifestTable.create(spark, tablePath(ident), schema,
+      identityPartCols(partitions), userProperties(properties)): Unit
+    loadTable(ident)
+  }
+
+  private def userProperties(
+      properties: JMap[String, String]): Map[String, String] =
+    if (properties == null) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val injected = Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)
+      val all = properties.asScala.toMap
+      val refused = all.keySet.filter(placementProps).toSeq.sorted
+      if (refused.nonEmpty) throw new UnsupportedOperationException(
+        s"graft tables live at <warehouse>/<namespace>/<name> — " +
+          s"placement properties cannot be honored " +
+          s"(got: ${refused.mkString(", ")})")
+      all.filterNot { case (k, _) => injected(k) }
+    }
+
+  private def identityPartCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames().mkString(".")
       case other => throw new UnsupportedOperationException(
         s"graft tables support identity partitioning only, got $other " +
           "(cluster by expression via ManifestTable.compact(clusterBy))")
     }
-    ManifestTable.create(spark, tablePath(ident), schema, partCols,
-      userProps): Unit
-    loadTable(ident)
+
+  /** ATOMIC `CREATE TABLE AS SELECT` / `REPLACE TABLE [AS SELECT]` /
+    * `CREATE OR REPLACE TABLE` (the [[StagingTableCatalog]] surface):
+    * the staged table CAPTURES the query's rows and
+    * `commitStagedChanges` publishes definition and content as ONE
+    * manifest commit ([[ManifestTable.replaceDefinition]]) — readers
+    * see the old table or the new one, never a dropped gap, the log
+    * survives (time travel + RESTORE work across a replace), and an
+    * aborted staging leaves the table byte-identical. Constraint
+    * properties validate at STAGE time, before any job runs.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(
+        (name() +: ident.namespace().toSeq :+ ident.name()))
+    stage(ident, schema, partitions, properties, createOnly = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (name() +: ident.namespace().toSeq :+ ident.name()))
+    stage(ident, schema, partitions, properties, createOnly = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, createOnly = false)
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      createOnly: Boolean): StagedTable = {
+    val props = userProperties(properties)
+    val parts = identityPartCols(partitions)
+    // eager, before the SELECT runs — same contract as createTable
+    ManifestTable.validateConstraints(spark, schema, props)
+    new GraftStagedTable(
+      (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."),
+      tablePath(ident), schema, parts, props, createOnly, spark)
   }
 
   /** Properties that would change WHERE the table lives — the catalog
@@ -370,4 +418,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty")
     else fs.delete(dir, true)
   }
+}
+
+/** The table a `CREATE [OR REPLACE] TABLE ... AS SELECT` /
+  * `REPLACE TABLE` stages: Spark "writes" the query into it through
+  * the V1 write path — the frame is only CAPTURED here — and
+  * `commitStagedChanges` publishes definition + content as ONE
+  * replace commit. Nothing touches the filesystem before commit, so
+  * `abortStagedChanges` has nothing to clean and a crashed staging
+  * leaves the previous table byte-identical (the atomicity Spark's
+  * DROP+CREATE fallback cannot give).
+  */
+private final class GraftStagedTable(identName: String, path: String,
+    tableSchema: StructType, partCols: Seq[String],
+    props: Map[String, String], createOnly: Boolean, spark: SparkSession)
+  extends StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+
+  @volatile private var captured: Option[org.apache.spark.sql.DataFrame] =
+    None
+
+  override def name(): String = identName
+  override val schema: StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions
+      .identity).toArray
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // the staged table is empty by definition — truncate-then-write
+      // and write capture the same frame
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], overwrite: Boolean): Unit = {
+              captured = Some(data.toDF())
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (createOnly && ManifestTable.currentVersion(spark, path) > 0)
+      throw new IllegalStateException(
+        s"$identName was created concurrently — CREATE TABLE AS SELECT " +
+          "cannot replace it (use CREATE OR REPLACE)")
+    ManifestTable.replaceDefinition(spark, path, tableSchema, partCols,
+      props, captured): Unit
+  }
+
+  override def abortStagedChanges(): Unit = ()
 }

@@ -969,4 +969,46 @@ object TextOps {
       |  CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
       |FROM s ORDER BY lang ASC NULLS LAST, burstiness DESC NULLS LAST,
       |  term ASC NULLS LAST""".stripMargin
+
+  /** t20: DOCUMENT CHUNKING — the fixed-window/overlap split every
+    * training-data and RAG pipeline runs before tokenization or
+    * embedding: window 120 chars, stride 90 (30-char overlap so no
+    * boundary context is lost), last window covers the tail (shorter,
+    * never empty), a document shorter than one window is one chunk.
+    * Chunk count per doc is closed-form (`1 + ceil(max(len-W,0)/S)`),
+    * so the whole operator is one `sequence` + `explode` + two
+    * `substring`s — pure codegen'd expressions, zero UDFs, zero
+    * shuffles until the output sort: at 100 TB it chunks in the scan
+    * stage at I/O speed, and the stride arithmetic is the same
+    * integer math on any engine (oracle pins every chunk's md5, not
+    * just counts).
+    */
+  def t20DocChunking(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w, s) = (120, 90)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, CAST((greatest(length(text) - $w, 0) + ${s - 1}) " +
+          s"div $s AS BIGINT))")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"length(substring(text, CAST(chunk_idx * $s + 1 AS INT), $w))")
+          .as("chunk_chars"),
+        expr(s"md5(substring(text, CAST(chunk_idx * $s + 1 AS INT), $w))")
+          .as("chunk_md5"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
+  /** DuckDB mirror: identical stride arithmetic, per-chunk md5. */
+  val t20Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0,
+      |      ((greatest(length(text) - 120, 0) + 89) // 90) + 1)) AS chunk_idx
+      |  FROM documents)
+      |SELECT doc_id, chunk_idx,
+      |  length(substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120))
+      |    AS chunk_chars,
+      |  md5(substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120))
+      |    AS chunk_md5
+      |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin
 }

@@ -1455,6 +1455,51 @@ object ManifestTable {
     base + 1 // a replace manifest is its own base — no checkpoint needed
   }
 
+  /** `CREATE OR REPLACE TABLE` / `REPLACE TABLE ... [AS SELECT]` as
+    * ONE atomic replace commit: the new schema, partition layout,
+    * properties and (for the AS SELECT forms) content publish together
+    * at `base + 1` — readers see the old table or the new one, never a
+    * gap, and the LOG SURVIVES: history stays inspectable, time travel
+    * reads the pre-replace versions, and [[restore]] can undo a bad
+    * replace. (Spark's non-atomic fallback is DROP + CREATE — a crash
+    * between them loses the table, and the dropped dir loses every
+    * retained version.) Transaction watermarks ride through so a
+    * replayed streaming batch cannot re-land after the replace.
+    * Constraints in `props` validate eagerly and gate the replacing
+    * rows themselves.
+    */
+  def replaceDefinition(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String], props: Map[String, String],
+      data: Option[DataFrame]): Long = {
+    require(partitionCols.forall(c => schema.fieldNames.contains(c)),
+      s"partition columns ${partitionCols.mkString(", ")} must be in " +
+        "the schema")
+    validateConstraints(spark, schema, props)
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    val m = manifestAt(fs, p, base)
+    val txns = m.map(_.txns).getOrElse(Map.empty)
+    val (files, stats, quality, schemaJson) = data match {
+      case Some(df) =>
+        val (toWrite, q) =
+          applyExpectations(df, constraintExpectations(props), table)
+        val fresh = writeSnapshot(fs, p, toWrite, base + 1,
+          partitionCols, 0L)
+        (fresh, collectStats(spark, p, fresh, props), q, df.schema.json)
+      case None =>
+        (Seq.empty[String], Map.empty[String, FileStats],
+          Map.empty[String, Long], schema.json)
+    }
+    if (!commitFullList(spark, fs, p, base + 1, files, txns, stats,
+      partitionCols, Some(schemaJson), quality, props = props,
+      op = opInfo(m, "replace-table",
+        "partitionBy" -> partitionCols.mkString(","),
+        "asSelect" -> data.nonEmpty.toString)))
+      raceLost(table, base + 1)
+    base + 1
+  }
+
   /** Append `df`: new snapshot dir holds only the new files; the
     * committed manifest is an O(new files) delta — the table's total
     * file count never enters the commit path.

@@ -247,6 +247,59 @@ class CatalogSpec extends AnyFunSuite {
       s"got: $proc")
   }
 
+  test("REPLACE TABLE is one atomic commit: log survives, RESTORE undoes") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT, tag STRING)") // v1
+    spark.sql(s"INSERT INTO $cat.db.r VALUES (1,'a'), (2,'b')") // v2
+    // REPLACE ... AS SELECT: new schema AND content in ONE commit
+    spark.sql(s"REPLACE TABLE $cat.db.r AS " +
+      "SELECT id * 10 AS id, id AS score FROM range(3)") // v3
+    assert(spark.sql(s"SELECT sum(id), sum(score) FROM $cat.db.r")
+      .head().toSeq == Seq(30L, 3L))
+    val hist = spark.sql(
+      s"SELECT version, operation FROM $cat.db.`r$$history`")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "replace-table")),
+      s"the log must survive a replace: $hist")
+    // pre-replace versions stay readable, and RESTORE undoes the replace
+    assert(spark.sql(s"SELECT tag FROM $cat.db.r VERSION AS OF 2 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    spark.sql(s"CALL $cat.system.restore(table => 'db.r', version => 2)")
+    assert(spark.sql(s"SELECT id, tag FROM $cat.db.r ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")), "restore must undo a bad replace")
+    // CREATE OR REPLACE without AS SELECT: empty table, new definition
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.db.r (k BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('stage'='silver')")
+    assert(spark.sql(s"SELECT * FROM $cat.db.r").collect().isEmpty)
+    assert(spark.table(s"$cat.db.r").schema.fieldNames.toSeq ==
+      Seq("k", "lang"))
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.r").collect()
+      .exists(r => r.getString(0) == "stage" && r.getString(1) == "silver"))
+    // atomicity under failure: an RTAS whose rows violate a declared
+    // constraint aborts BEFORE publishing — old content byte-identical
+    spark.sql(s"INSERT INTO $cat.db.r VALUES (7, 'en')")
+    val before = ManifestTable.currentVersion(spark, s"$wh/db/r")
+    val e = intercept[Exception](spark.sql(
+      s"REPLACE TABLE $cat.db.r TBLPROPERTIES " +
+        "('graft.constraints.pos'='n >= 0') AS SELECT -1L AS n"))
+    def msgs(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs(e).contains("pos"), s"got: $e")
+    assert(ManifestTable.currentVersion(spark, s"$wh/db/r") == before,
+      "a refused replace must not commit")
+    assert(spark.sql(s"SELECT k FROM $cat.db.r").head().getLong(0) == 7L,
+      "a refused replace must leave the old content intact")
+    // plain CTAS routes through staging too: one commit, correct rows
+    spark.sql(s"CREATE TABLE $cat.db.ct AS SELECT id FROM range(4)")
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.ct")
+      .head().getLong(0) == 6L)
+    assert(ManifestTable.currentVersion(spark, s"$wh/db/ct") == 1L,
+      "atomic CTAS is one commit")
+  }
+
   test("programmatic read of a created/truncated (empty) table stays typed") {
     val (_, wh) = freshCatalog()
     val t = s"$wh/typed"
