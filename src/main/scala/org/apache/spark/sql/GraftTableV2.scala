@@ -356,23 +356,37 @@ object GraftTableV2 {
   final case class GraftTaskFiles(files: Seq[String])
     extends connector.write.WriterCommitMessage
 
-  /** Serializable factory for the executor-side partitioned writers. */
+  /** Serializable factory for the executor-side partitioned writers.
+    * `maxOpenWriters` = 1 when the plan guarantees rows arrive sorted
+    * by the partition columns (dynamic overwrite's required ordering —
+    * close-on-fragment-change, one parquet buffer live);
+    * [[GraftDynamicWriter.MaxOpenWriters]] for unsorted input (the
+    * streaming write, which cannot demand a per-epoch shuffle).
+    */
   final class GraftDynamicWriterFactory(tableRoot: String,
       stagingRel: String, rowSchema: StructType, partCols: Seq[String],
       owf: execution.datasources.OutputWriterFactory,
       conf: org.apache.spark.util.SerializableConfiguration,
-      zoneId: String) extends connector.write.DataWriterFactory {
+      zoneId: String, maxOpenWriters: Int = 1)
+    extends connector.write.DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long)
         : connector.write.DataWriter[catalyst.InternalRow] =
       new GraftDynamicWriter(tableRoot, stagingRel, rowSchema, partCols,
-        owf, conf, zoneId, partitionId, taskId)
+        owf, conf, zoneId, partitionId, taskId, maxOpenWriters)
   }
 
-  /** One task's writer: rows arrive clustered AND sorted by the
-    * partition columns (the Write's required ordering), so a single
-    * open [[execution.datasources.OutputWriter]] suffices — when the
-    * partition fragment changes, close and open the next. Every opened
-    * file gets a task-unique name, so speculative/retried attempts can
+  /** One task's writer. DYNAMIC OVERWRITE rows arrive clustered AND
+    * sorted by the partition columns (the Write's required ordering),
+    * so effectively one [[execution.datasources.OutputWriter]] is open
+    * at a time; the STREAMING write cannot demand a per-epoch shuffle,
+    * so its rows arrive in arbitrary fragment order — writers are
+    * therefore KEPT OPEN per fragment (Spark's concurrent-writers
+    * recipe, capped at [[GraftDynamicWriter.MaxOpenWriters]]; beyond
+    * the cap the least-recently-written closes and a revisit opens a
+    * fresh uniquely-named file) — without this, alternating fragments
+    * would emit a file per row-run (the r15 e26 finding: a 4-partition
+    * micro-batch wrote thousands of tiny files). Every opened file
+    * gets a task-unique name, so speculative/retried attempts can
     * never collide; their unreferenced output is vacuum debris, not
     * corruption. Hive fragments are rendered with Spark's own
     * escaping + null encoding
@@ -385,7 +399,8 @@ object GraftTableV2 {
       rowSchema: StructType, partCols: Seq[String],
       owf: execution.datasources.OutputWriterFactory,
       conf: org.apache.spark.util.SerializableConfiguration,
-      zoneId: String, partitionId: Int, taskId: Long)
+      zoneId: String, partitionId: Int, taskId: Long,
+      maxOpenWriters: Int = 1)
     extends connector.write.DataWriter[catalyst.InternalRow] {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Cast, UnsafeProjection}
@@ -415,8 +430,9 @@ object GraftTableV2 {
     }
     private val ext = owf.getFileExtension(ctx)
 
-    private var curFrag: String = null
-    private var cur: execution.datasources.OutputWriter = null
+    // access-ordered: the eldest entry is the least-recently-WRITTEN
+    private val open = new java.util.LinkedHashMap[String,
+      execution.datasources.OutputWriter](16, 0.75f, true)
     private var opened = 0
     private val written = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -430,39 +446,58 @@ object GraftTableV2 {
       }.mkString("/")
     }
 
-    private def closeCur(): Unit =
-      if (cur != null) { cur.close(); cur = null }
+    private def closeAll(): Unit = {
+      open.values.forEach(_.close())
+      open.clear()
+    }
 
-    private def open(frag: String): Unit = {
+    private def writerFor(frag: String): execution.datasources.OutputWriter = {
+      val hit = open.get(frag)
+      if (hit != null) return hit
+      if (open.size >= maxOpenWriters) {
+        // evict the least-recently-written fragment; a revisit opens a
+        // fresh uniquely-named file
+        val it = open.entrySet().iterator()
+        val eldest = it.next()
+        eldest.getValue.close()
+        it.remove()
+      }
       val name = f"part-$partitionId%05d-$taskId-$opened%04d$ext"
       opened += 1
       val rel =
         if (frag.isEmpty) s"$stagingRel/$name" else s"$stagingRel/$frag/$name"
-      cur = owf.newInstance(
+      val w = owf.newInstance(
         new Path(tableRoot, rel).toString, dataSchema, ctx)
-      curFrag = frag
-      written += rel: Unit
+      open.put(frag, w)
+      written += rel
+      w
     }
 
-    override def write(row: InternalRow): Unit = {
-      val frag = fragOf(row)
-      if (cur == null || frag != curFrag) { closeCur(); open(frag) }
-      cur.write(dataProj(row))
-    }
+    override def write(row: InternalRow): Unit =
+      writerFor(fragOf(row)).write(dataProj(row))
 
     override def commit(): connector.write.WriterCommitMessage = {
-      closeCur()
+      closeAll()
       GraftTaskFiles(written.toSeq)
     }
 
     override def abort(): Unit = {
-      closeCur()
+      closeAll()
       val fs = new Path(tableRoot).getFileSystem(conf.value)
       written.foreach(rel =>
         fs.delete(new Path(tableRoot, rel), false): Unit)
     }
 
-    override def close(): Unit = closeCur()
+    override def close(): Unit = closeAll()
+  }
+
+  object GraftDynamicWriter {
+    /** Writers kept open per task: bounds memory (each parquet writer
+      * buffers a row group) while covering any realistic number of
+      * partitions one micro-batch touches; the sorted dynamic-
+      * overwrite path only ever holds one.
+      */
+    val MaxOpenWriters = 64
   }
 
   /** `writeStream.toTable` as a REAL V2 [[connector.write.streaming.StreamingWrite]]
@@ -514,7 +549,10 @@ object GraftTableV2 {
         job.getConfiguration)
       val inner = new GraftDynamicWriterFactory(tablePath, stagingRel,
         rowSchema, partCols, owf, serConf,
-        cs.sessionState.conf.sessionLocalTimeZone)
+        cs.sessionState.conf.sessionLocalTimeZone,
+        // unsorted epoch input: keep per-fragment writers open or
+        // alternating fragments emit a file per row-run
+        maxOpenWriters = GraftDynamicWriter.MaxOpenWriters)
       new connector.write.streaming.StreamingDataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long,
             epochId: Long): connector.write.DataWriter[catalyst.InternalRow] =
