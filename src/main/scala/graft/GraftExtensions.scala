@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // readStream.table("lake.ns.t"): route the V2 streaming relation
     // to the engine's V1 source (the dsv1-behind-dsv2 fallback slot)
     ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftNamedStreamRule)
+    // the Delta-dialect maintenance statements (VACUUM / OPTIMIZE /
+    // DESCRIBE HISTORY|DETAIL / RESTORE) — unrecognized text falls
+    // through to Spark's parser untouched
+    ext.injectParser((_, delegate) =>
+      new org.apache.spark.sql.GraftSqlParser(delegate))
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((

@@ -344,7 +344,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * traversal-guarded derivation `loadTable` uses; the table must
     * exist.
     */
-  private[graft] def procTablePath(nameArg: String): String = {
+  def procTablePath(nameArg: String): String = {
     val segs = nameArg.split("\\.").toSeq
     require(segs.nonEmpty && segs.forall(_.nonEmpty),
       s"bad table name '$nameArg' (want 'ns.t' within catalog ${name()})")

@@ -1,0 +1,231 @@
+package org.apache.spark.sql
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sinks.ManifestTable
+
+/** The lake MAINTENANCE DIALECT as first-class SQL statements — the
+  * spellings Delta users type, served by a DELEGATING parser
+  * (`injectParser`; unrecognized text falls through to Spark's parser
+  * untouched, so the extension can never break standard SQL):
+  *
+  * {{{
+  * VACUUM lake.ns.t [RETAIN n VERSIONS] [RETAIN n HOURS] [DRY RUN] [FORCE]
+  * OPTIMIZE lake.ns.t [WHERE <cond>] [ZORDER BY (c1[, c2[, c3]])]
+  * DESCRIBE HISTORY lake.ns.t
+  * DESCRIBE DETAIL lake.ns.t
+  * RESTORE [TABLE] lake.ns.t TO VERSION AS OF n
+  * RESTORE [TABLE] lake.ns.t TO TIMESTAMP AS OF '...'
+  * }}}
+  *
+  * Each statement is the SAME operation the `CALL cat.system.*`
+  * procedures and the programmatic API run — one more front door, not
+  * a second implementation. `RETAIN n VERSIONS` maps to the
+  * time-travel retention window (`keepVersions`); `RETAIN n HOURS`
+  * maps to the in-flight-writer grace (`graceMs` — Delta's retention
+  * horizon is an age bound, and so is ours). The table argument is a
+  * `cat.ns.t` name whose catalog is a [[graft.catalog.GraftCatalog]],
+  * or a quoted filesystem path (`VACUUM '/wh/db/t'`). Tables resolve
+  * at EXECUTION time (the commands are `LeafRunnableCommand`s), so
+  * EXPLAIN never touches the table.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlDialect.parse(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlDialect {
+
+  /** `cat.ns.t` / `t$...`-free table reference or quoted path → the
+    * warehouse path, resolved through the owning catalog exactly as
+    * the `table_changes` TVF does. Runs at COMMAND EXECUTION time.
+    */
+  private def pathOf(spark: SparkSession, ref: String): String = {
+    val r = ref.trim
+    if (r.startsWith("'") || r.startsWith("\"")) r.substring(1, r.length - 1)
+    else if (r.contains("/")) r
+    else {
+      val segs = r.split("\\.")
+      require(segs.length >= 2,
+        s"maintenance statements take 'cat.ns.t' (a graft catalog " +
+          s"table) or a quoted path, got '$r'")
+      GraftColumnBridge.catalogPlugin(spark, segs.head) match {
+        case g: graft.catalog.GraftCatalog =>
+          g.procTablePath(segs.tail.mkString("."))
+        case other => throw new IllegalArgumentException(
+          s"catalog '${segs.head}' is not a graft catalog " +
+            s"(got ${other.getClass.getName})")
+      }
+    }
+  }
+
+  private def attrs(schema: StructType): Seq[Attribute] =
+    DataTypeUtils.toAttributes(schema)
+
+  // A table reference: quoted path or dotted identifier (no spaces)
+  private val T = """('[^']+'|"[^"]+"|[\w.\$]+)"""
+  private val Vacuum =
+    (s"""(?is)\\s*VACUUM\\s+$T""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?""" +
+      """(\s+DRY\s+RUN)?(\s+FORCE)?\s*;?\s*""").r
+  private val Optimize =
+    (s"""(?is)\\s*OPTIMIZE\\s+$T""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val DescHistory =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private val DescDetail =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
+  private val RestoreV =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreT =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']+')\s*;?\s*""").r
+
+  /** Try the dialect; None falls through to Spark's parser. Only
+    * statements whose FIRST keyword matches are attempted, so the
+    * regex cost on ordinary SQL is one cheap prefix check.
+    */
+  def parse(sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] = {
+    val head = sqlText.trim.takeWhile(!_.isWhitespace)
+      .toUpperCase(Locale.ROOT)
+    head match {
+      case "VACUUM" => sqlText match {
+        case Vacuum(t, keep, hours, dry, force) =>
+          Some(GraftVacuumCommand(t,
+            Option(keep).map(_.toInt).getOrElse(1),
+            Option(hours).map(h => (h.toDouble * 3600 * 1000).toLong),
+            dryRun = dry != null, force = force != null))
+        case _ => None
+      }
+      case "OPTIMIZE" => sqlText match {
+        case Optimize(t, where, zorder) =>
+          Some(GraftOptimizeCommand(t, Option(where).map(_.trim),
+            Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+              .map(_.trim).filter(_.nonEmpty)))
+        case _ => None
+      }
+      case "DESC" | "DESCRIBE" => sqlText match {
+        case DescHistory(t) => Some(GraftDescribeCommand(t, "history"))
+        case DescDetail(t) => Some(GraftDescribeCommand(t, "detail"))
+        case _ => None // plain DESCRIBE TABLE etc. → Spark
+      }
+      case "RESTORE" => sqlText match {
+        case RestoreV(t, v) => Some(GraftRestoreCommand(t, Left(v.toLong)))
+        case RestoreT(t, ts) =>
+          Some(GraftRestoreCommand(t,
+            Right(ts.substring(1, ts.length - 1))))
+        case _ =>
+          // RESTORE is OURS — a malformed body should say how to spell
+          // it, not fall into Spark's "unknown statement"
+          throw new IllegalArgumentException(
+            "RESTORE takes: RESTORE [TABLE] <table> TO VERSION AS OF " +
+              s"<n> | TO TIMESTAMP AS OF '<ts>' — got: $sqlText")
+      }
+      case _ => None
+    }
+  }
+
+  final case class GraftVacuumCommand(ref: String, keepVersions: Int,
+      graceMs: Option[Long], dryRun: Boolean, force: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      if (dryRun) attrs(StructType.fromDDL("kind STRING, path STRING"))
+      else attrs(StructType.fromDDL("deleted_objects INT"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = GraftSqlDialect.pathOf(spark, ref)
+      val grace = graceMs.getOrElse(ManifestTable.DefaultVacuumGraceMs)
+      if (dryRun)
+        ManifestTable.vacuumReport(spark, p, keepVersions, grace)
+          .collect().toSeq
+      else Seq(Row(ManifestTable.vacuum(spark, p, keepVersions, grace,
+        force)))
+    }
+  }
+
+  final case class GraftOptimizeCommand(ref: String,
+      where: Option[String], zorder: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(StructType.fromDDL(
+      "files_before INT, files_after INT, bytes BIGINT"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = GraftSqlDialect.pathOf(spark, ref)
+      val clusterBy = zorder.map(functions.col) match {
+        case Seq() => Seq.empty
+        case Seq(a) => Seq(a)
+        case Seq(a, b) => Seq(graft.sinks.Sinks.zOrderKey(a, b))
+        case Seq(a, b, c) => Seq(graft.sinks.Sinks.zOrderKey3(a, b, c))
+        case more => throw new IllegalArgumentException(
+          s"ZORDER BY supports up to 3 columns, got ${more.size}")
+      }
+      val st = ManifestTable.compact(spark, p,
+        clusterBy = clusterBy, where = where.map(functions.expr))
+      Seq(Row(st.filesBefore, st.filesAfter, st.totalBytes))
+    }
+  }
+
+  final case class GraftDescribeCommand(ref: String, kind: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      if (kind == "history") StructType.fromDDL(
+        "version BIGINT, kind STRING, files_added INT, " +
+          "files_removed INT, rows_added BIGINT, txns STRING, " +
+          "quality STRING, ts_millis BIGINT, operation STRING, " +
+          "op_params STRING")
+      else StructType.fromDDL(
+        "format STRING, location STRING, version BIGINT, " +
+          "last_modified_millis BIGINT, " +
+          "partition_columns ARRAY<STRING>, num_files BIGINT, " +
+          "size_bytes BIGINT, num_rows BIGINT, " +
+          "num_deletion_vectors BIGINT, properties STRING"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = GraftSqlDialect.pathOf(spark, ref)
+      val df = if (kind == "history") ManifestTable.history(spark, p)
+        else ManifestTable.detailReport(spark, p)
+      df.collect().toSeq
+    }
+  }
+
+  final case class GraftRestoreCommand(ref: String,
+      to: Either[Long, String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(StructType.fromDDL(
+      "restored_to_version BIGINT, committed_version BIGINT"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = GraftSqlDialect.pathOf(spark, ref)
+      val v = to match {
+        case Left(n) => n
+        case Right(ts) => ManifestTable.versionAtTimestamp(spark, p,
+          ManifestTable.parseTimestampMillis(spark, ts))
+      }
+      Seq(Row(v, ManifestTable.restore(spark, p, v)))
+    }
+  }
+}

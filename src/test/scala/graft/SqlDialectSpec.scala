@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.ManifestTable
+import java.nio.file.Files
+
+/** The Delta-dialect maintenance statements (GraftSqlParser via
+  * injectParser): VACUUM / OPTIMIZE / DESCRIBE HISTORY|DETAIL /
+  * RESTORE as first-class SQL, with untouched fallthrough for
+  * everything else.
+  */
+class SqlDialectSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val s = GraftColumnBridge.sessionWithExtensions(
+      new GraftExtensions().apply(_))
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def freshCatalog(): (String, String) = {
+    val cat = s"dial${n.incrementAndGet()}"
+    val wh = Files.createTempDirectory("graft_dialect").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    (cat, wh)
+  }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL statements") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.h (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.h SELECT id FROM range(10)")
+    val hist = spark.sql(s"DESCRIBE HISTORY $cat.db.h")
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[String]("operation"))).toSeq
+    assert(hist == Seq((1L, "create"), (2L, "append")), s"got $hist")
+    val det = spark.sql(s"DESC DETAIL $cat.db.h").head()
+    assert(det.getAs[String]("format") == "graft" &&
+      det.getAs[Long]("num_rows") == 10L, s"got $det")
+    // fallthrough: ordinary DESCRIBE still Spark's
+    assert(spark.sql(s"DESCRIBE TABLE $cat.db.h").collect()
+      .exists(_.getString(0) == "id"))
+    assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
+  }
+
+  test("OPTIMIZE ... WHERE ... ZORDER BY compacts through the dialect") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.o (id BIGINT, x BIGINT, y BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.o " +
+        s"SELECT id, id % 7, id % 11 FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val before = ManifestTable.currentFiles(spark, s"$wh/db/o").size
+    val st = spark.sql(s"OPTIMIZE $cat.db.o ZORDER BY (x, y)").head()
+    assert(st.getAs[Int]("files_before") == before)
+    assert(st.getAs[Int]("files_after") <= before)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.o")
+      .head().getLong(0) == 400L, "compaction must not change rows")
+    // scoped form parses and runs
+    spark.sql(s"INSERT INTO $cat.db.o SELECT id, 0, 0 FROM range(5)")
+    spark.sql(s"OPTIMIZE $cat.db.o WHERE x = 0").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.o")
+      .head().getLong(0) == 405L)
+  }
+
+  test("VACUUM statement: DRY RUN lists, RETAIN clauses map, FORCE overrides") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.v (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.v SELECT id FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.db.v SELECT id FROM range(10, 20)")
+    spark.sql(s"OPTIMIZE $cat.db.v").collect() // old files leave snapshot
+    // DRY RUN: lists, deletes nothing (RETAIN 0 HOURS = grace 0)
+    val report = spark.sql(
+      s"VACUUM $cat.db.v RETAIN 0 HOURS DRY RUN").collect()
+    assert(report.exists(_.getString(0) == "data"),
+      s"dry run must list the replaced files: ${report.mkString}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v")
+      .head().getLong(0) == 20L)
+    // a lagging consumer guards the real run; FORCE overrides
+    ManifestTable.write(spark, spark.range(5).toDF("id"),
+      s"$wh/db/g")
+    ManifestTable.consumeChanges(spark, s"$wh/db/g", "lag") {
+      (_, _, _) => () }
+    (0 until 3).foreach(i => ManifestTable.append(spark,
+      spark.range(i, i + 1).toDF("id"), s"$wh/db/g"))
+    val e = intercept[IllegalStateException](spark.sql(
+      s"VACUUM '$wh/db/g' RETAIN 0 HOURS").collect())
+    assert(e.getMessage.contains("lag"))
+    val forced = spark.sql(
+      s"VACUUM '$wh/db/g' RETAIN 0 HOURS FORCE").head().getInt(0)
+    assert(forced >= 0)
+    // RETAIN n VERSIONS maps to the retention window (1 = current
+    // only, so the pre-compaction files go)
+    val deleted = spark.sql(
+      s"VACUUM $cat.db.v RETAIN 1 VERSIONS RETAIN 0 HOURS")
+      .head().getInt(0)
+    assert(deleted > 0, "the pre-compaction files must be reclaimed")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v")
+      .head().getLong(0) == 20L)
+  }
+
+  test("RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.r SELECT id FROM range(3)") // v2
+    spark.sql(s"INSERT OVERWRITE $cat.db.r VALUES (99)") // v3: bad
+    val out = spark.sql(
+      s"RESTORE TABLE $cat.db.r TO VERSION AS OF 2").head()
+    assert(out.getLong(0) == 2L && out.getLong(1) == 4L, s"got $out")
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.r")
+      .head().getLong(0) == 3L)
+    // timestamp form: restore to the wall-clock of v2
+    val ts = spark.sql(s"DESCRIBE HISTORY $cat.db.r")
+      .filter(col("version") === 2L).head().getAs[Long]("ts_millis")
+    val tsStr = java.time.Instant.ofEpochMilli(ts)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace("T", " ")
+    spark.sql(s"INSERT OVERWRITE $cat.db.r VALUES (55)")
+    spark.sql(s"RESTORE $cat.db.r TO TIMESTAMP AS OF '$tsStr'").collect()
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.r")
+      .head().getLong(0) == 3L)
+    // a malformed RESTORE names the spelling instead of Spark's
+    // unknown-statement error
+    val bad = intercept[Exception](
+      spark.sql(s"RESTORE $cat.db.r VERSION 2"))
+    assert(bad.getMessage.contains("TO VERSION AS OF"), s"got $bad")
+  }
+}
