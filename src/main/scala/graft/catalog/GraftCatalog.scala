@@ -354,6 +354,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tablePath(ident)
   }
 
+  /** Name → warehouse path WITHOUT requiring an existing manifest —
+    * what `CONVERT TO GRAFT cat.ns.t` resolves through (a plain
+    * parquet dir in the warehouse is not a table YET); the same
+    * traversal guard as every name resolution.
+    */
+  def rawTablePath(nameArg: String): String = {
+    val segs = nameArg.split("\\.").toSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"bad table name '$nameArg' (want 'ns.t' within catalog ${name()})")
+    tablePath(Identifier.of(segs.init.toArray, segs.last))
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     GraftProcedures.load(ident, procTablePath)
 

@@ -1845,4 +1845,48 @@ object PipelineOps {
       |FROM widened
       |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 
+  private val p39Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p39: CONVERT TO GRAFT — adopt a pre-existing Hive-partitioned
+    * parquet directory as a manifest table IN PLACE (zero data
+    * movement, one metadata commit; the Delta `CONVERT TO DELTA`
+    * recipe) and prove the adopted table is a first-class citizen:
+    * name-addressed SQL reads it, an ordinary INSERT commits a
+    * standard snapshot alongside the adopted layout, and the census
+    * over both eras hash-matches DuckDB over the raw data. At 100 TB
+    * this is the onboarding path: the bytes never move, only footer
+    * statistics are read.
+    */
+  def p39Convert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val inv = p39Invocation.incrementAndGet()
+    val cat = s"p39lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p39_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // someone else's plain partitioned parquet, inside the warehouse
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.partitionBy("lang").parquet(s"$wh/corpus/docs")
+    docs.createOrReplaceTempView("p39_docs")
+    spark.sql(s"CONVERT TO GRAFT $cat.corpus.docs").collect()
+    // the recorded schema is discovery order: data cols then lang
+    spark.sql(s"INSERT INTO $cat.corpus.docs " +
+      "SELECT doc_id, n_chars, lang FROM p39_docs WHERE doc_id % 2 = 1")
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM $cat.corpus.docs
+         |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin)
+  }
+
+  val p39Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 }

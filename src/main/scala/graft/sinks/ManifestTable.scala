@@ -2499,6 +2499,56 @@ object ManifestTable {
     1L
   }
 
+  /** ADOPT an existing parquet directory (flat or Hive-partitioned)
+    * as a manifest table IN PLACE — zero data movement, zero rewrite
+    * (the `CONVERT TO DELTA` recipe): list the data files, infer the
+    * schema and partition layout through Spark's own parquet +
+    * partition discovery, collect per-file statistics, and commit ONE
+    * v1 replace manifest referencing the files where they already
+    * live. At 100 TB the convert is the footer-statistics pass and a
+    * metadata commit — the bytes never move. After conversion every
+    * surface works (commit protocol, skipping, SQL catalog when the
+    * dir sits in a warehouse, time travel from v1, streaming); new
+    * commits write standard `data/sN` snapshot dirs alongside the
+    * adopted layout. One caveat, documented here deliberately:
+    * [[vacuum]] reclaims only files under `data/` — adopted files
+    * replaced by later rewrites stay on disk (they may predate the
+    * table and be shared; sweeping them is the operator's call).
+    *
+    * Refuses when the directory is already a graft table or contains
+    * no parquet files. Partition columns are REQUIRED to be consistent
+    * across every file path (the Hive layout contract).
+    */
+  def convertToGraft(spark: SparkSession, table: String): Long = {
+    val (fs, p) = fsOf(spark, table)
+    require(currentVersion(spark, table) == 0,
+      s"$table is already a graft table (committed versions present)")
+    val rels = listDataFiles(fs, p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => relativize(p, f.getPath))
+      .sorted
+    require(rels.nonEmpty,
+      s"$table holds no parquet files to convert")
+    // partition layout from the path fragments, required consistent
+    val keySeqs = rels.map(_.split("/").dropRight(1).toSeq
+      .filter(_.indexOf('=') > 0).map(_.split("=", 2).head)).distinct
+    require(keySeqs.size == 1,
+      s"inconsistent partition layouts under $table: " +
+        keySeqs.map(_.mkString("/")).mkString(" vs "))
+    val parts = keySeqs.head
+    // schema through Spark's own discovery: data columns then typed
+    // partition columns — the recorded-schema convention
+    val schema = spark.read.parquet(p.toString).schema
+    require(parts.forall(schema.fieldNames.contains),
+      s"partition discovery lost column(s) ${parts.mkString(", ")}")
+    if (!commitFullList(spark, fs, p, 1, rels, Map.empty,
+      collectStats(spark, p, rels), parts, Some(schema.json),
+      op = opInfo(None, "convert", "files" -> rels.size.toString,
+        "partitionBy" -> parts.mkString(","))))
+      raceLost(table, 1)
+    1L
+  }
+
   /** EXACT row count of a snapshot from manifest statistics alone —
     * no data I/O (every commit records per-file parquet row counts,
     * which are exact). `None` if any live file lacks stats (legacy
@@ -3844,11 +3894,12 @@ object ManifestTable {
     import org.apache.spark.sql.functions.lit
     val (fs, p) = fsOf(spark, table)
     // partition fragment of a rel path (`data/sX/a=1/b=2/f.parquet` →
-    // `a=1/b=2`; unpartitioned → "")
-    def fragOf(rel: String): String = {
-      val segs = rel.split("/")
-      segs.drop(2).dropRight(1).mkString("/")
-    }
+    // `a=1/b=2`; unpartitioned → ""). Selected by SEGMENT SHAPE, not
+    // position: converted tables ([[convertToGraft]]) carry fragments
+    // directly under the root, not under a `data/sN/` snapshot dir
+    def fragOf(rel: String): String =
+      rel.split("/").dropRight(1)
+        .filter(_.indexOf('=') > 0).mkString("/")
     if (staged.isEmpty)
       // zero input rows touch zero partitions: nothing replaced, no
       // commit (the Hive/Delta dynamic-overwrite contract)

@@ -24,6 +24,7 @@ import graft.sinks.ManifestTable
   * DESCRIBE DETAIL lake.ns.t
   * RESTORE [TABLE] lake.ns.t TO VERSION AS OF n
   * RESTORE [TABLE] lake.ns.t TO TIMESTAMP AS OF '...'
+  * CONVERT TO GRAFT lake.ns.t | '/path/to/parquet'
   * }}}
   *
   * Each statement is the SAME operation the `CALL cat.system.*`
@@ -65,7 +66,8 @@ object GraftSqlDialect {
     * warehouse path, resolved through the owning catalog exactly as
     * the `table_changes` TVF does. Runs at COMMAND EXECUTION time.
     */
-  private def pathOf(spark: SparkSession, ref: String): String = {
+  private def pathOf(spark: SparkSession, ref: String,
+      requireExists: Boolean = true): String = {
     val r = ref.trim
     if (r.startsWith("'") || r.startsWith("\"")) r.substring(1, r.length - 1)
     else if (r.contains("/")) r
@@ -76,7 +78,8 @@ object GraftSqlDialect {
           s"table) or a quoted path, got '$r'")
       GraftColumnBridge.catalogPlugin(spark, segs.head) match {
         case g: graft.catalog.GraftCatalog =>
-          g.procTablePath(segs.tail.mkString("."))
+          val rest = segs.tail.mkString(".")
+          if (requireExists) g.procTablePath(rest) else g.rawTablePath(rest)
         case other => throw new IllegalArgumentException(
           s"catalog '${segs.head}' is not a graft catalog " +
             s"(got ${other.getClass.getName})")
@@ -108,6 +111,8 @@ object GraftSqlDialect {
   private val RestoreT =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']+')\s*;?\s*""").r
+  private val Convert =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$T\\s*;?\\s*""".r
 
   /** Try the dialect; None falls through to Spark's parser. Only
     * statements whose FIRST keyword matches are attempted, so the
@@ -150,8 +155,21 @@ object GraftSqlDialect {
             "RESTORE takes: RESTORE [TABLE] <table> TO VERSION AS OF " +
               s"<n> | TO TIMESTAMP AS OF '<ts>' — got: $sqlText")
       }
+      case "CONVERT" => sqlText match {
+        case Convert(t) => Some(GraftConvertCommand(t))
+        case _ => None
+      }
       case _ => None
     }
+  }
+
+  final case class GraftConvertCommand(ref: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      attrs(StructType.fromDDL("converted_version BIGINT"))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(ManifestTable.convertToGraft(spark,
+        GraftSqlDialect.pathOf(spark, ref, requireExists = false))))
   }
 
   final case class GraftVacuumCommand(ref: String, keepVersions: Int,

@@ -108,6 +108,58 @@ class SqlDialectSpec extends AnyFunSuite {
       .head().getLong(0) == 20L)
   }
 
+  test("CONVERT TO GRAFT adopts a parquet dir in place") {
+    val (cat, wh) = freshCatalog()
+    import spark.implicits._
+    // a PLAIN partitioned parquet dir inside the warehouse — no
+    // manifest, written by someone else entirely
+    (0L until 60L).map(i => (i, s"s${i % 3}"))
+      .toDF("id", "shard").write.partitionBy("shard")
+      .parquet(s"$wh/db/legacy")
+    val v = spark.sql(s"CONVERT TO GRAFT $cat.db.legacy")
+      .head().getLong(0)
+    assert(v == 1L)
+    // the adopted table serves every surface: name-addressed SQL ...
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.legacy")
+      .head().getLong(0) == (0L until 60L).sum)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.legacy WHERE shard = 's1'")
+      .head().getLong(0) == 20L)
+    // ... appends land as standard snapshot commits alongside ...
+    spark.sql(s"INSERT INTO $cat.db.legacy VALUES (100, 's0')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.legacy")
+      .head().getLong(0) == 61L)
+    // ... statistics were collected at convert (exact metadata count)
+    assert(ManifestTable.rowCount(spark, s"$wh/db/legacy")
+      .contains(61L), "converted files must carry exact stats")
+    // ... history shows the adoption; time travel reads v1
+    val ops = spark.sql(s"DESCRIBE HISTORY $cat.db.legacy")
+      .collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops == Seq("convert", "append"), s"got $ops")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.legacy VERSION AS OF 1")
+      .head().getLong(0) == 60L)
+    // re-converting refuses; an empty dir refuses
+    assertThrows[Exception](
+      spark.sql(s"CONVERT TO GRAFT $cat.db.legacy").collect())
+    // a dynamic overwrite replaces exactly the adopted partition's
+    // rows (fragment parsing is layout-agnostic)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql(s"INSERT OVERWRITE $cat.db.legacy VALUES (7L, 's1')")
+    } finally prev match {
+      case Some(x) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", x)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $cat.db.legacy " +
+      "WHERE shard = 's1'").head().toSeq == Seq(1L, 7L),
+      "the adopted s1 partition must be fully replaced")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.legacy")
+      .head().getLong(0) == 42L, "other partitions ride through")
+  }
+
   test("RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT)")
