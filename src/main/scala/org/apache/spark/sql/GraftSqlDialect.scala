@@ -25,6 +25,8 @@ import graft.sinks.ManifestTable
   * RESTORE [TABLE] lake.ns.t TO VERSION AS OF n
   * RESTORE [TABLE] lake.ns.t TO TIMESTAMP AS OF '...'
   * CONVERT TO GRAFT lake.ns.t | '/path/to/parquet'
+  * ALTER TABLE lake.ns.t ADD CONSTRAINT name CHECK (expr)
+  * ALTER TABLE lake.ns.t DROP CONSTRAINT [IF EXISTS] name
   * }}}
   *
   * Each statement is the SAME operation the `CALL cat.system.*`
@@ -113,6 +115,12 @@ object GraftSqlDialect {
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']+')\s*;?\s*""").r
   private val Convert =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$T\\s*;?\\s*""".r
+  private val AddConstraint =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraint =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""").r
 
   /** Try the dialect; None falls through to Spark's parser. Only
     * statements whose FIRST keyword matches are attempted, so the
@@ -159,7 +167,42 @@ object GraftSqlDialect {
         case Convert(t) => Some(GraftConvertCommand(t))
         case _ => None
       }
+      case "ALTER" => sqlText match {
+        // the Delta ADD/DROP CONSTRAINT spellings, sugar over the
+        // graft.constraints.* property channel (declaration still
+        // validates the expression AND the existing rows); every
+        // other ALTER form is Spark's
+        case AddConstraint(t, cname, expr) =>
+          Some(GraftConstraintCommand(t, cname, Some(expr.trim),
+            ifExists = false))
+        case DropConstraint(t, ifEx, cname) =>
+          Some(GraftConstraintCommand(t, cname, None,
+            ifExists = ifEx != null))
+        case _ => None
+      }
       case _ => None
+    }
+  }
+
+  final case class GraftConstraintCommand(ref: String, cname: String,
+      check: Option[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq.empty
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = GraftSqlDialect.pathOf(spark, ref)
+      val key = ManifestTable.ConstraintPropPrefix + cname
+      check match {
+        case Some(expr) =>
+          ManifestTable.updateProperties(spark, p, Map(key -> expr)): Unit
+        case None =>
+          if (!ManifestTable.tableProperties(spark, p).contains(key) &&
+            !ifExists) throw new IllegalArgumentException(
+            s"no constraint '$cname' on $ref — " +
+              "use DROP CONSTRAINT IF EXISTS to ignore")
+          ManifestTable.updateProperties(spark, p, Map.empty,
+            unset = Seq(key)): Unit
+      }
+      Seq.empty
     }
   }
 

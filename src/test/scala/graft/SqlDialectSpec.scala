@@ -160,6 +160,32 @@ class SqlDialectSpec extends AnyFunSuite {
       .head().getLong(0) == 42L, "other partitions ride through")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT spellings") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.c (id BIGINT, n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.c VALUES (1, 5)")
+    // declaring validates EXISTING rows: a violated constraint refuses
+    val bad = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.c ADD CONSTRAINT big CHECK (n > 100)"))
+    assert(bad.getMessage.contains("big"), s"got $bad")
+    // a satisfiable one lands and gates every subsequent write
+    spark.sql(s"ALTER TABLE $cat.db.c ADD CONSTRAINT pos CHECK (n >= 0)")
+    val viol = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.db.c VALUES (2, -1)"))
+    assert(viol.getMessage.contains("pos"), s"got $viol")
+    // DROP retires the check; missing names refuse unless IF EXISTS
+    spark.sql(s"ALTER TABLE $cat.db.c DROP CONSTRAINT pos")
+    spark.sql(s"INSERT INTO $cat.db.c VALUES (2, -1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.c")
+      .head().getLong(0) == 2L)
+    assertThrows[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.c DROP CONSTRAINT nope"))
+    spark.sql(s"ALTER TABLE $cat.db.c DROP CONSTRAINT IF EXISTS nope")
+    // every other ALTER form is still Spark's
+    spark.sql(s"ALTER TABLE $cat.db.c ADD COLUMNS (tag STRING)")
+    assert(spark.table(s"$cat.db.c").schema.fieldNames.contains("tag"))
+  }
+
   test("RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT)")
