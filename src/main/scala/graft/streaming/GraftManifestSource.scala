@@ -171,21 +171,31 @@ class GraftManifestSourceProvider extends StreamSourceProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val spark = sqlContext.sparkSession
     val table = tablePath(parameters)
-    // a DV-bearing snapshot plans as relation + anti-join, which a
-    // BaseRelation cannot express — refuse with the readerFeatures
-    // error instead of failing the pattern match below (ADVICE r12)
-    if (ManifestTable.hasDeletionVectors(sqlContext.sparkSession, table))
-      throw new UnsupportedOperationException(
-      s"table $table carries deletion vectors spark.read.format(\"graft\") " +
-        "cannot apply — read via ManifestTable.read/scan or the SQL " +
-        "catalog (GraftExtensions applies the DV anti-join there), or " +
-        "run ManifestTable.compact(...) to materialize them")
-    ManifestTable.scan(sqlContext.sparkSession, table)
-      .queryExecution.logical match {
+    // TIME TRAVEL on the path-based reader (the Delta option parity):
+    // `versionAsOf` pins a manifest version, `timestampAsOf` resolves
+    // a wall-clock through the same session-zone parser every other
+    // timestamp surface uses
+    require(!(parameters.contains("versionAsOf") &&
+      parameters.contains("timestampAsOf")),
+      "pass versionAsOf OR timestampAsOf, not both")
+    val v = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        ManifestTable.versionAtTimestamp(spark, table,
+          ManifestTable.parseTimestampMillis(spark, ts))))
+      .getOrElse(-1L)
+    ManifestTable.scan(spark, table, v).queryExecution.logical match {
       case LogicalRelation(rel, _, _, _, _) => rel
-      case other => throw new IllegalStateException(
-        s"native scan planned unexpectedly: $other")
+      // a DV-bearing or column-mapped snapshot plans as more than a
+      // bare relation (anti-join / renaming projection), which a
+      // BaseRelation cannot express — the readerFeatures refusal
+      case _ => throw new UnsupportedOperationException(
+        s"table $table carries deletion vectors or column mapping " +
+          "spark.read.format(\"graft\") cannot apply — read via " +
+          "ManifestTable.read/scan or the SQL catalog (GraftExtensions " +
+          "applies them there), or run ManifestTable.compact(...) / " +
+          "rewrite to materialize")
     }
   }
 }

@@ -683,6 +683,28 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"4 files at 2 per trigger = two engine batches: $counts")
   }
 
+  test("format(\"graft\") batch read time travel: versionAsOf / timestampAsOf") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark, (0L until 5L).toDF("id"), t) // v1
+    ManifestTable.append(spark, (5L until 9L).toDF("id"), t) // v2
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(t).count() == 5)
+    assert(spark.read.format("graft").load(t).count() == 9)
+    val ts = ManifestTable.history(spark, t)
+      .filter(col("version") === 1L).head()
+      .getAs[Long]("ts_millis")
+    val tsStr = java.time.Instant.ofEpochMilli(ts)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace("T", " ")
+    assert(spark.read.format("graft").option("timestampAsOf", tsStr)
+      .load(t).count() == 5)
+    assertThrows[Exception](spark.read.format("graft")
+      .option("versionAsOf", "1").option("timestampAsOf", tsStr)
+      .load(t).count())
+  }
+
   test("batch read through format(\"graft\") is the native pruning scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import spark.implicits._
