@@ -193,6 +193,38 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(r.filter(col("score").isNotNull).count() == 5)
   }
 
+  test("MERGE schema evolution: a wider source evolves the table in the upsert") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.write(spark,
+      (0L until 10L).map(i => (i, s"t${i % 2}")).toDF("id", "tag")
+        .repartitionByRange(2, col("id")), t)
+    // the source carries a NEW column and updates half the keys
+    val src = (5L until 15L).map(i => (i, "up", i * 1.5))
+      .toDF("id", "tag", "score")
+    ManifestTable.merge(spark, src, t, Seq("id"))
+    val r = ManifestTable.read(spark, t)
+    assert(r.columns.toSeq.sorted == Seq("id", "score", "tag"),
+      "merge must evolve the schema for the new source column")
+    assert(r.count() == 15)
+    assert(r.filter(col("score").isNull).count() == 5,
+      "untouched rows read the evolved column as null")
+    assert(r.filter(col("id") === 7L).head().getAs[String]("tag") == "up")
+    // widening through merge: a LONG source over an INT column
+    val t2 = freshTable()
+    ManifestTable.write(spark,
+      (0 until 5).map(i => (i, i)).toDF("id", "n"), t2)
+    ManifestTable.merge(spark,
+      Seq((3, 5000000000L), (9, 1L)).toDF("id", "n"), t2, Seq("id"))
+    val r2 = ManifestTable.read(spark, t2)
+    assert(r2.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "merge must widen int -> long")
+    assert(r2.filter(col("id") === 3).head().getAs[Long]("n")
+      == 5000000000L)
+    assert(r2.count() == 6)
+  }
+
   test("exactly-once streaming append: replayed micro-batches fold in once") {
     import java.nio.file.StandardCopyOption
     import scala.jdk.CollectionConverters._
