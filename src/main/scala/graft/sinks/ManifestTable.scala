@@ -2549,6 +2549,44 @@ object ManifestTable {
     1L
   }
 
+  /** EXPORT the current snapshot as a SYMLINK-FORMAT MANIFEST (the
+    * Delta `GENERATE symlink_format_manifest` recipe): under
+    * `_symlink_format_manifest/` one text file per Hive partition
+    * (`manifest` at the root for unpartitioned tables) listing the
+    * ABSOLUTE URIS of that partition's live data files — the handoff
+    * readers like Trino/Presto/Hive/Athena consume without
+    * understanding the log. Deletion-vector-bearing snapshots refuse
+    * (a path listing cannot express row-level deletes — compact
+    * first); the export is a point-in-time snapshot, regenerate after
+    * commits. Returns the number of manifest files written; stale
+    * partition entries from earlier exports are removed so the
+    * listing always matches exactly the current snapshot.
+    */
+  def generateSymlinkManifest(spark: SparkSession, table: String): Int = {
+    val (fs, p, _, snap) = resolveAt(spark, table, -1L)
+    require(snap.dvs.isEmpty,
+      s"$table carries deletion vectors a symlink manifest cannot " +
+        "express — run compact(...) to materialize them first")
+    val outRoot = new Path(p, "_symlink_format_manifest")
+    // group live files by partition fragment (layout-agnostic: k=v
+    // segments, so converted tables export too)
+    val byFrag: Map[String, Seq[String]] = snap.files.groupBy(rel =>
+      rel.split("/").dropRight(1).filter(_.indexOf('=') > 0)
+        .mkString("/"))
+    if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+    byFrag.toSeq.sortBy(_._1).foreach { case (frag, rels) =>
+      val dir = if (frag.isEmpty) outRoot else new Path(outRoot, frag)
+      fs.mkdirs(dir)
+      val body = rels.sorted
+        .map(rel => new Path(p, rel).toUri.toString)
+        .mkString("", "\n", "\n")
+      val out = fs.create(new Path(dir, "manifest"), true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    byFrag.size
+  }
+
   /** EXACT row count of a snapshot from manifest statistics alone —
     * no data I/O (every commit records per-file parquet row counts,
     * which are exact). `None` if any live file lacks stats (legacy

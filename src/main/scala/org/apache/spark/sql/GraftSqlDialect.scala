@@ -27,6 +27,7 @@ import graft.sinks.ManifestTable
   * CONVERT TO GRAFT lake.ns.t | '/path/to/parquet'
   * ALTER TABLE lake.ns.t ADD CONSTRAINT name CHECK (expr)
   * ALTER TABLE lake.ns.t DROP CONSTRAINT [IF EXISTS] name
+  * GENERATE symlink_format_manifest FOR TABLE lake.ns.t
   * }}}
   *
   * Each statement is the SAME operation the `CALL cat.system.*`
@@ -115,6 +116,9 @@ object GraftSqlDialect {
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']+')\s*;?\s*""").r
   private val Convert =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$T\\s*;?\\s*""".r
+  private val Generate =
+    (s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+""" +
+      s"""TABLE\\s+$T\\s*;?\\s*""").r
   private val AddConstraint =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
@@ -167,6 +171,10 @@ object GraftSqlDialect {
         case Convert(t) => Some(GraftConvertCommand(t))
         case _ => None
       }
+      case "GENERATE" => sqlText match {
+        case Generate(t) => Some(GraftGenerateCommand(t))
+        case _ => None
+      }
       case "ALTER" => sqlText match {
         // the Delta ADD/DROP CONSTRAINT spellings, sugar over the
         // graft.constraints.* property channel (declaration still
@@ -182,6 +190,15 @@ object GraftSqlDialect {
       }
       case _ => None
     }
+  }
+
+  final case class GraftGenerateCommand(ref: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      attrs(StructType.fromDDL("manifest_files INT"))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(ManifestTable.generateSymlinkManifest(spark,
+        GraftSqlDialect.pathOf(spark, ref))))
   }
 
   final case class GraftConstraintCommand(ref: String, cname: String,

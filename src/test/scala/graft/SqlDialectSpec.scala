@@ -160,6 +160,48 @@ class SqlDialectSpec extends AnyFunSuite {
       .head().getLong(0) == 42L, "other partitions ride through")
   }
 
+  test("GENERATE symlink_format_manifest exports the snapshot for foreign readers") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, shard STRING) " +
+      "PARTITIONED BY (shard)")
+    spark.sql(s"INSERT INTO $cat.db.s " +
+      "SELECT id, concat('s', id % 2) FROM range(0, 20)")
+    val n = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE $cat.db.s")
+      .head().getInt(0)
+    assert(n == 2, "one manifest per partition")
+    // the listing IS the snapshot: reading exactly the listed files
+    // reproduces the table (what Trino/Presto/Hive consume)
+    def listed(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$wh/db/s/_symlink_format_manifest"))
+        .iterator().asScala
+        .filter(p => p.getFileName.toString == "manifest")
+        .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+        .toSeq
+    }
+    val files = listed()
+    assert(files.forall(_.endsWith(".parquet")) && files.nonEmpty)
+    assert(spark.read.parquet(files.map(_.stripPrefix("file:")): _*)
+      .count() == 20L)
+    // a rewrite then regeneration: stale entries vanish
+    spark.sql(s"CALL $cat.system.compact(table => 'db.s')")
+    spark.sql(s"GENERATE symlink_format_manifest FOR TABLE $cat.db.s")
+    val after = listed()
+    assert(after.toSet.intersect(files.toSet).isEmpty,
+      "regeneration must list only the compacted files")
+    assert(spark.read.parquet(after.map(_.stripPrefix("file:")): _*)
+      .count() == 20L)
+    // DV-bearing snapshots refuse (a listing cannot express row deletes)
+    spark.sql(s"INSERT INTO $cat.db.s VALUES (100, 's0')")
+    ManifestTable.deleteVectors(spark, s"$wh/db/s",
+      col("id") === 100L)
+    val e = intercept[Exception](spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE $cat.db.s").collect())
+    assert(e.getMessage.contains("deletion vectors"), s"got $e")
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT spellings") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.c (id BIGINT, n BIGINT)")
