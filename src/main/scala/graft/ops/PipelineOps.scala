@@ -1889,4 +1889,60 @@ object PipelineOps {
       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       |FROM documents
       |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  private val p40Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p40: the FULL row-level surface on a CONVERTED table — p39
+    * proved adoption + scan + append; this drives the operations a
+    * real migration runs NEXT, all against files that live in the
+    * adopted Hive layout rather than `data/sN` snapshot dirs (ADVICE
+    * r15 high: the read/rewrite funnel must not assume the native
+    * layout). A plain `partitionBy("lang")` parquet dir holding the
+    * even documents is adopted in place, then: a copy-on-write DELETE
+    * removes `doc_id % 10 == 0` (stats-prune → hit-scan → narrow
+    * rewrite, sources adopted files), an UPDATE bumps `n_chars` by
+    * 1000 where `doc_id % 7 == 0` (rewrites adopted files with the
+    * SET applied), an append commits the odd documents as a native
+    * snapshot alongside, and a merge-on-read DELETE via deletion
+    * vectors removes `doc_id % 9 == 0` across BOTH eras — so the
+    * final census reads adopted files, rewritten files and native
+    * files under one manifest with the DV anti-join keyed by the
+    * layout-agnostic rel-path identity. Hash-exact vs DuckDB
+    * replaying the same edits relationally.
+    */
+  def p40ConvertedLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p40_conv_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p40Invocation.incrementAndGet())
+    // someone else's plain Hive-partitioned parquet, adopted in place
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.partitionBy("lang").parquet(table)
+    graft.sinks.ManifestTable.convertToGraft(spark, table)
+    graft.sinks.ManifestTable.delete(spark, table,
+      col("doc_id") % 10 === 0)
+    graft.sinks.ManifestTable.update(spark, table,
+      col("doc_id") % 7 === 0,
+      Map("n_chars" -> (col("n_chars") + 1000)))
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 === 1), table)
+    graft.sinks.ManifestTable.deleteVectors(spark, table,
+      col("doc_id") % 9 === 0)
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  val p40Sql: String =
+    """WITH edited AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM edited WHERE doc_id % 9 <> 0
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 }

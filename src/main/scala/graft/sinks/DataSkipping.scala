@@ -123,6 +123,34 @@ object DataSkipping {
     } finally pool.shutdown()
   }
 
+  /** [[collect]] distributed into a Spark job: the same per-file
+    * footer parse, run in executor tasks instead of the driver's
+    * bounded pool. A whole-table stats pass (CONVERT TO GRAFT of a
+    * million-file directory, a giant compaction) must not be a
+    * driver-serial footer crawl (VERDICT r15 next-round #4). The
+    * threshold choice lives with the caller
+    * ([[graft.sinks.ManifestTable]]'s `collectStats`) — this is the
+    * mechanism. Fail-open per file, exactly like [[collect]]; only
+    * the (rel, stats) pairs travel back, never row data.
+    */
+  def collectDistributed(spark: org.apache.spark.sql.SparkSession,
+      table: Path, relFiles: Seq[String]): Map[String, FileStats] = {
+    if (relFiles.isEmpty) return Map.empty
+    val getConf = org.apache.spark.sql.GraftColumnBridge
+      .confAccessor(spark.sparkContext.hadoopConfiguration)
+    val tableStr = table.toString
+    val slices = math.max(1, math.min(relFiles.size,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(relFiles, slices)
+      .mapPartitions { it =>
+        val conf = getConf()
+        it.flatMap { rel =>
+          try Some(rel -> statsOf(conf, new Path(tableStr, rel), rel))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }.collect().toMap
+  }
+
   /** Footer + partition stats of one file. */
   private def statsOf(conf: Configuration, file: Path,
       rel: String): FileStats = {

@@ -22,6 +22,18 @@ object GraftColumnBridge {
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** A task-shippable accessor for the driver's Hadoop configuration,
+    * via the (private[spark]) SerializableConfiguration wrapper — the
+    * standard recipe every connector uses to rebuild file readers on
+    * executors. Exposed as a Function0 so graft code never names the
+    * private type.
+    */
+  def confAccessor(conf: org.apache.hadoop.conf.Configuration)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+    () => ser.value
+  }
+
   /** Apply a SparkSessionExtensions' injected functions to an existing
     * session's registry (normally this happens only at session build;
     * tests use this to exercise the extension against a shared

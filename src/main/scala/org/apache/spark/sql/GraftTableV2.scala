@@ -247,8 +247,11 @@ object GraftTableV2 {
                       ManifestTable.replaceWhere(spark, data.toDF(),
                         tablePath, cond): Unit
                     case None if overwrite =>
+                      // catalog INSERT OVERWRITE replaces DATA, never
+                      // the recorded schema contract (NOT NULL,
+                      // widened types survive)
                       ManifestTable.write(spark, data.toDF(), tablePath,
-                        partCols): Unit
+                        partCols, preserveSchema = true): Unit
                     case None =>
                       ManifestTable.append(spark, data.toDF(), tablePath): Unit
                   }
