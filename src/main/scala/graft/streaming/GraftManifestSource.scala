@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -241,7 +242,8 @@ final class GraftManifestSource(spark: SparkSession, table: String,
     startingVersion: Long = 0L,
     changeFeed: Boolean = false,
     maxFilesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source {
+    maxBytesPerTrigger: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow {
 
   /** File/byte-granular admission (VERDICT r14 #7) splits WITHIN a
     * version — including the initial snapshot, so one huge backfill
@@ -292,35 +294,70 @@ final class GraftManifestSource(spark: SparkSession, table: String,
     maxFilesPerTrigger.exists(files >= _) ||
       maxBytesPerTrigger.exists(bytes >= _)
 
-  override def getOffset: Option[Offset] = synchronized {
+  override def getOffset: Option[Offset] = synchronized { nextOffset() }
+
+  /** `Trigger.AvailableNow` latch (the Delta-source recipe —
+    * [[SupportsTriggerAvailableNow]]): the head position frozen at
+    * query start. Offers clamp at it, so the query drains to exactly
+    * this point in rate-limited batches and then STOPS — commits that
+    * land after the latch belong to the next run.
+    */
+  @volatile private var availableNowCap: Option[GraftVersionOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowCap = Some(GraftVersionOffset(
+      ManifestTable.currentVersion(spark, table)))
+  }
+
+  /** Admission is baked into the offset walk itself (versions/files/
+    * bytes options), so the engine-side limit is pass-through. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admission-control face of [[getOffset]] — the engine calls
+    * this form when the source declares admission control. `start` is
+    * ignored: the floor tracks delivery exactly as the V1 contract
+    * restores it (getBatch for pending batches, commit for recovery).
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    synchronized { nextOffset().orNull }
+
+  /** The shared admission walk: the bounded next offset, clamped at
+    * the AvailableNow latch, floor ratcheted on what is offered.
+    */
+  private def nextOffset(): Option[Offset] = {
     val current = ManifestTable.currentVersion(spark, table)
     // nothing yet: table absent, or the tail starts beyond the head
     if (current == 0 || current <= startingVersion) return None
-    if (!fileGranular) {
-      val offered = maxVersionsPerTrigger match {
-        // the INITIAL SNAPSHOT is always delivered whole at the CURRENT
-        // version (Delta's initial-snapshot semantics): floor == 0 means
-        // this fresh stream's first batch resolves the snapshot, and
-        // rate-limiting it to floor+n would instead replay the log
-        // commit-by-commit from v1 — any historical rewrite commit would
-        // permanently wedge the stream, and a restart from a fresh
-        // checkpoint replays into the same rewrite (ADVICE r12). The
-        // limit applies to post-snapshot increments only. (On restart
-        // the engine restores `floor` through getBatch/commit before
-        // getOffset runs, so floor == 0 here really is a fresh stream;
-        // startingVersion > 0 tails increments from the start and rate
-        // limits from its very first batch.)
-        case Some(_) if floor.version == 0L => current
-        case Some(n) => math.min(current, floor.version + math.max(1, n))
-        case None => current
-      }
-      val o = GraftVersionOffset(offered)
-      ratchet(o)
-      return if (offered <= startingVersion) None else Some(o)
+    val candidate: Option[GraftVersionOffset] =
+      if (!fileGranular) {
+        val offered = maxVersionsPerTrigger match {
+          // the INITIAL SNAPSHOT is always delivered whole at the CURRENT
+          // version (Delta's initial-snapshot semantics): floor == 0 means
+          // this fresh stream's first batch resolves the snapshot, and
+          // rate-limiting it to floor+n would instead replay the log
+          // commit-by-commit from v1 — any historical rewrite commit would
+          // permanently wedge the stream, and a restart from a fresh
+          // checkpoint replays into the same rewrite (ADVICE r12). The
+          // limit applies to post-snapshot increments only. (On restart
+          // the engine restores `floor` through getBatch/commit before
+          // getOffset runs, so floor == 0 here really is a fresh stream;
+          // startingVersion > 0 tails increments from the start and rate
+          // limits from its very first batch.)
+          case Some(_) if floor.version == 0L => current
+          case Some(n) => math.min(current, floor.version + math.max(1, n))
+          case None => current
+        }
+        Some(GraftVersionOffset(offered))
+          .filter(_.version > startingVersion)
+      } else nextFileGranular(current)
+    val clamped = availableNowCap match {
+      case None => candidate
+      case Some(cap) => candidate
+        .map(o => if (GraftVersionOffset.ordering.gt(o, cap)) cap else o)
+        .filter(o => GraftVersionOffset.ordering.gt(o, floor))
     }
-    val offered = nextFileGranular(current)
-    offered.foreach(ratchet)
-    offered
+    clamped.foreach(ratchet)
+    clamped
   }
 
   /** The file/byte-limited walk: continue the pinned snapshot if one

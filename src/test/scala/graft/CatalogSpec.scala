@@ -760,6 +760,35 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 5)
   }
 
+  test("static-partition INSERT INTO ... PARTITION (p=v) appends into that partition") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (1,'en'), (2,'de')")
+    val t = s"$wh/db/p"
+    val before = ManifestTable.currentFiles(spark, t).toSet
+    // the APPEND spelling (no OVERWRITE): existing files untouched,
+    // the new rows land in the named partition's Hive dir
+    spark.sql(s"INSERT INTO $cat.db.p PARTITION (lang = 'fr') " +
+      "VALUES (CAST(10 AS BIGINT)), (CAST(11 AS BIGINT))")
+    val rows = spark.sql(s"SELECT id, lang FROM $cat.db.p ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "en"), (2L, "de"), (10L, "fr"), (11L, "fr")),
+      s"got: $rows")
+    val added = ManifestTable.currentFiles(spark, t).toSet -- before
+    assert(added.nonEmpty && added.forall(_.contains("lang=fr")),
+      s"appended files must sit in the fr partition dir: $added")
+    assert(before.subsetOf(ManifestTable.currentFiles(spark, t).toSet),
+      "an append never rewrites existing files")
+    assert(ManifestTable.history(spark, t).orderBy("version").collect()
+      .last.getAs[String]("operation") == "append")
+    // partition pruning still serves the mixed table
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.p WHERE lang = 'fr'")
+      .head().getLong(0) == 2L)
+  }
+
   test("dynamic partition overwrite: only touched partitions swap, identity pinned") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")

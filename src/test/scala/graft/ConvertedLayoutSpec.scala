@@ -92,6 +92,49 @@ class ConvertedLayoutSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 10)
   }
 
+  test("convert stats via the distributed path match the driver pool exactly") {
+    val t1 = freshDir()
+    corpus(120).write.partitionBy("lang").parquet(t1)
+    // byte-identical twin directory → identical rel paths, so the two
+    // collection paths are comparable key-for-key
+    val t2 = freshDir()
+    val src = java.nio.file.Paths.get(t1)
+    val dst = java.nio.file.Paths.get(t2)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val q = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(q): Unit
+      else java.nio.file.Files.copy(p, q): Unit
+    }
+    ManifestTable.convertToGraft(spark, t1) // driver footer pool
+    spark.conf.set("spark.graft.manifest.distributedParseThreshold", "0")
+    try ManifestTable.convertToGraft(spark, t2) // forced Spark job
+    finally spark.conf.unset(
+      "spark.graft.manifest.distributedParseThreshold")
+    val s1 = ManifestTable.fileStats(spark, t1)
+    val s2 = ManifestTable.fileStats(spark, t2)
+    assert(s1.nonEmpty && s1 == s2)
+  }
+
+  test("symlink manifest export: parallel writer, listing per partition") {
+    val t = freshDir()
+    corpus(90).write.partitionBy("lang").parquet(t)
+    ManifestTable.convertToGraft(spark, t)
+    val n = ManifestTable.generateSymlinkManifest(spark, t)
+    assert(n == 3)
+    Seq("en", "de", "fr").foreach { l =>
+      val listing = java.nio.file.Paths.get(
+        t, "_symlink_format_manifest", s"lang=$l", "manifest")
+      val lines = java.nio.file.Files.readAllLines(listing)
+      assert(!lines.isEmpty)
+      // a foreign reader resolves exactly this partition's live bytes
+      val uris = scala.jdk.CollectionConverters
+        .ListHasAsScala(lines).asScala.toSeq
+      assert(uris.forall(_.contains(s"lang=$l")))
+      assert(spark.read.parquet(uris: _*).count() == 30)
+    }
+  }
+
   test("convert refuses free-form (non key=value) subdirectories") {
     val t = freshDir()
     corpus(20).write.parquet(s"$t/nested/deeper")

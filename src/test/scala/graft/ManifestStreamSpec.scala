@@ -683,6 +683,60 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"4 files at 2 per trigger = two engine batches: $counts")
   }
 
+  test("Trigger.AvailableNow drains rate-limited to the head, stops, resumes exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    val t = s"$root/t"
+    import spark.implicits._
+    ManifestTable.write(spark,
+      (0L until 6L).toDF("id").repartition(3), t) // 3 files
+    ManifestTable.append(spark,
+      (6L until 10L).toDF("id").repartition(2), t) // 2 files
+    def drain(ckpt: String, poisonBatch: Option[Int] = None)
+        : (Seq[Long], Int) = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = spark.readStream.format("graft").option("path", t)
+        .option("maxFilesPerTrigger", "2")
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = batches.incrementAndGet()
+          if (poisonBatch.contains(n))
+            throw new RuntimeException("poison: die mid-drain")
+          rows.synchronized {
+            rows ++= b.collect().map(_.getLong(0))
+          }: Unit
+        }
+        .start()
+      // the drain-then-stop contract: the query terminates ON ITS OWN
+      // at the latched head — no stop() call here
+      try assert(q.awaitTermination(120000),
+        "AvailableNow must terminate at the head")
+      catch { case _: Exception if poisonBatch.nonEmpty => q.stop() }
+      (rows.toSeq, batches.get())
+    }
+    // 5 files at 2 per trigger: 3 rate-limited batches, then stop
+    val (rows1, n1) = drain(s"$root/ckpt_an")
+    assert(rows1.sorted == (0L until 10L), s"complete drain: $rows1")
+    assert(n1 == 3, s"admission holds under AvailableNow: $n1 batches")
+    // appends AFTER the drain: a second AvailableNow run delivers
+    // exactly the delta, then stops again
+    ManifestTable.append(spark, (10L until 12L).toDF("id"), t)
+    val (rows2, _) = drain(s"$root/ckpt_an")
+    assert(rows2.sorted == (10L until 12L), s"delta only: $rows2")
+    // mid-drain kill: first batch commits, the second poisons the
+    // query; the restart resumes from the checkpoint — no loss, no
+    // redelivery across the two runs
+    ManifestTable.append(spark,
+      (12L until 18L).toDF("id").repartition(3), t)
+    val (rowsA, _) = drain(s"$root/ckpt_an2", poisonBatch = Some(2))
+    val (rowsB, _) = drain(s"$root/ckpt_an2")
+    assert((rowsA ++ rowsB).sorted == (0L until 18L),
+      s"exactly-once across the kill: ${rowsA.size}+${rowsB.size}")
+  }
+
   test("format(\"graft\") batch read time travel: versionAsOf / timestampAsOf") {
     import spark.implicits._
     val root = freshRoot()
