@@ -415,6 +415,33 @@ object ManifestTable {
     }
   }
 
+  /** Pin ONE evaluation of a row-introducing source frame — but ONLY
+    * when a single evaluation is actually required (ADVICE r15 low:
+    * unconditionally localCheckpoint-ing a huge deterministic source
+    * is wasted eager materialization, and localCheckpoint is
+    * non-reliable under executor loss): when the plan carries
+    * non-deterministic expressions (rand-bearing SETs, sampling), or
+    * when the table declares contracts that must see exactly the
+    * written rows (CHECK constraints, NOT NULL columns, the change
+    * feed). A deterministic frame against contract-free tables passes
+    * through lazy — its re-evaluations agree by definition.
+    */
+  private def pinIfNeeded(spark: SparkSession, df: DataFrame,
+      table: String): DataFrame = {
+    val nonDet =
+      try !df.queryExecution.analyzed.deterministic
+      catch { case scala.util.control.NonFatal(_) => true } // pin, fail safe
+    if (nonDet) return df.localCheckpoint()
+    val (fs, p) = fsOf(spark, table)
+    val m = manifestAt(fs, p, currentVersion(spark, table))
+    val hasContract =
+      m.map(_.props).getOrElse(Map.empty)
+        .keys.exists(_.startsWith(ConstraintPropPrefix)) ||
+      changeFeedOn(m) ||
+      recordedSchema(m).exists(_.fields.exists(!_.nullable))
+    if (hasContract) df.localCheckpoint() else df
+  }
+
   /** A resolved snapshot: the complete file list of a version plus the
     * per-file statistics and deletion vectors that survived to it.
     */
@@ -1115,6 +1142,18 @@ object ManifestTable {
     }
   }
 
+  /** All top-level fields nullable — how DATA-derived schemas record
+    * (the Delta ImplicitMetadataOperation discipline): a Scala `toDF`
+    * marks primitive columns non-nullable as an encoding fact, and
+    * recording that would turn every later null append into a
+    * NOT NULL violation the user never declared. Declared
+    * non-nullability comes only from explicit DDL.
+    */
+  private def nullableize(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true)))
+
   /** SCHEMA ENFORCEMENT + EVOLUTION at commit time (the lake
     * contract): a column present in both the table and the incoming
     * frame must have the SAME type (nullability ignored) or a type
@@ -1136,7 +1175,14 @@ object ManifestTable {
       table: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
     recorded match {
-      case None => incoming // legacy table or first commit: adopt
+      // legacy table or first commit: adopt the DATA-derived schema —
+      // AS NULLABLE (the Delta ImplicitMetadataOperation discipline):
+      // a Scala `toDF` marks primitive columns non-nullable as a mere
+      // encoding fact, and recording that would turn every later null
+      // append into a NOT NULL violation the user never declared.
+      // Declared non-nullability comes ONLY from explicit DDL
+      // ([[create]]/[[replaceDefinition]] with a schema).
+      case None => nullableize(incoming)
       case Some(cur) =>
         val incByName = incoming.fields.map(f => f.name -> f).toMap
         val curByName = cur.fields.map(f => f.name -> f).toMap
@@ -1161,8 +1207,13 @@ object ManifestTable {
             case _ => c
           }
         }
-        StructType(widened ++
-          incoming.fields.filterNot(f => curByName.contains(f.name)))
+        // ADD-COLUMN evolution is nullable BY CONSTRUCTION: older
+        // files read the new column as null, so a data-derived
+        // non-nullable flag would be a lie the first time-travel read
+        // disproves
+        StructType(widened ++ incoming.fields
+          .filterNot(f => curByName.contains(f.name))
+          .map(_.copy(nullable = true)))
     }
   }
 
@@ -1497,9 +1548,11 @@ object ManifestTable {
     // metadata survive and the incoming rows meet the nullability
     // contract (VERDICT r15 next-round #3).
     val parts = partitionCols
+    // data-derived schemas record AS NULLABLE (see [[enforceSchema]]):
+    // toDF-encoded non-nullability is an encoding fact, not a contract
     val evolved =
       if (preserveSchema) enforceSchema(recordedSchema(m), df.schema, table)
-      else df.schema
+      else nullableize(df.schema)
     val notNull =
       if (preserveSchema)
         notNullExpectations(Some(evolved), df.columns.toSeq, table)
@@ -1547,13 +1600,15 @@ object ManifestTable {
     val txns = m.map(_.txns).getOrElse(Map.empty)
     val (files, stats, quality, schemaJson) = data match {
       case Some(df) =>
-        val (toWrite, q) = applyExpectations(df,
-          constraintExpectations(props) ++
-            notNullExpectations(Some(schema), df.columns.toSeq, table),
-          table)
+        // CTAS/RTAS: the schema is QUERY-derived, so it records as
+        // nullable (see [[enforceSchema]]) — declared NOT NULL comes
+        // only from the explicit-DDL form (data = None below)
+        val (toWrite, q) =
+          applyExpectations(df, constraintExpectations(props), table)
         val fresh = writeSnapshot(fs, p, toWrite, base + 1,
           partitionCols, 0L)
-        (fresh, collectStats(spark, p, fresh, props), q, df.schema.json)
+        (fresh, collectStats(spark, p, fresh, props), q,
+          nullableize(df.schema).json)
       case None =>
         (Seq.empty[String], Map.empty[String, FileStats],
           Map.empty[String, Long], schema.json)
@@ -3973,12 +4028,13 @@ object ManifestTable {
       condition: Column, maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not, sum, when}
     val (fs, p) = fsOf(spark, table)
-    // pin ONE evaluation of the caller's frame (ADVICE r14): the
-    // slice-membership check below, the constraint check, the write
-    // and the CDC tagging all re-evaluate it, and a non-deterministic
-    // input could pass the checks on one evaluation then write rows
-    // outside the declared slice from another
-    val pinned = df.localCheckpoint()
+    // pin ONE evaluation of the caller's frame (ADVICE r14) WHEN
+    // required: the slice-membership check below, the constraint
+    // check, the write and the CDC tagging all re-evaluate it, and a
+    // non-deterministic input could pass the checks on one evaluation
+    // then write rows outside the declared slice from another
+    // (deterministic + contract-free stays lazy — ADVICE r15 low)
+    val pinned = pinIfNeeded(spark, df, table)
     // the incoming rows must live INSIDE the slice they replace
     val outRow = pinned.agg(sum(when(coalesce(condition, lit(false)), 0L)
       .otherwise(1L))).head()
@@ -4518,11 +4574,12 @@ object ManifestTable {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val (fs, p) = fsOf(spark, table)
     // pin ONE evaluation of the source (the mergeClauses discipline,
-    // extended here per ADVICE r14): the key-bounds agg, the hit scan,
-    // the rewrite union, the constraint check and the CDC tagging all
-    // re-evaluate it — a non-deterministic source could otherwise pass
-    // the checks on one evaluation and commit different rows
-    val src = source.localCheckpoint()
+    // extended here per ADVICE r14) WHEN required: the key-bounds agg,
+    // the hit scan, the rewrite union, the constraint check and the
+    // CDC tagging all re-evaluate it — a non-deterministic source
+    // could otherwise pass the checks on one evaluation and commit
+    // different rows (deterministic + contract-free stays lazy)
+    val src = pinIfNeeded(spark, source, table)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -4685,7 +4742,8 @@ object ManifestTable {
     // the source is re-evaluated across the guard agg, the hit scan,
     // the rewrite and the insert — pin ONE evaluation so a
     // non-deterministic source cannot diverge between them
-    val src = source.localCheckpoint()
+    // (deterministic + contract-free stays lazy — ADVICE r15 low)
+    val src = pinIfNeeded(spark, source, table)
     val srcMarked = src.withColumn(MarkCol, lit(true)).alias("s")
     def keyCond: Column = keyPairs.map { case (t, s) =>
       col(s"t.$t") === col(s"s.$s") }.reduce(_ && _)

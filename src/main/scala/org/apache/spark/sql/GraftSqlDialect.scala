@@ -101,9 +101,9 @@ object GraftSqlDialect {
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?""" +
       """(\s+DRY\s+RUN)?(\s+FORCE)?\s*;?\s*""").r
   private val Optimize =
-    (s"""(?is)\\s*OPTIMIZE\\s+$T""" +
-      """(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+    s"""(?is)\\s*OPTIMIZE\\s+$T([\\s\\S]*?)\\s*;?\\s*""".r
+  private val ZOrderBy = """(?is)\s*BY\s*\((.+)\)\s*""".r
+  private val WhereTail = """(?is)\s*WHERE\b([\s\S]+)""".r
   private val DescHistory =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
   private val DescDetail =
@@ -126,6 +126,79 @@ object GraftSqlDialect {
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""").r
 
+  /** Index of the first occurrence of keyword `w` OUTSIDE quoted runs
+    * (`'…'`, `"…"`, `` `…` ``) at a word boundary, case-insensitive;
+    * -1 if absent. The quote-aware split the OPTIMIZE tail needs: a
+    * WHERE predicate whose string literal contains "ZORDER BY (" must
+    * stay part of the predicate, never become clustering columns
+    * (ADVICE r15 low — regex-only statement splitting has no literal
+    * awareness).
+    */
+  private def topLevelKeywordIndex(s: String, w: String): Int = {
+    val up = s.toUpperCase(Locale.ROOT)
+    val wu = w.toUpperCase(Locale.ROOT)
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var i = 0
+    var q: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { q = c; i += 1 }
+      else if (up.startsWith(wu, i) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + wu.length == s.length || !isWordChar(s.charAt(i + wu.length))))
+        return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** `OPTIMIZE <t> <tail>` → command, with the tail split on the
+    * top-level ZORDER keyword (quote-aware) into an optional WHERE
+    * predicate and optional clustering columns. Malformed tails fall
+    * through to Spark (None) for its parse error.
+    */
+  private def parseOptimizeTail(t: String,
+      tail0: String): Option[LogicalPlan] = {
+    val tail = tail0.trim
+    val zi = topLevelKeywordIndex(tail, "ZORDER")
+    val (preRaw, zcols) =
+      if (zi < 0) (tail, Seq.empty[String])
+      else tail.substring(zi + "ZORDER".length) match {
+        case ZOrderBy(cols) => (tail.substring(0, zi),
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        case _ => return None
+      }
+    preRaw.trim match {
+      case "" => Some(GraftOptimizeCommand(t, None, zcols))
+      case WhereTail(cond) =>
+        Some(GraftOptimizeCommand(t, Some(cond.trim), zcols))
+      case _ => None
+    }
+  }
+
+  /** Does `ref` denote a graft-ADDRESSABLE table — a quoted/slashed
+    * path, or a multi-part name whose leading segment resolves to a
+    * [[graft.catalog.GraftCatalog]]? STANDARD SQL spellings (ALTER
+    * TABLE ...) are claimed only for these; everything else falls
+    * through to Spark's own parser and DDL, so the dialect can never
+    * hijack a session-catalog or foreign-catalog statement (ADVICE
+    * r15 medium). Graft-ONLY spellings (VACUUM, OPTIMIZE, RESTORE, …)
+    * keep resolving at execution and erroring loudly — they have no
+    * Spark meaning to preserve.
+    */
+  private def isGraftRef(ref: String): Boolean = {
+    val r = ref.trim
+    if (r.startsWith("'") || r.startsWith("\"") || r.contains("/")) true
+    else {
+      val segs = r.split("\\.")
+      segs.length >= 2 && SparkSession.getActiveSession.exists(sp =>
+        try GraftColumnBridge.catalogPlugin(sp, segs.head)
+          .isInstanceOf[graft.catalog.GraftCatalog]
+        catch { case scala.util.control.NonFatal(_) => false })
+    }
+  }
+
   /** Try the dialect; None falls through to Spark's parser. Only
     * statements whose FIRST keyword matches are attempted, so the
     * regex cost on ordinary SQL is one cheap prefix check.
@@ -144,10 +217,7 @@ object GraftSqlDialect {
         case _ => None
       }
       case "OPTIMIZE" => sqlText match {
-        case Optimize(t, where, zorder) =>
-          Some(GraftOptimizeCommand(t, Option(where).map(_.trim),
-            Option(zorder).toSeq.flatMap(_.split(",").toSeq)
-              .map(_.trim).filter(_.nonEmpty)))
+        case Optimize(t, tail) => parseOptimizeTail(t, tail)
         case _ => None
       }
       case "DESC" | "DESCRIBE" => sqlText match {
@@ -179,11 +249,13 @@ object GraftSqlDialect {
         // the Delta ADD/DROP CONSTRAINT spellings, sugar over the
         // graft.constraints.* property channel (declaration still
         // validates the expression AND the existing rows); every
-        // other ALTER form is Spark's
-        case AddConstraint(t, cname, expr) =>
+        // other ALTER form is Spark's — and so is THIS form on any
+        // table that is not graft-addressable (Spark 4.1 ships its
+        // own DSv2 constraint DDL; see isGraftRef)
+        case AddConstraint(t, cname, expr) if isGraftRef(t) =>
           Some(GraftConstraintCommand(t, cname, Some(expr.trim),
             ifExists = false))
-        case DropConstraint(t, ifEx, cname) =>
+        case DropConstraint(t, ifEx, cname) if isGraftRef(t) =>
           Some(GraftConstraintCommand(t, cname, None,
             ifExists = ifEx != null))
         case _ => None

@@ -76,6 +76,22 @@ class NotNullSpec extends AnyFunSuite {
       .where(col("id").isNull).count() == 0)
   }
 
+  test("data-derived schemas record nullable: toDF non-nullability is no contract") {
+    val t = freshTable()
+    import spark.implicits._
+    // Scala toDF marks primitive columns non-nullable — an encoding
+    // fact; the recorded schema must not turn it into NOT NULL (the
+    // Delta ImplicitMetadataOperation discipline)
+    ManifestTable.write(spark, Seq((1L, "a")).toDF("id", "tag"), t)
+    ManifestTable.append(spark, frame((null, "b")), t)
+    assert(ManifestTable.read(spark, t)
+      .where(col("id").isNull).count() == 1)
+    // merge with null keys stays legal on such tables
+    ManifestTable.merge(spark, frame((2L, "c"), (null, "d")), t,
+      keyCols = Seq("id"))
+    assert(ManifestTable.read(spark, t).count() == 4)
+  }
+
   test("SQL surface: CREATE TABLE ... NOT NULL survives INSERT OVERWRITE") {
     val cat = "nncat1"
     val wh = Files.createTempDirectory("graft_nn_wh").toString

@@ -35,6 +35,75 @@ class SqlDialectSpec extends AnyFunSuite {
     (cat, wh)
   }
 
+  test("OPTIMIZE tail split is quote-aware: literals containing ZORDER stay predicates") {
+    import org.apache.spark.sql.GraftSqlDialect
+    import org.apache.spark.sql.GraftSqlDialect.GraftOptimizeCommand
+    spark.sparkContext // ensure an active session exists
+    def opt(sql: String): GraftOptimizeCommand =
+      GraftSqlDialect.parse(sql, null).get
+        .asInstanceOf[GraftOptimizeCommand]
+    // a literal containing "ZORDER BY (" is NOT clustering columns
+    val c1 = opt("OPTIMIZE a.b.t WHERE note = 'use ZORDER BY (x) ok'")
+    assert(c1.where.contains("note = 'use ZORDER BY (x) ok'") &&
+      c1.zorder.isEmpty, s"got $c1")
+    // ... and a real ZORDER clause after such a literal still parses
+    val c2 = opt("OPTIMIZE a.b.t WHERE note = 'ZORDER BY (x)' " +
+      "ZORDER BY (id, tag)")
+    assert(c2.where.contains("note = 'ZORDER BY (x)'") &&
+      c2.zorder == Seq("id", "tag"), s"got $c2")
+    // plain forms unchanged
+    assert(opt("OPTIMIZE a.b.t") ==
+      GraftOptimizeCommand("a.b.t", None, Seq.empty))
+    assert(opt("OPTIMIZE a.b.t ZORDER BY (id)") ==
+      GraftOptimizeCommand("a.b.t", None, Seq("id")))
+    assert(opt("OPTIMIZE a.b.t WHERE id < 3") ==
+      GraftOptimizeCommand("a.b.t", Some("id < 3"), Seq.empty))
+    // a backquoted identifier containing ZORDER is not a clause either
+    val c3 = opt("OPTIMIZE a.b.t WHERE `zorder by (q` = 1")
+    assert(c3.where.contains("`zorder by (q` = 1") && c3.zorder.isEmpty)
+  }
+
+  test("ALTER ... CONSTRAINT claims only graft-addressable tables") {
+    import org.apache.spark.sql.GraftSqlDialect
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.alt (id BIGINT)")
+    // direct parse() calls below bypass sql()'s withActive wrapper —
+    // pin the catalog-bearing session as the active one, RESTORED in
+    // the finally (a leaked active session makes later suites'
+    // getOrCreate() return THIS extensions session and un-gates their
+    // bare-session feature-refusal tests)
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    try {
+    // graft catalog ref and quoted path: ours
+    assert(GraftSqlDialect.parse(
+      s"ALTER TABLE $cat.db.alt ADD CONSTRAINT c CHECK (id > 0)",
+      null).nonEmpty)
+    assert(GraftSqlDialect.parse(
+      "ALTER TABLE '/tmp/some/t' ADD CONSTRAINT c CHECK (id > 0)",
+      null).nonEmpty)
+    // session catalog / unknown catalog / single-part names: Spark's
+    // own constraint DDL, never hijacked (ADVICE r15 medium)
+    assert(GraftSqlDialect.parse(
+      "ALTER TABLE spark_catalog.db.t ADD CONSTRAINT c CHECK (id > 0)",
+      null).isEmpty)
+    assert(GraftSqlDialect.parse(
+      "ALTER TABLE db.t DROP CONSTRAINT c", null).isEmpty)
+    assert(GraftSqlDialect.parse(
+      "ALTER TABLE t ADD CONSTRAINT c CHECK (id > 0)", null).isEmpty)
+    // end-to-end: the graft spelling still lands on the graft table
+    spark.sql(
+      s"ALTER TABLE $cat.db.alt ADD CONSTRAINT pos CHECK (id > 0)")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.alt VALUES (-1)")
+    }
+    assert(e.getMessage.contains("pos"))
+    } finally prevActive match {
+      case Some(s) => org.apache.spark.sql.SparkSession.setActiveSession(s)
+      case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+    }
+  }
+
   test("DESCRIBE HISTORY / DESCRIBE DETAIL statements") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.h (id BIGINT)")
