@@ -11,9 +11,11 @@ gate as executable arithmetic over a BENCH json:
     PASS iff s <= GATE_FACTOR * S_REF
 
 C_REF and S_REF come from the committed quiet-host full-suite artifact
-(default dev/bench_quiet_r10.json — a full `graft.Bench` run at sf0.1,
-32 cpus, reps=2, recorded round 10 on a calibration-quiet host;
-protocol in BASELINE.md "Round-10 re-baseline").
+(default dev/bench_quiet_r16.json — a full `graft.Bench` run at sf0.1,
+32 cpus, reps=2, recorded round 16 on a calibration-quiet host UNDER
+THE PASS-SEPARATED-REPS PROTOCOL graft.Bench has used since round 15;
+the r10 reference predates that protocol and is not comparable —
+arithmetic in BASELINE.md "Round-16 re-baseline").
 GATE_FACTOR = 1.25 absorbs residual calibration nonlinearity; genuine
 per-query regressions are adjudicated with dev/ab.py, not this gate.
 
@@ -22,7 +24,7 @@ Usage: python3 dev/gate.py BENCH_rN.json [quiet_artifact.json]
 import json, os, statistics, sys
 
 GATE_FACTOR = 1.25
-DEFAULT_QUIET = os.path.join(os.path.dirname(__file__), "bench_quiet_r10.json")
+DEFAULT_QUIET = os.path.join(os.path.dirname(__file__), "bench_quiet_r16.json")
 
 
 def load_ref(quiet_path):
