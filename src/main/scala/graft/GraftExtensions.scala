@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // readStream.table("lake.ns.t"): route the V2 streaming relation
     // to the engine's V1 source (the dsv1-behind-dsv2 fallback slot)
     ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftNamedStreamRule)
+    // SQL views over graft catalogs: Spark ships the ViewCatalog API
+    // but no analyzer wiring (ResolveSessionCatalog post-hoc throws
+    // MISSING_CATALOG_ABILITY.VIEWS) — this rule claims the view
+    // commands/reads for catalogs that implement it (the Iceberg
+    // extension shape)
+    ext.injectResolutionRule(_ => new org.apache.spark.sql.GraftViewRule)
     // the Delta-dialect maintenance statements (VACUUM / OPTIMIZE /
     // DESCRIBE HISTORY|DETAIL / RESTORE) — unrecognized text falls
     // through to Spark's parser untouched

@@ -1932,6 +1932,63 @@ object PipelineOps {
     langCensus(graft.sinks.ManifestTable.read(spark, table))
   }
 
+  private val p41Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p41: SQL VIEWS over the graft catalog — a persisted view is
+    * created with an UNQUALIFIED table reference from inside the
+    * catalog's namespace (capture-time context), the session then
+    * moves away, more rows land in the base table, and the census
+    * SELECTs THROUGH the view plus a view-over-view — proving (a) the
+    * view tracks the live table, (b) unqualified names resolve where
+    * the view was DEFINED, not where it is read, and (c) nested
+    * expansion. The oracle is the same census phrased relationally
+    * over the raw documents. Views are metadata-only (one JSON
+    * document under `_views/`) — at 100 TB a view costs nothing until
+    * read, and then exactly its query's plan.
+    */
+  def p41View(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val inv = p41Invocation.incrementAndGet()
+    val cat = s"p41lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p41_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    docs.filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("p41_seed")
+    spark.sql(s"CREATE TABLE $cat.corpus.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    spark.sql(s"INSERT INTO $cat.corpus.docs SELECT * FROM p41_seed")
+    // capture-time context: defined with an UNQUALIFIED base name
+    spark.sql(s"USE $cat.corpus")
+    try spark.sql(
+      """CREATE VIEW long_docs AS
+        |SELECT doc_id, lang, n_chars FROM docs WHERE n_chars >= 200"""
+        .stripMargin)
+    finally spark.sql("USE spark_catalog.default")
+    // the view tracks the table: the remaining third lands AFTER
+    docs.filter(col("doc_id") % 3 === 0)
+      .createOrReplaceTempView("p41_rest")
+    spark.sql(s"INSERT INTO $cat.corpus.docs SELECT * FROM p41_rest")
+    // view-over-view: census through both expansions
+    spark.sql(s"CREATE VIEW $cat.corpus.long_census AS " +
+      s"SELECT lang, count(*) AS n_docs, " +
+      s"CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      s"min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id " +
+      s"FROM $cat.corpus.long_docs GROUP BY lang")
+    spark.sql(s"SELECT * FROM $cat.corpus.long_census " +
+      "ORDER BY lang ASC NULLS LAST")
+  }
+
+  val p41Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents WHERE n_chars >= 200
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   val p40Sql: String =
     """WITH edited AS (
       |  SELECT doc_id, lang,

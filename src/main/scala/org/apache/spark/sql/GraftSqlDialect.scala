@@ -44,7 +44,7 @@ import graft.sinks.ManifestTable
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlDialect.parse(sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .getOrElse(GraftViewSupport.rewriteDdl(delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -1,0 +1,279 @@
+package org.apache.spark.sql
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.GraftCatalog
+
+/** SQL VIEWS over the graft catalog (VERDICT r15 missing #6).
+  *
+  * Spark 4.1 ships the DSv2 [[ViewCatalog]] API but no analyzer
+  * wiring: `ResolveSessionCatalog` — which runs BEFORE injected
+  * resolution rules in the same batch — throws
+  * MISSING_CATALOG_ABILITY.VIEWS for every non-session-catalog view
+  * command the moment the identifier resolves. So the DDL half rides
+  * the DELEGATING PARSER instead ([[GraftSqlParser]] →
+  * [[GraftViewSupport.rewriteDdl]]): view commands whose identifier
+  * is graft-addressable are rewritten into leaf commands at parse
+  * time and the analyzer never sees a `CreateView`/`DropView` node to
+  * refuse. The READ half stays an analyzer rule ([[GraftViewRule]]):
+  * an [[UnresolvedRelation]] naming a persisted graft view expands
+  * into the view's stored SQL, re-parsed and re-qualified against the
+  * CAPTURE-TIME catalog/namespace context, wrapped in a
+  * [[SubqueryAlias]] — the fixed point then resolves the expansion,
+  * including views-over-views (a cyclic definition fails the
+  * analyzer's iteration cap loudly).
+  */
+object GraftViewSupport {
+
+  private def spark: classic.SparkSession =
+    SparkSession.active.asInstanceOf[classic.SparkSession]
+
+  /** (catalog, identifier) when `parts` names a graft-catalog view
+    * path — explicit `cat.ns.v`, or `ns.v`/`v` under a current graft
+    * catalog.
+    */
+  private[sql] def graftIdent(parts: Seq[String])
+      : Option[(GraftCatalog, Identifier)] = {
+    if (parts.isEmpty) return None
+    if (parts.size >= 2) {
+      try GraftColumnBridge.catalogPlugin(spark, parts.head) match {
+        case g: GraftCatalog =>
+          return Some((g,
+            Identifier.of(parts.tail.init.toArray, parts.last)))
+        case _ => ()
+      } catch { case NonFatal(_) => () }
+    }
+    spark.sessionState.catalogManager.currentCatalog match {
+      case g: GraftCatalog =>
+        val ns =
+          if (parts.size >= 2) parts.init.toArray
+          else spark.sessionState.catalogManager.currentNamespace
+        Some((g, Identifier.of(ns, parts.last)))
+      case _ => None
+    }
+  }
+
+  /** Temp-view shadowing: a 1-part name matching a session temp view,
+    * or a 2-part name under the global-temp database, is Spark's —
+    * never claimed for the graft catalog.
+    */
+  private def isTempViewRef(parts: Seq[String]): Boolean =
+    parts.size match {
+      case 1 => spark.sessionState.catalog.getTempView(parts.head).nonEmpty
+      case 2 => parts.head.equalsIgnoreCase(
+        spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.StaticSQLConf.GLOBAL_TEMP_DATABASE))
+      case _ => false
+    }
+
+  /** Rewrite a freshly parsed plan's view DDL for graft-addressable
+    * identifiers; everything else passes through untouched (the
+    * delegating-parser contract). Called with the active session of
+    * the `sql()` invocation.
+    */
+  def rewriteDdl(plan: LogicalPlan): LogicalPlan =
+    try rewrite0(plan)
+    catch {
+      // no active session (offline parse): nothing graft to claim
+      case _: IllegalStateException | _: NullPointerException => plan
+    }
+
+  private def rewrite0(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv: CreateView => cv.child match {
+      case u: UnresolvedIdentifier =>
+        graftIdent(u.nameParts) match {
+          case Some((g, ident)) =>
+            GraftCreateViewCommand(g, ident, cv.userSpecifiedColumns,
+              cv.comment, cv.properties, cv.originalText, cv.query,
+              cv.allowExisting, cv.replace)
+          case None => plan
+        }
+      case _ => plan
+    }
+    case dv @ DropView(u: UnresolvedIdentifier, ifExists)
+        if !isTempViewRef(u.nameParts) =>
+      graftIdent(u.nameParts) match {
+        case Some((g, ident)) => GraftDropViewCommand(g, ident, ifExists)
+        case None => dv
+      }
+    case sv: ShowViews => sv.namespace match {
+      // explicit namespace only: the unqualified form keeps Spark's
+      // semantics (temp views included) under the session catalog
+      case un: UnresolvedNamespace if un.multipartIdentifier.nonEmpty =>
+        try GraftColumnBridge.catalogPlugin(
+          spark, un.multipartIdentifier.head) match {
+          case g: GraftCatalog => GraftShowViewsCommand(g,
+            un.multipartIdentifier.tail, sv.pattern, sv.output)
+          case _ => sv
+        } catch { case NonFatal(_) => sv }
+      case _ => sv
+    }
+    case s @ SetViewProperties(u: UnresolvedView, props)
+        if !isTempViewRef(u.multipartIdentifier) =>
+      graftIdent(u.multipartIdentifier) match {
+        case Some((g, ident)) =>
+          GraftAlterViewPropsCommand(g, ident, props.toSeq,
+            Seq.empty, ifExists = false)
+        case None => s
+      }
+    case u0 @ UnsetViewProperties(u: UnresolvedView, keys, ifExists)
+        if !isTempViewRef(u.multipartIdentifier) =>
+      graftIdent(u.multipartIdentifier) match {
+        case Some((g, ident)) =>
+          GraftAlterViewPropsCommand(g, ident, Seq.empty, keys, ifExists)
+        case None => u0
+      }
+    case other => other
+  }
+}
+
+/** READ side: expand relations naming persisted graft views (see
+  * [[GraftViewSupport]]).
+  */
+class GraftViewRule extends Rule[LogicalPlan] {
+
+  private def spark: classic.SparkSession =
+    SparkSession.active.asInstanceOf[classic.SparkSession]
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan resolveOperatorsUp {
+      case u: UnresolvedRelation if !u.isStreaming &&
+          GraftViewSupport.graftIdent(u.multipartIdentifier)
+            .exists { case (g, id) => g.viewExists(id) } =>
+        val (g, ident) =
+          GraftViewSupport.graftIdent(u.multipartIdentifier).get
+        expandView(g, ident)
+    }
+
+  /** The stored view SQL as a plan: parse, re-qualify unqualified
+    * relation names against the capture-time context (skipping CTE
+    * names), apply stored column aliases, alias as the view name.
+    */
+  private def expandView(g: GraftCatalog, ident: Identifier): LogicalPlan = {
+    val v = g.loadView(ident)
+    val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
+    val cteNames: Set[String] = parsed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    val cat = v.currentCatalog
+    val ns = v.currentNamespace.toSeq
+    val qualified = parsed transformUpWithSubqueries {
+      case r @ UnresolvedRelation(parts, _, false) if parts.size == 1 &&
+          !cteNames(parts.head.toLowerCase(java.util.Locale.ROOT)) =>
+        r.copy(multipartIdentifier = (cat +: ns) :+ parts.head)
+      case r @ UnresolvedRelation(parts, _, false) if parts.size == 2 =>
+        r.copy(multipartIdentifier = cat +: parts)
+    }
+    // CTEs substitute in the analyzer's Substitution batch, which ran
+    // BEFORE this expansion — apply the substitution eagerly so a
+    // `WITH x AS ...` view body resolves (the Iceberg recipe)
+    val substituted =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified)
+    val aliased =
+      if (v.columnAliases == null || v.columnAliases.isEmpty) substituted
+      else UnresolvedSubqueryColumnAliases(
+        v.columnAliases.toIndexedSeq, substituted)
+    SubqueryAlias(ident.name, aliased)
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] cat.ns.v ...` — persists
+  * the ViewInfo contract through [[GraftCatalog.createView]] /
+  * `replaceView`. The query plan is carried UNRESOLVED (the V1
+  * CreateViewCommand discipline) and analyzed at execution for its
+  * schema — EXPLAIN never touches the table.
+  */
+final case class GraftCreateViewCommand(catalog: GraftCatalog,
+    ident: Identifier, userCols: Seq[(String, Option[String])],
+    comment: Option[String], props: Map[String, String],
+    originalText: Option[String], query: LogicalPlan,
+    allowExisting: Boolean, replace: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val sql = originalText.getOrElse(throw new IllegalArgumentException(
+      s"CREATE VIEW $ident needs the original SQL text"))
+    val analyzed = session.asInstanceOf[classic.SparkSession]
+      .sessionState.executePlan(query).analyzed
+    val querySchema = analyzed.schema
+    if (userCols.nonEmpty) require(userCols.size == querySchema.size,
+      s"CREATE VIEW $ident: ${userCols.size} column aliases for a " +
+        s"${querySchema.size}-column query")
+    val schema =
+      if (userCols.isEmpty) querySchema
+      else StructType(querySchema.fields.zip(userCols).map {
+        case (f, (n, _)) => f.copy(name = n)
+      })
+    val aliases =
+      if (userCols.isEmpty) Array.empty[String]
+      else userCols.map(_._1).toArray
+    val comments =
+      if (userCols.isEmpty) Array.empty[String]
+      else userCols.map(_._2.orNull).toArray
+    val allProps = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => allProps.put(k, v): Unit }
+    comment.foreach(c => allProps.put(ViewCatalog.PROP_COMMENT, c): Unit)
+    val cm = session.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
+      cm.currentNamespace, schema,
+      analyzed.output.map(_.name).toArray, aliases, comments, allProps)
+    if (replace) catalog.replaceView(info, true): Unit
+    else if (allowExisting && catalog.viewExists(ident)) ()
+    else catalog.createView(info): Unit
+    Seq.empty
+  }
+}
+
+final case class GraftDropViewCommand(catalog: GraftCatalog,
+    ident: Identifier, ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.dropView(ident) && !ifExists)
+      throw new NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+final case class GraftShowViewsCommand(catalog: GraftCatalog,
+    ns: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val names = catalog.listViews(ns: _*).map(_.name()).toSeq
+    val kept = pattern.fold(names)(p =>
+      org.apache.spark.sql.catalyst.util.StringUtils
+        .filterPattern(names, p))
+    kept.sorted.map(n => Row(ns.mkString("."), n, false))
+  }
+}
+
+final case class GraftAlterViewPropsCommand(catalog: GraftCatalog,
+    ident: Identifier, set: Seq[(String, String)], unset: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    if (unset.nonEmpty && !ifExists) {
+      val have = catalog.loadView(ident).properties()
+      val missing = unset.filterNot(have.containsKey)
+      require(missing.isEmpty,
+        s"view $ident has no propert${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} — use IF EXISTS to ignore")
+    }
+    val changes: Seq[ViewChange] =
+      set.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        unset.map(ViewChange.removeProperty)
+    catalog.alterView(ident, changes: _*): Unit
+    Seq.empty
+  }
+}
