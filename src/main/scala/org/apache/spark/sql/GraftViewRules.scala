@@ -2,9 +2,9 @@ package org.apache.spark.sql
 
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedView}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -131,6 +131,18 @@ object GraftViewSupport {
           GraftAlterViewPropsCommand(g, ident, Seq.empty, keys, ifExists)
         case None => u0
       }
+    case r: RenameTable if r.isView =>
+      val parts = r.child match {
+        case u: UnresolvedView => Some(u.multipartIdentifier)
+        case u: UnresolvedTableOrView => Some(u.multipartIdentifier)
+        case u: UnresolvedIdentifier => Some(u.nameParts)
+        case _ => None
+      }
+      parts.filterNot(isTempViewRef).flatMap(graftIdent) match {
+        case Some((g, ident)) =>
+          GraftRenameViewCommand(g, ident, r.newName)
+        case None => r
+      }
     case other => other
   }
 }
@@ -255,6 +267,27 @@ final case class GraftShowViewsCommand(catalog: GraftCatalog,
       org.apache.spark.sql.catalyst.util.StringUtils
         .filterPattern(names, p))
     kept.sorted.map(n => Row(ns.mkString("."), n, false))
+  }
+}
+
+/** `ALTER VIEW cat.ns.v RENAME TO w` — a bare new name keeps the
+  * namespace; a qualified one must stay inside the same catalog.
+  */
+final case class GraftRenameViewCommand(catalog: GraftCatalog,
+    ident: Identifier, newName: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val newIdent =
+      if (newName.size == 1) Identifier.of(ident.namespace(), newName.head)
+      else {
+        val parts =
+          if (newName.head.equalsIgnoreCase(catalog.name())) newName.tail
+          else newName
+        Identifier.of(parts.init.toArray, parts.last)
+      }
+    catalog.renameView(ident, newIdent)
+    Seq.empty
   }
 }
 

@@ -132,6 +132,23 @@ class GraftViewSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT c FROM $cat.db.cte").head().getLong(0) == 2L)
   }
 
+  test("ALTER VIEW RENAME TO; view composes with deletion vectors") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE VIEW $cat.db.r AS SELECT id FROM $cat.db.t")
+    spark.sql(s"ALTER VIEW $cat.db.r RENAME TO r2")
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+      .map(_.getString(1)).toSeq == Seq("r2"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.r2")
+      .head().getLong(0) == 3L)
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.r").collect() }
+    // a view over a DV-bearing table serves the anti-joined rows (the
+    // extension's DV read rule fires on the expansion's relation)
+    graft.sinks.ManifestTable.deleteVectors(spark, s"$wh/db/t",
+      org.apache.spark.sql.functions.col("id") === 2L)
+    assert(spark.sql(s"SELECT id FROM $cat.db.r2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("views survive a fresh catalog instance (persisted, stateless)") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE VIEW $cat.db.s AS " +
