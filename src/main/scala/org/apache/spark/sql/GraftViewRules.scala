@@ -105,8 +105,7 @@ object GraftViewSupport {
         case None => dv
       }
     case sv: ShowViews => sv.namespace match {
-      // explicit namespace only: the unqualified form keeps Spark's
-      // semantics (temp views included) under the session catalog
+      // explicit namespace: claim when its catalog is graft
       case un: UnresolvedNamespace if un.multipartIdentifier.nonEmpty =>
         try GraftColumnBridge.catalogPlugin(
           spark, un.multipartIdentifier.head) match {
@@ -114,6 +113,17 @@ object GraftViewSupport {
             un.multipartIdentifier.tail, sv.pattern, sv.output)
           case _ => sv
         } catch { case NonFatal(_) => sv }
+      // bare `SHOW VIEWS` under a current graft catalog: list the
+      // current namespace (under the session catalog the statement
+      // keeps Spark's temp-view-inclusive semantics)
+      case _: org.apache.spark.sql.catalyst.analysis.CurrentNamespace.type |
+           _: UnresolvedNamespace =>
+        spark.sessionState.catalogManager.currentCatalog match {
+          case g: GraftCatalog => GraftShowViewsCommand(g,
+            spark.sessionState.catalogManager.currentNamespace.toSeq,
+            sv.pattern, sv.output)
+          case _ => sv
+        }
       case _ => sv
     }
     case s @ SetViewProperties(u: UnresolvedView, props)

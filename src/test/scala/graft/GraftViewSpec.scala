@@ -112,6 +112,9 @@ class GraftViewSpec extends AnyFunSuite {
     try {
       spark.sql(s"CREATE VIEW ctxv AS SELECT id FROM t WHERE id >= 2")
       spark.sql(s"INSERT INTO t VALUES (9, 'z')")
+      // bare SHOW VIEWS inside the graft namespace lists it
+      assert(spark.sql("SHOW VIEWS").collect()
+        .map(_.getString(1)).toSeq == Seq("ctxv"))
       // TEMP views stay Spark's even while a graft catalog is current
       // (the shadowing guard): create, read, and drop by bare name
       spark.sql("CREATE TEMPORARY VIEW tmpv AS SELECT 42 AS x")
