@@ -162,6 +162,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         (name() +: ident.namespace().toSeq :+ ident.name()))
+    // a VIEW occupying the identifier must refuse too — otherwise the
+    // create succeeds and leaves a duplicate identity where reads
+    // resolve the table while SHOW VIEWS still lists the view
+    // (ADVICE r16; renameView applies the same two-sided check)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     // TBLPROPERTIES are recorded on the CREATE commit itself (the
     // sticky `props` manifest channel — `SHOW TBLPROPERTIES` reads
     // them back, `ALTER TABLE ... SET/UNSET TBLPROPERTIES` evolves
@@ -215,6 +220,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         (name() +: ident.namespace().toSeq :+ ident.name()))
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     stage(ident, schema, partitions, properties, createOnly = true)
   }
 
@@ -228,8 +234,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): StagedTable =
+      properties: JMap[String, String]): StagedTable = {
+    // CREATE OR REPLACE TABLE replaces a TABLE; it never replaces a
+    // view of the same name (the Delta/Iceberg refusal)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     stage(ident, schema, partitions, properties, createOnly = false)
+  }
 
   private def stage(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String],
@@ -529,7 +539,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(
         name() +: ident.namespace().toSeq)
-    if (tableExists(ident)) throw new ViewAlreadyExistsException(ident)
+    // the ViewCatalog contract distinguishes the collision kinds: a
+    // TABLE occupying the identifier is TableAlreadyExists, not
+    // ViewAlreadyExists (ADVICE r16)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (name() +: ident.namespace().toSeq :+ ident.name()))
     fs.mkdirs(viewsDir(ident.namespace())): Unit
     val p = viewPath(ident)
     // create(overwrite = false) is the existence CAS

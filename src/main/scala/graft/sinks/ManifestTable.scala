@@ -420,18 +420,28 @@ object ManifestTable {
     * unconditionally localCheckpoint-ing a huge deterministic source
     * is wasted eager materialization, and localCheckpoint is
     * non-reliable under executor loss): when the plan carries
-    * non-deterministic expressions (rand-bearing SETs, sampling), or
+    * non-deterministic expressions (rand-bearing SETs, sampling), when
+    * a leaf relation re-reads MUTABLE EXTERNAL state between
+    * evaluations (ADVICE r16 medium: a JDBC relation re-executes its
+    * query, a foreign V2 table re-plans its scan, a catalog table
+    * re-lists its directory — rows can change between the guard scans
+    * and the write even though the PLAN is expression-deterministic;
+    * Delta materializes merge sources for exactly this reason), or
     * when the table declares contracts that must see exactly the
     * written rows (CHECK constraints, NOT NULL columns, the change
-    * feed). A deterministic frame against contract-free tables passes
-    * through lazy — its re-evaluations agree by definition.
+    * feed). The lazy path is therefore restricted to frames whose
+    * every leaf is pinned by construction — local rows, cached
+    * relations, graft scans (version-pinned [[GraftTableV2.SnapshotFileIndex]]),
+    * and file scans whose listing resolved eagerly at read time
+    * (`InMemoryFileIndex`) — against contract-free tables.
     */
   private def pinIfNeeded(spark: SparkSession, df: DataFrame,
       table: String): DataFrame = {
-    val nonDet =
-      try !df.queryExecution.analyzed.deterministic
+    val mustPin =
+      try !df.queryExecution.analyzed.deterministic ||
+        hasReEvaluatingLeaf(df.queryExecution.analyzed)
       catch { case scala.util.control.NonFatal(_) => true } // pin, fail safe
-    if (nonDet) return df.localCheckpoint()
+    if (mustPin) return df.localCheckpoint()
     val (fs, p) = fsOf(spark, table)
     val m = manifestAt(fs, p, currentVersion(spark, table))
     val hasContract =
@@ -440,6 +450,37 @@ object ManifestTable {
       changeFeedOn(m) ||
       recordedSchema(m).exists(_.fields.exists(!_.nullable))
     if (hasContract) df.localCheckpoint() else df
+  }
+
+  /** True when any leaf of `plan` can return DIFFERENT rows on
+    * re-evaluation because it consults external state per execution.
+    * The stable set is a whitelist — an unrecognized leaf pins.
+    */
+  private def hasReEvaluatingLeaf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    plan.collectLeaves().exists {
+      case _: LocalRelation | _: OneRowRelation | _: Range => false
+      case _: LogicalRDD => false // already-computed lineage (incl. our own pins)
+      case _: InMemoryRelation => false // cached
+      case l: LogicalRelation => l.relation match {
+        // listing snapshotted at read time; graft scans land here with
+        // a version-pinned index, plain file reads with InMemoryFileIndex
+        case h: HadoopFsRelation =>
+          !(h.location.isInstanceOf[InMemoryFileIndex] ||
+            h.location.isInstanceOf[org.apache.spark.sql.GraftManifestScan.ManifestFileIndex] ||
+            h.location.isInstanceOf[org.apache.spark.sql.GraftTableV2.SnapshotFileIndex])
+        case _ => true // JDBC et al. re-execute their query per evaluation
+      }
+      case r: DataSourceV2Relation =>
+        !r.table.isInstanceOf[org.apache.spark.sql.GraftTableV2.GraftV2Table]
+      case _ => true
+    }
   }
 
   /** A resolved snapshot: the complete file list of a version plus the
@@ -1533,10 +1574,18 @@ object ManifestTable {
       partitionCols: Seq[String] = Seq.empty,
       maxRecordsPerFile: Long = 0L,
       expectations: Seq[Expectation] = Seq.empty,
-      preserveSchema: Boolean = false): Long = {
+      preserveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
+    // idempotent-retry watermark — see [[append]]'s `txn` contract
+    val txns0 = m.map(_.txns).getOrElse(Map.empty)
+    txn match {
+      case Some((app, v)) if txns0.get(app).exists(_ >= v) =>
+        return base // replay — already folded in, table untouched
+      case _ => ()
+    }
     // write() is a full REPLACE: the caller's partitionCols are
     // authoritative for the new layout exactly like df's schema is
     // authoritative for the new schema — an empty partitionCols here
@@ -1563,7 +1612,7 @@ object ManifestTable {
     val files = writeSnapshot(fs, p, toWrite, base + 1, parts,
       maxRecordsPerFile)
     if (!commitFullList(spark, fs, p, base + 1, files,
-      m.map(_.txns).getOrElse(Map.empty),
+      txn.fold(txns0) { case (app, v) => txns0 + (app -> v) },
       collectStats(spark, p, files,
         m.map(_.props).getOrElse(Map.empty)), parts,
       Some(evolved.json), quality,
@@ -1625,13 +1674,29 @@ object ManifestTable {
   /** Append `df`: new snapshot dir holds only the new files; the
     * committed manifest is an O(new files) delta — the table's total
     * file count never enters the commit path.
+    *
+    * `txn` makes the append IDEMPOTENT (Delta's batch
+    * txnAppId/txnVersion recipe, the same watermark map
+    * [[appendStreamBatch]] rides): `Some((appId, v))` commits only
+    * when the app's recorded watermark is below `v`, else returns the
+    * current version untouched — so a retried job step (orchestrator
+    * re-run, speculative duplicate, crash between commit and the
+    * caller's own bookkeeping) folds in exactly once. Watermarks must
+    * be MONOTONE per app id, as in Delta.
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
       partitionCols: Seq[String] = Seq.empty,
-      expectations: Seq[Expectation] = Seq.empty): Long = {
+      expectations: Seq[Expectation] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, p) = fsOf(spark, table)
     val base = currentVersion(spark, table)
     val m = manifestAt(fs, p, base) // ONE read serves txns/parts/schema
+    val txns0 = m.map(_.txns).getOrElse(Map.empty)
+    txn match {
+      case Some((app, v)) if txns0.get(app).exists(_ >= v) =>
+        return base // replay — already folded in, table untouched
+      case _ => ()
+    }
     // sticky AND physical — see write()
     val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
     // contracts BEFORE any data write: a type conflict or a violated
@@ -1646,7 +1711,7 @@ object ManifestTable {
     val fresh = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
       base + 1, parts, 0L)
     if (!commitDelta(fs, p, base + 1, fresh,
-      m.map(_.txns).getOrElse(Map.empty),
+      txn.fold(txns0) { case (app, v) => txns0 + (app -> v) },
       collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), parts = parts,
       schemaJson = Some(evolved.json), quality = quality,
       props = m.map(_.props).getOrElse(Map.empty),

@@ -374,7 +374,16 @@ final class GraftManifestSource(spark: SparkSession, table: String,
     // or a checkpointed mid-snapshot position
     if (floor.snap ||
         (floor.version == 0L && floor.index < 0 && startingVersion == 0L)) {
-      val snapV = if (floor.snap) floor.version else current
+      // pin the fresh-stream snapshot at the AvailableNow latch, not at
+      // `current` re-read here: a commit landing between
+      // prepareForTriggerAvailableNow and the first offer would
+      // otherwise push every mid-snapshot offset ABOVE the cap, where
+      // nextOffset clamps them to the bare boundary and the whole
+      // snapshot ships in one batch, silently dropping the
+      // maxFilesPerTrigger/maxBytesPerTrigger contract (ADVICE r16)
+      val snapV =
+        if (floor.snap) floor.version
+        else availableNowCap.fold(current)(c => math.min(current, c.version))
       val list = snapshotList(snapV)
       val i0 = if (floor.snap) floor.index else 0L
       if (i0 < list.size) {
@@ -394,9 +403,13 @@ final class GraftManifestSource(spark: SparkSession, table: String,
     // incremental phase: start within floor.version when mid-adds
     val midAdds = !floor.snap && floor.index >= 0
     val walkFrom = if (midAdds) floor.version - 1 else floor.version
+    // the walk ceiling honors the AvailableNow latch too, so
+    // file-granular positions stay at or below the cap instead of
+    // being clamped to its bare boundary after the fact
+    val head = availableNowCap.fold(current)(c => math.min(current, c.version))
     val capped = maxVersionsPerTrigger
-      .map(n => math.min(current, floor.version + math.max(1, n)))
-      .getOrElse(current)
+      .map(n => math.min(head, floor.version + math.max(1, n)))
+      .getOrElse(head)
     if (capped <= walkFrom) return None
     val per = ManifestTable.addsWithSizes(spark, table, walkFrom,
       capped) match {

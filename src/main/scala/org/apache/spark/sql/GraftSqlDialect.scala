@@ -142,7 +142,16 @@ object GraftSqlDialect {
     var q: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != 0) { if (c == q) q = 0; i += 1 }
+      // inside '…'/"…" a backslash escapes the next char (Spark's
+      // default literal escaping): `'it\'s'` must not close at \' and
+      // leak the rest of the literal to top level (ADVICE r16).
+      // Backticked identifiers escape by doubling only — backslash is
+      // an ordinary char there. Doubled quotes keep working via the
+      // close-then-reopen toggle.
+      if (q != 0) {
+        if (c == '\\' && q != '`' && i + 1 < s.length) i += 2
+        else { if (c == q) q = 0; i += 1 }
+      }
       else if (c == '\'' || c == '"' || c == '`') { q = c; i += 1 }
       else if (up.startsWith(wu, i) &&
         (i == 0 || !isWordChar(s.charAt(i - 1))) &&

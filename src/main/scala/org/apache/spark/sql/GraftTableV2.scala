@@ -242,8 +242,20 @@ object GraftTableV2 {
               new InsertableRelation {
                 override def insert(data: Dataset[Row], legacyOverwrite: Boolean): Unit = {
                   val spark = data.sparkSession
+                  // idempotent-retry options (Delta's batch txn recipe):
+                  // `.writeTo(t).option("txnAppId", a).option("txnVersion", n)`
+                  val txn = (Option(info.options.get("txnAppId")),
+                      Option(info.options.get("txnVersion"))) match {
+                    case (Some(a), Some(v)) => Some((a, v.toLong))
+                    case (None, None) => None
+                    case _ => throw new IllegalArgumentException(
+                      "txnAppId and txnVersion must be set together")
+                  }
                   overwriteCond match {
                     case Some(cond) =>
+                      require(txn.isEmpty, "txnAppId/txnVersion apply to " +
+                        "append and INSERT OVERWRITE; use " +
+                        "ManifestTable.replaceWhere for scoped slices")
                       ManifestTable.replaceWhere(spark, data.toDF(),
                         tablePath, cond): Unit
                     case None if overwrite =>
@@ -251,9 +263,10 @@ object GraftTableV2 {
                       // the recorded schema contract (NOT NULL,
                       // widened types survive)
                       ManifestTable.write(spark, data.toDF(), tablePath,
-                        partCols, preserveSchema = true): Unit
+                        partCols, preserveSchema = true, txn = txn): Unit
                     case None =>
-                      ManifestTable.append(spark, data.toDF(), tablePath): Unit
+                      ManifestTable.append(spark, data.toDF(), tablePath,
+                        txn = txn): Unit
                   }
                 }
               }

@@ -48,7 +48,13 @@ object GraftViewSupport {
         case g: GraftCatalog =>
           return Some((g,
             Identifier.of(parts.tail.init.toArray, parts.last)))
-        case _ => ()
+        case _ =>
+          // parts.head names a REAL non-graft catalog (catalog names
+          // shadow namespaces in Spark's resolution): the statement is
+          // fully qualified into a foreign catalog and must never be
+          // claimed for the current graft catalog, even under
+          // `USE <graftcat>` (ADVICE r16).
+          return None
       } catch { case NonFatal(_) => () }
     }
     spark.sessionState.catalogManager.currentCatalog match {

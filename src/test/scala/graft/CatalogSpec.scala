@@ -52,6 +52,32 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("t"))
   }
 
+  test("writeTo txnAppId/txnVersion options: replayed V2 appends fold in once") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.idem (id BIGINT)")
+    def step(lo: Long, hi: Long, v: Long): Unit =
+      (lo until hi).toDF("id").writeTo(s"$cat.db.idem")
+        .option("txnAppId", "pipeline").option("txnVersion", v.toString)
+        .append()
+    step(0L, 5L, 1L)
+    step(0L, 5L, 1L) // the orchestrator retried the step verbatim
+    step(5L, 8L, 2L)
+    step(5L, 8L, 1L) // a late replay of step 1's watermark with other data
+    assert(spark.table(s"$cat.db.idem").count() == 8,
+      "each tagged step lands exactly once across replays")
+    // half-specified options refuse loudly
+    val e = intercept[Exception] {
+      (0L until 2L).toDF("id").writeTo(s"$cat.db.idem")
+        .option("txnAppId", "pipeline").append()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("txnAppId and txnVersion")), s"got $e")
+  }
+
   test("CREATE TABLE refuses LOCATION but records TBLPROPERTIES") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")

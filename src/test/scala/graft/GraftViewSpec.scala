@@ -152,6 +152,62 @@ class GraftViewSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("foreign-catalog view DDL is never claimed under USE <graftcat>") {
+    val (cat, _) = freshCatalog()
+    // fully-qualified session-catalog view statements must reach
+    // Spark's own catalog even while the graft catalog is current —
+    // a resolvable NON-graft head catalog ends the claim (ADVICE r16)
+    spark.sql(s"USE $cat.db")
+    try {
+      spark.sql(
+        "CREATE VIEW spark_catalog.default.sess_v AS SELECT 1 AS one")
+      assert(spark.sql("SELECT one FROM spark_catalog.default.sess_v")
+        .head().getInt(0) == 1)
+      // it lives in the session catalog — never materialized under the
+      // graft namespace that happens to be current
+      assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect().isEmpty)
+      assert(!graftCat(cat).viewExists(
+        Identifier.of(Array("spark_catalog", "default"), "sess_v")))
+      spark.sql("ALTER VIEW spark_catalog.default.sess_v " +
+        "SET TBLPROPERTIES ('k' = 'v')")
+      spark.sql("DROP VIEW spark_catalog.default.sess_v")
+      assert(spark.sql("SHOW VIEWS IN spark_catalog.default").collect()
+        .forall(_.getString(1) != "sess_v"))
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("view/table collisions refuse with the ViewCatalog exception kinds") {
+    val (cat, _) = freshCatalog()
+    // CREATE VIEW over the TABLE's identifier: TableAlreadyExists —
+    // the contract distinguishes which kind of object is in the way
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.db.t AS SELECT 1 AS one")
+    }
+    assert(e1.isInstanceOf[
+      org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException],
+      s"table collision must be TableAlreadyExists, got ${e1.getClass}")
+    // CREATE TABLE (plain, CTAS, OR REPLACE) over a VIEW's identifier
+    // refuses instead of minting a duplicate identity where reads
+    // resolve the table while SHOW VIEWS still lists the view
+    spark.sql(s"CREATE VIEW $cat.db.w AS SELECT id FROM $cat.db.t")
+    def refusesAsViewExists(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.isInstanceOf[
+        org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException],
+        s"[$sql] must refuse as ViewAlreadyExists, got ${e.getClass}: $e")
+    }
+    refusesAsViewExists(s"CREATE TABLE $cat.db.w (id BIGINT)")
+    refusesAsViewExists(s"CREATE TABLE $cat.db.w AS SELECT 1 AS one")
+    refusesAsViewExists(s"CREATE OR REPLACE TABLE $cat.db.w AS SELECT 1 AS one")
+    // single identity intact: still exactly one view, reads resolve it
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+      .map(_.getString(1)).toSeq == Seq("w"))
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.w").head().getLong(0)
+      == 3L)
+  }
+
   test("views survive a fresh catalog instance (persisted, stateless)") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE VIEW $cat.db.s AS " +

@@ -737,6 +737,36 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"exactly-once across the kill: ${rowsA.size}+${rowsB.size}")
   }
 
+  test("AvailableNow latch pins the fresh-stream snapshot: a commit racing " +
+      "the latch neither bypasses admission nor leaks past the cap") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    ManifestTable.write(spark,
+      (0L until 8L).toDF("id").repartition(4), t) // snapshot: 4 files @ v1
+    val src = sourceFor(t, maxFiles = Some(2))
+    // latch the head (the engine's prepareForTriggerAvailableNow),
+    // THEN land a commit before the first offer — the ADVICE r16 race
+    src.prepareForTriggerAvailableNow()
+    ManifestTable.append(spark,
+      (8L until 10L).toDF("id").repartition(2), t) // v2, after the latch
+    val batches = driveSource(src)
+    // the snapshot must still split at file granularity AT THE CAP
+    // version — not collapse into one clamped boundary batch
+    assert(batches.map(_._1) == Seq("""{"v":1,"i":2,"s":1}""", "1"),
+      s"snapshot must pin at the latched cap and stay rate-limited: " +
+        s"${batches.map(_._1)}")
+    assert(batches.flatMap(_._2).sorted == (0L until 8L),
+      "post-latch commits belong to the next run")
+    // the next run (fresh latch) delivers exactly the raced-in delta
+    val src2 = sourceFor(t, maxFiles = Some(2))
+    src2.prepareForTriggerAvailableNow()
+    val more = driveSource(src2,
+      from = Some(graft.streaming.GraftVersionOffset(1L)))
+    assert(more.flatMap(_._2).sorted == (8L until 10L),
+      s"the raced commit arrives exactly once next run: $more")
+  }
+
   test("format(\"graft\") batch read time travel: versionAsOf / timestampAsOf") {
     import spark.implicits._
     val root = freshRoot()

@@ -932,6 +932,98 @@ class ManifestTableSpec extends AnyFunSuite {
       "merge must upsert the SAME source evaluation its checks saw")
   }
 
+  test("batch txnAppId/txnVersion: retried appends and overwrites fold in once") {
+    import spark.implicits._
+    val t = freshTable()
+    val d1 = (0L until 10L).toDF("id")
+    val v1 = ManifestTable.append(spark, d1, t, txn = Some(("job", 1L)))
+    // exact replay: no-op, current version handed back
+    assert(ManifestTable.append(spark, d1, t, txn = Some(("job", 1L))) == v1)
+    // stale watermark replays are no-ops too (monotone contract)
+    assert(ManifestTable.append(spark, d1, t, txn = Some(("job", 0L))) == v1)
+    assert(ManifestTable.read(spark, t).count() == 10)
+    // the next step advances normally
+    val v2 = ManifestTable.append(spark, (10L until 15L).toDF("id"), t,
+      txn = Some(("job", 2L)))
+    assert(v2 == v1 + 1 && ManifestTable.read(spark, t).count() == 15)
+    // a different app id keeps its own watermark
+    ManifestTable.append(spark, (15L until 18L).toDF("id"), t,
+      txn = Some(("other", 1L))): Unit
+    assert(ManifestTable.read(spark, t).count() == 18)
+    // write (replace) rides the same map: a replayed overwrite cannot
+    // clobber the state a completed step left behind
+    val v4 = ManifestTable.write(spark, (0L until 4L).toDF("id"), t,
+      txn = Some(("job", 3L)))
+    assert(ManifestTable.read(spark, t).count() == 4)
+    assert(ManifestTable.write(spark, (100L until 200L).toDF("id"), t,
+      txn = Some(("job", 3L))) == v4)
+    assert(ManifestTable.read(spark, t).count() == 4,
+      "a replayed replace must leave the table untouched")
+    // untagged writes never consult watermarks
+    ManifestTable.append(spark, (4L until 6L).toDF("id"), t): Unit
+    assert(ManifestTable.read(spark, t).count() == 6)
+  }
+
+  test("external re-evaluating leaves pin: guards and write see ONE JDBC draw") {
+    // A JDBC relation re-executes its query on every evaluation. This
+    // Derby function ticks a shared in-JVM counter PER ROW, so each
+    // evaluation of the same expression-DETERMINISTIC Spark plan draws
+    // the next run of values — exactly the external-mutable-state
+    // hazard of ADVICE r16: on a contract-free table the old lazy path
+    // let replaceWhere's slice check admit draw #1 and the write
+    // commit draw #2 — rows outside the declared slice the guard
+    // never saw.
+    val dbDir =
+      java.nio.file.Files.createTempDirectory("graft_derby_pin").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE FUNCTION TICK() RETURNS BIGINT " +
+        "LANGUAGE JAVA PARAMETER STYLE JAVA NOT DETERMINISTIC NO SQL " +
+        "EXTERNAL NAME 'graft.ManifestTableSpec.derbyTick'"): Unit
+      st.execute("CREATE TABLE base (id BIGINT)"): Unit
+      (0L until 20L).foreach(i =>
+        st.execute(s"INSERT INTO base VALUES ($i)"): Unit)
+    } finally conn.close()
+    def jdbcDraw(q: String) = spark.read.format("jdbc")
+      .option("url", url).option("query", q).load()
+
+    // replaceWhere: the committed rows must satisfy the slice the
+    // membership check admitted — one pinned draw end to end
+    val src = jdbcDraw("SELECT id, TICK() AS v FROM base")
+    assert(src.queryExecution.analyzed.deterministic,
+      "the hazard is precisely an expression-deterministic plan")
+    ManifestTableSpec.derbyTicker.set(0L)
+    val t = freshTable()
+    ManifestTable.create(spark, t, src.schema) // no constraints, no CDF
+    ManifestTable.replaceWhere(spark, src, t, col("v") <= 20L): Unit
+    val got = ManifestTable.read(spark, t).select("v")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == (1L to 20L),
+      s"replaceWhere must commit the SAME draw its slice check admitted: $got")
+
+    // merge with VOLATILE KEYS: the key-bounds/hit narrowing and the
+    // actual upsert join must consume one draw — otherwise the scan
+    // narrows on draw #1's keys while the join matches draw #2's
+    val t2 = freshTable()
+    import spark.implicits._
+    ManifestTable.write(spark,
+      (1L to 20L).map(i => (i, 0L)).toDF("id", "flag"), t2)
+    ManifestTableSpec.derbyTicker.set(0L)
+    ManifestTable.merge(spark,
+      jdbcDraw("SELECT TICK() AS id, 1 AS flag FROM base")
+        .select(col("id"), col("flag").cast("long")),
+      t2, Seq("id")): Unit
+    val after = ManifestTable.read(spark, t2)
+      .select("id", "flag").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet == (1L to 20L).toSet,
+      s"merge must join the draw its narrowing scans saw: ${after.keySet}")
+    assert(after.values.forall(_ == 1L),
+      "every target key must take the matched update, none left stale")
+  }
+
   test("in-commit timestamps: time travel survives a copy that resets mtimes") {
     val t = freshTable()
     ManifestTable.write(spark, df(5, "a"), t) // v1
@@ -1052,4 +1144,13 @@ class ManifestTableSpec extends AnyFunSuite {
   */
 object ManifestTableSpec {
   val evalCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Backs an embedded-Derby SQL FUNCTION (same JVM): ticks once per
+    * ROW the server evaluates, so every re-execution of a JDBC query
+    * observably draws the next run of values while the SPARK plan
+    * stays expression-deterministic — the external-mutable-state leaf
+    * shape of ADVICE r16.
+    */
+  val derbyTicker = new java.util.concurrent.atomic.AtomicLong(0L)
+  def derbyTick(): Long = derbyTicker.incrementAndGet()
 }

@@ -61,6 +61,24 @@ class SqlDialectSpec extends AnyFunSuite {
     // a backquoted identifier containing ZORDER is not a clause either
     val c3 = opt("OPTIMIZE a.b.t WHERE `zorder by (q` = 1")
     assert(c3.where.contains("`zorder by (q` = 1") && c3.zorder.isEmpty)
+    // backslash escapes (Spark's default literal escaping): \' must
+    // not close the literal and leak its tail to top level (ADVICE r16)
+    val c4 = opt("""OPTIMIZE a.b.t WHERE note = 'it\'s ZORDER BY (x)'""")
+    assert(c4.where.contains("""note = 'it\'s ZORDER BY (x)'""") &&
+      c4.zorder.isEmpty, s"got $c4")
+    // ... while a real clause after an escaped literal still parses
+    val c5 = opt("""OPTIMIZE a.b.t WHERE note = 'it\'s fine' """ +
+      "ZORDER BY (id)")
+    assert(c5.where.contains("""note = 'it\'s fine'""") &&
+      c5.zorder == Seq("id"), s"got $c5")
+    // doubled-quote escaping keeps working via close-then-reopen
+    val c6 = opt("OPTIMIZE a.b.t WHERE note = 'it''s ZORDER BY (x)'")
+    assert(c6.where.contains("note = 'it''s ZORDER BY (x)'") &&
+      c6.zorder.isEmpty, s"got $c6")
+    // in a backtick run the backslash is an ordinary char (identifiers
+    // escape by doubling only): the run closes at the next backtick
+    val c7 = opt("""OPTIMIZE a.b.t WHERE `a\` = 1 ZORDER BY (id)""")
+    assert(c7.zorder == Seq("id"), s"got $c7")
   }
 
   test("ALTER ... CONSTRAINT claims only graft-addressable tables") {
