@@ -165,8 +165,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a VIEW occupying the identifier must refuse too — otherwise the
     // create succeeds and leaves a duplicate identity where reads
     // resolve the table while SHOW VIEWS still lists the view
-    // (ADVICE r16; renameView applies the same two-sided check)
-    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    // (ADVICE r16; renameView applies the same two-sided check).
+    // Thrown as a TableAlreadyExistsException SUBCLASS (ADVICE r17
+    // low): DSv2 CreateTableExec only suppresses that kind under
+    // IF NOT EXISTS, so this is what makes `CREATE TABLE IF NOT
+    // EXISTS` over a view a silent no-op — session-catalog semantics,
+    // where any occupant satisfies the clause — while a plain CREATE
+    // still fails with the view-naming TABLE_OR_VIEW message.
+    if (viewExists(ident))
+      throw new GraftCatalog.ViewOccupiesIdentifierException(
+        (name() +: ident.namespace().toSeq :+ ident.name()))
     // TBLPROPERTIES are recorded on the CREATE commit itself (the
     // sticky `props` manifest channel — `SHOW TBLPROPERTIES` reads
     // them back, `ALTER TABLE ... SET/UNSET TBLPROPERTIES` evolves
@@ -220,7 +228,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         (name() +: ident.namespace().toSeq :+ ident.name()))
-    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    // same collision kind as createTable; note CTAS IF NOT EXISTS
+    // over a view still fails loudly (the atomic CTAS exec checks
+    // tableExists itself and does not suppress stage-time collisions)
+    // — intentional: a data-producing statement silently skipped over
+    // a view would hide that the identifier isn't a table at all
+    if (viewExists(ident))
+      throw new GraftCatalog.ViewOccupiesIdentifierException(
+        (name() +: ident.namespace().toSeq :+ ident.name()))
     stage(ident, schema, partitions, properties, createOnly = true)
   }
 
@@ -671,6 +686,22 @@ private final class GraftStagedTable(identName: String, path: String,
 }
 
 object GraftCatalog {
+  /** "A VIEW occupies this identifier" collision for CREATE TABLE /
+    * CTAS, as a [[TableAlreadyExistsException]] subclass so DSv2's
+    * `IF NOT EXISTS` suppression applies (session-catalog parity),
+    * under Spark's own TABLE_OR_VIEW_ALREADY_EXISTS error class so
+    * the plain-CREATE failure still says a relation — here a view —
+    * is in the way. `CREATE OR REPLACE TABLE` keeps the loud
+    * [[ViewAlreadyExistsException]]: OR REPLACE over a view must
+    * never be suppressed (the Delta/Iceberg refusal).
+    */
+  final class ViewOccupiesIdentifierException(nameParts: Seq[String])
+    extends TableAlreadyExistsException(
+      "TABLE_OR_VIEW_ALREADY_EXISTS",
+      Map("relationName" ->
+        nameParts.map(p => s"`$p`").mkString(".")),
+      None)
+
   /** The persisted view contract served back to Spark's analyzer —
     * see [[GraftCatalog.loadView]].
     */

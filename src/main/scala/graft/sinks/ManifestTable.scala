@@ -438,8 +438,12 @@ object ManifestTable {
   private def pinIfNeeded(spark: SparkSession, df: DataFrame,
       table: String): DataFrame = {
     val mustPin =
-      try !df.queryExecution.analyzed.deterministic ||
-        hasReEvaluatingLeaf(df.queryExecution.analyzed)
+      try {
+        val analyzed = df.queryExecution.analyzed
+        !analyzed.deterministic ||
+          analyzed.subqueriesAll.exists(!_.deterministic) ||
+          hasReEvaluatingLeaf(analyzed)
+      }
       catch { case scala.util.control.NonFatal(_) => true } // pin, fail safe
     if (mustPin) return df.localCheckpoint()
     val (fs, p) = fsOf(spark, table)
@@ -452,19 +456,30 @@ object ManifestTable {
     if (hasContract) df.localCheckpoint() else df
   }
 
-  /** True when any leaf of `plan` can return DIFFERENT rows on
-    * re-evaluation because it consults external state per execution.
-    * The stable set is a whitelist — an unrecognized leaf pins.
+  /** True when any leaf of `plan` — INCLUDING leaves inside subquery
+    * expressions (ADVICE r17 medium: `collectLeaves` does not descend
+    * into IN/EXISTS/scalar-subquery plans, yet a frame filtered by
+    * `WHERE k IN (SELECT ... FROM jdbc)` re-executes that inner query
+    * per evaluation exactly like a top-level JDBC leaf) — can return
+    * DIFFERENT rows on re-evaluation because it consults external
+    * state per execution. The stable set is a whitelist — an
+    * unrecognized leaf pins.
     */
   private def hasReEvaluatingLeaf(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean =
+    (plan +: plan.subqueriesAll).exists(p =>
+      p.collectLeaves().exists(leafReEvaluates))
+
+  private def leafReEvaluates(
+      leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range}
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-    plan.collectLeaves().exists {
+    leaf match {
       case _: LocalRelation | _: OneRowRelation | _: Range => false
       case _: LogicalRDD => false // already-computed lineage (incl. our own pins)
       case _: InMemoryRelation => false // cached
@@ -4191,9 +4206,17 @@ object ManifestTable {
     * inserts) when the feed is on. Untouched partitions — files, DVs,
     * stats — ride through unchanged; at 100 TB the commit is
     * O(files in touched partitions), never O(table).
+    *
+    * `txn` makes the overwrite IDEMPOTENT like [[append]]/[[write]]
+    * (the same Delta txnAppId/txnVersion watermark map): when the
+    * app's recorded watermark already covers `v` the commit is a
+    * no-op — the already-staged files become orphan debris vacuum
+    * sweeps, and a retried orchestrator step cannot double-apply the
+    * partition swap.
     */
   def commitDynamicOverwrite(spark: SparkSession, table: String,
-      staged: Seq[String], maxAttempts: Int = 5): Long = {
+      staged: Seq[String], maxAttempts: Int = 5,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.lit
     val (fs, p) = fsOf(spark, table)
     // partition fragment of a rel path (`data/sX/a=1/b=2/f.parquet` →
@@ -4214,6 +4237,13 @@ object ManifestTable {
       require(base > 0, s"no committed version in $table")
       val (_, cs) = listLog(fs, p)
       val m = manifestAt(fs, p, base)
+      val txns0 = m.map(_.txns).getOrElse(Map.empty)
+      txn match {
+        case Some((app, v)) if txns0.get(app).exists(_ >= v) =>
+          return base // replay — already folded in; staged files are
+                      // unpublished orphans, vacuum's problem
+        case _ => ()
+      }
       require(!recordedSchema(m).exists(columnMapped),
         s"dynamic partition overwrite on column-mapped $table is not " +
           "supported — the V2 writer stages logical-named files; use " +
@@ -4242,7 +4272,7 @@ object ManifestTable {
             dels.fold(ins)(_.unionByName(ins, allowMissingColumns = true))))
         }
       if (commitDelta(fs, p, base + 1, staged,
-        m.map(_.txns).getOrElse(Map.empty),
+        txn.fold(txns0) { case (app, v) => txns0 + (app -> v) },
         collectStats(spark, p, staged, props),
         remove = remove, parts = parts,
         schemaJson = m.flatMap(_.schemaJson),

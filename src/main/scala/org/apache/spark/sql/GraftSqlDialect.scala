@@ -138,6 +138,14 @@ object GraftSqlDialect {
     val up = s.toUpperCase(Locale.ROOT)
     val wu = w.toUpperCase(Locale.ROOT)
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    // track the ACTIVE literal-escaping mode (ADVICE r17 low): under
+    // spark.sql.parser.escapedStringLiterals=true Spark treats
+    // backslash as an ordinary character inside '…'/"…" (Hive-style
+    // raw literals), so `'C:\'` is a CLOSED literal there — skipping
+    // `\'` as an escape would swallow the rest of the statement into
+    // the string and misparse a following ZORDER BY.
+    val backslashEscapes =
+      !SparkSession.active.sessionState.conf.escapedStringLiterals
     var i = 0
     var q: Char = 0
     while (i < s.length) {
@@ -149,7 +157,8 @@ object GraftSqlDialect {
       // an ordinary char there. Doubled quotes keep working via the
       // close-then-reopen toggle.
       if (q != 0) {
-        if (c == '\\' && q != '`' && i + 1 < s.length) i += 2
+        if (backslashEscapes && c == '\\' && q != '`' && i + 1 < s.length)
+          i += 2
         else { if (c == q) q = 0; i += 1 }
       }
       else if (c == '\'' || c == '"' || c == '`') { q = c; i += 1 }

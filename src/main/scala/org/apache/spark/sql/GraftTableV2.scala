@@ -39,6 +39,30 @@ import GraftManifestScan.ManifestFile
   */
 object GraftTableV2 {
 
+  /** Parse the idempotent-retry options (Delta's batch txn recipe:
+    * `.writeTo(t).option("txnAppId", a).option("txnVersion", n)`) off
+    * a write's options. Shared by the V1 insert path AND the dynamic
+    * overwrite write so no write shape silently drops idempotency.
+    * Both-or-neither, and a malformed version gets a NAMED error
+    * rather than a raw NumberFormatException.
+    */
+  private[sql] def txnOf(info: LogicalWriteInfo): Option[(String, Long)] =
+    (Option(info.options.get("txnAppId")),
+        Option(info.options.get("txnVersion"))) match {
+      case (Some(a), Some(v)) =>
+        val ver =
+          try v.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"txnVersion must be a long, got '$v'")
+          }
+        Some((a, ver))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together")
+    }
+
   /** [[PartitioningAwareFileIndex]] over a resolved manifest
     * snapshot: `listFiles` delegates to the manifest-statistics
     * pruning index (exact partition-filter evaluation + fail-open
@@ -244,13 +268,7 @@ object GraftTableV2 {
                   val spark = data.sparkSession
                   // idempotent-retry options (Delta's batch txn recipe):
                   // `.writeTo(t).option("txnAppId", a).option("txnVersion", n)`
-                  val txn = (Option(info.options.get("txnAppId")),
-                      Option(info.options.get("txnVersion"))) match {
-                    case (Some(a), Some(v)) => Some((a, v.toLong))
-                    case (None, None) => None
-                    case _ => throw new IllegalArgumentException(
-                      "txnAppId and txnVersion must be set together")
-                  }
+                  val txn = GraftTableV2.txnOf(info)
                   overwriteCond match {
                     case Some(cond) =>
                       require(txn.isEmpty, "txnAppId/txnVersion apply to " +
@@ -324,6 +342,12 @@ object GraftTableV2 {
 
     override def toBatch: connector.write.BatchWrite = {
       val cs = SparkSession.active.asInstanceOf[classic.SparkSession]
+      // txnAppId/txnVersion ride dynamic overwrites too (ADVICE r17):
+      // a retried `.writeTo(t).option("txnAppId",...).overwritePartitions()`
+      // must fold in exactly once, not double-apply. Parsed HERE (fail
+      // fast on malformed options, before any data is staged), checked
+      // at commit time against the manifest's watermark map.
+      val txn = GraftTableV2.txnOf(info)
       val rowSchema = info.schema()
       val missing = partCols.filterNot(rowSchema.fieldNames.contains)
       require(missing.isEmpty,
@@ -357,7 +381,7 @@ object GraftTableV2 {
             case GraftTaskFiles(fs) => fs
           }.flatten
           ManifestTable.commitDynamicOverwrite(SparkSession.active,
-            tablePath, staged): Unit
+            tablePath, staged, txn = txn): Unit
         }
         override def abort(
             messages: Array[connector.write.WriterCommitMessage]): Unit = {

@@ -76,6 +76,58 @@ class CatalogSpec extends AnyFunSuite {
       if (x == null) Seq.empty
       else Option(x.getMessage).toSeq ++ msgs(x.getCause)
     assert(msgs(e).exists(_.contains("txnAppId and txnVersion")), s"got $e")
+    // a malformed version is a NAMED option error, not a raw
+    // NumberFormatException out of the parse (VERDICT r17 cosmetic)
+    val e2 = intercept[Exception] {
+      (0L until 2L).toDF("id").writeTo(s"$cat.db.idem")
+        .option("txnAppId", "pipeline").option("txnVersion", "soon")
+        .append()
+    }
+    assert(msgs(e2).exists(_.contains("txnVersion must be a long")),
+      s"got $e2")
+  }
+
+  test("txn options ride dynamic overwrites: a retried overwritePartitions folds in once") {
+    // ADVICE r17 medium: build() returned GraftDynamicOverwriteWrite
+    // without reading txnAppId/txnVersion, so a retried orchestrator
+    // step double-applied the partition swap. The watermark must gate
+    // THIS write shape exactly like append/INSERT OVERWRITE.
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(
+      s"CREATE TABLE $cat.db.dyntx (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.db.dyntx VALUES (1,'x'), (2,'y')")
+    def step(rows: Seq[(Long, String)], v: Long): Unit =
+      rows.toDF("id", "p").writeTo(s"$cat.db.dyntx")
+        .option("txnAppId", "backfill").option("txnVersion", v.toString)
+        .overwritePartitions()
+    step(Seq((10L, "x")), 1L)
+    val vAfter = ManifestTable.currentVersion(spark, s"$wh/db/dyntx")
+    // verbatim retry: no new commit, no double swap
+    step(Seq((10L, "x")), 1L)
+    // stale replay with DIFFERENT rows: still a no-op (monotone map)
+    step(Seq((99L, "y")), 1L)
+    assert(ManifestTable.currentVersion(spark, s"$wh/db/dyntx") == vAfter,
+      "replayed tagged overwrites must not commit")
+    val got = spark.sql(s"SELECT id, p FROM $cat.db.dyntx ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "y"), (10L, "x")), s"got: $got")
+    // the next watermark advances normally
+    step(Seq((20L, "y")), 2L)
+    assert(spark.sql(s"SELECT id FROM $cat.db.dyntx WHERE p='y'")
+      .collect().map(_.getLong(0)).toSeq == Seq(20L))
+    // malformed version fails BEFORE staging any data
+    val e = intercept[Exception] {
+      Seq((7L, "x")).toDF("id", "p").writeTo(s"$cat.db.dyntx")
+        .option("txnAppId", "backfill").option("txnVersion", "nope")
+        .overwritePartitions()
+    }
+    def msgs2(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs2(x.getCause)
+    assert(msgs2(e).exists(_.contains("txnVersion must be a long")),
+      s"got $e")
   }
 
   test("CREATE TABLE refuses LOCATION but records TBLPROPERTIES") {

@@ -188,17 +188,28 @@ class GraftViewSpec extends AnyFunSuite {
       s"table collision must be TableAlreadyExists, got ${e1.getClass}")
     // CREATE TABLE (plain, CTAS, OR REPLACE) over a VIEW's identifier
     // refuses instead of minting a duplicate identity where reads
-    // resolve the table while SHOW VIEWS still lists the view
+    // resolve the table while SHOW VIEWS still lists the view.
+    // Plain CREATE/CTAS collide as TableAlreadyExists (the
+    // TABLE_OR_VIEW error class — ADVICE r17: the subclass is what
+    // lets IF NOT EXISTS no-op below); OR REPLACE keeps the loud
+    // ViewAlreadyExists (never suppressed).
     spark.sql(s"CREATE VIEW $cat.db.w AS SELECT id FROM $cat.db.t")
-    def refusesAsViewExists(sql: String): Unit = {
+    def refusesAs(sql: String, klass: Class[_]): Unit = {
       val e = intercept[Exception] { spark.sql(sql) }
-      assert(e.isInstanceOf[
-        org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException],
-        s"[$sql] must refuse as ViewAlreadyExists, got ${e.getClass}: $e")
+      assert(klass.isInstance(e),
+        s"[$sql] must refuse as ${klass.getSimpleName}, got ${e.getClass}: $e")
     }
-    refusesAsViewExists(s"CREATE TABLE $cat.db.w (id BIGINT)")
-    refusesAsViewExists(s"CREATE TABLE $cat.db.w AS SELECT 1 AS one")
-    refusesAsViewExists(s"CREATE OR REPLACE TABLE $cat.db.w AS SELECT 1 AS one")
+    val tableKind = classOf[
+      org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException]
+    val viewKind = classOf[
+      org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException]
+    refusesAs(s"CREATE TABLE $cat.db.w (id BIGINT)", tableKind)
+    refusesAs(s"CREATE TABLE $cat.db.w AS SELECT 1 AS one", tableKind)
+    refusesAs(s"CREATE OR REPLACE TABLE $cat.db.w AS SELECT 1 AS one",
+      viewKind)
+    // IF NOT EXISTS over the occupied identifier: silent no-op
+    // (session-catalog semantics — any occupant satisfies the clause)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.w (id BIGINT)")
     // single identity intact: still exactly one view, reads resolve it
     assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect()
       .map(_.getString(1)).toSeq == Seq("w"))

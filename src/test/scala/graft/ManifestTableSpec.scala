@@ -1024,6 +1024,46 @@ class ManifestTableSpec extends AnyFunSuite {
       "every target key must take the matched update, none left stale")
   }
 
+  test("re-evaluating leaves INSIDE subquery expressions pin too") {
+    // ADVICE r17 medium: collectLeaves() does not descend into
+    // IN/EXISTS/scalar-subquery plans, so a deterministic local frame
+    // filtered by `id IN (SELECT ... FROM jdbc)` escaped the pin —
+    // the subquery re-executes per evaluation, so the slice check and
+    // the write could admit DIFFERENT row sets.
+    val dbDir =
+      java.nio.file.Files.createTempDirectory("graft_derby_subq").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE FUNCTION TICK() RETURNS BIGINT " +
+        "LANGUAGE JAVA PARAMETER STYLE JAVA NOT DETERMINISTIC NO SQL " +
+        "EXTERNAL NAME 'graft.ManifestTableSpec.derbyTick'"): Unit
+      st.execute("CREATE TABLE base (id BIGINT)"): Unit
+      (0L until 20L).foreach(i =>
+        st.execute(s"INSERT INTO base VALUES ($i)"): Unit)
+    } finally conn.close()
+    import spark.implicits._
+    // each evaluation of the subquery draws the NEXT 20 ticker values:
+    // eval #1 admits ids 1..20, eval #2 would admit 21..40
+    spark.read.format("jdbc").option("url", url)
+      .option("query", "SELECT TICK() AS k FROM base").load()
+      .createOrReplaceTempView("volatile_keys")
+    (1L to 40L).toDF("id").createOrReplaceTempView("forty_ids")
+    val src = spark.sql(
+      "SELECT id FROM forty_ids WHERE id IN (SELECT k FROM volatile_keys)")
+    assert(src.queryExecution.analyzed.deterministic,
+      "the hazard is precisely an expression-deterministic outer plan")
+    ManifestTableSpec.derbyTicker.set(0L)
+    val t = freshTable()
+    ManifestTable.create(spark, t, src.schema) // no constraints, no CDF
+    ManifestTable.replaceWhere(spark, src, t, col("id") <= 20L): Unit
+    val got = ManifestTable.read(spark, t).select("id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == (1L to 20L),
+      s"the committed rows must be the draw the slice check admitted: $got")
+  }
+
   test("in-commit timestamps: time travel survives a copy that resets mtimes") {
     val t = freshTable()
     ManifestTable.write(spark, df(5, "a"), t) // v1

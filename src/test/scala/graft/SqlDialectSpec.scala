@@ -79,6 +79,35 @@ class SqlDialectSpec extends AnyFunSuite {
     // escape by doubling only): the run closes at the next backtick
     val c7 = opt("""OPTIMIZE a.b.t WHERE `a\` = 1 ZORDER BY (id)""")
     assert(c7.zorder == Seq("id"), s"got $c7")
+    // under spark.sql.parser.escapedStringLiterals=true a backslash
+    // is an ORDINARY char inside literals (Hive-style raw strings):
+    // 'C:\' is a closed literal, and the ZORDER clause after it must
+    // still parse instead of being swallowed (ADVICE r17)
+    val prevEsc = spark.conf.getOption("spark.sql.parser.escapedStringLiterals")
+    // direct parse() bypasses sql()'s withActive — pin THIS session so
+    // the scanner reads the conf we set (restored in the finally)
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    try {
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+      val c8 = opt("""OPTIMIZE a.b.t WHERE path = 'C:\' ZORDER BY (id)""")
+      assert(c8.where.contains("""path = 'C:\'""") &&
+        c8.zorder == Seq("id"), s"got $c8")
+      // doubled-quote escaping still works in raw mode
+      val c9 = opt("OPTIMIZE a.b.t WHERE note = 'it''s ZORDER BY (x)'")
+      assert(c9.zorder.isEmpty, s"got $c9")
+    } finally {
+      prevEsc match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parser.escapedStringLiterals", v)
+        case None =>
+          spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+      }
+      prevActive match {
+        case Some(s) => org.apache.spark.sql.SparkSession.setActiveSession(s)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
   }
 
   test("ALTER ... CONSTRAINT claims only graft-addressable tables") {
