@@ -1982,6 +1982,144 @@ object PipelineOps {
       "ORDER BY lang ASC NULLS LAST")
   }
 
+  private val p42Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Shared lifecycle scaffolding for the row-level-SQL queries
+    * (p42–p44): a fresh graft catalog + a `docs` table seeded with
+    * the documents census columns, range-laid-out on doc_id so the
+    * row-level narrowing has multiple files to prove itself against.
+    */
+  private def rowLevelLake(spark: SparkSession, sfDir: String,
+      tag: String): String = {
+    import org.apache.spark.sql.functions.col
+    val inv = p42Invocation.incrementAndGet()
+    val cat = s"${tag}lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      s"${tag}_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView(s"${tag}_seed")
+    spark.sql(s"CREATE TABLE $cat.db.docs AS " +
+      s"SELECT /*+ REPARTITION_BY_RANGE(8, doc_id) */ * FROM ${tag}_seed")
+    cat
+  }
+
+  private def rowLevelCensus(spark: SparkSession, cat: String): DataFrame =
+    spark.sql(s"SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "count(DISTINCT doc_id) AS n_ids, " +
+      "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+      s"FROM $cat.db.docs GROUP BY lang ORDER BY lang ASC NULLS LAST")
+
+  /** p42: SQL `DELETE FROM t WHERE k IN (SELECT ...)` — the first
+    * row-level statement a user types past the canonical upsert
+    * (VERDICT r17 #1). The IN-subquery exceeds the V2 filter-pushdown
+    * surface, so the resolution rule routes it through the
+    * row-identity rewrite ([[graft.sinks.ManifestTable.deleteWhere]]):
+    * the subquery is materialized ONCE as pinned (file, row-index)
+    * ids and only files CONTAINING matches rewrite. The oracle is the
+    * same census with the delete phrased as NOT IN.
+    */
+  def p42SqlDeleteSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = rowLevelLake(spark, sfDir, "p42")
+    spark.sql(s"DELETE FROM $cat.db.docs WHERE doc_id IN " +
+      s"(SELECT doc_id FROM p42_seed WHERE n_chars < 150)")
+    rowLevelCensus(spark, cat)
+  }
+
+  val p42Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT doc_id) AS n_ids,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE n_chars < 150)
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  /** p43: SQL `UPDATE ... WHERE EXISTS (correlated subquery) AND
+    * <plain conjunct>` — the correlated half of VERDICT r17 #1. The
+    * EXISTS re-roots onto the identity-tagged scan (outer references
+    * re-bound by name), the subquery-free conjunct still stats-prunes
+    * candidates, and matched rows rewrite by exact row identity
+    * ([[graft.sinks.ManifestTable.updateWhere]]).
+    */
+  def p43SqlUpdateExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = rowLevelLake(spark, sfDir, "p43")
+    spark.sql("SELECT lang FROM p43_seed GROUP BY lang " +
+      "HAVING count(*) >= 70").createOrReplaceTempView("p43_boost")
+    spark.sql(s"UPDATE $cat.db.docs d SET n_chars = n_chars + 500 " +
+      "WHERE EXISTS (SELECT 1 FROM p43_boost b WHERE b.lang = d.lang) " +
+      "AND n_chars < 400")
+    rowLevelCensus(spark, cat)
+  }
+
+  val p43Sql: String =
+    """WITH boost AS (
+      |  SELECT lang FROM documents GROUP BY lang HAVING count(*) >= 70)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN lang IN (SELECT lang FROM boost)
+      |    AND n_chars < 400 THEN n_chars + 500 ELSE n_chars END)
+      |    AS BIGINT) AS total_chars,
+      |  count(DISTINCT doc_id) AS n_ids,
+      |  min(CASE WHEN lang IN (SELECT lang FROM boost) AND n_chars < 400
+      |    THEN n_chars + 500 ELSE n_chars END) AS min_chars,
+      |  max(CASE WHEN lang IN (SELECT lang FROM boost) AND n_chars < 400
+      |    THEN n_chars + 500 ELSE n_chars END) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  /** p44: `MERGE INTO ... ON t.k = s.k AND <extra conjunct>` — the
+    * non-canonical ON shape (VERDICT r17 #1). The extra conjunct is
+    * the PAIR-level match condition: a key-equal pair failing it is
+    * NOT matched, so the source row INSERTs (here: a duplicate-id
+    * tombstone row) and the target row falls to the BY SOURCE delete
+    * — exactly the SQL contract, all three clause families in one
+    * statement. The join itself still shuffles on the key only.
+    */
+  def p44SqlMergeExtraOn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = rowLevelLake(spark, sfDir, "p44")
+    spark.sql("SELECT doc_id, lang, n_chars + 37 AS n_chars " +
+      "FROM p44_seed WHERE doc_id % 5 = 0")
+      .createOrReplaceTempView("p44_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.docs t USING p44_src s
+         |ON t.doc_id = s.doc_id AND s.n_chars % 2 = 0
+         |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1000
+         |WHEN NOT MATCHED THEN
+         |  INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, -s.n_chars)
+         |WHEN NOT MATCHED BY SOURCE AND t.n_chars > 500 THEN DELETE
+         |""".stripMargin)
+    rowLevelCensus(spark, cat)
+  }
+
+  val p44Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, lang, n_chars + 37 AS n_chars
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |tgt AS (SELECT doc_id, lang, n_chars FROM documents),
+      |matched AS (
+      |  SELECT t.doc_id FROM tgt t
+      |  JOIN src s ON t.doc_id = s.doc_id AND s.n_chars % 2 = 0),
+      |kept AS (
+      |  SELECT t.doc_id, t.lang,
+      |    CASE WHEN t.doc_id IN (SELECT doc_id FROM matched)
+      |      THEN t.n_chars + 1000 ELSE t.n_chars END AS n_chars
+      |  FROM tgt t
+      |  WHERE t.doc_id IN (SELECT doc_id FROM matched)
+      |    OR NOT (t.n_chars > 500)),
+      |ins AS (
+      |  SELECT s.doc_id, s.lang, -s.n_chars AS n_chars FROM src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM tgt t
+      |    WHERE t.doc_id = s.doc_id AND s.n_chars % 2 = 0)),
+      |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT doc_id) AS n_ids,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM merged GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   val p41Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

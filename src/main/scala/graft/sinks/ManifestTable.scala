@@ -4080,6 +4080,92 @@ object ManifestTable {
     raceLost(table, currentVersion(spark, table) + 1)
   }
 
+  /** Row-level DELETE for conditions a plain [[Column]] predicate
+    * cannot carry through [[delete]]'s per-frame re-evaluation —
+    * IN/EXISTS/scalar subqueries (correlated or not) and arbitrary
+    * analyzed expressions: the SQL `DELETE FROM t WHERE k IN
+    * (SELECT ...)` shape (VERDICT r17 #1). The caller supplies a
+    * CONDITION BUILDER invoked on the identity-tagged scan frame, so
+    * resolved subquery plans can be re-rooted onto the frame's
+    * attributes. The matched set is materialized ONCE as pinned
+    * (file, row-index) ids — the Delta source-materialization recipe:
+    * the subquery (and any other external state) is consulted exactly
+    * one time, and the guard scan, rewrite and CDC all anti/semi-join
+    * those EXACT row identities, so duplicates and map-typed columns
+    * need no whole-row value equality.
+    *
+    * Scale: `prune` (the subquery-free conjuncts of the condition)
+    * stats-prunes candidates exactly like [[delete]] — subquery
+    * conjuncts fail open in the skipper; the matched-id frame is the
+    * pruning source for the rewrite (only files CONTAINING matches
+    * rewrite), and the ids are 2 narrow columns, distributed, joined
+    * by (file, row-index) — never a driver collect of row values.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      condFor: DataFrame => Column,
+      prune: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val (fs, p) = fsOf(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(spark, fs, p, base, cs)
+      val parts = stickyParts(Seq.empty, m.map(_.parts).getOrElse(Seq.empty))
+      val mapping = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping)
+      val candidates = prune match {
+        case Some(e) => snap.files.filter(f =>
+          DataSkipping.mayMatch(lstats.get(f), e))
+        case None => snap.files
+      }
+      if (candidates.isEmpty) return base
+      val cframe = readFiles(spark, table, candidates, snap.dvs,
+        keepIdentity = true, mapping = mapping)
+      // ONE pinned evaluation of the matched row ids (subqueries et
+      // al. run here and never again); rows where the condition is
+      // NULL are untouched (SQL DELETE semantics)
+      val matched = cframe.filter(coalesce(condFor(cframe), lit(false)))
+        .select(col(AbsPathCol), col(DvFileCol), col(DvIdxCol))
+        .localCheckpoint()
+      val byFile = matched.groupBy(col(AbsPathCol)).agg(count(lit(1)))
+        .collect() // file-NAME-sized, bounded by the candidate list
+      if (byFile.isEmpty) return base
+      val hits = byFile.map(r => matchRel(r.getString(0), candidates))
+        .toSeq.sorted
+      val ids = matched.select(col(DvFileCol), col(DvIdxCol))
+      def hframe = readFiles(spark, table, hits, snap.dvs,
+        keepIdentity = true, mapping = mapping)
+      val survivors = hframe.join(ids, Seq(DvFileCol, DvIdxCol), "left_anti")
+        .drop(AbsPathCol, DvFileCol, DvIdxCol)
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(survivors, mapping), base + 1, parts, 0L)
+      val cdc =
+        if (!changeFeedOn(m)) None
+        else Some(writeChangeDir(spark, p, base + 1,
+          hframe.join(ids, Seq(DvFileCol, DvIdxCol), "left_semi")
+            .drop(AbsPathCol, DvFileCol, DvIdxCol)
+            .withColumn(ChangeTypeCol, lit("delete"))))
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
+        remove = hits, parts = parts,
+        schemaJson = m.flatMap(_.schemaJson),
+        props = m.map(_.props).getOrElse(Map.empty),
+        cdcDir = cdc,
+        op = opInfo(m, "delete", "predicate" -> "<row-identity join>",
+          "rewrittenFiles" -> hits.size.toString))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1 // lost the version race; orphaned snapshot is vacuum's
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
   /** ATOMIC predicate-scoped overwrite (the Delta `replaceWhere`
     * contract): in ONE commit, delete every existing row matching
     * `condition` and insert `df` — the backfill primitive ("recompute
@@ -4441,6 +4527,105 @@ object ManifestTable {
         props = m.map(_.props).getOrElse(Map.empty),
         cdcDir = cdc,
         op = opInfo(m, "update", "predicate" -> predicate.toString,
+          "columns" -> set.keys.toSeq.sorted.mkString(","),
+          "rewrittenFiles" -> hits.size.toString))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Row-level UPDATE for conditions with subqueries — the
+    * [[deleteWhere]] recipe applied to [[update]]: the condition
+    * builder runs once on the identity-tagged candidate frame, the
+    * matched (file, row-index) ids pin that single evaluation, and
+    * the rewrite flags matched rows by EXACT row identity instead of
+    * re-evaluating the predicate per frame (`UPDATE t SET ... WHERE
+    * EXISTS (SELECT ...)`, VERDICT r17 #1). SET expressions stay
+    * row-local Columns resolved on the rewrite frame. Same narrowing,
+    * schema enforcement, constraints, CDC and commit shape as
+    * [[update]].
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      condFor: DataFrame => Column, set: Map[String, Column],
+      prune: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+    require(set.nonEmpty, "update needs at least one SET column")
+    val (fs, p) = fsOf(spark, table)
+    val MarkCol = "_graft_row_hit"
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(spark, fs, p, base, cs)
+      val parts = stickyParts(Seq.empty, m.map(_.parts).getOrElse(Seq.empty))
+      val mapping = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping)
+      val candidates = prune match {
+        case Some(e) => snap.files.filter(f =>
+          DataSkipping.mayMatch(lstats.get(f), e))
+        case None => snap.files
+      }
+      if (candidates.isEmpty) return base
+      val cframe = readFiles(spark, table, candidates, snap.dvs,
+        keepIdentity = true, mapping = mapping)
+      val matched = cframe.filter(coalesce(condFor(cframe), lit(false)))
+        .select(col(AbsPathCol), col(DvFileCol), col(DvIdxCol))
+        .localCheckpoint()
+      val byFile = matched.groupBy(col(AbsPathCol)).agg(count(lit(1)))
+        .collect()
+      if (byFile.isEmpty) return base
+      val hits = byFile.map(r => matchRel(r.getString(0), candidates))
+        .toSeq.sorted
+      val ids = matched.select(col(DvFileCol), col(DvIdxCol))
+      val src = readFiles(spark, table, hits, snap.dvs,
+        keepIdentity = true, mapping = mapping)
+      val dataCols = src.columns.toIndexedSeq
+        .filterNot(Set(AbsPathCol, DvFileCol, DvIdxCol))
+      val unknown = set.keySet -- dataCols
+      require(unknown.isEmpty,
+        s"UPDATE sets unknown column(s) ${unknown.mkString(", ")} — " +
+          "add columns by appending data that carries them")
+      val flagged = src.join(ids.withColumn(MarkCol, lit(true)),
+        Seq(DvFileCol, DvIdxCol), "left_outer")
+      val isMatched = coalesce(col(MarkCol), lit(false))
+      val rewritten = flagged.select(dataCols.map { c =>
+        set.get(c).fold(col(c))(v =>
+          when(isMatched, v).otherwise(col(c)).as(c))
+      }: _*)
+      // type changes abort BEFORE any commit (the lake contract)
+      val evolved = enforceSchema(recordedSchema(m), rewritten.schema, table)
+      val checked = enforceConstraints(rewritten,
+        m.map(_.props).getOrElse(Map.empty), table,
+        recorded = Some(evolved))
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(checked, mapping), base + 1, parts, 0L)
+      // change feed: matched rows' pre-image as deletes, post-image
+      // (SET applied) as inserts — selected by row identity
+      val cdc =
+        if (!changeFeedOn(m)) None
+        else {
+          val pre = src.join(ids, Seq(DvFileCol, DvIdxCol), "left_semi")
+            .drop(AbsPathCol, DvFileCol, DvIdxCol)
+          val post = pre.select(pre.columns.toIndexedSeq.map { c =>
+            set.get(c).fold(col(c))(_.as(c)) }: _*)
+          Some(writeChangeDir(spark, p, base + 1,
+            pre.withColumn(ChangeTypeCol, lit("delete"))
+              .unionByName(post.withColumn(ChangeTypeCol, lit("insert")))))
+        }
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
+        remove = hits, parts = parts,
+        schemaJson = Some(evolved.json),
+        props = m.map(_.props).getOrElse(Map.empty),
+        cdcDir = cdc,
+        op = opInfo(m, "update", "predicate" -> "<row-identity join>",
           "columns" -> set.keys.toSeq.sorted.mkString(","),
           "rewrittenFiles" -> hits.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
@@ -4827,11 +5012,23 @@ object ManifestTable {
       notMatched: Seq[NotMatchedClause] = Seq.empty,
       bySource: Seq[BySourceClause] = Seq.empty,
       partitionCols: Seq[String] = Seq.empty,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5,
+      extraOn: Option[Column] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(keyPairs.nonEmpty, "merge needs at least one key pair")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "merge needs at least one clause")
+    // `extraOn` carries the NON-equality conjuncts of the SQL ON
+    // clause (`ON t.k = s.k AND s.flag = 1`, VERDICT r17 #1),
+    // t./s.-rooted like clause conditions. The full match condition
+    // is keyPairs ∧ extraOn: a key-equal pair failing extraOn is NOT
+    // matched — the target row falls to by-source clauses, the source
+    // row to not-matched (insert). The join itself stays on the keys
+    // (the shuffle/broadcast shape is unchanged); extraOn evaluates
+    // on the joined row. The duplicate-source-key guard stays keyed
+    // on the equality columns — stricter than SQL's runtime
+    // cardinality error, but deterministic and checked before any
+    // write.
     val (fs, p) = fsOf(spark, table)
     val MarkCol = "_graft_src_hit"
     // the source is re-evaluated across the guard agg, the hit scan,
@@ -4842,6 +5039,12 @@ object ManifestTable {
     val srcMarked = src.withColumn(MarkCol, lit(true)).alias("s")
     def keyCond: Column = keyPairs.map { case (t, s) =>
       col(s"t.$t") === col(s"s.$s") }.reduce(_ && _)
+    // matched ⟺ a source row key-joined AND the extra ON conjuncts
+    // hold on the pair (NULL extra = not matched, SQL semantics)
+    def matchedFlag: Column = {
+      val hit = coalesce(col(s"s.$MarkCol"), lit(false))
+      extraOn.fold(hit)(x => hit && coalesce(x, lit(false)))
+    }
     def condOf(c: Option[Column]): Column =
       c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
     // strip the t-alias off a by-source condition for stats pruning
@@ -4908,8 +5111,7 @@ object ManifestTable {
         else hitFiles(spark, table, candidates, snap.dvs, { tagged =>
           val joined = tagged.alias("t")
             .join(srcMarked, keyCond, "left_outer")
-          val (anyChange, _, _) =
-            clausePlan(coalesce(col(s"s.$MarkCol"), lit(false)))
+          val (anyChange, _, _) = clausePlan(matchedFlag)
           joined.filter(anyChange)
         }, mapping0)
       // rewrite the hit files under the clause plan
@@ -4920,8 +5122,7 @@ object ManifestTable {
             mapping = mapping0)
           val cols = tgt.columns.toIndexedSeq
           val joined = tgt.alias("t").join(srcMarked, keyCond, "left_outer")
-          val (_, del, ups) =
-            clausePlan(coalesce(col(s"s.$MarkCol"), lit(false)))
+          val (_, del, ups) = clausePlan(matchedFlag)
           val out = cols.map { c =>
             ups.foldRight(col(s"t.$c")) { case ((a, set), acc) =>
               set.get(c).fold(acc)(v => when(a, v).otherwise(acc))
@@ -4935,19 +5136,31 @@ object ManifestTable {
       val inserts: Option[DataFrame] =
         if (notMatched.isEmpty) None
         else {
-          val targetKeys =
-            if (keyCand.isEmpty) null
-            else readFiles(spark, table, keyCand, snap.dvs,
-              mapping = mapping0)
-              .select(keyPairs.map(kp => col(kp._1).as(s"_graft_tk_${kp._1}")): _*)
           val unmatched0 = src.alias("s")
+          // NOT MATCHED ⟺ no live target row satisfies the FULL ON
+          // (keys ∧ extraOn): with extra conjuncts the anti-join needs
+          // the target columns they reference, so it joins the
+          // key-candidate files' rows under the t alias; the keys-only
+          // projection stays for the plain case (narrower scan)
           val unmatched =
-            if (targetKeys == null) unmatched0
-            else unmatched0.join(targetKeys,
-              keyPairs.map(kp =>
-                col(s"s.${kp._2}") === col(s"_graft_tk_${kp._1}"))
-                .reduce(_ && _),
-              "left_anti")
+            if (keyCand.isEmpty) unmatched0
+            else extraOn match {
+              case Some(x) =>
+                val tgt = readFiles(spark, table, keyCand, snap.dvs,
+                  mapping = mapping0).alias("t")
+                unmatched0.join(tgt,
+                  keyCond && coalesce(x, lit(false)), "left_anti")
+              case None =>
+                val targetKeys = readFiles(spark, table, keyCand, snap.dvs,
+                  mapping = mapping0)
+                  .select(keyPairs.map(kp =>
+                    col(kp._1).as(s"_graft_tk_${kp._1}")): _*)
+                unmatched0.join(targetKeys,
+                  keyPairs.map(kp =>
+                    col(s"s.${kp._2}") === col(s"_graft_tk_${kp._1}"))
+                    .reduce(_ && _),
+                  "left_anti")
+            }
           var noEarlier = lit(true)
           val applies = notMatched.map { cl =>
             val a = condOf(cl.condition) && noEarlier

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.sinks.ManifestTable
@@ -21,12 +22,18 @@ import graft.sinks.ManifestTable
   *
   * Supported shapes (refused loudly otherwise, with the programmatic
   * API named in the error):
-  *  - `UPDATE t SET c = expr, ... [WHERE cond]` — any deterministic,
-  *    subquery-free condition and SET expressions over the row;
-  *  - `MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED THEN
-  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the whole-row
-  *    upsert contract [[ManifestTable.merge]] implements (update row
-  *    == insert row), keys from the equi-condition.
+  *  - `UPDATE t SET c = expr, ... [WHERE cond]` — subquery-free SET
+  *    expressions over the row; the condition may carry IN / EXISTS /
+  *    scalar subqueries (correlated or not) — those route through the
+  *    row-identity rewrite ([[ManifestTable.updateWhere]]);
+  *  - `DELETE FROM t WHERE cond` with subqueries or conjuncts the V2
+  *    filter pushdown cannot translate ([[ManifestTable.deleteWhere]];
+  *    translatable deletes stay on the `SupportsDelete` path);
+  *  - `MERGE INTO t USING s ON t.k = s.k [AND <extra>] WHEN ...` —
+  *    whole-row upserts take [[ManifestTable.merge]]; every other
+  *    clause combination (and non-equality ON conjuncts, which become
+  *    the pair-level match condition) takes
+  *    [[ManifestTable.mergeClauses]].
   */
 object GraftRowLevelSql {
 
@@ -40,6 +47,70 @@ object GraftRowLevelSql {
 
   private def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** Opaque holder keeping a RESOLVED condition (possibly
+    * subquery-bearing) out of a command's `expressions` — analyzer
+    * check rules reject subquery expressions on nodes they don't
+    * expect (a command is not a Filter); the condition was fully
+    * checked in its original statement and is re-rooted at run time.
+    */
+  final case class Cond(e: Expression)
+
+  /** Re-root a resolved row-level condition onto `frame`'s
+    * attributes: every reference to the original target relation
+    * (identified by exprId) becomes the frame's same-named attribute
+    * — INCLUDING outer references inside subquery plans, at any
+    * nesting depth — while the subquery plans themselves (other
+    * tables) stay untouched and re-plan as-is. This is what lets
+    * `DELETE FROM t WHERE k IN (SELECT ...)` evaluate against the
+    * manifest's identity-tagged scan: the outer side re-binds, the
+    * inner side is already a self-contained resolved plan.
+    */
+  private[sql] def rebind(cond: Expression,
+      targetIds: Map[ExprId, String], frame: DataFrame): Expression = {
+    val byName: Map[String, Attribute] =
+      frame.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    def attrFor(a: AttributeReference): Attribute = {
+      val n = targetIds(a.exprId)
+      byName.getOrElse(n, throw new IllegalStateException(
+        s"row-level rewrite lost column '$n'"))
+    }
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    def goPlan(p: LogicalPlan): LogicalPlan =
+      p.transformAllExpressions { case e => goExpr(e) }
+    def goExpr(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if targetIds.contains(a.exprId) =>
+        attrFor(a)
+      // OuterReference is a LEAF expression — the wrapped attribute
+      // is a field, not a child, so the attr case above never sees it
+      case OuterReference(a: AttributeReference)
+          if targetIds.contains(a.exprId) =>
+        OuterReference(attrFor(a))
+      case s: SubqueryExpression => s.withNewPlan(goPlan(s.plan))
+    }
+    goExpr(cond)
+  }
+
+  /** The subquery-free conjuncts of `cond` as a stats-pruning
+    * expression (names only — [[graft.sinks.DataSkipping]] fails open
+    * on anything it cannot prove), or None when every conjunct
+    * carries a subquery.
+    */
+  private def pruneOf(cond: Expression): Option[Expression] = {
+    val free = splitConjuncts(cond).filterNot(hasSubquery)
+    free.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      .map(clean)
+  }
+
+  /** True when the V2 filter-pushdown surface cannot carry `cond` —
+    * a subquery anywhere, or a conjunct with no [[sources.Filter]]
+    * translation. These are exactly the DELETEs `SupportsDelete`
+    * refuses; the row-identity rewrite takes them instead.
+    */
+  private[sql] def needsRowLevel(cond: Expression): Boolean =
+    hasSubquery(cond) || splitConjuncts(cond).exists(c =>
+      DataSourceStrategy.translateFilter(c,
+        supportNestedPredicatePushdown = true).isEmpty)
 
   /** The graft table behind a (possibly aliased) relation. */
   private[sql] def graftTarget(plan: LogicalPlan): Option[GraftTableV2.GraftV2Table] =
@@ -61,6 +132,43 @@ object GraftRowLevelSql {
       ManifestTable.update(spark, tablePath, cond,
         sets.map { case (k, v) =>
           k -> GraftColumnBridge.column(clean(v)) }.toMap)
+      Seq.empty
+    }
+  }
+
+  /** `DELETE FROM t WHERE <cond>` for conditions the filter-pushdown
+    * surface cannot carry (subqueries, untranslatable conjuncts):
+    * runs [[ManifestTable.deleteWhere]] — matched row ids
+    * materialized once, exact-identity rewrite (VERDICT r17 #1).
+    */
+  final case class GraftDeleteWhereCommand(tablePath: String,
+      cond: Cond, targetCols: Seq[(ExprId, String)],
+      prune: Option[Cond]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val ids = targetCols.toMap
+      ManifestTable.deleteWhere(spark, tablePath,
+        frame => GraftColumnBridge.column(rebind(cond.e, ids, frame)),
+        prune.map(_.e))
+      Seq.empty
+    }
+  }
+
+  /** `UPDATE t SET ... WHERE <cond-with-subquery>` — the same
+    * row-identity recipe through [[ManifestTable.updateWhere]]; SET
+    * expressions stay row-local (subquery-free, enforced at convert
+    * time).
+    */
+  final case class GraftUpdateWhereCommand(tablePath: String,
+      cond: Cond, targetCols: Seq[(ExprId, String)],
+      sets: Seq[(String, Expression)],
+      prune: Option[Cond]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val ids = targetCols.toMap
+      ManifestTable.updateWhere(spark, tablePath,
+        frame => GraftColumnBridge.column(rebind(cond.e, ids, frame)),
+        sets.map { case (k, v) =>
+          k -> GraftColumnBridge.column(clean(v)) }.toMap,
+        prune.map(_.e))
       Seq.empty
     }
   }
@@ -89,8 +197,6 @@ object GraftRowLevelSql {
 
   private[sql] def convertUpdate(u: UpdateTable,
       t: GraftTableV2.GraftV2Table): LogicalPlan = {
-    if (u.condition.exists(hasSubquery))
-      refuse("subquery-free UPDATE conditions")
     val sets = u.assignments.map { a =>
       a.key match {
         case k: AttributeReference if !hasSubquery(a.value) =>
@@ -99,8 +205,29 @@ object GraftRowLevelSql {
           "subquery-free values")
       }
     }
-    GraftUpdateCommand(t.tablePath, u.condition, sets)
+    u.condition match {
+      // subquery-bearing WHERE (IN/EXISTS/scalar, correlated or not):
+      // the row-identity rewrite (VERDICT r17 #1)
+      case Some(c) if hasSubquery(c) =>
+        GraftUpdateWhereCommand(t.tablePath, Cond(c),
+          targetIdsOf(u.table), sets, pruneOf(c).map(Cond))
+      case _ =>
+        GraftUpdateCommand(t.tablePath, u.condition, sets)
+    }
   }
+
+  private def targetIdsOf(table: LogicalPlan): Seq[(ExprId, String)] =
+    table.output.map(a => a.exprId -> a.name)
+
+  /** DELETE with a condition `SupportsDelete` cannot translate —
+    * subqueries or untranslatable conjuncts (plain translatable
+    * deletes never reach here; the rule leaves them to the V2
+    * filter-pushdown path, which can go metadata-only).
+    */
+  private[sql] def convertDelete(d: DeleteFromTable,
+      t: GraftTableV2.GraftV2Table): LogicalPlan =
+    GraftDeleteWhereCommand(t.tablePath, Cond(d.condition),
+      targetIdsOf(d.table), pruneOf(d.condition).map(Cond))
 
   /** MERGE conversion: the canonical whole-row upsert maps onto the
     * cheaper [[ManifestTable.merge]]; every other supported clause
@@ -187,15 +314,32 @@ object GraftRowLevelSql {
           UnresolvedAttribute(Seq("t", a.name))
       }
     }
-    val keyPairs = splitConjuncts(m.mergeCondition).map {
+    // ON conjuncts split into the EQUI-JOIN keys (what the merge join
+    // shuffles/broadcasts on) and EXTRA match conditions evaluated on
+    // the joined pair (`ON t.k = s.k AND s.flag = 1` — VERDICT r17
+    // #1): a key-equal pair failing the extras is NOT matched, so the
+    // source row inserts and the target row falls to by-source
+    // clauses, exactly the SQL contract.
+    val (keyConjuncts, extraConjuncts) =
+      splitConjuncts(m.mergeCondition).partition {
+        case EqualTo(l: AttributeReference, r: AttributeReference) =>
+          (targetOut.contains(l) && sourceOut.contains(r)) ||
+            (targetOut.contains(r) && sourceOut.contains(l))
+        case _ => false
+      }
+    val keyPairs = keyConjuncts.map {
       case EqualTo(l: AttributeReference, r: AttributeReference)
           if targetOut.contains(l) && sourceOut.contains(r) => l.name -> r.name
-      case EqualTo(l: AttributeReference, r: AttributeReference)
-          if targetOut.contains(r) && sourceOut.contains(l) => r.name -> l.name
-      case _ => refuse(
-        "MERGE ON as a conjunction of target-key = source-key equalities")
+      case EqualTo(l: AttributeReference, r: AttributeReference) =>
+        r.name -> l.name
+      case other => refuse(s"MERGE ON key conjunct (got $other)")
     }.distinct
-    if (keyPairs.isEmpty) refuse("MERGE with at least one ON key equality")
+    if (keyPairs.isEmpty) refuse(
+      "MERGE with at least one target-key = source-key ON equality " +
+        "(the join key)")
+    val extraOn = extraConjuncts
+      .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      .map(cleanSided)
     def assignsOf(assigns: Seq[Assignment]): Seq[(String, Expression)] =
       assigns.map { a =>
         a.key match {
@@ -224,7 +368,7 @@ object GraftRowLevelSql {
         s"MERGE by-source actions UPDATE/DELETE (got $other)")
     }
     GraftMergeClausesCommand(t.tablePath, m.sourceTable, keyPairs,
-      matched, notMatched, bySource)
+      matched, notMatched, bySource, extraOn.map(Cond))
   }
 
   final case class GraftMergeClausesCommand(tablePath: String,
@@ -232,7 +376,12 @@ object GraftRowLevelSql {
       keyPairs: Seq[(String, String)],
       matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
       notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
-      bySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])])
+      bySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+      // Cond-wrapped: a bare Option[Expression] field would surface in
+      // the command's `expressions` (Options are traversed, tuples are
+      // not) and checkAnalysis would reject the s./t.-rooted
+      // UnresolvedAttributes that resolve only under the merge join
+      extraOn: Option[Cond] = None)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val srcDf = GraftColumnBridge.ofRows(spark, source)
@@ -245,7 +394,8 @@ object GraftRowLevelSql {
         notMatched.map { case (cond, values) =>
           ManifestTable.NotMatchedClause(cond.map(c), sets(values)) },
         bySource.map { case (cond, set) =>
-          ManifestTable.BySourceClause(cond.map(c), set.map(sets)) })
+          ManifestTable.BySourceClause(cond.map(c), set.map(sets)) },
+        extraOn = extraOn.map(h => c(h.e)))
       Seq.empty
     }
   }
@@ -270,6 +420,12 @@ class GraftRowLevelRule extends Rule[LogicalPlan] {
         graftTarget(u.table).fold(u: LogicalPlan)(convertUpdate(u, _))
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable).fold(m: LogicalPlan)(convertMerge(m, _))
+      // DELETE: claimed ONLY when the condition exceeds the V2
+      // filter-pushdown surface (subqueries, untranslatable
+      // conjuncts) — translatable deletes keep the SupportsDelete
+      // path, which can resolve metadata-only
+      case d: DeleteFromTable if d.resolved && needsRowLevel(d.condition) =>
+        graftTarget(d.table).fold(d: LogicalPlan)(convertDelete(d, _))
     }
 }
 
