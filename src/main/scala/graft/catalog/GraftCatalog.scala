@@ -282,7 +282,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * data files untouched, stable physical names recorded in the
     * schema), `ALTER COLUMN ... TYPE` commits lossless type WIDENING
     * ([[ManifestTable.widenColumnType]] — int→long, float→double,
-    * decimal growth; existing files read cast-up). Narrowing and other
+    * decimal growth; existing files read cast-up). ADD / RENAME /
+    * ALTER TYPE also address NESTED struct fields (`meta.tag`) as the
+    * same zero-file commits (VERDICT r17 #2). Narrowing and other
     * type changes still need a rewrite and refuse with the path named.
     */
   override def alterTable(ident: Identifier,
@@ -303,32 +305,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         propSets += s.property() -> s.value(): Unit
       case r: TableChange.RemoveProperty =>
         propUnsets += r.property(): Unit
-      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+      case a: TableChange.AddColumn =>
         require(a.isNullable,
-          s"new column '${a.fieldNames().head}' must be nullable — " +
-            "existing rows have no value for it")
+          s"new column '${a.fieldNames().mkString(".")}' must be " +
+            "nullable — existing rows have no value for it")
         // silently appending a FIRST/AFTER column at the end would lie
         // about positional semantics — refuse instead
         require(a.position() == null,
-          s"new column '${a.fieldNames().head}': FIRST/AFTER positions " +
-            "are not supported — graft columns append (name-based " +
-            "mapping; reorder via a rewrite if position matters)")
-        adds += org.apache.spark.sql.types.StructField(
-          a.fieldNames().head, a.dataType(), nullable = true): Unit
-      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        ManifestTable.renameColumn(spark, path,
-          r.fieldNames().head, r.newName()): Unit
+          s"new column '${a.fieldNames().mkString(".")}': FIRST/AFTER " +
+            "positions are not supported — graft columns append " +
+            "(name-based mapping; reorder via a rewrite if position " +
+            "matters)")
+        if (a.fieldNames().length == 1)
+          adds += org.apache.spark.sql.types.StructField(
+            a.fieldNames().head, a.dataType(), nullable = true): Unit
+        else // nested add: its own zero-file commit (VERDICT r17 #2)
+          ManifestTable.addNestedColumn(spark, path,
+            a.fieldNames().toSeq, a.dataType()): Unit
+      case r: TableChange.RenameColumn =>
+        ManifestTable.renameColumnPath(spark, path,
+          r.fieldNames().toSeq, r.newName()): Unit
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         ManifestTable.dropColumn(spark, path, d.fieldNames().head): Unit
-      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+      case u: TableChange.UpdateColumnType =>
         // zero-file TYPE WIDENING (int→long, float→double, decimal
-        // growth); narrowing and other changes refuse inside
-        ManifestTable.widenColumnType(spark, path,
-          u.fieldNames().head, u.newDataType()): Unit
+        // growth), nested paths included; narrowing and other
+        // changes refuse inside
+        ManifestTable.widenColumnTypePath(spark, path,
+          u.fieldNames().toSeq, u.newDataType()): Unit
       case other => throw new UnsupportedOperationException(
         s"graft tables support ALTER TABLE ADD COLUMNS / RENAME COLUMN " +
-          s"/ DROP COLUMN / ALTER COLUMN TYPE (lossless widening, " +
-          s"top-level) only, got $other — other type changes need a " +
+          s"/ DROP COLUMN (top-level) / ALTER COLUMN TYPE (lossless " +
+          s"widening) only, got $other — other type changes need a " +
           "rewrite via ManifestTable.write")
     }
     if (adds.nonEmpty)

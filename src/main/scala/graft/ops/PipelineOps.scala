@@ -2120,6 +2120,122 @@ object PipelineOps {
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM merged GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 
+  /** p45: NESTED-TYPE SCHEMA EVOLUTION as zero-file commits (VERDICT
+    * r17 #2) — a table created with a struct<len INT, lang STRING>
+    * column takes a nested ADD (`meta.grade`), a nested WIDEN
+    * (`meta.len` INT→BIGINT) and a nested RENAME (`meta.lang` →
+    * `language`) through SQL ALTER TABLE, then ingests the second
+    * half of the corpus under the evolved shape with values that only
+    * fit the widened leaf. The census reads THROUGH the evolution:
+    * old files null-fill the added field, read their narrow bytes
+    * widened, and serve the renamed field from its stamped physical
+    * name. The oracle phrases the same lifecycle as a flat union.
+    */
+  def p45NestedEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val inv = p42Invocation.incrementAndGet()
+    val cat = s"p45lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p45_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("p45_seed")
+    spark.sql(s"CREATE TABLE $cat.db.docs AS " +
+      "SELECT doc_id, named_struct('len', CAST(n_chars AS INT), " +
+      "'lang', lang) AS meta FROM p45_seed WHERE doc_id % 2 = 0")
+    spark.sql(s"ALTER TABLE $cat.db.docs ADD COLUMNS (meta.grade STRING)")
+    spark.sql(s"ALTER TABLE $cat.db.docs ALTER COLUMN meta.len TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.db.docs RENAME COLUMN meta.lang TO language")
+    spark.sql(s"INSERT INTO $cat.db.docs " +
+      "SELECT doc_id, named_struct(" +
+      "'len', CAST(n_chars AS BIGINT) + 1000000000000, " +
+      "'language', lang, " +
+      "'grade', CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END" +
+      ") AS meta FROM p45_seed WHERE doc_id % 2 = 1")
+    spark.sql(s"SELECT meta.language AS lang, count(*) AS n_docs, " +
+      "CAST(sum(meta.len) AS BIGINT) AS total_len, " +
+      "count(meta.grade) AS n_graded, min(meta.len) AS min_len " +
+      s"FROM $cat.db.docs GROUP BY meta.language " +
+      "ORDER BY lang ASC NULLS LAST")
+  }
+
+  val p45Sql: String =
+    """WITH unioned AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+      |    lang AS language, NULL AS grade
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) + 1000000000000,
+      |    lang, CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT language AS lang, count(*) AS n_docs,
+      |  CAST(sum(len) AS BIGINT) AS total_len,
+      |  count(grade) AS n_graded, min(len) AS min_len
+      |FROM unioned GROUP BY language ORDER BY lang ASC NULLS LAST"""
+      .stripMargin
+
+  /** p46: SHALLOW CLONE lifecycle (VERDICT r17 #3) — a documents lake
+    * table is cloned zero-copy (`CREATE TABLE ... SHALLOW CLONE`), the
+    * clone alone takes a DELETE (copy-on-write against ADOPTED files)
+    * and an INSERT, and the census then compares source vs clone per
+    * language: the source must still see every original row (full
+    * isolation), the clone the edited set. The oracle phrases both
+    * sides from the base table directly.
+    */
+  def p46ShallowClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val inv = p42Invocation.incrementAndGet()
+    val cat = s"p46lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p46_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("p46_seed")
+    spark.sql(s"CREATE TABLE $cat.db.src AS SELECT * FROM p46_seed")
+    spark.sql(s"CREATE TABLE $cat.db.dev SHALLOW CLONE $cat.db.src")
+    spark.sql(s"DELETE FROM $cat.db.dev WHERE n_chars < 100")
+    spark.sql(s"INSERT INTO $cat.db.dev " +
+      "SELECT doc_id + 1000000, lang, n_chars + 10000 " +
+      "FROM p46_seed WHERE n_chars >= 500")
+    spark.sql(
+      s"""SELECT s.lang,
+         |  s.n_docs AS src_docs, s.total_chars AS src_chars,
+         |  coalesce(d.n_docs, 0) AS dev_docs,
+         |  coalesce(d.total_chars, 0) AS dev_chars
+         |FROM (SELECT lang, count(*) AS n_docs,
+         |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |      FROM $cat.db.src GROUP BY lang) s
+         |LEFT JOIN (SELECT lang, count(*) AS n_docs,
+         |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |      FROM $cat.db.dev GROUP BY lang) d
+         |  ON s.lang <=> d.lang
+         |ORDER BY s.lang ASC NULLS LAST""".stripMargin)
+  }
+
+  val p46Sql: String =
+    """WITH dev AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 100
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars + 10000
+      |  FROM documents WHERE n_chars >= 500),
+      |s AS (SELECT lang, count(*) AS n_docs,
+      |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |      FROM documents GROUP BY lang),
+      |d AS (SELECT lang, count(*) AS n_docs,
+      |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |      FROM dev GROUP BY lang)
+      |SELECT s.lang, s.n_docs AS src_docs, s.total_chars AS src_chars,
+      |  coalesce(d.n_docs, 0) AS dev_docs,
+      |  coalesce(d.total_chars, 0) AS dev_chars
+      |FROM s LEFT JOIN d ON s.lang IS NOT DISTINCT FROM d.lang
+      |ORDER BY s.lang ASC NULLS LAST""".stripMargin
+
   val p41Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -25,6 +25,7 @@ import graft.sinks.ManifestTable
   * RESTORE [TABLE] lake.ns.t TO VERSION AS OF n
   * RESTORE [TABLE] lake.ns.t TO TIMESTAMP AS OF '...'
   * CONVERT TO GRAFT lake.ns.t | '/path/to/parquet'
+  * CREATE TABLE lake.ns.t2 SHALLOW CLONE lake.ns.t [VERSION AS OF n]
   * ALTER TABLE lake.ns.t ADD CONSTRAINT name CHECK (expr)
   * ALTER TABLE lake.ns.t DROP CONSTRAINT [IF EXISTS] name
   * GENERATE symlink_format_manifest FOR TABLE lake.ns.t
@@ -116,6 +117,9 @@ object GraftSqlDialect {
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']+')\s*;?\s*""").r
   private val Convert =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$T\\s*;?\\s*""".r
+  private val ShallowClone =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val Generate =
     (s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+""" +
       s"""TABLE\\s+$T\\s*;?\\s*""").r
@@ -259,6 +263,17 @@ object GraftSqlDialect {
         case Convert(t) => Some(GraftConvertCommand(t))
         case _ => None
       }
+      // SHALLOW CLONE is a graft-only spelling Spark cannot parse,
+      // but its CREATE TABLE prefix is standard SQL: claim the
+      // statement only when a side is graft-addressable, so a
+      // foreign catalog with its own CLONE keeps it (ADVICE r16)
+      case "CREATE" => sqlText match {
+        case ShallowClone(tgt, src, ver)
+            if isGraftRef(tgt) || isGraftRef(src) =>
+          Some(GraftCloneCommand(tgt, src,
+            Option(ver).map(_.toLong).getOrElse(-1L)))
+        case _ => None
+      }
       case "GENERATE" => sqlText match {
         case Generate(t) => Some(GraftGenerateCommand(t))
         case _ => None
@@ -320,6 +335,21 @@ object GraftSqlDialect {
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(ManifestTable.convertToGraft(spark,
         GraftSqlDialect.pathOf(spark, ref, requireExists = false))))
+  }
+
+  /** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n]` — the
+    * zero-copy snapshot ([[ManifestTable.cloneTable]]): t2's v1
+    * references t1's live files where they already live.
+    */
+  final case class GraftCloneCommand(target: String, source: String,
+      version: Long) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      attrs(StructType.fromDDL("cloned_version BIGINT"))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(ManifestTable.cloneTable(spark,
+        GraftSqlDialect.pathOf(spark, source),
+        GraftSqlDialect.pathOf(spark, target, requireExists = false),
+        version)))
   }
 
   final case class GraftVacuumCommand(ref: String, keepVersions: Int,
