@@ -2236,6 +2236,49 @@ object PipelineOps {
       |FROM s LEFT JOIN d ON s.lang IS NOT DISTINCT FROM d.lang
       |ORDER BY s.lang ASC NULLS LAST""".stripMargin
 
+  /** p47: COPY INTO lifecycle (VERDICT r17 #4) — a landing directory
+    * is drained incrementally: the first half of the corpus lands and
+    * loads, a re-run loads NOTHING (per-file watermarks in the
+    * manifest txn map), the second half arrives as new files and
+    * loads exactly once. The census is hash-exact against the full
+    * corpus — any duplicate or dropped file breaks it.
+    */
+  def p47CopyInto(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val inv = p42Invocation.incrementAndGet()
+    val cat = s"p47lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p47_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    val land = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p47_land_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    val seed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("bigint").as("n_chars"))
+    seed.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(land)
+    spark.sql(s"COPY INTO $cat.db.docs FROM '$land'")
+    spark.sql(s"COPY INTO $cat.db.docs FROM '$land'") // no-op re-run
+    seed.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(land) // the dir grows
+    spark.sql(s"COPY INTO $cat.db.docs FROM '$land'")
+    spark.sql(s"SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "count(DISTINCT doc_id) AS n_distinct " +
+      s"FROM $cat.db.docs GROUP BY lang ORDER BY lang ASC NULLS LAST")
+  }
+
+  val p47Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT doc_id) AS n_distinct
+      |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST"""
+      .stripMargin
+
   val p41Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -1784,6 +1784,106 @@ object ManifestTable {
     base + 1
   }
 
+  /** Per-source-file watermark key of [[copyInto]] (rides the same
+    * manifest txn map as batch/stream idempotency, so the loaded-set
+    * is ATOMIC with the data commit and survives log truncation via
+    * checkpoints).
+    */
+  private def copyFileKey(path: String): String = s"copyfile:$path"
+
+  /** A landing file's identity fingerprint: re-running COPY INTO
+    * skips a path only while its (size, mtime) pair still matches —
+    * landing files are immutable by contract, and a silently
+    * modified one must surface as an error, not a stale read.
+    */
+  private def copyFingerprint(st: FileStatus): Long =
+    (st.getModificationTime << 20) ^ st.getLen
+
+  /** COPY INTO (the Databricks statement): INCREMENTALLY load a
+    * growing external directory into the table, each file EXACTLY
+    * ONCE. Lists the source dir, drops every file whose per-file
+    * watermark (`copyfile:<path>` in the manifest txn map) already
+    * matches, reads only the remainder, and commits the new rows AND
+    * the advanced watermarks in ONE manifest — so a crash-replay
+    * re-lists, finds the watermarks present, and no-ops; a crash
+    * before the commit finds them absent and loads the same files
+    * once. This is the landing-zone on-ramp CONVERT cannot be:
+    * convert adopts a directory in place exactly once, COPY INTO
+    * keeps draining one as it grows.
+    *
+    * A listed file whose fingerprint CHANGED since it was loaded
+    * (landing files are immutable by contract) fails loudly;
+    * `force = true` reloads every listed file regardless of
+    * watermarks (the Databricks FORCE semantics — duplicates are
+    * then the caller's intent).
+    *
+    * At 100 TB the run is O(listing) + O(new files): the read is
+    * only the fresh files, the commit is an O(new files) delta, and
+    * the watermark map is O(ever-ingested files) of metadata riding
+    * the manifest/checkpoints — the same asymptotics as Delta's COPY
+    * INTO state.
+    *
+    * Returns (committed version — the current one when nothing was
+    * fresh — , files loaded this run).
+    */
+  def copyInto(spark: SparkSession, table: String, sourceDir: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      force: Boolean = false): (Long, Int) = {
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0,
+      s"$table does not exist — CREATE it (or CONVERT a directory) " +
+        "before COPY INTO")
+    val m = manifestAt(fs, p, base)
+    val txns0 = m.map(_.txns).getOrElse(Map.empty)
+    val srcPath = new Path(sourceDir)
+    val sfs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(srcPath), s"COPY INTO source $sourceDir not found")
+    val listed = listDataFiles(sfs, srcPath)
+      .map(st => st.getPath.toUri.getPath -> st).sortBy(_._1)
+    val changed = listed.filter { case (path, st) =>
+      txns0.get(copyFileKey(path)).exists(_ != copyFingerprint(st))
+    }
+    if (changed.nonEmpty && !force) throw new IllegalStateException(
+      s"COPY INTO $table: ${changed.size} already-loaded file(s) under " +
+        s"$sourceDir changed since they were ingested (first: " +
+        s"'${changed.head._1}') — landing files must be immutable. " +
+        "Pass force = true to reload everything listed (rows load " +
+        "again), or repair the landing zone.")
+    val fresh =
+      if (force) listed
+      else listed.filterNot { case (path, _) =>
+        txns0.contains(copyFileKey(path))
+      }
+    if (fresh.isEmpty) return (base, 0)
+    val df = spark.read.format(format).options(options)
+      .load(fresh.map(_._2.getPath.toString): _*)
+    val parts = m.map(_.parts).getOrElse(Seq.empty)
+    val active = recordedSchema(m).exists(columnMapped)
+    val evolved = stampNewFields(
+      enforceSchema(recordedSchema(m), df.schema, table), active)
+    val mapping = Some(evolved).filter(columnMapped)
+    val (toWrite, quality) = applyExpectations(df,
+      constraintExpectations(m.map(_.props).getOrElse(Map.empty)) ++
+        notNullExpectations(Some(evolved), df.columns.toSeq, table), table)
+    val freshFiles = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
+      base + 1, parts, 0L)
+    val txns = txns0 ++ fresh.map { case (path, st) =>
+      copyFileKey(path) -> copyFingerprint(st)
+    }
+    if (!commitDelta(fs, p, base + 1, freshFiles, txns,
+      collectStats(spark, p, freshFiles,
+        m.map(_.props).getOrElse(Map.empty)),
+      parts = parts, schemaJson = Some(evolved.json), quality = quality,
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo(m, "copy-into", "source" -> sourceDir,
+        "loaded" -> fresh.size.toString)))
+      raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
+    (base + 1, fresh.size)
+  }
+
   /** Exactly-once streaming append: fold micro-batch `batchId` of the
     * query identified by `txnAppId` into the table UNLESS this app's
     * watermark already covers it — the transactional-sink recipe

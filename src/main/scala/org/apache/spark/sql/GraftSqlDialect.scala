@@ -26,6 +26,7 @@ import graft.sinks.ManifestTable
   * RESTORE [TABLE] lake.ns.t TO TIMESTAMP AS OF '...'
   * CONVERT TO GRAFT lake.ns.t | '/path/to/parquet'
   * CREATE TABLE lake.ns.t2 SHALLOW CLONE lake.ns.t [VERSION AS OF n]
+  * COPY INTO lake.ns.t FROM '/dir' [FILEFORMAT = F] [FORMAT_OPTIONS (...)] [FORCE = true]
   * ALTER TABLE lake.ns.t ADD CONSTRAINT name CHECK (expr)
   * ALTER TABLE lake.ns.t DROP CONSTRAINT [IF EXISTS] name
   * GENERATE symlink_format_manifest FOR TABLE lake.ns.t
@@ -120,6 +121,12 @@ object GraftSqlDialect {
   private val ShallowClone =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val CopyInto =
+    (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+('[^']+')""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      """(?:\s+FORCE\s*=\s*(true|false))?\s*;?\s*""").r
+  private val OptPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val Generate =
     (s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+""" +
       s"""TABLE\\s+$T\\s*;?\\s*""").r
@@ -263,6 +270,21 @@ object GraftSqlDialect {
         case Convert(t) => Some(GraftConvertCommand(t))
         case _ => None
       }
+      case "COPY" => sqlText match {
+        case CopyInto(t, from, fmt, opts, force) =>
+          val pairs = Option(opts).toSeq.flatMap(o =>
+            OptPair.findAllMatchIn(o).map(m =>
+              m.group(1) -> m.group(2)).toSeq)
+          Some(GraftCopyIntoCommand(t,
+            from.substring(1, from.length - 1),
+            Option(fmt).map(_.toLowerCase(Locale.ROOT))
+              .getOrElse("parquet"),
+            pairs.toMap, force = force != null && force.toBoolean))
+        case _ => throw new IllegalArgumentException(
+          "COPY INTO takes: COPY INTO <table> FROM '<dir>' " +
+            "[FILEFORMAT = PARQUET|CSV|JSON|ORC] [FORMAT_OPTIONS " +
+            s"('k'='v', ...)] [FORCE = true] — got: $sqlText")
+      }
       // SHALLOW CLONE is a graft-only spelling Spark cannot parse,
       // but its CREATE TABLE prefix is standard SQL: claim the
       // statement only when a side is graft-addressable, so a
@@ -350,6 +372,22 @@ object GraftSqlDialect {
         GraftSqlDialect.pathOf(spark, source),
         GraftSqlDialect.pathOf(spark, target, requireExists = false),
         version)))
+  }
+
+  /** `COPY INTO t FROM '<dir>' ...` — incremental exactly-once
+    * landing-zone ingestion ([[ManifestTable.copyInto]]).
+    */
+  final case class GraftCopyIntoCommand(ref: String, sourceDir: String,
+      format: String, options: Map[String, String], force: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      attrs(StructType.fromDDL("version BIGINT, files_loaded INT"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (v, n) = ManifestTable.copyInto(spark,
+        GraftSqlDialect.pathOf(spark, ref), sourceDir, format, options,
+        force)
+      Seq(Row(v, n))
+    }
   }
 
   final case class GraftVacuumCommand(ref: String, keepVersions: Int,
