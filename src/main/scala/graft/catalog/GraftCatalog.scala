@@ -55,6 +55,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Column DEFAULT support (the Spark DSv2 contract): declaring the
+    * capability makes the analyzer accept `DEFAULT <expr>` in CREATE
+    * TABLE / ALTER TABLE ADD COLUMN, encode it as CURRENT_DEFAULT /
+    * EXISTS_DEFAULT field metadata (which the recorded schema keeps
+    * verbatim), fill omitted columns on INSERT from CURRENT_DEFAULT,
+    * and resolve the explicit DEFAULT keyword. The read side serves
+    * EXISTS_DEFAULT for files written before the column existed —
+    * natively through the parquet reader on the scan path, and via
+    * the per-branch fill in ManifestTable.readFiles elsewhere.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def spark: SparkSession = SparkSession.active
 
   private def fs = new Path(warehouse)
@@ -316,12 +332,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "positions are not supported — graft columns append " +
             "(name-based mapping; reorder via a rewrite if position " +
             "matters)")
-        if (a.fieldNames().length == 1)
+        if (a.fieldNames().length == 1) {
+          // DEFAULT rides as the standard field metadata pair:
+          // CURRENT_DEFAULT governs future INSERTs, EXISTS_DEFAULT
+          // (the value frozen NOW) is what rows in pre-existing files
+          // read — the zero-rewrite ADD COLUMN ... DEFAULT contract
+          val meta = Option(a.defaultValue()).fold(
+            org.apache.spark.sql.types.Metadata.empty) { dv =>
+            val cur = Option(dv.getSql).getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                dv.getValue.value, dv.getValue.dataType).sql)
+            val exists = org.apache.spark.sql.catalyst.expressions
+              .Literal(dv.getValue.value, dv.getValue.dataType).sql
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+                cur)
+              .putString(org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+                exists)
+              .build()
+          }
           adds += org.apache.spark.sql.types.StructField(
-            a.fieldNames().head, a.dataType(), nullable = true): Unit
-        else // nested add: its own zero-file commit (VERDICT r17 #2)
+            a.fieldNames().head, a.dataType(), nullable = true,
+            metadata = meta): Unit
+        } else { // nested add: its own zero-file commit (VERDICT r17 #2)
+          require(a.defaultValue() == null,
+            s"nested column '${a.fieldNames().mkString(".")}' cannot " +
+              "carry a DEFAULT (Spark defaults are top-level only)")
           ManifestTable.addNestedColumn(spark, path,
             a.fieldNames().toSeq, a.dataType()): Unit
+        }
       case r: TableChange.RenameColumn =>
         ManifestTable.renameColumnPath(spark, path,
           r.fieldNames().toSeq, r.newName()): Unit
@@ -333,6 +374,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // changes refuse inside
         ManifestTable.widenColumnTypePath(spark, path,
           u.fieldNames().toSeq, u.newDataType()): Unit
+      case d: TableChange.UpdateColumnDefaultValue =>
+        require(d.fieldNames().length == 1,
+          s"'${d.fieldNames().mkString(".")}': defaults are top-level " +
+            "columns only")
+        // SET DEFAULT changes the CURRENT default (future inserts);
+        // the frozen EXISTS default keeps serving pre-existing files.
+        // Spark encodes DROP DEFAULT as the empty string.
+        ManifestTable.setColumnDefault(spark, path, d.fieldNames().head,
+          Option(d.newDefaultValue()).filter(_.nonEmpty)): Unit
       case other => throw new UnsupportedOperationException(
         s"graft tables support ALTER TABLE ADD COLUMNS / RENAME COLUMN " +
           s"/ DROP COLUMN (top-level) / ALTER COLUMN TYPE (lossless " +

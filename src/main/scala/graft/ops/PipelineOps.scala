@@ -2279,6 +2279,59 @@ object PipelineOps {
       |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST"""
       .stripMargin
 
+  /** p48: column DEFAULTs end-to-end (VERDICT r17 missing #6) — half
+    * the corpus lands, `ALTER TABLE ADD COLUMN source STRING DEFAULT
+    * 'archive'` freezes an existence default over it (zero files
+    * rewritten), the second half inserts under a CHANGED current
+    * default ('fresh'), and a third slice inserts an explicit value.
+    * The census groups by the default-served column: pre-existing
+    * rows MUST read the frozen 'archive', later inserts the current
+    * 'fresh' — a null or a swap breaks the hash.
+    */
+  def p48DefaultColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val inv = p42Invocation.incrementAndGet()
+    val cat = s"p48lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p48_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("p48_seed")
+    spark.sql(s"CREATE TABLE $cat.db.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.docs " +
+      "SELECT doc_id, lang, n_chars FROM p48_seed WHERE doc_id % 3 = 0")
+    spark.sql(s"ALTER TABLE $cat.db.docs " +
+      "ADD COLUMN source STRING DEFAULT 'archive'")
+    spark.sql(s"ALTER TABLE $cat.db.docs " +
+      "ALTER COLUMN source SET DEFAULT 'fresh'")
+    spark.sql(s"INSERT INTO $cat.db.docs (doc_id, lang, n_chars) " +
+      "SELECT doc_id, lang, n_chars FROM p48_seed WHERE doc_id % 3 = 1")
+    spark.sql(s"INSERT INTO $cat.db.docs " +
+      "SELECT doc_id, lang, n_chars, 'manual' FROM p48_seed " +
+      "WHERE doc_id % 3 = 2")
+    spark.sql(s"SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "count(DISTINCT lang) AS n_langs " +
+      s"FROM $cat.db.docs GROUP BY source ORDER BY source")
+  }
+
+  val p48Sql: String =
+    """WITH tagged AS (
+      |  SELECT n_chars, lang, 'archive' AS source FROM documents
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT n_chars, lang, 'fresh' FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT n_chars, lang, 'manual' FROM documents WHERE doc_id % 3 = 2)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM tagged GROUP BY source ORDER BY source""".stripMargin
+
   val p41Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -2268,7 +2268,8 @@ object ManifestTable {
     import org.apache.spark.sql.types._
     dt match {
       case s: StructType => StructType(s.fields.map(f =>
-        StructField(physicalOf(f), physicalShape(f.dataType), f.nullable)))
+        StructField(physicalOf(f), physicalShape(f.dataType), f.nullable,
+          f.metadata)))
       case a: ArrayType => a.copy(elementType = physicalShape(a.elementType))
       case m: MapType => m.copy(keyType = physicalShape(m.keyType),
         valueType = physicalShape(m.valueType))
@@ -2381,7 +2382,18 @@ object ManifestTable {
         if (have(phys))
           conform(col(phys), df.schema(phys).dataType, f.dataType)
             .as(f.name)
-        else lit(null).cast(stripNullability(f.dataType)).as(f.name)
+        else {
+          // a column absent from every selected file: its recorded
+          // EXISTENCE default (the Spark column-DEFAULT contract),
+          // null otherwise
+          val key = org.apache.spark.sql.catalyst.util
+            .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+          val fill =
+            if (f.metadata.contains(key))
+              org.apache.spark.sql.functions.expr(f.metadata.getString(key))
+            else lit(null)
+          fill.cast(stripNullability(f.dataType)).as(f.name)
+        }
       } ++ idCols.map(col)): _*)
     }
 
@@ -2647,16 +2659,59 @@ object ManifestTable {
     * zero-column frame rather than crashing.
     */
   private def unionSnapshots(spark: SparkSession, table: String,
-      relFiles: Seq[String]): DataFrame =
+      relFiles: Seq[String],
+      fillDefaults: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+        Seq.empty): DataFrame =
     if (relFiles.isEmpty) spark.emptyDataFrame
     else relFiles.groupBy(snapBaseOf).toSeq
       .sortBy(_._1)
       .map { case (snap, fs) =>
-        spark.read
+        applyExistsDefaults(spark.read
           .option("basePath", snapBaseStr(table, snap))
-          .parquet(fs.map(f => absStr(table, f)): _*)
+          .parquet(fs.map(f => absStr(table, f)): _*), fillDefaults)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Fill columns ABSENT from this branch's files with their recorded
+    * existence default ([[existsDefaultFills]]) — applied PER snapshot
+    * branch, before the union's own null-fill erases the distinction
+    * between "column missing from these files" (default applies) and
+    * "value is genuinely null" (it does not).
+    */
+  private def applyExistsDefaults(df: DataFrame,
+      fills: Seq[(String, String, org.apache.spark.sql.types.DataType)])
+      : DataFrame =
+    if (fills.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.expr
+      val have = df.columns.map(
+        _.toLowerCase(java.util.Locale.ROOT)).toSet
+      fills.filterNot { case (n, _, _) =>
+        have(n.toLowerCase(java.util.Locale.ROOT))
+      }.foldLeft(df) { case (d, (n, sql, dt)) =>
+        d.withColumn(n, expr(sql).cast(stripNullability(dt)))
+      }
+    }
+
+  /** The (on-file column name, default SQL, type) of every recorded
+    * field carrying an EXISTS_DEFAULT — the Spark column-DEFAULT
+    * contract: rows in files written BEFORE the column existed read
+    * the default the DDL froze, not null. Names are physical when a
+    * mapping is active (the branch frames carry on-file names).
+    */
+  private def existsDefaultFills(
+      recorded: Option[org.apache.spark.sql.types.StructType],
+      mapping: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(String, String, org.apache.spark.sql.types.DataType)] = {
+    val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    recorded.toSeq.flatMap(_.fields.collect {
+      case f if f.metadata.contains(key) =>
+        val name = mapping.flatMap(_.fields.find(_.name == f.name))
+          .map(physicalOf).getOrElse(f.name)
+        (name, f.metadata.getString(key), f.dataType)
+    })
+  }
 
   // ---------------------------------------------------------------
   // deletion-vector read plumbing
@@ -2781,16 +2836,17 @@ object ManifestTable {
     if (relFiles.isEmpty) return spark.emptyDataFrame
     val fileSet = relFiles.toSet
     val live = dvs.filter { case (f, _) => fileSet(f) }
+    val fills = existsDefaultFills(recorded, mapping)
     if (live.isEmpty && !keepIdentity)
       return widenTo(
-        applyMapping(unionSnapshots(spark, table, relFiles), mapping),
+        applyMapping(unionSnapshots(spark, table, relFiles, fills), mapping),
         recorded)
     val branches = relFiles.groupBy(snapBaseOf)
       .toSeq.sortBy(_._1)
       .map { case (snap, fs) =>
-        spark.read
+        applyExistsDefaults(spark.read
           .option("basePath", snapBaseStr(table, snap))
-          .parquet(fs.map(f => absStr(table, f)): _*)
+          .parquet(fs.map(f => absStr(table, f)): _*), fills)
           .withColumn(AbsPathCol, col("_metadata.file_path"))
           .withColumn(DvFileCol, rowFileRel)
           .withColumn(DvIdxCol, col("_metadata.row_index"))
@@ -2876,7 +2932,8 @@ object ManifestTable {
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v).filter(predicate)
     else if (kept.isEmpty)
       // schema-stable empty result: plan over the real files, read none
-      widenTo(applyMapping(unionSnapshots(spark, table, snap.files), mapping),
+      widenTo(applyMapping(unionSnapshots(spark, table, snap.files,
+        existsDefaultFills(rec, mapping)), mapping),
         rec).limit(0).filter(predicate)
     else readFiles(spark, table, kept, snap.dvs, mapping = mapping,
       recorded = rec).filter(predicate)
@@ -3072,7 +3129,7 @@ object ManifestTable {
         // depth (VERDICT r17 #2)
         val physSchema = StructType(ms.fields.map(f =>
           StructField(physicalOf(f), physicalShape(f.dataType),
-            f.nullable)))
+            f.nullable, f.metadata)))
         val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
           mfiles, parts, Some(physSchema))
         applyDvAntiJoin(spark, table, rel, dvDirs)
@@ -3896,7 +3953,7 @@ object ManifestTable {
         import org.apache.spark.sql.types.{StructField, StructType}
         Some(StructType(ms.fields.map(f =>
           StructField(physicalOf(f), physicalShape(f.dataType),
-            f.nullable))))
+            f.nullable, f.metadata))))
       case None => recorded
     }
     val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
@@ -4053,7 +4110,7 @@ object ManifestTable {
                 import org.apache.spark.sql.types.{StructField, StructType}
                 Some(StructType(ms.fields.map(f =>
                   StructField(physicalOf(f), physicalShape(f.dataType),
-                    f.nullable))))
+                    f.nullable, f.metadata))))
               case None => recorded
             }
             val rel0 = relationOf(d.add, parts, relSchema)
@@ -5344,6 +5401,48 @@ object ManifestTable {
       props = m.map(_.props).getOrElse(Map.empty),
       op = opInfo(m, "widen-column",
         "column" -> full, "type" -> newType.sql)))
+      raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
+    base + 1
+  }
+
+  /** SET / DROP a column's CURRENT default (ALTER COLUMN ... SET
+    * DEFAULT) as a zero-file schema commit: governs FUTURE inserts
+    * only — the EXISTS_DEFAULT frozen when the column was added keeps
+    * serving rows in files that predate the column (changing it would
+    * rewrite history without touching a file). `None` drops the
+    * current default.
+    */
+  def setColumnDefault(spark: SparkSession, table: String, name: String,
+      defaultSql: Option[String]): Long = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructType}
+    val curKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val (fs, p) = fsOf(spark, table)
+    val base = currentVersion(spark, table)
+    require(base > 0, s"no committed version in $table")
+    val m = manifestAt(fs, p, base)
+    val cur = recordedSchema(m).getOrElse(throw new IllegalStateException(
+      s"$table predates schema-on-commit — rewrite it via write() first"))
+    require(cur.fieldNames.contains(name),
+      s"no column '$name' in ${cur.fieldNames.mkString(", ")}")
+    val evolved = StructType(cur.fields.map { f =>
+      if (f.name != name) f
+      else {
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+        defaultSql match {
+          case Some(sql) => f.copy(metadata = b.putString(curKey, sql).build())
+          case None => f.copy(metadata = b.remove(curKey).build())
+        }
+      }
+    })
+    if (!commitDelta(fs, p, base + 1, Seq.empty,
+      m.map(_.txns).getOrElse(Map.empty),
+      parts = m.map(_.parts).getOrElse(Seq.empty),
+      schemaJson = Some(evolved.json),
+      props = m.map(_.props).getOrElse(Map.empty),
+      op = opInfo(m, "set-default", "column" -> name,
+        "default" -> defaultSql.getOrElse("(dropped)"))))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
     base + 1
