@@ -66,10 +66,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the per-branch fill in ManifestTable.readFiles elsewhere.
     */
   override def capabilities(): java.util.Set[
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+      SUPPORT_COLUMN_DEFAULT_VALUE,
+      SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+  }
 
   private def spark: SparkSession = SparkSession.active
 
@@ -170,6 +173,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     org.apache.spark.sql.GraftTableV2.load(spark,
       (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."),
       tablePath(ident), v)
+  }
+
+  /** The V2-Column CREATE overload: the default bridge to the
+    * StructType variant encodes column DEFAULTs as field metadata but
+    * silently DROPS generation expressions and identity specs — so a
+    * catalog that declares those capabilities must encode them itself
+    * (Spark's own metadata keys; `ManifestTable.synthesizeColumns`
+    * generates the values at write time from exactly these).
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+    import org.apache.spark.sql.types.{LongType, IntegerType, ShortType, ByteType, MetadataBuilder}
+    val base = org.apache.spark.sql.GraftColumnBridge
+      .v2ColumnsToStructType(columns)
+    val enriched = StructType(base.fields.zip(columns).map { case (f, c) =>
+      var md = new MetadataBuilder().withMetadata(f.metadata)
+      Option(c.generationExpression()).foreach { g =>
+        md = md.putString(
+          GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, g)
+      }
+      Option(c.identityColumnSpec()).foreach { s =>
+        require(Set[org.apache.spark.sql.types.DataType](
+          LongType, IntegerType, ShortType, ByteType)(f.dataType),
+          s"identity column '${f.name}' must be an integral type, " +
+            s"got ${f.dataType.sql}")
+        require(s.getStep != 0, s"identity column '${f.name}': STEP 0 " +
+          "would hand out one value forever")
+        md = md.putLong(IdentityColumn.IDENTITY_INFO_START, s.getStart)
+          .putLong(IdentityColumn.IDENTITY_INFO_STEP, s.getStep)
+          .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            s.isAllowExplicitInsert)
+      }
+      f.copy(metadata = md.build())
+    })
+    createTable(ident, enriched, partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

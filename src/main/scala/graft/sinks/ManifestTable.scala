@@ -368,9 +368,10 @@ object ManifestTable {
   private def enforceConstraints(df: DataFrame,
       props: Map[String, String], table: String,
       pin: Boolean = true,
-      recorded: Option[org.apache.spark.sql.types.StructType] = None)
+      recorded: Option[org.apache.spark.sql.types.StructType] = None,
+      extra: Seq[Expectation] = Seq.empty)
       : DataFrame = {
-    val cs = constraintExpectations(props) ++
+    val cs = extra ++ constraintExpectations(props) ++
       notNullExpectations(recorded, df.columns.toSeq, table)
     if (cs.isEmpty) return df
     import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
@@ -1762,22 +1763,29 @@ object ManifestTable {
     }
     // sticky AND physical — see write()
     val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+    val props0 = m.map(_.props).getOrElse(Map.empty)
+    // generated/identity columns synthesize BEFORE enforcement, so
+    // the written files carry them and the contracts see them
+    val (synth, genExps, idCols) = synthesizeColumns(spark, df,
+      recordedSchema(m), props0, table)
     // contracts BEFORE any data write: a type conflict or a violated
     // fail-expectation aborts with the table untouched
     val active = recordedSchema(m).exists(columnMapped)
     val evolved = stampNewFields(
-      enforceSchema(recordedSchema(m), df.schema, table), active)
+      enforceSchema(recordedSchema(m), synth.schema, table), active)
     val mapping = Some(evolved).filter(columnMapped)
-    val (toWrite, quality) = applyExpectations(df, expectations ++
-      constraintExpectations(m.map(_.props).getOrElse(Map.empty)) ++
-      notNullExpectations(Some(evolved), df.columns.toSeq, table), table)
+    val (toWrite, quality) = applyExpectations(synth, expectations ++
+      genExps ++ constraintExpectations(props0) ++
+      notNullExpectations(Some(evolved), synth.columns.toSeq, table), table)
     val fresh = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
       base + 1, parts, 0L)
+    val stats = collectStats(spark, p, fresh, props0)
     if (!commitDelta(fs, p, base + 1, fresh,
       txn.fold(txns0) { case (app, v) => txns0 + (app -> v) },
-      collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), parts = parts,
+      stats, parts = parts,
       schemaJson = Some(evolved.json), quality = quality,
-      props = m.map(_.props).getOrElse(Map.empty),
+      props = advanceIdentity(spark, p, fresh, stats, mapping, props0,
+        idCols),
       op = opInfo(m, "append", "files" -> fresh.size.toString)))
       raceLost(table, base + 1)
     maybeCheckpoint(spark, fs, p, base + 1)
@@ -1858,26 +1866,30 @@ object ManifestTable {
         txns0.contains(copyFileKey(path))
       }
     if (fresh.isEmpty) return (base, 0)
-    val df = spark.read.format(format).options(options)
+    val raw = spark.read.format(format).options(options)
       .load(fresh.map(_._2.getPath.toString): _*)
+    val props0 = m.map(_.props).getOrElse(Map.empty)
+    val (df, genExps, idCols) = synthesizeColumns(spark, raw,
+      recordedSchema(m), props0, table)
     val parts = m.map(_.parts).getOrElse(Seq.empty)
     val active = recordedSchema(m).exists(columnMapped)
     val evolved = stampNewFields(
       enforceSchema(recordedSchema(m), df.schema, table), active)
     val mapping = Some(evolved).filter(columnMapped)
     val (toWrite, quality) = applyExpectations(df,
-      constraintExpectations(m.map(_.props).getOrElse(Map.empty)) ++
+      genExps ++ constraintExpectations(props0) ++
         notNullExpectations(Some(evolved), df.columns.toSeq, table), table)
     val freshFiles = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
       base + 1, parts, 0L)
     val txns = txns0 ++ fresh.map { case (path, st) =>
       copyFileKey(path) -> copyFingerprint(st)
     }
+    val stats = collectStats(spark, p, freshFiles, props0)
     if (!commitDelta(fs, p, base + 1, freshFiles, txns,
-      collectStats(spark, p, freshFiles,
-        m.map(_.props).getOrElse(Map.empty)),
+      stats,
       parts = parts, schemaJson = Some(evolved.json), quality = quality,
-      props = m.map(_.props).getOrElse(Map.empty),
+      props = advanceIdentity(spark, p, freshFiles, stats, mapping,
+        props0, idCols),
       op = opInfo(m, "copy-into", "source" -> sourceDir,
         "loaded" -> fresh.size.toString)))
       raceLost(table, base + 1)
@@ -1885,6 +1897,132 @@ object ManifestTable {
     maybeAutoCompact(spark, fs, p, table, base + 1)
     (base + 1, fresh.size)
   }
+
+  /** Identity high-watermark property: the NEXT value the column
+    * hands out (advanced in the same commit as the data it stamped —
+    * atomic with the rows, like every other watermark here).
+    */
+  private def identityNextKey(col: String) = s"graft.identity.$col.next"
+
+  /** Synthesize GENERATED and IDENTITY column values at write time
+    * (the Delta recipes; Spark's analyzer only null-fills omitted
+    * columns on V2 inserts — generation is the connector's job):
+    *
+    *  - `GENERATED ALWAYS AS (expr)`: null slots compute the
+    *    expression; rows arriving with EXPLICIT values must MATCH it
+    *    (a fail expectation verifies — the frame is pinned by the
+    *    expectation machinery, so the checked rows are the written
+    *    rows).
+    *  - `GENERATED ALWAYS AS IDENTITY (START s STEP t)`: explicit
+    *    values refuse (unless BY DEFAULT); null slots take
+    *    `next + t * monotonically_increasing_id()` — unique and
+    *    step-aligned but GAPPED, the documented Delta identity
+    *    contract (contiguity would demand a global row numbering —
+    *    an exchange on a 100 TB append for a property Delta does not
+    *    promise either). The watermark then advances PAST the extreme
+    *    actually written, read from the freshly committed footer
+    *    stats ([[advanceIdentity]]) — no extra pass over the data.
+    *
+    * Returns the frame to write, the verification expectations, and
+    * the identity columns whose watermark the commit must advance.
+    */
+  private def synthesizeColumns(spark: SparkSession, df: DataFrame,
+      recorded: Option[org.apache.spark.sql.types.StructType],
+      props: Map[String, String], table: String)
+      : (DataFrame, Seq[Expectation], Seq[(String, Long)]) = {
+    import org.apache.spark.sql.functions.{col, expr, lit, monotonically_increasing_id, when}
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+    val rec = recorded.getOrElse(return (df, Seq.empty, Seq.empty))
+    if (!GeneratedColumn.hasGeneratedColumns(rec) &&
+      !IdentityColumn.hasIdentityColumns(rec))
+      return (df, Seq.empty, Seq.empty)
+    var out = df
+    val exps = Seq.newBuilder[Expectation]
+    val idCols = Seq.newBuilder[(String, Long)]
+    def present(n: String) = out.columns.contains(n)
+    rec.fields.foreach { f =>
+      GeneratedColumn.getGenerationExpression(f) match {
+        case Some(gen) =>
+          val g = expr(gen).cast(stripNullability(f.dataType))
+          if (!present(f.name)) out = out.withColumn(f.name, g)
+          else {
+            out = out.withColumn(f.name,
+              when(col(f.name).isNull, g).otherwise(col(f.name)))
+            exps += Expectation(s"generated value of ${f.name}",
+              col(f.name) <=> g): Unit
+          }
+        case None => IdentityColumn.getIdentityInfo(f).foreach { spec =>
+          val next = props.get(identityNextKey(f.name))
+            .flatMap(_.toLongOption).getOrElse(spec.getStart)
+          val fill = (lit(next) + lit(spec.getStep) *
+            monotonically_increasing_id()).cast(stripNullability(f.dataType))
+          if (present(f.name)) {
+            if (!spec.isAllowExplicitInsert &&
+              !out.filter(col(f.name).isNotNull).isEmpty)
+              throw new IllegalArgumentException(
+                s"'${f.name}' is GENERATED ALWAYS AS IDENTITY on $table " +
+                  "— explicit values are not accepted (declare it " +
+                  "GENERATED BY DEFAULT to allow them)")
+            out = out.withColumn(f.name,
+              when(col(f.name).isNull, fill).otherwise(col(f.name)))
+          } else out = out.withColumn(f.name, fill)
+          idCols += f.name -> spec.getStep: Unit
+        }
+      }
+    }
+    (out, exps.result(), idCols.result())
+  }
+
+  /** Advance each identity column's next-value watermark past the
+    * extreme this commit's files actually contain — from the footer
+    * statistics just collected (zero extra jobs); files without a
+    * usable bound fall back to ONE aggregation over the fresh files.
+    * Monotone both ways: an explicit BY DEFAULT insert above the
+    * watermark pulls it up, and the watermark never regresses.
+    */
+  private def advanceIdentity(spark: SparkSession, p: Path,
+      fresh: Seq[String], stats: Map[String, FileStats],
+      mapping: Option[org.apache.spark.sql.types.StructType],
+      props: Map[String, String],
+      idCols: Seq[(String, Long)]): Map[String, String] =
+    idCols.foldLeft(props) { case (ps, (name, step)) =>
+      val phys = mapping.flatMap(_.fields.find(_.name == name))
+        .map(physicalOf).getOrElse(name)
+      def boundOf(st: FileStats): Option[Long] = st.cols.get(phys)
+        .flatMap(c => if (step >= 0) c.max else c.min)
+        .collect { case l: Long => l
+                   case i: Int => i.toLong }
+      val nonEmpty = fresh.filter(f => stats.get(f).forall(_.rows > 0))
+      val extremes: Option[Seq[Long]] =
+        if (nonEmpty.forall(f => stats.get(f).exists(st =>
+          st.rows == 0 || boundOf(st).isDefined)))
+          Some(nonEmpty.flatMap(f => stats.get(f).flatMap(boundOf)))
+        else None
+      val observed: Option[Long] = extremes match {
+        case Some(es) if es.nonEmpty =>
+          Some(if (step >= 0) es.max else es.min)
+        case Some(_) => None // all-empty commit
+        case None => // stats disabled/unusable: one bounded agg
+          import org.apache.spark.sql.functions.{max, min, col}
+          val d = spark.read.parquet(
+            nonEmpty.map(f => absStr(p.toString, f)): _*)
+          val r = d.agg(
+            (if (step >= 0) max(col(phys)) else min(col(phys)))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      observed match {
+        case None => ps
+        case Some(v) =>
+          val cur = ps.get(identityNextKey(name)).flatMap(_.toLongOption)
+          val candidate = v + step
+          val next = cur match {
+            case Some(c) if step >= 0 => math.max(c, candidate)
+            case Some(c) => math.min(c, candidate)
+            case None => candidate
+          }
+          ps + (identityNextKey(name) -> next.toString)
+      }
+    }
 
   /** Exactly-once streaming append: fold micro-batch `batchId` of the
     * query identified by `txnAppId` into the table UNLESS this app's
@@ -1908,6 +2046,7 @@ object ManifestTable {
     var fresh: Seq[String] = null // snapshot written once, reused on retry
     var freshParts: Seq[String] = null // the layout fresh was written with
     var freshSchemaJson: String = null // the schema fresh was written with
+    var freshIdState: String = null // identity watermarks fresh baked in
     var attempts = 0
     while (true) {
       // version FIRST, then txns from THAT version's manifest — one
@@ -1922,10 +2061,18 @@ object ManifestTable {
       if (txns.get(txnAppId).exists(_ >= batchId))
         return base // replay; an already-written snapshot is vacuum's
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
+      val props0 = m.map(_.props).getOrElse(Map.empty)
+      val (synth, genExps, idCols) = synthesizeColumns(spark, df,
+        recordedSchema(m), props0, table)
       val active = recordedSchema(m).exists(columnMapped)
       val evolved = stampNewFields(
-        enforceSchema(recordedSchema(m), df.schema, table), active)
+        enforceSchema(recordedSchema(m), synth.schema, table), active)
       val mapping = Some(evolved).filter(columnMapped)
+      // identity values bake the watermark into the files — a retry
+      // that observes a CHANGED watermark (concurrent identity
+      // writer) must rewrite, like a parts/schema change below
+      val idState = idCols.map { case (c, _) =>
+        props0.getOrElse(identityNextKey(c), "") }.mkString(",")
       // the cached snapshot is only reusable if the layout AND the
       // physical column names it was written with still match — a
       // concurrent first-writer can change the sticky parts between
@@ -1934,24 +2081,29 @@ object ManifestTable {
       // schema whose physicals differ from the cached files would read
       // the new columns as null)
       if (fresh != null &&
-        (freshParts != parts || freshSchemaJson != evolved.json))
+        (freshParts != parts || freshSchemaJson != evolved.json ||
+          freshIdState != idState))
         fresh = null // orphan → vacuum
       if (fresh == null) {
         // the returned (possibly pinned) frame feeds the write: the
         // checked rows and the written rows are provably the same
         val checked =
-          enforceConstraints(df, m.map(_.props).getOrElse(Map.empty), table,
-            recorded = Some(evolved))
+          enforceConstraints(synth, props0, table,
+            recorded = Some(evolved),
+            extra = genExps)
         fresh = writeSnapshot(fs, p, toPhysical(checked, mapping),
           base + 1, parts, 0L)
         freshParts = parts
         freshSchemaJson = evolved.json
+        freshIdState = idState
       }
+      val stats = collectStats(spark, p, fresh, props0)
       if (commitDelta(fs, p, base + 1, fresh, txns + (txnAppId -> batchId),
-        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
+        stats,
         parts = parts,
         schemaJson = Some(evolved.json),
-        props = m.map(_.props).getOrElse(Map.empty),
+        props = advanceIdentity(spark, p, fresh, stats, mapping, props0,
+          idCols),
         op = opInfo(m, "streaming-append", "txnAppId" -> txnAppId,
           "batchId" -> batchId.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)

@@ -10,6 +10,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** V2 Column[] → StructType with DEFAULT metadata encoded — the
+    * (private[sql]) CatalogV2Util bridge GraftCatalog's Column-variant
+    * createTable needs before enriching with generation/identity
+    * metadata (which the default bridge drops).
+    */
+  def v2ColumnsToStructType(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(columns)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** EAGER Column → catalyst conversion (ColumnNodeToExpressionConverter).
