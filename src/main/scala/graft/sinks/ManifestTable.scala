@@ -1973,6 +1973,86 @@ object ManifestTable {
     (out, exps.result(), idCols.result())
   }
 
+  /** (name, generation SQL, recorded type) of every generated column. */
+  private def generatedOf(
+      rec: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+    rec.toSeq.flatMap(_.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(g => (f.name, g, f.dataType))))
+
+  /** (field, spec) of every identity column. */
+  private def identityOf(
+      rec: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(org.apache.spark.sql.types.StructField,
+        org.apache.spark.sql.connector.catalog.IdentityColumnSpec)] =
+    rec.toSeq.flatMap(_.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn
+        .getIdentityInfo(f).map(f -> _)))
+
+  /** Recompute every generated column over `df` — row-local and
+    * deterministic by the generated-column contract, so untouched
+    * rows get back their stored values and rewritten/inserted rows
+    * get CURRENT ones (the Delta UPDATE/MERGE staleness fix: a SET
+    * on a generation INPUT must regenerate its dependents).
+    */
+  private def recomputeGenerated(df: DataFrame,
+      rec: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    generatedOf(rec).foldLeft(df) { case (d, (n, g, t)) =>
+      d.withColumn(n, expr(g).cast(stripNullability(t)))
+    }
+  }
+
+  /** Fill NULL identity slots from the watermark (missing column =
+    * all slots); non-null values pass through (a rewrite's survivor
+    * rows keep their ids). Returns the frame and the columns whose
+    * watermark the commit must advance.
+    */
+  private def fillIdentity(df: DataFrame,
+      rec: Option[org.apache.spark.sql.types.StructType],
+      props: Map[String, String]): (DataFrame, Seq[(String, Long)]) = {
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, when}
+    val specs = identityOf(rec)
+    if (specs.isEmpty) return (df, Seq.empty)
+    val out = specs.foldLeft(df) { case (d, (f, spec)) =>
+      val next = props.get(identityNextKey(f.name))
+        .flatMap(_.toLongOption).getOrElse(spec.getStart)
+      val fill = (lit(next) + lit(spec.getStep) *
+        monotonically_increasing_id()).cast(stripNullability(f.dataType))
+      if (d.columns.contains(f.name))
+        d.withColumn(f.name,
+          when(col(f.name).isNull, fill).otherwise(col(f.name)))
+      else d.withColumn(f.name, fill)
+    }
+    (out, specs.map { case (f, s) => f.name -> s.getStep })
+  }
+
+  /** Refuse SET/assignment clauses that target identity or generated
+    * columns: identity values are the table's to hand out, and an
+    * explicit generated-column assignment would either be redundant
+    * or silently overwritten by the recompute.
+    */
+  private def refuseSynthesizedTargets(assigned: Set[String],
+      rec: Option[org.apache.spark.sql.types.StructType],
+      table: String, what: String,
+      allowByDefaultIdentity: Boolean = false): Unit = {
+    val gens = generatedOf(rec).map(_._1).toSet
+    val badGen = assigned.intersect(gens)
+    if (badGen.nonEmpty) throw new IllegalArgumentException(
+      s"$what on $table assigns GENERATED column(s) " +
+        s"${badGen.toSeq.sorted.mkString(", ")} — their values are " +
+        "computed from the generation expression")
+    val badId = identityOf(rec).collect {
+      case (f, s) if assigned(f.name) &&
+        !(allowByDefaultIdentity && s.isAllowExplicitInsert) => f.name
+    }
+    if (badId.nonEmpty) throw new IllegalArgumentException(
+      s"$what on $table assigns IDENTITY column(s) " +
+        s"${badId.sorted.mkString(", ")} — identity values are " +
+        "assigned by the table")
+  }
+
   /** Advance each identity column's next-value watermark past the
     * extreme this commit's files actually contain — from the footer
     * statistics just collected (zero extra jobs); files without a
@@ -5310,10 +5390,17 @@ object ManifestTable {
       require(unknown.isEmpty,
         s"UPDATE sets unknown column(s) ${unknown.mkString(", ")} — " +
           "add columns by appending data that carries them")
+      refuseSynthesizedTargets(set.keySet, recordedSchema(m), table,
+        "UPDATE")
       val matched = coalesce(predicate, lit(false))
-      val rewritten = src.select(src.columns.toIndexedSeq.map { c =>
-        set.get(c).fold(col(c))(v => when(matched, v).otherwise(col(c)).as(c))
-      }: _*)
+      // generated columns REGENERATE after the SET (a stale dependent
+      // of an updated input would silently lie); untouched rows get
+      // back their stored values by determinism
+      val rewritten = recomputeGenerated(
+        src.select(src.columns.toIndexedSeq.map { c =>
+          set.get(c).fold(col(c))(v =>
+            when(matched, v).otherwise(col(c)).as(c))
+        }: _*), recordedSchema(m))
       // type changes abort BEFORE any commit (the lake contract)
       val evolved = enforceSchema(recordedSchema(m), rewritten.schema, table)
       // checked == rewritten unless constraints exist, in which case it
@@ -5329,8 +5416,9 @@ object ManifestTable {
         if (!changeFeedOn(m)) None
         else {
           val pre = src.filter(matched)
-          val post = pre.select(pre.columns.toIndexedSeq.map { c =>
-            set.get(c).fold(col(c))(_.as(c)) }: _*)
+          val post = recomputeGenerated(
+            pre.select(pre.columns.toIndexedSeq.map { c =>
+              set.get(c).fold(col(c))(_.as(c)) }: _*), recordedSchema(m))
           Some(writeChangeDir(spark, p, base + 1,
             pre.withColumn(ChangeTypeCol, lit("delete"))
               .unionByName(post.withColumn(ChangeTypeCol, lit("insert")))))
@@ -5406,13 +5494,15 @@ object ManifestTable {
       require(unknown.isEmpty,
         s"UPDATE sets unknown column(s) ${unknown.mkString(", ")} — " +
           "add columns by appending data that carries them")
+      refuseSynthesizedTargets(set.keySet, recordedSchema(m), table,
+        "UPDATE")
       val flagged = src.join(ids.withColumn(MarkCol, lit(true)),
         Seq(DvFileCol, DvIdxCol), "left_outer")
       val isMatched = coalesce(col(MarkCol), lit(false))
-      val rewritten = flagged.select(dataCols.map { c =>
+      val rewritten = recomputeGenerated(flagged.select(dataCols.map { c =>
         set.get(c).fold(col(c))(v =>
           when(isMatched, v).otherwise(col(c)).as(c))
-      }: _*)
+      }: _*), recordedSchema(m))
       // type changes abort BEFORE any commit (the lake contract)
       val evolved = enforceSchema(recordedSchema(m), rewritten.schema, table)
       val checked = enforceConstraints(rewritten,
@@ -5427,8 +5517,9 @@ object ManifestTable {
         else {
           val pre = src.join(ids, Seq(DvFileCol, DvIdxCol), "left_semi")
             .drop(AbsPathCol, DvFileCol, DvIdxCol)
-          val post = pre.select(pre.columns.toIndexedSeq.map { c =>
-            set.get(c).fold(col(c))(_.as(c)) }: _*)
+          val post = recomputeGenerated(
+            pre.select(pre.columns.toIndexedSeq.map { c =>
+              set.get(c).fold(col(c))(_.as(c)) }: _*), recordedSchema(m))
           Some(writeChangeDir(spark, p, base + 1,
             pre.withColumn(ChangeTypeCol, lit("delete"))
               .unionByName(post.withColumn(ChangeTypeCol, lit("insert")))))
@@ -5797,19 +5888,57 @@ object ManifestTable {
         if (candidates.isEmpty) Seq.empty[String]
         else hitFiles(spark, table, candidates, snap.dvs,
           _.join(srcKeys, keyCols, "left_semi"), mapping0)
+      val props0 = m.map(_.props).getOrElse(Map.empty)
+      val rec = recordedSchema(m)
+      // generated/identity completion for the whole-row upsert:
+      // generated columns recompute from the source's values; an
+      // identity column a source row omits (or carries null) INHERITS
+      // the replaced target row's id for an existing key — an upsert
+      // is an update, not a re-keying — and draws a fresh value for a
+      // new key. Pinned when identity is drawn: the CDC tagging and
+      // the write must see the SAME drawn ids.
+      val (srcPrepped, idCols) = {
+        val gens = recomputeGenerated(src, rec)
+        val specs = identityOf(rec)
+        if (specs.isEmpty) (gens, Seq.empty[(String, Long)])
+        else {
+          val idNames = specs.map(_._1.name)
+          val inherited =
+            if (hits.isEmpty) gens
+            else {
+              val olds = readFiles(spark, table, hits, snap.dvs,
+                mapping = mapping0)
+                .join(srcKeys, keyCols, "left_semi")
+                .select((keyCols ++ idNames).map(col): _*)
+                .select(keyCols.map(col) ++ idNames.map(n =>
+                  col(n).as(s"_graft_old_$n")): _*)
+              val joined = gens.join(olds, keyCols, "left")
+              idNames.foldLeft(joined) { (d, n) =>
+                val merged =
+                  if (d.columns.contains(n))
+                    org.apache.spark.sql.functions.coalesce(
+                      col(n), col(s"_graft_old_$n"))
+                  else col(s"_graft_old_$n")
+                d.withColumn(n, merged)
+              }.drop(idNames.map(n => s"_graft_old_$n"): _*)
+            }
+          val (filled, ids) = fillIdentity(inherited, rec, props0)
+          (filled.localCheckpoint(), ids)
+        }
+      }
       val newData =
-        if (hits.isEmpty) src
+        if (hits.isEmpty) srcPrepped
         else readFiles(spark, table, hits, snap.dvs, mapping = mapping0)
           .join(srcKeys, keyCols, "left_anti")
-          .unionByName(src, allowMissingColumns = true)
-      val active = recordedSchema(m).exists(columnMapped)
+          .unionByName(srcPrepped, allowMissingColumns = true)
+      val active = rec.exists(columnMapped)
       val evolved = stampNewFields(
-        enforceSchema(recordedSchema(m), src.schema, table), active)
+        enforceSchema(rec, srcPrepped.schema, table), active)
       // the source rows are the only NEW content (whole-row upsert);
       // untouched survivor rows already satisfied the constraints —
       // src is pinned above, so no second pin
-      enforceConstraints(src,
-        m.map(_.props).getOrElse(Map.empty), table, pin = false,
+      enforceConstraints(srcPrepped,
+        props0, table, pin = false,
         recorded = Some(evolved)): Unit
       val fresh = writeSnapshot(fs, p,
         toPhysical(newData, Some(evolved).filter(columnMapped)),
@@ -5826,16 +5955,18 @@ object ManifestTable {
               mapping = mappingOf(m))
               .join(srcKeys, keyCols, "left_semi")
               .withColumn(ChangeTypeCol, lit("delete")))
-          val added = src.withColumn(ChangeTypeCol, lit("insert"))
+          val added = srcPrepped.withColumn(ChangeTypeCol, lit("insert"))
           Some(writeChangeDir(spark, p, base + 1,
             replaced.fold(added)(r =>
               r.unionByName(added, allowMissingColumns = true))))
         }
+      val stats = collectStats(spark, p, fresh, props0)
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
-        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), remove = hits, parts = parts,
+        stats, remove = hits, parts = parts,
         schemaJson = Some(evolved.json),
-        props = m.map(_.props).getOrElse(Map.empty),
+        props = advanceIdentity(spark, p, fresh, stats,
+          Some(evolved).filter(columnMapped), props0, idCols),
         cdcDir = cdc,
         op = opInfo(m, "merge", "keys" -> keyCols.mkString(","),
           "rewrittenFiles" -> hits.size.toString))) {
@@ -5985,6 +6116,17 @@ object ManifestTable {
       val snap = resolve(spark, fs, p, base, cs)
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val recorded = recordedSchema(m)
+      // synthesized columns are not assignment targets: UPDATE-shaped
+      // clauses never touch them (generated recompute, identity is
+      // immutable), INSERT clauses may assign a BY DEFAULT identity
+      refuseSynthesizedTargets(
+        (matched.flatMap(_.set.toSeq.flatMap(_.keys)) ++
+          bySource.flatMap(_.set.toSeq.flatMap(_.keys))).toSet,
+        recorded, table, "MERGE UPDATE")
+      refuseSynthesizedTargets(
+        notMatched.flatMap(_.values.keys).toSet,
+        recorded, table, "MERGE INSERT", allowByDefaultIdentity = true)
+      val props0 = m.map(_.props).getOrElse(Map.empty)
       val mapping0 = mappingOf(m)
       val lstats = logicalStats(snap.stats, mapping0)
       // candidate files: those that could hold a matched key, plus —
@@ -6048,7 +6190,10 @@ object ManifestTable {
               set.get(c).fold(acc)(v => when(a, v).otherwise(acc))
             }.as(c)
           }
-          Some(joined.filter(!del).select(out: _*))
+          // generated dependents of updated inputs regenerate (the
+          // UPDATE-staleness contract, see [[recomputeGenerated]])
+          Some(recomputeGenerated(
+            joined.filter(!del).select(out: _*), recorded))
         }
       // inserts: source rows whose key matches NO live target row.
       // Key lookup scans only the key-candidate files (other files
@@ -6113,7 +6258,18 @@ object ManifestTable {
             }
           Some(unmatched.filter(any).select(outCols: _*))
         }
-      val newData: Option[DataFrame] = (rewritten, inserts) match {
+      // inserted rows synthesize their generated values and draw
+      // identity for null slots; pinned when identity is drawn so the
+      // CDC image and the written rows carry the SAME ids
+      val (insertsPrepped, idCols) = inserts match {
+        case None => (None, Seq.empty[(String, Long)])
+        case Some(ins) =>
+          val gens = recomputeGenerated(ins, recorded)
+          val (filled, ids) = fillIdentity(gens, recorded, props0)
+          (Some(if (ids.isEmpty) filled else filled.localCheckpoint()),
+            ids)
+      }
+      val newData: Option[DataFrame] = (rewritten, insertsPrepped) match {
         case (Some(r), Some(i)) =>
           Some(r.unionByName(i, allowMissingColumns = true))
         case (r, i) => r.orElse(i)
@@ -6152,16 +6308,18 @@ object ManifestTable {
                       .withColumn(ChangeTypeCol, lit("insert")))
                 case _ => Seq.empty
               }
-              val diffs = rewriteDiffs ++ inserts.map(
+              val diffs = rewriteDiffs ++ insertsPrepped.map(
                 _.withColumn(ChangeTypeCol, lit("insert"))).toSeq
               Some(writeChangeDir(spark, p, base + 1,
                 diffs.reduce(_.unionByName(_, allowMissingColumns = true))))
             }
+          val stats = collectStats(spark, p, fresh, props0)
           if (commitDelta(fs, p, base + 1, fresh,
             m.map(_.txns).getOrElse(Map.empty),
-            collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)), remove = hits, parts = parts,
+            stats, remove = hits, parts = parts,
             schemaJson = Some(evolved.json),
-            props = m.map(_.props).getOrElse(Map.empty),
+            props = advanceIdentity(spark, p, fresh, stats,
+              Some(evolved).filter(columnMapped), props0, idCols),
             cdcDir = cdc,
             op = opInfo(m, "merge",
               "keys" -> keyPairs.map(_._1).mkString(","),
