@@ -5825,11 +5825,32 @@ object ManifestTable {
           s"first missing: ${(missing ++ missingDvs).headOption.getOrElse("")}")
     val mOld = manifestAt(fs, p, version) // schema/layout/props as of n
     val mCur = manifestAt(fs, p, base)    // txn watermarks stay current
+    // identity watermarks NEVER regress (the Delta restore contract):
+    // the restored snapshot's rows reclaim old ids, but values already
+    // handed out since then must stay burned — restoring the old
+    // next-value would re-issue them to post-restore inserts
+    val oldProps = mOld.map(_.props).getOrElse(Map.empty)
+    val curProps = mCur.map(_.props).getOrElse(Map.empty)
+    val restoredProps = identityOf(
+      mOld.flatMap(_.schemaJson).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .foldLeft(oldProps) { case (ps, (f, spec)) =>
+        val key = identityNextKey(f.name)
+        (ps.get(key).flatMap(_.toLongOption),
+            curProps.get(key).flatMap(_.toLongOption)) match {
+          case (o, Some(c)) =>
+            val merged = o.fold(c)(ov =>
+              if (spec.getStep >= 0) math.max(ov, c) else math.min(ov, c))
+            ps + (key -> merged.toString)
+          case _ => ps
+        }
+      }
     if (!commitFullList(spark, fs, p, base + 1, snap.files,
       mCur.map(_.txns).getOrElse(Map.empty), snap.stats,
       mOld.map(_.parts).getOrElse(Seq.empty),
       mOld.flatMap(_.schemaJson),
-      props = mOld.map(_.props).getOrElse(Map.empty),
+      props = restoredProps,
       dvs = snap.dvs,
       op = opInfo(mCur, "restore", "toVersion" -> version.toString)))
       raceLost(table, base + 1)
