@@ -1673,8 +1673,9 @@ object ManifestTable {
     val (toWrite, quality) = applyExpectations(df, expectations ++
       constraintExpectations(m.map(_.props).getOrElse(Map.empty)) ++
       notNull, table)
-    val files = writeSnapshot(fs, p, toWrite, base + 1, parts,
-      maxRecordsPerFile)
+    val files = writeSnapshot(fs, p,
+      applyWriteClustering(toWrite, m.map(_.props).getOrElse(Map.empty)),
+      base + 1, parts, maxRecordsPerFile)
     if (!commitFullList(spark, fs, p, base + 1, files,
       txn.fold(txns0) { case (app, v) => txns0 + (app -> v) },
       collectStats(spark, p, files,
@@ -1777,7 +1778,8 @@ object ManifestTable {
     val (toWrite, quality) = applyExpectations(synth, expectations ++
       genExps ++ constraintExpectations(props0) ++
       notNullExpectations(Some(evolved), synth.columns.toSeq, table), table)
-    val fresh = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
+    val fresh = writeSnapshot(fs, p,
+      toPhysical(applyWriteClustering(toWrite, props0), mapping),
       base + 1, parts, 0L)
     val stats = collectStats(spark, p, fresh, props0)
     if (!commitDelta(fs, p, base + 1, fresh,
@@ -1879,7 +1881,8 @@ object ManifestTable {
     val (toWrite, quality) = applyExpectations(df,
       genExps ++ constraintExpectations(props0) ++
         notNullExpectations(Some(evolved), df.columns.toSeq, table), table)
-    val freshFiles = writeSnapshot(fs, p, toPhysical(toWrite, mapping),
+    val freshFiles = writeSnapshot(fs, p,
+      toPhysical(applyWriteClustering(toWrite, props0), mapping),
       base + 1, parts, 0L)
     val txns = txns0 ++ fresh.map { case (path, st) =>
       copyFileKey(path) -> copyFingerprint(st)
@@ -1972,6 +1975,36 @@ object ManifestTable {
     }
     (out, exps.result(), idCols.result())
   }
+
+  /** Declarative WRITE CLUSTERING (the liquid-clustering-shaped
+    * property): `graft.write.clusterBy = "c1,c2"` makes every
+    * append-shaped write range-exchange + sort its rows by the named
+    * columns BEFORE the files land, so each fresh file covers a tight
+    * range and the manifest's per-file min/max prune selectively from
+    * the first commit on — no OPTIMIZE ZORDER pass needed to make a
+    * streaming table skippable. Columns are plain names (dotted
+    * nested paths work); a column absent from a given frame is
+    * skipped fail-open. The sort is within the write, so the cost is
+    * one exchange over the NEW rows only — never the table.
+    */
+  val WriteClusterByProp = "graft.write.clusterBy"
+
+  /** Apply the declared write clustering to an outgoing frame. */
+  private def applyWriteClustering(df: DataFrame,
+      props: Map[String, String]): DataFrame =
+    props.get(WriteClusterByProp).map(_.split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)) match {
+      case Some(cols) if cols.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        val have = df.columns.map(
+          _.toLowerCase(java.util.Locale.ROOT)).toSet
+        val usable = cols.filter(c =>
+          have(c.split("\\.").head.toLowerCase(java.util.Locale.ROOT)))
+        if (usable.isEmpty) df
+        else df.repartitionByRange(usable.map(c => col(c).asc): _*)
+          .sortWithinPartitions(usable.map(c => col(c).asc): _*)
+      case _ => df
+    }
 
   /** (name, generation SQL, recorded type) of every generated column. */
   private def generatedOf(
@@ -2171,7 +2204,8 @@ object ManifestTable {
           enforceConstraints(synth, props0, table,
             recorded = Some(evolved),
             extra = genExps)
-        fresh = writeSnapshot(fs, p, toPhysical(checked, mapping),
+        fresh = writeSnapshot(fs, p,
+          toPhysical(applyWriteClustering(checked, props0), mapping),
           base + 1, parts, 0L)
         freshParts = parts
         freshSchemaJson = evolved.json
@@ -4831,8 +4865,25 @@ object ManifestTable {
       val smallBytes = small.iterator.map(snap.stats(_).bytes).sum
       val targetFiles = math.max(1L,
         (smallBytes + target - 1) / target).toInt
-      val sub = readFiles(spark, table, small, snap.dvs,
-        mapping = mapping).coalesce(targetFiles)
+      val sub0 = readFiles(spark, table, small, snap.dvs,
+        mapping = mapping)
+      // a declared write clustering re-clusters the bin-pack too —
+      // the rows were clustered per-commit, the compaction restores
+      // the property ACROSS the merged commits
+      val clusterCols = props.get(WriteClusterByProp).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .filter(c => sub0.columns.map(
+          _.toLowerCase(java.util.Locale.ROOT))
+          .contains(c.split("\\.").head
+            .toLowerCase(java.util.Locale.ROOT)))
+      val sub =
+        if (clusterCols.isEmpty) sub0.coalesce(targetFiles)
+        else {
+          import org.apache.spark.sql.functions.col
+          sub0.repartitionByRange(targetFiles,
+            clusterCols.map(c => col(c).asc): _*)
+            .sortWithinPartitions(clusterCols.map(c => col(c).asc): _*)
+        }
       val fresh = writeSnapshot(fs, p, toPhysical(sub, mapping),
         version + 1, parts, 0L)
       // ONE attempt: losing the CAS to a concurrent append just means
