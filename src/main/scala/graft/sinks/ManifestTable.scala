@@ -1661,27 +1661,37 @@ object ManifestTable {
     // metadata survive and the incoming rows meet the nullability
     // contract (VERDICT r15 next-round #3).
     val parts = partitionCols
+    val props0 = m.map(_.props).getOrElse(Map.empty)
+    // preserveSchema keeps the TABLE's definition — including its
+    // generated/identity columns, which the replacement rows must
+    // synthesize exactly like an append's (a plain write REPLACES the
+    // definition with df's schema, so there is nothing to synthesize)
+    val (synth, genExps, idCols) =
+      if (preserveSchema)
+        synthesizeColumns(spark, df, recordedSchema(m), props0, table)
+      else (df, Seq.empty[Expectation], Seq.empty[(String, Long)])
     // data-derived schemas record AS NULLABLE (see [[enforceSchema]]):
     // toDF-encoded non-nullability is an encoding fact, not a contract
     val evolved =
-      if (preserveSchema) enforceSchema(recordedSchema(m), df.schema, table)
-      else nullableize(df.schema)
+      if (preserveSchema) enforceSchema(recordedSchema(m), synth.schema, table)
+      else nullableize(synth.schema)
     val notNull =
       if (preserveSchema)
-        notNullExpectations(Some(evolved), df.columns.toSeq, table)
+        notNullExpectations(Some(evolved), synth.columns.toSeq, table)
       else Seq.empty
-    val (toWrite, quality) = applyExpectations(df, expectations ++
-      constraintExpectations(m.map(_.props).getOrElse(Map.empty)) ++
+    val (toWrite, quality) = applyExpectations(synth, expectations ++
+      genExps ++ constraintExpectations(props0) ++
       notNull, table)
     val files = writeSnapshot(fs, p,
-      applyWriteClustering(toWrite, m.map(_.props).getOrElse(Map.empty)),
+      applyWriteClustering(toWrite, props0),
       base + 1, parts, maxRecordsPerFile)
+    val stats = collectStats(spark, p, files, props0)
     if (!commitFullList(spark, fs, p, base + 1, files,
       txn.fold(txns0) { case (app, v) => txns0 + (app -> v) },
-      collectStats(spark, p, files,
-        m.map(_.props).getOrElse(Map.empty)), parts,
+      stats, parts,
       Some(evolved.json), quality,
-      props = m.map(_.props).getOrElse(Map.empty),
+      props = advanceIdentity(spark, p, files, stats,
+        Some(evolved).filter(columnMapped), props0, idCols),
       op = opInfo(m, "write", "partitionBy" -> parts.mkString(","))))
       raceLost(table, base + 1)
     base + 1 // a replace manifest is its own base — no checkpoint needed
@@ -2271,6 +2281,18 @@ object ManifestTable {
         s"streaming write into column-mapped $table is not supported " +
           "via the V2 table sink — the tasks stage logical-named " +
           "files; stream through foreachBatch + appendStreamBatch")
+      // staged bytes are already on disk — identity/generated values
+      // cannot be synthesized into them; refuse rather than publish
+      // null ids (foreachBatch + appendStreamBatch synthesizes)
+      require(recordedSchema(m).forall(s =>
+        !org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .hasGeneratedColumns(s) &&
+        !org.apache.spark.sql.catalyst.util.IdentityColumn
+          .hasIdentityColumns(s)),
+        s"streaming write into $table via the V2 sink cannot " +
+          "synthesize its GENERATED/IDENTITY columns (the tasks " +
+          "staged the files already) — stream through foreachBatch + " +
+          "appendStreamBatch")
       val parts = m.map(_.parts).getOrElse(Seq.empty)
       // the tasks rendered Hive fragments for the partitioning the
       // TABLE declared at stream start; a concurrent layout change
@@ -5166,11 +5188,20 @@ object ManifestTable {
       val parts = stickyParts(Seq.empty, m.map(_.parts).getOrElse(Seq.empty))
       val mapping = mappingOf(m)
       val lstats = logicalStats(snap.stats, mapping)
+      val props0 = m.map(_.props).getOrElse(Map.empty)
+      // generated/identity synthesis for the REPLACEMENT rows; pinned
+      // again when identity is drawn so the write and the CDC image
+      // carry the same ids
+      val (prepped0, genExps, idCols) = synthesizeColumns(spark, pinned,
+        recordedSchema(m), props0, table)
+      val prepped =
+        if (idCols.isEmpty) prepped0 else prepped0.localCheckpoint()
       val active = recordedSchema(m).exists(columnMapped)
       val evolved = stampNewFields(
-        enforceSchema(recordedSchema(m), df.schema, table), active)
-      enforceConstraints(pinned, m.map(_.props).getOrElse(Map.empty),
-        table, pin = false, recorded = Some(evolved)): Unit
+        enforceSchema(recordedSchema(m), prepped.schema, table), active)
+      enforceConstraints(prepped, props0,
+        table, pin = false, recorded = Some(evolved),
+        extra = genExps): Unit
       val predExpr = DataSkipping.expressionOf(condition)
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(lstats.get(f), predExpr))
@@ -5185,7 +5216,7 @@ object ManifestTable {
         else Some(readFiles(spark, table, hits, snap.dvs, mapping = mapping)
           .filter(not(coalesce(condition, lit(false)))))
       val combined = survivors
-        .fold(pinned)(_.unionByName(pinned, allowMissingColumns = true))
+        .fold(prepped)(_.unionByName(prepped, allowMissingColumns = true))
       val fresh = writeSnapshot(fs, p,
         toPhysical(combined, Some(evolved).filter(columnMapped)),
         base + 1, parts, 0L)
@@ -5200,16 +5231,18 @@ object ManifestTable {
               mapping = mapping)
               .filter(coalesce(condition, lit(false)))
               .withColumn(ChangeTypeCol, lit("delete")))
-          val ins = pinned.withColumn(ChangeTypeCol, lit("insert"))
+          val ins = prepped.withColumn(ChangeTypeCol, lit("insert"))
           Some(writeChangeDir(spark, p, base + 1,
             dels.fold(ins)(_.unionByName(ins, allowMissingColumns = true))))
         }
+      val stats = collectStats(spark, p, fresh, props0)
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
-        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
+        stats,
         remove = hits, parts = parts,
         schemaJson = Some(evolved.json),
-        props = m.map(_.props).getOrElse(Map.empty),
+        props = advanceIdentity(spark, p, fresh, stats,
+          Some(evolved).filter(columnMapped), props0, idCols),
         cdcDir = cdc,
         op = opInfo(m, "replace-where",
           "condition" -> condition.toString,
@@ -5280,6 +5313,16 @@ object ManifestTable {
         s"dynamic partition overwrite on column-mapped $table is not " +
           "supported — the V2 writer stages logical-named files; use " +
           "replaceWhere")
+      // staged bytes cannot take synthesized identity/generated
+      // values after the fact — refuse rather than publish nulls
+      require(recordedSchema(m).forall(s =>
+        !org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .hasGeneratedColumns(s) &&
+        !org.apache.spark.sql.catalyst.util.IdentityColumn
+          .hasIdentityColumns(s)),
+        s"dynamic partition overwrite on $table cannot synthesize its " +
+          "GENERATED/IDENTITY columns (the writer staged the files " +
+          "already) — use replaceWhere or INSERT OVERWRITE")
       val snap = resolve(spark, fs, p, base, cs)
       val parts = m.map(_.parts).getOrElse(Seq.empty)
       val remove =
