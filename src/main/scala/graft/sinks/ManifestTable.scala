@@ -2016,6 +2016,37 @@ object ManifestTable {
       case _ => df
     }
 
+  /** `ALTER TABLE ... SYNC IDENTITY` (the Delta verb): recompute every
+    * identity column's next-value watermark from the CURRENT data —
+    * for tables whose rows arrived outside the synthesizing paths (a
+    * CONVERT, a clone of a pre-identity table, explicit BY DEFAULT
+    * inserts). From manifest statistics when every live file carries a
+    * usable bound (a metadata walk), else one aggregation. Monotone:
+    * the watermark only moves past observed values, never backward.
+    */
+  def syncIdentity(spark: SparkSession, table: String): Long = {
+    val (fs, p, base, snap) = resolveAt(spark, table, -1L)
+    val m = manifestAt(fs, p, base)
+    val rec = recordedSchema(m)
+    val specs = identityOf(rec)
+    require(specs.nonEmpty, s"$table has no identity columns to sync")
+    val props0 = m.map(_.props).getOrElse(Map.empty)
+    val mapping = rec.filter(columnMapped)
+    val next = advanceIdentity(spark, p, snap.files, snap.stats,
+      mapping, props0, specs.map { case (f, s) => f.name -> s.getStep })
+    if (next == props0) return base // already in sync, no commit
+    if (!commitDelta(fs, p, base + 1, Seq.empty,
+      m.map(_.txns).getOrElse(Map.empty),
+      parts = m.map(_.parts).getOrElse(Seq.empty),
+      schemaJson = m.flatMap(_.schemaJson),
+      props = next,
+      op = opInfo(m, "sync-identity",
+        "columns" -> specs.map(_._1.name).mkString(","))))
+      raceLost(table, base + 1)
+    maybeCheckpoint(spark, fs, p, base + 1)
+    base + 1
+  }
+
   /** (name, generation SQL, recorded type) of every generated column. */
   private def generatedOf(
       rec: Option[org.apache.spark.sql.types.StructType])

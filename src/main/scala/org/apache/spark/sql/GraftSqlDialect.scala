@@ -25,7 +25,8 @@ import graft.sinks.ManifestTable
   * RESTORE [TABLE] lake.ns.t TO VERSION AS OF n
   * RESTORE [TABLE] lake.ns.t TO TIMESTAMP AS OF '...'
   * CONVERT TO GRAFT lake.ns.t | '/path/to/parquet'
-  * CREATE TABLE lake.ns.t2 SHALLOW CLONE lake.ns.t [VERSION AS OF n]
+  * CREATE TABLE lake.ns.t2 SHALLOW CLONE lake.ns.t [VERSION AS OF n | TIMESTAMP AS OF '...']
+  * ALTER TABLE lake.ns.t SYNC IDENTITY
   * COPY INTO lake.ns.t FROM '/dir' [FILEFORMAT = F] [FORMAT_OPTIONS (...)] [FORCE = true]
   * ALTER TABLE lake.ns.t ADD CONSTRAINT name CHECK (expr)
   * ALTER TABLE lake.ns.t DROP CONSTRAINT [IF EXISTS] name
@@ -120,7 +121,8 @@ object GraftSqlDialect {
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$T\\s*;?\\s*""".r
   private val ShallowClone =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
-      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|""" +
+      """\s+TIMESTAMP\s+AS\s+OF\s+('[^']+'))?\s*;?\s*""").r
   private val CopyInto =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+('[^']+')""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
@@ -136,6 +138,8 @@ object GraftSqlDialect {
   private val DropConstraint =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""").r
+  private val SyncIdentity =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+SYNC\\s+IDENTITY\\s*;?\\s*""".r
 
   /** Index of the first occurrence of keyword `w` OUTSIDE quoted runs
     * (`'…'`, `"…"`, `` `…` ``) at a word boundary, case-insensitive;
@@ -290,10 +294,11 @@ object GraftSqlDialect {
       // statement only when a side is graft-addressable, so a
       // foreign catalog with its own CLONE keeps it (ADVICE r16)
       case "CREATE" => sqlText match {
-        case ShallowClone(tgt, src, ver)
+        case ShallowClone(tgt, src, ver, ts)
             if isGraftRef(tgt) || isGraftRef(src) =>
           Some(GraftCloneCommand(tgt, src,
-            Option(ver).map(_.toLong).getOrElse(-1L)))
+            Option(ver).map(_.toLong).getOrElse(-1L),
+            Option(ts).map(t => t.substring(1, t.length - 1))))
         case _ => None
       }
       case "GENERATE" => sqlText match {
@@ -313,6 +318,10 @@ object GraftSqlDialect {
         case DropConstraint(t, ifEx, cname) if isGraftRef(t) =>
           Some(GraftConstraintCommand(t, cname, None,
             ifExists = ifEx != null))
+        // the Delta SYNC IDENTITY verb — recompute identity
+        // watermarks from the current data (same graft-ref guard)
+        case SyncIdentity(t) if isGraftRef(t) =>
+          Some(GraftSyncIdentityCommand(t))
         case _ => None
       }
       case _ => None
@@ -364,14 +373,19 @@ object GraftSqlDialect {
     * references t1's live files where they already live.
     */
   final case class GraftCloneCommand(target: String, source: String,
-      version: Long) extends LeafRunnableCommand {
+      version: Long, timestamp: Option[String] = None)
+    extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       attrs(StructType.fromDDL("cloned_version BIGINT"))
-    override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(ManifestTable.cloneTable(spark,
-        GraftSqlDialect.pathOf(spark, source),
+    override def run(spark: SparkSession): Seq[Row] = {
+      val srcPath = GraftSqlDialect.pathOf(spark, source)
+      val v = timestamp.fold(version)(ts =>
+        ManifestTable.versionAtTimestamp(spark, srcPath,
+          ManifestTable.parseTimestampMillis(spark, ts)))
+      Seq(Row(ManifestTable.cloneTable(spark, srcPath,
         GraftSqlDialect.pathOf(spark, target, requireExists = false),
-        version)))
+        v)))
+    }
   }
 
   /** `COPY INTO t FROM '<dir>' ...` — incremental exactly-once
@@ -448,6 +462,16 @@ object GraftSqlDialect {
         else ManifestTable.detailReport(spark, p)
       df.collect().toSeq
     }
+  }
+
+  /** `ALTER TABLE t SYNC IDENTITY` ([[ManifestTable.syncIdentity]]). */
+  final case class GraftSyncIdentityCommand(ref: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      attrs(StructType.fromDDL("synced_version BIGINT"))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(ManifestTable.syncIdentity(spark,
+        GraftSqlDialect.pathOf(spark, ref))))
   }
 
   final case class GraftRestoreCommand(ref: String,
