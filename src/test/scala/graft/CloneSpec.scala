@@ -138,6 +138,32 @@ class CloneSpec extends AnyFunSuite {
       "with the marker gone the adopted files become reclaimable")
   }
 
+  test("cloning a CONVERTED (adopted Hive-layout) source works end-to-end") {
+    import spark.implicits._
+    // a plain Hive-partitioned parquet dir, adopted in place, then
+    // cloned: the clone's absolute references point at adopted
+    // k=v/... files with no data/s marker — the other layout family
+    val srcDir = Files.createTempDirectory("graft_clone_conv").toString
+    (0L until 30L).map(i => (i, s"p${i % 3}", s"v$i")).toDF("id", "k", "v")
+      .write.partitionBy("k").parquet(s"$srcDir/t")
+    val src = s"$srcDir/t"
+    ManifestTable.convertToGraft(spark, src): Unit
+    val cl = fresh("clone")
+    ManifestTable.cloneTable(spark, src, cl)
+    assert(localParquetCount(cl) == 0)
+    val r = ManifestTable.read(spark, cl)
+    assert(r.count() == 30)
+    // partition values resolve from the adopted paths through the
+    // absolute references; pruning still applies
+    assert(r.filter(col("k") === "p1").count() == 10)
+    assert(ManifestTable.readWhere(spark, cl, col("id") === 7L)
+      .select("v").head().getString(0) == "v7")
+    // divergence: a CoW delete on the clone leaves the source intact
+    ManifestTable.delete(spark, cl, col("id") < 3L): Unit
+    assert(ManifestTable.read(spark, cl).count() == 27)
+    assert(ManifestTable.read(spark, src).count() == 30)
+  }
+
   test("clone carries deletion vectors and column mapping; SQL surface end-to-end") {
     import spark.implicits._
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
