@@ -6639,7 +6639,10 @@ object ManifestTable {
     * dv-sidecar / bloom-sidecar / manifest / checkpoint / staged /
     * checkpoint-sidecar / change-files) and the table-relative
     * `path`; consumers the retention would orphan appear as
-    * `orphaned-consumer` rows instead of a refusal. Deletes nothing,
+    * `orphaned-consumer` rows instead of a refusal, and files kept
+    * alive ONLY by shallow-clone markers as `clone-protected` rows
+    * (delete the marker under `_manifests/clones/` to release them).
+    * Deletes nothing,
     * writes nothing (the floor checkpoint a real run would
     * materialize is assumed to succeed, as it does).
     */
@@ -6714,8 +6717,16 @@ object ManifestTable {
     // ([[cloneTable]]'s protection markers) are live whatever the
     // retention says — reclaiming them would break the clone's reads
     val (cloneFiles, cloneDvs, cloneBlooms) = cloneMarkerRefs(fs, p)
-    val live = retained
-      .flatMap(ver => currentFiles(spark, table, ver)).toSet ++ cloneFiles
+    val retainedLive = retained
+      .flatMap(ver => currentFiles(spark, table, ver)).toSet
+    if (dryRun) {
+      // observability: the dry run names what ONLY clone markers keep
+      // alive, so an operator sees why retention isn't reclaiming it
+      // (drop the marker under _manifests/clones/ to release)
+      cloneFiles.toSeq.sorted.filterNot(retainedLive).foreach(f =>
+        report += "clone-protected" -> f)
+    }
+    val live = retainedLive ++ cloneFiles
     val dataDir = new Path(p, "data")
     // files THIS pass deletes (dry run: would delete) — the emptied-
     // dir check below must see the post-pass state either way

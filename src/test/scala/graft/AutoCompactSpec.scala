@@ -58,6 +58,52 @@ class AutoCompactSpec extends AnyFunSuite {
     assert(ManifestTable.currentFiles(spark, t2).size == 40)
   }
 
+  test("a lost auto-compact race is silent; the next commit picks the work up") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = fresh()
+    // accumulate small files FIRST, enable the property after — the
+    // trigger append is then the deterministic first compaction
+    ManifestTable.create(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    (0 until 3).foreach { k =>
+      ManifestTable.append(spark,
+        (0L until 4L).map(i => (k * 4L + i, s"v$k-$i"))
+          .toDF("id", "v").repartition(2), t): Unit
+    }
+    ManifestTable.updateProperties(spark, t, Map(
+      ManifestTable.AutoCompactProp -> "true",
+      ManifestTable.AutoCompactMinFilesProp -> "4"), Seq.empty): Unit
+    val v = ManifestTable.currentVersion(spark, t)
+    // the trigger append commits v+1; its auto-compact targets v+2 —
+    // a COMPETING append lands v+2 first, so the compact must lose
+    // the CAS SILENTLY (the triggering append already committed;
+    // cleanup defers to a later commit's own post-commit check)
+    val compactTarget = f"v${v + 2}%012d.json"
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    ManifestTable.preCommitHook = { (path, target) =>
+      if (path == new org.apache.hadoop.fs.Path(t).toString &&
+        target == compactTarget && raced.compareAndSet(false, true))
+        ManifestTable.append(spark,
+          Seq((100L, "racer")).toDF("id", "v"), t): Unit
+    }
+    try {
+      ManifestTable.append(spark,
+        Seq((99L, "trigger")).toDF("id", "v"), t): Unit
+    } finally ManifestTable.preCommitHook = (_, _) => ()
+    assert(raced.get, "the interleaving hook must have fired")
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 14, "both the trigger and the racer landed")
+    assert(r.filter(col("v") === "racer").count() == 1)
+    assert(r.filter(col("v") === "trigger").count() == 1)
+    // the racer's own post-commit check compacted (it saw >= 4 small
+    // files); either way the table must be consistent and bounded
+    assert(ManifestTable.currentFiles(spark, t).size <= 10)
+    val hist = ManifestTable.history(spark, t)
+    assert(hist.filter(col("operation") === "auto-compact").count() >= 1,
+      "a compaction eventually lands despite the lost race")
+  }
+
   test("change consumers skip the auto-compact commit; partitions survive") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -114,6 +114,8 @@ class CloneSpec extends AnyFunSuite {
       keepVersions = 1, graceMs = 0L)
     assert(report.filter(col("kind") === "data").count() == 0,
       "marker-protected files must not be slated for deletion")
+    assert(report.filter(col("kind") === "clone-protected").count() > 0,
+      "the dry run names what only clone markers keep alive")
     ManifestTable.vacuum(spark, src, keepVersions = 1, graceMs = 0L): Unit
     assert(ManifestTable.read(spark, cl).count() == 40,
       "source vacuum must not break the clone")
