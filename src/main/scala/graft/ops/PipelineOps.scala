@@ -2375,6 +2375,53 @@ object PipelineOps {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1 ORDER BY size_class""".stripMargin
 
+  /** p50: AUTO-COMPACT + WRITE CLUSTERING lifecycle — a table
+    * declaring `graft.write.clusterBy` and `graft.autoCompact.*`
+    * takes ten small INSERT waves; the post-commit compactions
+    * (dataChange = false bin-packs) and the per-write clustering
+    * exchanges must be PURE reorganizations: the census is hash-exact
+    * against the raw corpus — any lost or duplicated row under the
+    * rewrite machinery breaks it.
+    */
+  def p50AutoCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val inv = p42Invocation.incrementAndGet()
+    val cat = s"p50lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p50_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) TBLPROPERTIES (" +
+      "'graft.write.clusterBy' = 'doc_id', " +
+      "'graft.autoCompact.enabled' = 'true', " +
+      "'graft.autoCompact.minFiles' = '6')")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      .createOrReplaceTempView("p50_seed")
+    (0 until 10).foreach { k =>
+      spark.sql(s"INSERT INTO $cat.db.docs " +
+        s"SELECT doc_id, lang, n_chars FROM p50_seed WHERE doc_id % 10 = $k")
+    }
+    spark.sql(s"SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "count(DISTINCT doc_id) AS n_distinct, " +
+      "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+      "CAST(max(doc_id) AS BIGINT) AS max_id " +
+      s"FROM $cat.db.docs GROUP BY lang ORDER BY lang ASC NULLS LAST")
+  }
+
+  val p50Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT doc_id) AS n_distinct,
+      |  CAST(min(doc_id) AS BIGINT) AS min_id,
+      |  CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST"""
+      .stripMargin
+
   val p41Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
