@@ -187,7 +187,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
-    import org.apache.spark.sql.types.{LongType, IntegerType, ShortType, ByteType, MetadataBuilder}
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder}
     val base = org.apache.spark.sql.GraftColumnBridge
       .v2ColumnsToStructType(columns)
     val enriched = StructType(base.fields.zip(columns).map { case (f, c) =>
@@ -197,9 +197,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, g)
       }
       Option(c.identityColumnSpec()).foreach { s =>
-        require(Set[org.apache.spark.sql.types.DataType](
-          LongType, IntegerType, ShortType, ByteType)(f.dataType),
-          s"identity column '${f.name}' must be an integral type, " +
+        // BIGINT only (the Delta restriction): the allocator hands
+        // out watermark + step * monotonically_increasing_id(), whose
+        // partition component exceeds Int range — a narrower identity
+        // column would silently overflow-wrap into collisions
+        require(f.dataType == LongType,
+          s"identity column '${f.name}' must be BIGINT, " +
             s"got ${f.dataType.sql}")
         require(s.getStep != 0, s"identity column '${f.name}': STEP 0 " +
           "would hand out one value forever")

@@ -2161,7 +2161,8 @@ object ManifestTable {
           val d = spark.read.parquet(
             nonEmpty.map(f => absStr(p.toString, f)): _*)
           val r = d.agg(
-            (if (step >= 0) max(col(phys)) else min(col(phys)))).head()
+            (if (step >= 0) max(col(phys)) else min(col(phys)))
+              .cast(org.apache.spark.sql.types.LongType)).head()
           if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
       observed match {
