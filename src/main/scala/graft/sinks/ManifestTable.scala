@@ -2047,6 +2047,31 @@ object ManifestTable {
     base + 1
   }
 
+  /** Refuse renaming/dropping a column a GENERATION EXPRESSION reads
+    * (the Delta restriction): the expression string names its inputs,
+    * so every write after the rename would fail resolving it — catch
+    * at DDL time with the dependency named instead.
+    */
+  private def refuseGenerationInput(
+      rec: Option[org.apache.spark.sql.types.StructType],
+      column: String, what: String): Unit =
+    generatedOf(rec).foreach { case (gen, sql, _) =>
+      // parse EAGERLY (Spark 4's functions.expr wraps the text
+      // unparsed until analysis — no attributes to collect there)
+      val refs =
+        try org.apache.spark.sql.SparkSession.active.sessionState
+          .sqlParser.parseExpression(sql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name.toLowerCase(java.util.Locale.ROOT)
+          }.toSet
+        catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+      if (refs(column.toLowerCase(java.util.Locale.ROOT)))
+        throw new IllegalArgumentException(
+          s"cannot $what column '$column': generated column '$gen' is " +
+            s"defined as ($sql) and reads it — drop the generated " +
+            "column first or rewrite the table")
+    }
+
   /** (name, generation SQL, recorded type) of every generated column. */
   private def generatedOf(
       rec: Option[org.apache.spark.sql.types.StructType])
@@ -2852,6 +2877,7 @@ object ManifestTable {
         val oldName = path.head
         require(cur.fieldNames.contains(oldName),
           s"no column '$oldName' in ${cur.fieldNames.mkString(", ")}")
+        refuseGenerationInput(Some(cur), oldName, "rename")
         require(!cur.fieldNames.exists(e =>
           key(e) == key(newName) && e != oldName),
           s"column '$newName' already exists")
@@ -2917,6 +2943,7 @@ object ManifestTable {
     require(cur.fields.length > 1, "cannot drop the last column")
     require(!m.exists(_.parts.contains(name)),
       s"'$name' is a partition column — drop needs a rewrite via write()")
+    refuseGenerationInput(Some(cur), name, "drop")
     val evolved = StructType(cur.fields
       .filterNot(_.name == name)
       .map(f => stamp(f, physicalOf(f))))
@@ -3709,7 +3736,18 @@ object ManifestTable {
     fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json"))
       .foreach { st =>
         val in = fs.open(st.getPath)
-        val root = try mapper.readTree(in) finally in.close()
+        // fail CLOSED with the marker NAMED: silently skipping a
+        // corrupt marker would reclaim a live clone's data, and the
+        // operator's remedy is deleting exactly this file
+        val root =
+          try mapper.readTree(in)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalStateException(
+                s"unreadable clone-protection marker ${st.getPath} — " +
+                  "vacuum cannot prove the clone's files are safe to " +
+                  "reclaim; repair or delete the marker to proceed", e)
+          } finally in.close()
         def drain(field: String, into: scala.collection.mutable.Builder[String, Set[String]]): Unit = {
           val arr = root.get(field)
           if (arr != null && arr.isArray) {
