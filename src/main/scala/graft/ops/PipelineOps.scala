@@ -2442,4 +2442,55 @@ object PipelineOps {
       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       |FROM edited WHERE doc_id % 9 <> 0
       |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  /** p51: DECIMAL data skipping end-to-end (VERDICT r18 #1) — a
+    * money-typed `DECIMAL(14,2)` column, price-clustered on write
+    * (`graft.write.clusterBy`) so every file covers a tight decimal
+    * range, then a selective range predicate served through the
+    * native catalog scan: the manifest's decimal footer statistics
+    * (parquet stores the unscaled integer exactly; bounds decode to
+    * BigDecimal) prune the non-overlapping files before any row is
+    * read — the dominant fact-table filter shape at 100 TB. The
+    * decimal is derived from the double price via `floor(x*100)/100`
+    * (exact in both engines — no rounding-tie dependence) and the
+    * aggregates return exact integer CENTS, so the DuckDB comparison
+    * never rides decimal-rendering or tie-rounding details.
+    */
+  def p51DecimalSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val inv = p42Invocation.incrementAndGet()
+    val cat = s"p51lake$inv"
+    val wh = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p51_wh_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.prices " +
+      "(ok BIGINT, flag STRING, price DECIMAL(14,2)) " +
+      "TBLPROPERTIES ('graft.write.clusterBy' = 'price')")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_returnflag").as("flag"),
+        expr("CAST(floor(l_extendedprice * 100) / 100 AS DECIMAL(14,2))")
+          .as("price"))
+      .createOrReplaceTempView("p51_seed")
+    spark.sql(
+      s"INSERT INTO $cat.db.prices SELECT ok, flag, price FROM p51_seed")
+    spark.sql(s"SELECT flag, count(*) AS n_rows, " +
+      "CAST(sum(price) * 100 AS BIGINT) AS sum_cents, " +
+      "CAST(min(price) * 100 AS BIGINT) AS min_cents, " +
+      "CAST(max(price) * 100 AS BIGINT) AS max_cents " +
+      s"FROM $cat.db.prices WHERE price >= 900.00 AND price < 1500.00 " +
+      "GROUP BY flag ORDER BY flag ASC NULLS LAST")
+  }
+
+  val p51Sql: String =
+    """WITH src AS (SELECT l_returnflag AS flag,
+      |    CAST(floor(l_extendedprice * 100) / 100 AS DECIMAL(14,2)) AS price
+      |  FROM lineitem)
+      |SELECT flag, count(*) AS n_rows,
+      |  CAST(sum(price) * 100 AS BIGINT) AS sum_cents,
+      |  CAST(min(price) * 100 AS BIGINT) AS min_cents,
+      |  CAST(max(price) * 100 AS BIGINT) AS max_cents
+      |FROM src WHERE price >= 900.00 AND price < 1500.00
+      |GROUP BY flag ORDER BY flag ASC NULLS LAST""".stripMargin
 }

@@ -640,6 +640,14 @@ object ManifestTable {
           case d: Double => n.put(field, d): Unit
           case s: String => n.put(field, s): Unit
           case b: Boolean => n.put(field, b): Unit
+          // DECIMAL bounds carry their own tagged key ("minDec"/
+          // "maxDec", plain-notation string): a bare JSON number
+          // would round-trip through double (lossy past 2^53 —
+          // a lossy bound can prune a file that matches), and a bare
+          // string would be indistinguishable from a genuine string
+          // stat (whose comparisons are lexicographic, not numeric)
+          case bd: scala.math.BigDecimal =>
+            n.put(field + "Dec", bd.underlying.toPlainString): Unit
           case _ => ()
         }
         cs.min.foreach(putVal("min", _))
@@ -720,8 +728,13 @@ object ManifestTable {
         while (cit.hasNext) {
           val ce = cit.next()
           val n = ce.getValue
+          def bound(field: String): Option[Any] =
+            Option(n.get(field + "Dec")).flatMap(d =>
+              try Some(scala.math.BigDecimal(d.asText()))
+              catch { case _: NumberFormatException => None })
+              .orElse(jsonScalar(n.get(field)))
           cb += ce.getKey -> DataSkipping.ColStats(
-            jsonScalar(n.get("min")), jsonScalar(n.get("max")),
+            bound("min"), bound("max"),
             Option(n.get("nulls")).map(_.asLong()))
         }
         cb.result()
@@ -3885,8 +3898,11 @@ object ManifestTable {
           catch { case _: java.time.format.DateTimeParseException => None }
         case Some(TimestampType) => partitionTsMicros(spark, s)
         case Some(StringType) => Some(s)
+        case Some(_: DecimalType) =>
+          try Some(scala.math.BigDecimal(s))
+          catch { case _: NumberFormatException => None }
         case None => if (isPartCol) None else Some(s)
-        case Some(_) => None // no codec (decimal, nested, ...): absent
+        case Some(_) => None // no codec (nested, ...): absent
       }
       case other => Some(other) // footer-typed: already canonical
     }
@@ -4171,10 +4187,12 @@ object ManifestTable {
     val before =
       if (fromVersion == 0) Set.empty[String]
       else currentFiles(spark, table, fromVersion).toSet
-    val snap = resolveAt(spark, table, to)._4
+    val (cfs, cp, _, snap) = resolveAt(spark, table, to)
     val added = snap.files.filterNot(before)
+    val recC = schemaAt(cfs, cp, to)
     if (added.isEmpty) read(spark, table, to).limit(0)
-    else readFiles(spark, table, added, snap.dvs)
+    else readFiles(spark, table, added, snap.dvs,
+      mapping = recC.filter(columnMapped), recorded = recC)
   }
 
   /** [[consumeChanges]] `onRewrite` policies: `fail` (default) aborts
@@ -4553,7 +4571,8 @@ object ManifestTable {
           if (isSnapshot) resolveAt(spark, table, current)._4.dvs
           else Map.empty[String, Seq[DvRef]]
         readFiles(spark, table, added, dvs,
-          mapping = mappingAt(fs, p, current))
+          mapping = mappingAt(fs, p, current),
+          recorded = schemaAt(fs, p, current))
       } catch { case e: org.apache.spark.sql.AnalysisException =>
         // normally unreachable (vacuum reclaims an add-file only
         // together with the manifest naming it, and the walk throws
@@ -4643,8 +4662,12 @@ object ManifestTable {
     val to = if (toVersion > 0) toVersion else vs.foldLeft(0L)(math.max)
     require(fromVersion >= 0 && fromVersion <= to,
       s"bad row-CDF range ($fromVersion, $to]")
-    val mapTo = mappingAt(fs, p, to) // read every commit's files under
-    // the schema at `to` (a rename mid-range reports under the new name)
+    val recTo = schemaAt(fs, p, to)
+    val mapTo = recTo.filter(columnMapped) // read every commit's files
+    // under the schema at `to` (a rename mid-range reports under the
+    // new name); recTo also freezes EXISTS_DEFAULTs into the served
+    // change rows — pre-default files must report the default, not
+    // null, exactly like the snapshot read path
     val baseFields: Seq[org.apache.spark.sql.types.StructField] =
       schemaAt(fs, p, to).map(_.fields.toSeq).getOrElse(
         read(spark, table, to).schema.fields.toSeq)
@@ -4691,35 +4714,35 @@ object ManifestTable {
           val dvDirs = d.dvs.values.flatten.map(_.path).toSeq.distinct
           val targets = d.dvs.keys.toSeq.sorted
           val tagged = readFiles(spark, table, targets, Map.empty,
-            keepIdentity = true, mapping = mapTo)
+            keepIdentity = true, mapping = mapTo, recorded = recTo)
           Seq(tag(tagged.join(dvEntries(spark, table, dvDirs),
             Seq(DvFileCol, DvIdxCol), "inner")
             .drop(AbsPathCol, DvFileCol, DvIdxCol), "delete", v))
         case d: Delta if d.remove.isEmpty =>
           if (d.add.isEmpty) Seq.empty // pure offset/DDL commit
           else Seq(tag(readFiles(spark, table, d.add, Map.empty,
-            mapping = mapTo), "insert", v))
+            mapping = mapTo, recorded = recTo), "insert", v))
         case d: Delta =>
           val prev = resolve(spark, fs, p, v - 1, cs)
           val old = align(readFiles(spark, table, d.remove, prev.dvs,
-            mapping = mapTo))
+            mapping = mapTo, recorded = recTo))
           if (d.add.isEmpty) // pure delete: every pre-image row died
             Seq(tag(old, "delete", v))
           else {
             val neu = align(readFiles(spark, table, d.add, Map.empty,
-              mapping = mapTo))
+              mapping = mapTo, recorded = recTo))
             Seq(tag(old.exceptAll(neu), "delete", v),
               tag(neu.exceptAll(old), "insert", v))
           }
         case _ => // Replace or Ref base: overwrite/truncate (v=1: create)
           val cur = resolve(spark, fs, p, v, cs)
           val neu = align(readFiles(spark, table, cur.files, cur.dvs,
-            mapping = mapTo))
+            mapping = mapTo, recorded = recTo))
           if (v == 1) Seq(tag(neu, "insert", v))
           else {
             val prev = resolve(spark, fs, p, v - 1, cs)
             val old = align(readFiles(spark, table, prev.files, prev.dvs,
-              mapping = mapTo))
+              mapping = mapTo, recorded = recTo))
             Seq(tag(old.exceptAll(neu), "delete", v),
               tag(neu.exceptAll(old), "insert", v))
           }
@@ -4838,7 +4861,7 @@ object ManifestTable {
             return Sinks.CompactStats(before.size, before.size,
               snapshotBytes(fs, p, before, snapB.stats))
           val sub0 = readFiles(spark, table, selected, snapB.dvs,
-            mapping = mapping)
+            mapping = mapping, recorded = recordedSchema(m))
           val targetFiles = math.max(1L,
             (selBytes + targetFileBytes - 1) / targetFileBytes).toInt
           val sub =
@@ -4958,7 +4981,7 @@ object ManifestTable {
       val targetFiles = math.max(1L,
         (smallBytes + target - 1) / target).toInt
       val sub0 = readFiles(spark, table, small, snap.dvs,
-        mapping = mapping)
+        mapping = mapping, recorded = recordedSchema(m))
       // a declared write clustering re-clusters the bin-pack too —
       // the rows were clustered per-commit, the compaction restores
       // the property ACROSS the merged commits
@@ -5041,10 +5064,11 @@ object ManifestTable {
   private def hitFiles(spark: SparkSession, table: String,
       candidates: Seq[String], dvs: Map[String, Seq[DvRef]],
       selector: DataFrame => DataFrame,
-      mapping: Option[org.apache.spark.sql.types.StructType] = None)
+      mapping: Option[org.apache.spark.sql.types.StructType] = None,
+      recorded: Option[org.apache.spark.sql.types.StructType] = None)
       : Seq[String] = {
     val tagged = readFiles(spark, table, candidates, dvs,
-      keepIdentity = true, mapping = mapping)
+      keepIdentity = true, mapping = mapping, recorded = recorded)
     selector(tagged).select(AbsPathCol).distinct()
       .collect().map(r => matchRel(r.getString(0), candidates))
       .toSeq.distinct.sorted
@@ -5085,12 +5109,12 @@ object ManifestTable {
         DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base
       val hits = hitFiles(spark, table, candidates, snap.dvs,
-        _.filter(predicate), mapping)
+        _.filter(predicate), mapping, recorded = recordedSchema(m))
       if (hits.isEmpty) return base
       // DV-filtered read: a rewrite must not resurrect rows an earlier
       // deletion vector removed (the rewrite drops the files' DVs)
       val survivors = readFiles(spark, table, hits, snap.dvs,
-        mapping = mapping)
+        mapping = mapping, recorded = recordedSchema(m))
         .filter(not(coalesce(predicate, lit(false))))
       val fresh = writeSnapshot(fs, p,
         toPhysical(survivors, mapping), base + 1, parts, 0L)
@@ -5099,7 +5123,8 @@ object ManifestTable {
       val cdc =
         if (!changeFeedOn(m)) None
         else Some(writeChangeDir(spark, p, base + 1,
-          readFiles(spark, table, hits, snap.dvs, mapping = mapping)
+          readFiles(spark, table, hits, snap.dvs, mapping = mapping,
+            recorded = recordedSchema(m))
             .filter(coalesce(predicate, lit(false)))
             .withColumn(ChangeTypeCol, lit("delete"))))
       if (commitDelta(fs, p, base + 1, fresh,
@@ -5162,7 +5187,8 @@ object ManifestTable {
       }
       if (candidates.isEmpty) return base
       val cframe = readFiles(spark, table, candidates, snap.dvs,
-        keepIdentity = true, mapping = mapping)
+        keepIdentity = true, mapping = mapping,
+        recorded = recordedSchema(m))
       // ONE pinned evaluation of the matched row ids (subqueries et
       // al. run here and never again); rows where the condition is
       // NULL are untouched (SQL DELETE semantics)
@@ -5176,7 +5202,8 @@ object ManifestTable {
         .toSeq.sorted
       val ids = matched.select(col(DvFileCol), col(DvIdxCol))
       def hframe = readFiles(spark, table, hits, snap.dvs,
-        keepIdentity = true, mapping = mapping)
+        keepIdentity = true, mapping = mapping,
+        recorded = recordedSchema(m))
       val survivors = hframe.join(ids, Seq(DvFileCol, DvIdxCol), "left_anti")
         .drop(AbsPathCol, DvFileCol, DvIdxCol)
       val fresh = writeSnapshot(fs, p,
@@ -5283,7 +5310,8 @@ object ManifestTable {
       if (hits.isEmpty && pinned.isEmpty) return base
       val survivors =
         if (hits.isEmpty) None
-        else Some(readFiles(spark, table, hits, snap.dvs, mapping = mapping)
+        else Some(readFiles(spark, table, hits, snap.dvs, mapping = mapping,
+          recorded = recordedSchema(m))
           .filter(not(coalesce(condition, lit(false)))))
       val combined = survivors
         .fold(prepped)(_.unionByName(prepped, allowMissingColumns = true))
@@ -5298,7 +5326,7 @@ object ManifestTable {
           val dels =
             if (hits.isEmpty) None
             else Some(readFiles(spark, table, hits, snap.dvs,
-              mapping = mapping)
+              mapping = mapping, recorded = recordedSchema(m))
               .filter(coalesce(condition, lit(false)))
               .withColumn(ChangeTypeCol, lit("delete")))
           val ins = prepped.withColumn(ChangeTypeCol, lit("insert"))
@@ -5409,7 +5437,7 @@ object ManifestTable {
           val dels =
             if (remove.isEmpty) None
             else Some(readFiles(spark, table, remove, snap.dvs,
-              mapping = mappingOf(m))
+              mapping = mappingOf(m), recorded = recordedSchema(m))
               .withColumn(ChangeTypeCol, lit("delete")))
           val ins = readFiles(spark, table, staged, Map.empty)
             .withColumn(ChangeTypeCol, lit("insert"))
@@ -5478,7 +5506,8 @@ object ManifestTable {
       // projection is 3 metadata-ish columns; localCheckpoint pins one
       // evaluation for the count pass and the sidecar write.
       val matched = readFiles(spark, table, candidates, snap.dvs,
-        keepIdentity = true, mapping = mapping)
+        keepIdentity = true, mapping = mapping,
+        recorded = recordedSchema(m))
         .filter(coalesce(predicate, lit(false)))
         .select(col(AbsPathCol), col(DvFileCol), col(DvIdxCol))
         .localCheckpoint()
@@ -5494,7 +5523,8 @@ object ManifestTable {
       val cdc =
         if (!changeFeedOn(m)) None
         else Some(writeChangeDir(spark, p, base + 1,
-          readFiles(spark, table, candidates, snap.dvs, mapping = mapping)
+          readFiles(spark, table, candidates, snap.dvs, mapping = mapping,
+            recorded = recordedSchema(m))
             .filter(coalesce(predicate, lit(false)))
             .withColumn(ChangeTypeCol, lit("delete"))))
       if (commitDelta(fs, p, base + 1, Seq.empty,
@@ -5547,9 +5577,10 @@ object ManifestTable {
         DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base
       val hits = hitFiles(spark, table, candidates, snap.dvs,
-        _.filter(predicate), mapping)
+        _.filter(predicate), mapping, recorded = recordedSchema(m))
       if (hits.isEmpty) return base
-      val src = readFiles(spark, table, hits, snap.dvs, mapping = mapping)
+      val src = readFiles(spark, table, hits, snap.dvs, mapping = mapping,
+        recorded = recordedSchema(m))
       val unknown = set.keySet -- src.columns
       require(unknown.isEmpty,
         s"UPDATE sets unknown column(s) ${unknown.mkString(", ")} — " +
@@ -5640,7 +5671,8 @@ object ManifestTable {
       }
       if (candidates.isEmpty) return base
       val cframe = readFiles(spark, table, candidates, snap.dvs,
-        keepIdentity = true, mapping = mapping)
+        keepIdentity = true, mapping = mapping,
+        recorded = recordedSchema(m))
       val matched = cframe.filter(coalesce(condFor(cframe), lit(false)))
         .select(col(AbsPathCol), col(DvFileCol), col(DvIdxCol))
         .localCheckpoint()
@@ -5651,7 +5683,8 @@ object ManifestTable {
         .toSeq.sorted
       val ids = matched.select(col(DvFileCol), col(DvIdxCol))
       val src = readFiles(spark, table, hits, snap.dvs,
-        keepIdentity = true, mapping = mapping)
+        keepIdentity = true, mapping = mapping,
+        recorded = recordedSchema(m))
       val dataCols = src.columns.toIndexedSeq
         .filterNot(Set(AbsPathCol, DvFileCol, DvIdxCol))
       val unknown = set.keySet -- dataCols
@@ -6072,7 +6105,8 @@ object ManifestTable {
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
         else hitFiles(spark, table, candidates, snap.dvs,
-          _.join(srcKeys, keyCols, "left_semi"), mapping0)
+          _.join(srcKeys, keyCols, "left_semi"), mapping0,
+          recorded = recordedSchema(m))
       val props0 = m.map(_.props).getOrElse(Map.empty)
       val rec = recordedSchema(m)
       // generated/identity completion for the whole-row upsert:
@@ -6092,7 +6126,7 @@ object ManifestTable {
             if (hits.isEmpty) gens
             else {
               val olds = readFiles(spark, table, hits, snap.dvs,
-                mapping = mapping0)
+                mapping = mapping0, recorded = rec)
                 .join(srcKeys, keyCols, "left_semi")
                 .select((keyCols ++ idNames).map(col): _*)
                 .select(keyCols.map(col) ++ idNames.map(n =>
@@ -6113,7 +6147,8 @@ object ManifestTable {
       }
       val newData =
         if (hits.isEmpty) srcPrepped
-        else readFiles(spark, table, hits, snap.dvs, mapping = mapping0)
+        else readFiles(spark, table, hits, snap.dvs, mapping = mapping0,
+          recorded = rec)
           .join(srcKeys, keyCols, "left_anti")
           .unionByName(srcPrepped, allowMissingColumns = true)
       val active = rec.exists(columnMapped)
@@ -6137,7 +6172,7 @@ object ManifestTable {
           val replaced =
             if (hits.isEmpty) None
             else Some(readFiles(spark, table, hits, snap.dvs,
-              mapping = mappingOf(m))
+              mapping = mappingOf(m), recorded = rec)
               .join(srcKeys, keyCols, "left_semi")
               .withColumn(ChangeTypeCol, lit("delete")))
           val added = srcPrepped.withColumn(ChangeTypeCol, lit("insert"))
@@ -6360,13 +6395,13 @@ object ManifestTable {
             .join(srcMarked, keyCond, "left_outer")
           val (anyChange, _, _) = clausePlan(matchedFlag)
           joined.filter(anyChange)
-        }, mapping0)
+        }, mapping0, recorded = recorded)
       // rewrite the hit files under the clause plan
       val rewritten: Option[DataFrame] =
         if (hits.isEmpty) None
         else {
           val tgt = readFiles(spark, table, hits, snap.dvs,
-            mapping = mapping0)
+            mapping = mapping0, recorded = recorded)
           val cols = tgt.columns.toIndexedSeq
           val joined = tgt.alias("t").join(srcMarked, keyCond, "left_outer")
           val (_, del, ups) = clausePlan(matchedFlag)
@@ -6397,12 +6432,12 @@ object ManifestTable {
             else extraOn match {
               case Some(x) =>
                 val tgt = readFiles(spark, table, keyCand, snap.dvs,
-                  mapping = mapping0).alias("t")
+                  mapping = mapping0, recorded = recorded).alias("t")
                 unmatched0.join(tgt,
                   keyCond && coalesce(x, lit(false)), "left_anti")
               case None =>
                 val targetKeys = readFiles(spark, table, keyCand, snap.dvs,
-                  mapping = mapping0)
+                  mapping = mapping0, recorded = recorded)
                   .select(keyPairs.map(kp =>
                     col(kp._1).as(s"_graft_tk_${kp._1}")): _*)
                 unmatched0.join(targetKeys,
@@ -6486,7 +6521,7 @@ object ManifestTable {
               val rewriteDiffs: Seq[DataFrame] = (rewritten, hits) match {
                 case (Some(rw), hs) if hs.nonEmpty =>
                   val old = readFiles(spark, table, hs, snap.dvs,
-                    mapping = mapping0)
+                    mapping = mapping0, recorded = recorded)
                   Seq(old.exceptAll(rw)
                     .withColumn(ChangeTypeCol, lit("delete")),
                     rw.exceptAll(old)
@@ -6587,7 +6622,8 @@ object ManifestTable {
       // immutable FILE, so they stay valid across later DV churn; the
       // report-time union over live files is an upper-bound estimate
       val tagged = readFiles(spark, table, todo, Map.empty,
-        keepIdentity = true, mapping = mapping)
+        keepIdentity = true, mapping = mapping,
+        recorded = recordedSchema(m))
       val aggs = targets.map(c =>
         hll_sketch_agg(col(c).cast("string"), lgK).as(c))
       val rows = tagged.groupBy(col(DvFileCol))

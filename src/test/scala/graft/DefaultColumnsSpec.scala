@@ -84,6 +84,40 @@ class DefaultColumnsSpec extends AnyFunSuite {
       col("tier") === "basic").count() == 3)
   }
 
+  test("era-spanning rewrite freezes the EXISTS default into rewritten files") {
+    // ADVICE r18 high: a rewrite that unions files from before and
+    // after ADD COLUMN ... DEFAULT must not let unionByName null-fill
+    // the default column for pre-default rows — the rewritten files
+    // would physically hold NULL and the rows would permanently lose
+    // their frozen default (auto-compact triggers this with no DML).
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1), (2)") // era 1
+    spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN tier STRING DEFAULT 'basic'")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'gold')") // era 2
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val path = s"$wh/db/t"
+    // scoped compaction selects BOTH eras' files and rewrites them
+    ManifestTable.compact(spark, path, where = Some(col("id") >= 1))
+    val got = spark.sql(s"SELECT id, tier FROM $cat.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "basic"), (2L, "basic"), (3L, "gold")),
+      s"post-compact rows must keep the frozen default, got $got")
+    // and PHYSICALLY: the rewritten files carry 'basic', not null —
+    // the default is frozen into the bytes, not re-served by a fill
+    val files = ManifestTable.currentFiles(spark, path)
+    val raw = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val nulls = raw.filter(col("tier").isNull).count()
+    assert(nulls == 0,
+      s"rewritten files must not hold physical NULLs for the default " +
+        s"column ($nulls found)")
+    // row-level DELETE spanning both eras keeps the survivors' default
+    ManifestTable.delete(spark, path, col("id") === 2L)
+    val after = spark.sql(s"SELECT id, tier FROM $cat.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((1L, "basic"), (3L, "gold")), s"got $after")
+  }
+
   test("SET/DROP DEFAULT govern future inserts; frozen EXISTS default survives") {
     val cat = freshCat()
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT)")

@@ -75,6 +75,46 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("decimal statistics prune range, equality and IN predicates") {
+    import spark.implicits._
+    // 100 prices in 5 range-localized files: file k holds
+    // [20k + 0.25, 20k + 19.25] — DECIMAL(12,2), stored by parquet as
+    // unscaled int64; the manifest must decode them to exact bounds
+    val t = freshTable()
+    val df = (0 until 100).map(i => (i.toLong, BigDecimal(i) + 0.25))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(12,2)").as("price"))
+    ManifestTable.write(spark, df.repartitionByRange(5, col("price")), t)
+    val stats = ManifestTable.fileStats(spark, t)
+    assert(stats.size == 5)
+    // bounds survive the manifest JSON round-trip as exact decimals
+    val mins = stats.values.flatMap(_.cols("price").min).toSeq
+    assert(mins.contains(BigDecimal("0.25")), s"got $mins")
+    assert(stats.values.flatMap(_.cols("price").max).toSeq
+      .contains(BigDecimal("99.25")))
+    // the money-column range shape: [25.00, 45.00) overlaps exactly
+    // the [20,40) and [40,60) files
+    val pred = col("price") >= lit(BigDecimal("25.00")) &&
+      col("price") < lit(BigDecimal("45.00"))
+    val (kept, total) = ManifestTable.skippingReport(spark, t, pred)
+    assert(total == 5 && kept == 2, s"decimal range must prune: $kept/$total")
+    val viaSkip = ManifestTable.readWhere(spark, t, pred)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(viaSkip == (25L until 45L), s"got $viaSkip")
+    // equality and IN prune to single files; integer and double
+    // literals compare numerically against the decimal bounds too
+    assert(ManifestTable.skippingReport(spark, t,
+      col("price") === lit(BigDecimal("57.25")))._1 == 1)
+    assert(ManifestTable.skippingReport(spark, t,
+      col("price").isin(BigDecimal("3.25"), BigDecimal("99.25")))._1 == 2)
+    assert(ManifestTable.skippingReport(spark, t, col("price") > 1000)._1 == 0)
+    assert(ManifestTable.skippingReport(spark, t, col("price") < 10.0)._1 == 1)
+    // columnBounds: exact decimal extremes, metadata-only
+    val bounds = ManifestTable.columnBounds(spark, t, "price")
+    assert(bounds.contains((BigDecimal("0.25"), BigDecimal("99.25"))),
+      s"got $bounds")
+  }
+
   test("string stats prune; disjunctions keep the union of sides") {
     import spark.implicits._
     val t = freshTable()
