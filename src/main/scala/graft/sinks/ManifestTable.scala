@@ -2606,6 +2606,21 @@ object ManifestTable {
     }
   }
 
+  /** The file-pruning form of a normalized predicate: the predicate
+    * itself plus every generated-column conjunct [[GeneratedPruning]]
+    * derives from it (a filter on `ts` implies bounds on the
+    * `to_date(ts)`-generated partition column). PRUNE-ONLY — callers
+    * still filter rows with the ORIGINAL predicate; the derived
+    * conjuncts are implied, so adding them to the file walk is sound.
+    */
+  private def prunePredicate(spark: SparkSession, m: Option[Manifest],
+      predExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    GeneratedPruning.derive(spark, recordedSchema(m),
+      m.map(_.parts).getOrElse(Seq.empty), predExpr)
+      .foldLeft(predExpr)(
+        org.apache.spark.sql.catalyst.expressions.And(_, _))
+
   /** The active mapping (None = identity — the overwhelmingly common
     * case, with zero read-path overhead).
     */
@@ -3283,12 +3298,18 @@ object ManifestTable {
   def readWhere(spark: SparkSession, table: String, predicate: Column,
       version: Long = -1L): DataFrame = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
-    val rec = schemaAt(fs, p, v)
+    val m = manifestAt(fs, p, v)
+    val rec = recordedSchema(m)
     val mapping = rec.filter(columnMapped)
     val stats = logicalStats(snap.stats, mapping)
     val predExpr = DataSkipping.expressionOf(predicate) // normalize once
+    // generated-column derivation: a filter on the SOURCE column
+    // (`ts >= X` over a table partitioned by `dt = to_date(ts)`)
+    // implies bounds on the generated partition column — prune with
+    // them, filter rows with the original predicate only
+    val pruneExpr = prunePredicate(spark, m, predExpr)
     val kept = bloomPrune(spark, p, snap.files.filter(f =>
-      DataSkipping.mayMatch(stats.get(f), predExpr)), stats, predExpr)
+      DataSkipping.mayMatch(stats.get(f), pruneExpr)), stats, predExpr)
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v).filter(predicate)
     else if (kept.isEmpty)
       // schema-stable empty result: plan over the real files, read none
@@ -3436,8 +3457,10 @@ object ManifestTable {
   def skippingReport(spark: SparkSession, table: String, predicate: Column,
       version: Long = -1L): (Int, Int) = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
-    val stats = logicalStats(snap.stats, mappingAt(fs, p, v))
-    val predExpr = DataSkipping.expressionOf(predicate) // normalize once
+    val m = manifestAt(fs, p, v)
+    val stats = logicalStats(snap.stats, mappingOf(m))
+    val predExpr = prunePredicate(spark, m,
+      DataSkipping.expressionOf(predicate)) // normalize once
     val kept = bloomPrune(spark, p, snap.files.filter(f =>
       DataSkipping.mayMatch(stats.get(f), predExpr)), stats, predExpr)
     (kept.size, snap.files.size)
@@ -5104,7 +5127,8 @@ object ManifestTable {
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val mapping = mappingOf(m)
       val lstats = logicalStats(snap.stats, mapping)
-      val predExpr = DataSkipping.expressionOf(predicate) // normalize once
+      val predExpr = prunePredicate(spark, m,
+        DataSkipping.expressionOf(predicate)) // normalize once
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base
@@ -5299,7 +5323,8 @@ object ManifestTable {
       enforceConstraints(prepped, props0,
         table, pin = false, recorded = Some(evolved),
         extra = genExps): Unit
-      val predExpr = DataSkipping.expressionOf(condition)
+      val predExpr = prunePredicate(spark, m,
+        DataSkipping.expressionOf(condition))
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(lstats.get(f), predExpr))
       val hits =
@@ -5497,7 +5522,8 @@ object ManifestTable {
       val snap = resolve(spark, fs, p, base, cs)
       val mapping = mappingOf(m)
       val lstats = logicalStats(snap.stats, mapping)
-      val predExpr = DataSkipping.expressionOf(predicate)
+      val predExpr = prunePredicate(spark, m,
+        DataSkipping.expressionOf(predicate))
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base
@@ -5572,7 +5598,8 @@ object ManifestTable {
       val parts = stickyParts(partitionCols, m.map(_.parts).getOrElse(Seq.empty))
       val mapping = mappingOf(m)
       val lstats = logicalStats(snap.stats, mapping)
-      val predExpr = DataSkipping.expressionOf(predicate)
+      val predExpr = prunePredicate(spark, m,
+        DataSkipping.expressionOf(predicate))
       val candidates = snap.files.filter(f =>
         DataSkipping.mayMatch(lstats.get(f), predExpr))
       if (candidates.isEmpty) return base

@@ -85,7 +85,8 @@ object GraftManifestScan {
   final class ManifestFileIndex(
       tableRoot: Path,
       files: Seq[ManifestFile],
-      val partitionSchema: StructType) extends FileIndex {
+      val partitionSchema: StructType,
+      recordedSchema: Option[StructType] = None) extends FileIndex {
 
     override def rootPaths: Seq[Path] = Seq(tableRoot)
 
@@ -129,8 +130,16 @@ object GraftManifestScan {
           })
         }
       // dataFilters stay in the post-scan Filter too, so manifest
-      // statistics may prune them best-effort (fail-open is safe)
-      val statConjuncts = dataFilters.map(DataSkipping.normalize)
+      // statistics may prune them best-effort (fail-open is safe).
+      // Generated-column derivation rides here: a data filter on the
+      // SOURCE column of a generated PARTITION column implies bounds
+      // on the partition value (`WHERE ts >= X` prunes `dt =
+      // to_date(ts)` dirs) — prune-only conjuncts, the row filter
+      // stays the original
+      val normConjuncts = dataFilters.map(DataSkipping.normalize)
+      val statConjuncts = normConjuncts ++ normConjuncts.flatMap(c =>
+        graft.sinks.GeneratedPruning.derive(SparkSession.active,
+          recordedSchema, partitionSchema.fieldNames.toSeq, c))
       val rangeKept = files.filter { f =>
         lazy val row = InternalRow.fromSeq(partRow(f))
         exactPart.forall(_.eval(row)) &&
@@ -227,7 +236,8 @@ object GraftManifestScan {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val (dataSchema, partitionSchema) =
       schemasOf(cs, files, partCols, recordedSchema)
-    val index = new ManifestFileIndex(tableRoot, files, partitionSchema)
+    val index = new ManifestFileIndex(tableRoot, files, partitionSchema,
+      recordedSchema)
     val rel = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = isStreaming))

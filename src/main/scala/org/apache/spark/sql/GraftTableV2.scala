@@ -73,12 +73,14 @@ object GraftTableV2 {
       cs: classic.SparkSession,
       tableRoot: Path,
       files: Seq[ManifestFile],
-      partSchema: StructType)
+      partSchema: StructType,
+      recordedSchema: Option[StructType] = None)
     extends PartitioningAwareFileIndex(cs, Map.empty, None,
       FileStatusCache.getOrCreate(cs)) {
 
     private val inner =
-      new GraftManifestScan.ManifestFileIndex(tableRoot, files, partSchema)
+      new GraftManifestScan.ManifestFileIndex(tableRoot, files, partSchema,
+        recordedSchema)
 
     override def rootPaths: Seq[Path] = Seq(tableRoot)
 
@@ -195,7 +197,8 @@ object GraftTableV2 {
           "read via ManifestTable.read/scan")
       val cs = SparkSession.active.asInstanceOf[classic.SparkSession]
       new GraftStatsScanBuilder(cs,
-        new SnapshotFileIndex(cs, tableRoot, files, partSchema),
+        new SnapshotFileIndex(cs, tableRoot, files, partSchema,
+          Some(schema)),
         schema, dataSchema, options, files)
     }
 
