@@ -1192,8 +1192,15 @@ object PipelineOps {
         "_" + p28Invocation.incrementAndGet())
     graft.sinks.ManifestTable.write(spark,
       docs.repartitionByRange(8, col("doc_id")), table)
+    // the same logical bump split across BOTH physical strategies —
+    // copy-on-write on one half of the matched set, merge-on-read
+    // (deletion vectors + post-image appends, VERDICT r18 #3) on the
+    // other — so one oracle hash gates that they agree exactly
     graft.sinks.ManifestTable.update(spark, table,
-      col("doc_id") % 4 === 0,
+      col("doc_id") % 8 === 0,
+      Map("n_chars" -> (col("n_chars") + 1000)))
+    graft.sinks.ManifestTable.updateVectors(spark, table,
+      col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0,
       Map("n_chars" -> (col("n_chars") + 1000)))
     langCensus(graft.sinks.ManifestTable.read(spark, table))
   }

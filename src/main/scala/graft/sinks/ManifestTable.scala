@@ -5588,6 +5588,13 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "update needs at least one SET column")
     val (fs, p) = fsOf(spark, table)
+    // opt-in merge-on-read strategy (the Delta DV-update recipe):
+    // the table property routes EVERY update surface — API and SQL —
+    // through the sidecar + post-image-append commit
+    if (manifestAt(fs, p, currentVersion(spark, table))
+      .map(_.props).exists(_.get(UpdateModeProp)
+        .exists(_.equalsIgnoreCase("merge-on-read"))))
+      return updateVectors(spark, table, predicate, set, maxAttempts)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentVersion(spark, table)
@@ -5658,6 +5665,111 @@ object ManifestTable {
         return base + 1
       }
       attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Table property selecting [[update]]'s physical strategy:
+    * `copy-on-write` (default — rewrite the touched files) or
+    * `merge-on-read` (commit deletion vectors + post-image appends,
+    * [[updateVectors]]).
+    */
+  val UpdateModeProp = "graft.update.mode"
+
+  /** Row-level UPDATE, MERGE-ON-READ (VERDICT r18 #3): apply `set` to
+    * every row matching `predicate` WITHOUT rewriting the touched
+    * files — ONE commit writes (1) a deletion-vector sidecar hiding
+    * the matched rows in their original files and (2) new data files
+    * holding those rows' post-images. A one-column update of a wide
+    * 1 GB file commits O(matched rows), not a gigabyte of rewrite —
+    * the Delta DV-update recipe; [[compact]] later materializes the
+    * vectors exactly as for DV deletes. The matched frame is pinned
+    * once (localCheckpoint), so the hidden rows and the appended
+    * post-images are provably the SAME rows even under a
+    * non-deterministic predicate. Same narrowing, NULL-predicate,
+    * schema enforcement, constraint, generated-regeneration and CDC
+    * contracts as [[update]]. Reachable from [[update]] via the
+    * [[UpdateModeProp]] table property.
+    */
+  def updateVectors(spark: SparkSession, table: String, predicate: Column,
+      set: Map[String, Column], maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    require(set.nonEmpty, "update needs at least one SET column")
+    val (fs, p) = fsOf(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(spark, fs, p, base, cs)
+      val parts = m.map(_.parts).getOrElse(Seq.empty)
+      val mapping = mappingOf(m)
+      val lstats = logicalStats(snap.stats, mapping)
+      val predExpr = prunePredicate(spark, m,
+        DataSkipping.expressionOf(predicate))
+      val candidates = snap.files.filter(f =>
+        DataSkipping.mayMatch(lstats.get(f), predExpr))
+      if (candidates.isEmpty) return base
+      // matched rows through the DV-filtered read, pinned ONCE: the
+      // sidecar rows and the post-images must be the same rows
+      val matched = readFiles(spark, table, candidates, snap.dvs,
+        keepIdentity = true, mapping = mapping,
+        recorded = recordedSchema(m))
+        .filter(coalesce(predicate, lit(false)))
+        .localCheckpoint()
+      val dataCols = matched.columns.toIndexedSeq
+        .filterNot(Set(AbsPathCol, DvFileCol, DvIdxCol))
+      val unknown = set.keySet -- dataCols
+      require(unknown.isEmpty,
+        s"UPDATE sets unknown column(s) ${unknown.mkString(", ")} — " +
+          "add columns by appending data that carries them")
+      refuseSynthesizedTargets(set.keySet, recordedSchema(m), table,
+        "UPDATE")
+      val byFile = matched.groupBy(col(AbsPathCol)).agg(count(lit(1)).as("n"))
+        .collect() // file-NAME-sized, bounded by the candidate list
+      if (byFile.isEmpty) return base
+      val dvDir = s"deletes/d${base + 1}-${java.util.UUID.randomUUID()}"
+      matched.select(col(DvFileCol).as("file"), col(DvIdxCol).as("idx"))
+        .write.parquet(s"$table/$dvDir")
+      val refs: Map[String, Seq[DvRef]] = byFile.map { r =>
+        matchRel(r.getString(0), candidates) -> Seq(DvRef(dvDir, r.getLong(1)))
+      }.toMap
+      // post-images: SET applied to every (matched) row, generated
+      // dependents regenerated, types enforced against the record
+      val post0 = recomputeGenerated(
+        matched.select(dataCols.map(c =>
+          set.get(c).fold(col(c))(_.as(c))): _*), recordedSchema(m))
+      val evolved = enforceSchema(recordedSchema(m), post0.schema, table)
+      val checked = enforceConstraints(post0,
+        m.map(_.props).getOrElse(Map.empty), table,
+        recorded = Some(evolved))
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(checked, mapping), base + 1, parts, 0L)
+      val cdc =
+        if (!changeFeedOn(m)) None
+        else {
+          val pre = matched.drop(AbsPathCol, DvFileCol, DvIdxCol)
+          Some(writeChangeDir(spark, p, base + 1,
+            pre.withColumn(ChangeTypeCol, lit("delete"))
+              .unionByName(post0.withColumn(ChangeTypeCol, lit("insert")))))
+        }
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
+        collectStats(spark, p, fresh, m.map(_.props).getOrElse(Map.empty)),
+        parts = parts,
+        schemaJson = Some(evolved.json),
+        dvs = refs,
+        props = m.map(_.props).getOrElse(Map.empty),
+        cdcDir = cdc,
+        op = opInfo(m, "update", "predicate" -> predicate.toString,
+          "columns" -> set.keys.toSeq.sorted.mkString(","),
+          "mode" -> "merge-on-read",
+          "targetFiles" -> refs.size.toString))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1 // lost the race; orphaned sidecar/files are vacuum's
     }
     raceLost(table, currentVersion(spark, table) + 1)
   }
