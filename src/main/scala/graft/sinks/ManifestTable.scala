@@ -1546,9 +1546,23 @@ object ManifestTable {
       val items = spark.conf.get("spark.graft.bloom.expectedItems",
         "200000").toLong
       val fpp = spark.conf.get("spark.graft.bloom.fpp", "0.01").toDouble
+      // timestamps insert their CANONICAL UTC micros (unix_micros),
+      // not the session-zone cast rendering — the probe side renders
+      // the literal's internal micros directly, so build and probe
+      // agree regardless of either session's zone (VERDICT r18 #4).
+      // The `blooms/u` dir prefix marks the discipline: timestamp
+      // probes consult only these sidecars, never a legacy zone-
+      // rendered one (a rendering mismatch would be a FALSE NEGATIVE
+      // that wrongly prunes live files).
+      val tsCols = df.schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.TimestampType).map(_.name).toSet
+      def rendered(c: String) =
+        if (tsCols(c))
+          org.apache.spark.sql.functions.unix_micros(col(c)).cast("string")
+        else col(c).cast("string")
       val aggs = targets.map(c => GraftColumnBridge.column(
         graft.functions.BloomAgg(
-          GraftColumnBridge.eagerExpression(col(c).cast("string")),
+          GraftColumnBridge.eagerExpression(rendered(c)),
           items, fpp).toAggregateExpression()).as(c))
       // table-relative path derived IN the job (the relocation-stable
       // split-on-/data/s recipe the DV identity uses) — the serialized
@@ -1559,7 +1573,7 @@ object ManifestTable {
       // a thousand-file commit
       val relCol = concat(lit("data/s"),
         element_at(split(col("_metadata.file_path"), "/data/s"), -1))
-      val dir = s"blooms/f${java.util.UUID.randomUUID()}"
+      val dir = s"blooms/u${java.util.UUID.randomUUID()}"
       def q(s: String) = s.replace("'", "\\'")
       df.select(relCol.as("file") +: targets.map(c => col(c)): _*)
         .groupBy(col("file"))
@@ -3345,9 +3359,15 @@ object ManifestTable {
     // fail open instead (range pruning and row-group pushdown still
     // apply)
     if (targets.isEmpty || kept.isEmpty || kept.size > 2048) return kept
+    // timestamp probes consult ONLY `blooms/u` (canonical-micros)
+    // sidecars: a legacy zone-rendered filter cannot answer them
+    // without risking a false negative — fail open on those refs
+    def usable(c: String, utc: Boolean, dir: String): Boolean =
+      !utc || dir.startsWith("blooms/u")
     val needed: Set[String] = kept.flatMap(f =>
       stats.get(f).toSeq.flatMap(fst =>
-        targets.flatMap { case (c, _) => fst.bloom.get(c) })).toSet
+        targets.flatMap { case (c, _, utc) =>
+          fst.bloom.get(c).filter(usable(c, utc, _)) })).toSet
     if (needed.isEmpty) return kept
     try {
       import org.apache.spark.sql.functions.col
@@ -3361,9 +3381,12 @@ object ManifestTable {
       val cache = scala.collection.mutable.Map
         .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
       kept.filter { f =>
-        targets.forall { case (c, vals) =>
-          bits.get((f, c)) match {
-            case None => true // no filter for this file/col: keep
+        targets.forall { case (c, vals, utc) =>
+          val refOk = stats.get(f)
+            .flatMap(_.bloom.get(c)).exists(usable(c, utc, _))
+          if (!refOk) true // no usable filter for this file/col: keep
+          else bits.get((f, c)) match {
+            case None => true
             case Some(raw) =>
               val bf = cache.getOrElseUpdate((f, c),
                 org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -3384,9 +3407,11 @@ object ManifestTable {
     * forbidden); decimals, dates, floats and doubles render through
     * the actual Catalyst string Cast, byte-identical to the build
     * side by construction (VERDICT r17 #6 — decimal point lookups now
-    * bloom-prune). Timestamps stay skipped, fail-open: their cast
-    * rendering depends on the SESSION time zone, and a probe from a
-    * different zone than the build would silently prune live files.
+    * bloom-prune). Timestamps render their CANONICAL UTC micros
+    * (matching the `unix_micros` build side, zone-independent —
+    * VERDICT r18 #4), flagged so the prune consults only
+    * `blooms/u`-discipline sidecars and never a legacy zone-rendered
+    * filter (which could false-negative from a different zone).
     * Only top-level AND-conjuncts qualify — a disjunct's failure
     * proves nothing. The predicate arrives in negation-normal form,
     * so a `NOT IN` keeps its `Not` wrapper and is correctly not
@@ -3394,7 +3419,7 @@ object ManifestTable {
     */
   private def bloomTargets(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Seq[(String, Seq[String])] = {
+      : Seq[(String, Seq[String], Boolean)] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
     def castRender(v: Any, dt: DataType): Option[String] =
@@ -3412,7 +3437,11 @@ object ManifestTable {
       case (bo: java.lang.Boolean, BooleanType) => Some(bo.toString)
       case (_, _: DecimalType | DateType | DoubleType | FloatType) =>
         castRender(v, dt)
-      case _ => None // timestamps (zone-dependent rendering), others
+      // timestamps: the CANONICAL UTC micros rendering — matches the
+      // unix_micros build side exactly, in every session zone; the
+      // caller gates these probes to `blooms/u` sidecars only
+      case (l: java.lang.Long, TimestampType) => Some(l.toString)
+      case _ => None // timestamp_ntz, others
     }
     def attr(x: Expression): Option[String] = x match {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -3425,9 +3454,11 @@ object ManifestTable {
       case Literal(v, dt) => Some((v, dt))
       case _ => None
     }
-    def eq(a: Expression, b: Expression): Seq[(String, Seq[String])] =
+    def utcOnly(dt: DataType): Boolean = dt == TimestampType
+    def eq(a: Expression, b: Expression)
+        : Seq[(String, Seq[String], Boolean)] =
       (for { n <- attr(a); (v, dt) <- lit(b); c <- canon(v, dt) }
-        yield (n, Seq(c))).toSeq
+        yield (n, Seq(c), utcOnly(dt))).toSeq
     e match {
       case And(l, r) => bloomTargets(l) ++ bloomTargets(r)
       case EqualTo(a, b) => eq(a, b) ++ eq(b, a)
@@ -3438,7 +3469,8 @@ object ManifestTable {
           if vs.forall(_.isDefined)
           cs = vs.flatten.map { case (v, dt) => canon(v, dt) }
           if cs.forall(_.isDefined)
-        } yield (n, cs.flatten)).toSeq
+        } yield (n, cs.flatten,
+          vs.flatten.exists { case (_, dt) => utcOnly(dt) })).toSeq
       case InSet(a, set) =>
         (for {
           n <- attr(a)
@@ -3446,7 +3478,7 @@ object ManifestTable {
             catch { case scala.util.control.NonFatal(_) => None }
           cs = set.toSeq.map(canon(_, dt))
           if cs.forall(_.isDefined)
-        } yield (n, cs.flatten)).toSeq
+        } yield (n, cs.flatten, utcOnly(dt))).toSeq
       case _ => Seq.empty
     }
   }

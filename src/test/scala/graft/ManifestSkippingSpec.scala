@@ -1051,19 +1051,41 @@ class ManifestSkippingSpec extends AnyFunSuite {
     val (keptDt, _) = ManifestTable.skippingReport(spark, t,
       col("d") === dt)
     assert(keptDt <= 8, s"date bloom should prune too, kept $keptDt/16")
-    // TIMESTAMP literals stay fail-open (zone-dependent rendering):
-    // results must be exact even though nothing prunes
+    // TIMESTAMP point lookups prune through the CANONICAL UTC-micros
+    // rendering (VERDICT r18 #4): the build inserts unix_micros, the
+    // probe renders the literal's internal micros — zone-independent
+    // on both sides, so a probe from a DIFFERENT session zone than
+    // the build neither loses rows (false negative) nor stops pruning
     val t2 = freshTable()
     ManifestTable.create(spark, t2, StructType(Seq(
       StructField("seq", LongType), StructField("ts", TimestampType))),
       props = Map(ManifestTable.BloomColumnsProp -> "ts"))
-    val df2 = spark.range(100).toDF("seq")
-      .withColumn("ts", timestamp_seconds(col("seq") * 3600))
-    ManifestTable.append(spark, df2.repartition(4), t2)
+    // hashed-order timestamps so ranges never prune — bloom territory
+    val df2 = spark.range(4000).toDF("seq")
+      .withColumn("ts", timestamp_seconds(
+        conv(substring(md5(col("seq").cast("string")), 1, 7), 16, 10)
+          .cast("long")))
+    ManifestTable.append(spark, df2.repartition(16), t2)
     val tsProbe = ManifestTable.read(spark, t2)
       .filter(col("seq") === 42L).head().getTimestamp(1)
+    val (keptTs, totalTs) = ManifestTable.skippingReport(spark, t2,
+      col("ts") === tsProbe)
+    assert(totalTs == 16)
+    assert(keptTs <= 3, s"timestamp bloom must prune, kept $keptTs/$totalTs")
     assert(ManifestTable.readWhere(spark, t2, col("ts") === tsProbe)
       .collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // cross-zone probe: a different session zone must stay exact
+    // (the r18 gap was precisely a zone-dependent rendering here)
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      assert(ManifestTable.readWhere(spark, t2, col("ts") === tsProbe)
+        .collect().map(_.getLong(0)).toSeq == Seq(42L),
+        "a cross-zone timestamp probe must never lose rows")
+      val (keptZ, _) = ManifestTable.skippingReport(spark, t2,
+        col("ts") === tsProbe)
+      assert(keptZ <= 3, s"cross-zone probe must still prune: $keptZ/16")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
   }
 
   test("replaceWhere: atomic predicate-scoped overwrite, narrow rewrite") {
