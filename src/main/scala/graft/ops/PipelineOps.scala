@@ -1416,15 +1416,19 @@ object PipelineOps {
     graft.sinks.ManifestTable.write(spark,
       docs.filter(col("doc_id") % 2 === 0)
         .repartitionByRange(8, col("doc_id")), table)
-    // v2: merge-on-read point deletes (no file rewritten)
+    // v2: enable the row change feed — updates from here on record
+    // PAIRED update_preimage/update_postimage change rows (the Delta
+    // CDF contract, VERDICT r18 #5) instead of a delete+insert diff
+    graft.sinks.ManifestTable.enableChangeFeed(spark, table)
+    // v3: merge-on-read point deletes (no file rewritten)
     graft.sinks.ManifestTable.deleteVectors(spark, table,
       col("doc_id") % 10 === 0)
-    // v3: copy-on-write update (narrow rewrite, materializes DVs on
+    // v4: copy-on-write update (narrow rewrite, materializes DVs on
     // the touched files)
     graft.sinks.ManifestTable.update(spark, table,
       col("doc_id") % 10 === 2,
       Map("n_chars" -> (col("n_chars") + 500)))
-    // v4: append the odd %5 docs
+    // v5: append the odd %5 docs
     graft.sinks.ManifestTable.append(spark,
       docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0), table)
     graft.sinks.ManifestTable.rowChanges(spark, table, 0)
@@ -1434,7 +1438,9 @@ object PipelineOps {
       .orderBy(col("_change_type").asc, col("lang").asc_nulls_last)
   }
 
-  /** DuckDB reconstruction of the accumulated row-level change log. */
+  /** DuckDB reconstruction of the accumulated row-level change log —
+    * the UPDATE commit pins the PAIRED pre/post image tags.
+    */
   val p32Sql: String =
     """WITH evens AS (
       |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
@@ -1443,9 +1449,11 @@ object PipelineOps {
       |  UNION ALL
       |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 0
       |  UNION ALL
-      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 2
+      |  SELECT 'update_preimage', lang, n_chars FROM evens
+      |  WHERE doc_id % 10 = 2
       |  UNION ALL
-      |  SELECT 'insert', lang, n_chars + 500 FROM evens WHERE doc_id % 10 = 2
+      |  SELECT 'update_postimage', lang, n_chars + 500 FROM evens
+      |  WHERE doc_id % 10 = 2
       |  UNION ALL
       |  SELECT 'insert', lang, n_chars FROM documents
       |  WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)

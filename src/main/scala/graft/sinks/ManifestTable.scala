@@ -5680,9 +5680,14 @@ object ManifestTable {
           val post = recomputeGenerated(
             pre.select(pre.columns.toIndexedSeq.map { c =>
               set.get(c).fold(col(c))(_.as(c)) }: _*), recordedSchema(m))
+          // PAIRED update tags (the Delta CDF contract, VERDICT r18
+          // #5): consumers that key on the pairing (audit diffing,
+          // CDC sinks) read pre/post images directly instead of
+          // reconstructing them from a delete+insert multiset
           Some(writeChangeDir(spark, p, base + 1,
-            pre.withColumn(ChangeTypeCol, lit("delete"))
-              .unionByName(post.withColumn(ChangeTypeCol, lit("insert")))))
+            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol,
+                lit("update_postimage")))))
         }
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
@@ -5783,8 +5788,9 @@ object ManifestTable {
         else {
           val pre = matched.drop(AbsPathCol, DvFileCol, DvIdxCol)
           Some(writeChangeDir(spark, p, base + 1,
-            pre.withColumn(ChangeTypeCol, lit("delete"))
-              .unionByName(post0.withColumn(ChangeTypeCol, lit("insert")))))
+            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(post0.withColumn(ChangeTypeCol,
+                lit("update_postimage")))))
         }
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
@@ -5889,8 +5895,9 @@ object ManifestTable {
             pre.select(pre.columns.toIndexedSeq.map { c =>
               set.get(c).fold(col(c))(_.as(c)) }: _*), recordedSchema(m))
           Some(writeChangeDir(spark, p, base + 1,
-            pre.withColumn(ChangeTypeCol, lit("delete"))
-              .unionByName(post.withColumn(ChangeTypeCol, lit("insert")))))
+            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol,
+                lit("update_postimage")))))
         }
       if (commitDelta(fs, p, base + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),

@@ -452,7 +452,10 @@ object StreamingOps {
       .orderBy(col("_change_type").asc, col("lang").asc_nulls_last)
   }
 
-  /** DuckDB reconstruction of the streamed change feed. */
+  /** DuckDB reconstruction of the streamed change feed — the UPDATE
+    * commit streams PAIRED update_preimage/update_postimage rows (the
+    * Delta CDF contract, VERDICT r18 #5).
+    */
   val e25Sql: String =
     """WITH evens AS (
       |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
@@ -460,9 +463,11 @@ object StreamingOps {
       |  SELECT 'delete' AS _change_type, lang, n_chars
       |  FROM evens WHERE doc_id % 10 = 0
       |  UNION ALL
-      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 2
+      |  SELECT 'update_preimage', lang, n_chars
+      |  FROM evens WHERE doc_id % 10 = 2
       |  UNION ALL
-      |  SELECT 'insert', lang, n_chars + 500 FROM evens WHERE doc_id % 10 = 2
+      |  SELECT 'update_postimage', lang, n_chars + 500
+      |  FROM evens WHERE doc_id % 10 = 2
       |  UNION ALL
       |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 4
       |  UNION ALL

@@ -375,9 +375,11 @@ class ManifestStreamSpec extends AnyFunSuite {
       Map("tag" -> lit("upd"))) // v5
     ManifestTable.append(spark, df(10, 12, "b"), t) // v6
     val got = runCdc(s"$root/ck").toSet
+    // the update arrives PAIRED (update_preimage/update_postimage —
+    // the Delta CDF contract), not as a delete+insert diff
     assert(got == Set(
       (3L, "a", "delete"), (7L, "a", "delete"),
-      (5L, "a", "delete"), (5L, "upd", "insert"),
+      (5L, "a", "update_preimage"), (5L, "upd", "update_postimage"),
       (10L, "b", "insert"), (11L, "b", "insert")),
       s"CDC stream must carry the exact row effects: $got")
     // a replaceWhere (atomic slice swap) streams its recorded change

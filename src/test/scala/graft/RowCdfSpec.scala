@@ -91,9 +91,11 @@ class RowCdfSpec extends AnyFunSuite {
     // rowChanges over the feed (served from the recorded files) equals
     // the expected multiset
     val got = changeSet(ManifestTable.rowChanges(spark, t, 3))
+    // the UPDATE commit records PAIRED pre/post images (Delta CDF)
     val want = Set(
       (4L, 40L, "delete", 4L),
-      (6L, 60L, "delete", 5L), (6L, 999L, "insert", 5L),
+      (6L, 60L, "update_preimage", 5L),
+      (6L, 999L, "update_postimage", 5L),
       (8L, 80L, "delete", 6L),
       (9L, 90L, "delete", 7L), (9L, 900L, "insert", 7L),
       (30L, 300L, "insert", 7L))
