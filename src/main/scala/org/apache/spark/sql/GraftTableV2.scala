@@ -142,8 +142,20 @@ object GraftTableV2 {
     override val schema: StructType =
       StructType(dataSchema.fields ++ partSchema.fields)
 
-    override def partitioning(): Array[Transform] =
-      partCols.map(Expressions.identity).toArray
+    override def partitioning(): Array[Transform] = {
+      // declared write clustering surfaces as a ClusterByTransform so
+      // `SHOW CREATE TABLE` round-trips the `CLUSTER BY` spelling
+      val cluster = tblProps
+        .get(graft.sinks.ManifestTable.WriteClusterByProp).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)) match {
+        case Nil => Nil
+        case cols => Seq(
+          org.apache.spark.sql.connector.expressions.ClusterByTransform(
+            cols.map(c => org.apache.spark.sql.connector.expressions
+              .FieldReference(c))))
+      }
+      (partCols.map(Expressions.identity) ++ cluster).toArray
+    }
 
     /** The table's STICKY properties (the manifest `props` channel) as
       * recorded at the pinned snapshot, plus the engine-injected
