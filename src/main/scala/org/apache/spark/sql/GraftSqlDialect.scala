@@ -126,7 +126,9 @@ object GraftSqlDialect {
   private val CopyInto =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+('[^']+')""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
-      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      // quote-aware group: a ')' INSIDE a quoted option value must not
+      // terminate the list (ADVICE r18 — `'pattern'=')'` truncated)
+      """(?:\s+FORMAT_OPTIONS\s*\(((?:'[^']*'|[^)'])*)\))?""" +
       """(?:\s+FORCE\s*=\s*(true|false))?\s*;?\s*""").r
   private val OptPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val Generate =
@@ -276,9 +278,18 @@ object GraftSqlDialect {
       }
       case "COPY" => sqlText match {
         case CopyInto(t, from, fmt, opts, force) =>
-          val pairs = Option(opts).toSeq.flatMap(o =>
+          val pairs = Option(opts).toSeq.flatMap { o =>
+            // the whole group must be consumed by 'k'='v' pairs and
+            // separators — a malformed pair silently dropped would be
+            // an option silently ignored (ADVICE r18)
+            val residue = OptPair.replaceAllIn(o, "")
+              .replaceAll("[\\s,]+", "")
+            if (residue.nonEmpty) throw new IllegalArgumentException(
+              "COPY INTO FORMAT_OPTIONS must be 'k'='v' pairs " +
+                s"separated by commas — unparsed text: $residue")
             OptPair.findAllMatchIn(o).map(m =>
-              m.group(1) -> m.group(2)).toSeq)
+              m.group(1) -> m.group(2)).toSeq
+          }
           Some(GraftCopyIntoCommand(t,
             from.substring(1, from.length - 1),
             Option(fmt).map(_.toLowerCase(Locale.ROOT))

@@ -140,6 +140,43 @@ class CloneSpec extends AnyFunSuite {
       "with the marker gone the adopted files become reclaimable")
   }
 
+  test("chained clones: each referenced ROOT gets its own protection marker") {
+    // ADVICE r18: a clone-of-clone adopts absolute paths into the
+    // ORIGINAL root — releasing the intermediate clone's marker must
+    // not let the original's vacuum reclaim files the second clone
+    // still references.
+    import spark.implicits._
+    val a = fresh("a"); val b = fresh("b"); val c = fresh("c")
+    seed(a)
+    ManifestTable.cloneTable(spark, a, b)
+    ManifestTable.cloneTable(spark, b, c) // adopts A-rooted absolutes
+    val fs = new org.apache.hadoop.fs.Path(a).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val aMarkers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(a, "_manifests/clones"))
+    assert(aMarkers.length == 2,
+      s"the chained clone must record its own marker under the " +
+        s"ORIGINAL root too, got ${aMarkers.length}")
+    // release B entirely (the documented release step): drop B's
+    // marker under A and delete B
+    val bMarker = aMarkers.find { st =>
+      val in = fs.open(st.getPath)
+      val json = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      json.contains(new org.apache.hadoop.fs.Path(b).toUri.getPath)
+    }.get
+    fs.delete(bMarker.getPath, false): Unit
+    fs.delete(new org.apache.hadoop.fs.Path(b), true): Unit
+    // source moves on; vacuum with only C's marker left
+    ManifestTable.write(spark,
+      (0L until 5L).map(i => (i, 0L, "new")).toDF("id", "k", "v"), a)
+    ManifestTable.vacuum(spark, a, keepVersions = 1, graceMs = 0L): Unit
+    assert(ManifestTable.read(spark, c).count() == 40,
+      "the original's vacuum must honor the chained clone's marker")
+    assert(ManifestTable.read(spark, c).orderBy("id")
+      .select("v").as[String].head() == "v0")
+  }
+
   test("cloning a CONVERTED (adopted Hive-layout) source works end-to-end") {
     import spark.implicits._
     // a plain Hive-partitioned parquet dir, adopted in place, then

@@ -129,4 +129,32 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0)
       == 2L, "a refused COPY INTO must leave the table untouched")
   }
+
+  test("FORMAT_OPTIONS parse: ')' inside a value survives; malformed pairs refuse") {
+    // ADVICE r18: the option-list regex stopped at the first ')' and
+    // silently dropped malformed pairs — options silently ignored.
+    val cat = s"cpopt${new java.util.Random().nextInt(100000)}"
+    val wh = Files.createTempDirectory("graft_copy_opt").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v STRING)")
+    val land = Files.createTempDirectory("graft_land_opt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(land, "x.csv"),
+      "id;v\n1;a)b\n".getBytes): Unit
+    // a ')' INSIDE a quoted option value must not truncate the list —
+    // the sep option after it must still apply
+    val r = spark.sql(s"COPY INTO $cat.db.t FROM '$land' " +
+      "FILEFORMAT = CSV FORMAT_OPTIONS ('comment'=')', " +
+      "'header'='true', 'sep'=';', 'inferSchema'='true')").collect()
+    assert(r.head.getInt(1) == 1)
+    assert(spark.sql(s"SELECT v FROM $cat.db.t").head().getString(0)
+      == "a)b", "options after a parenthesized value must apply")
+    // unparsable residue refuses loudly instead of dropping the option
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"COPY INTO $cat.db.t FROM '$land' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header'='true', sep=';')"))
+    assert(e.getMessage.contains("unparsed text"), s"got: $e")
+  }
 }
