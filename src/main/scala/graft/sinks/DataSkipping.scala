@@ -228,9 +228,10 @@ object DataSkipping {
   }
 
   /** Cross-file bound merge for [[graft.sinks.ManifestTable.columnBounds]]
-    * — same semantics as [[mergeBound]]; None out = incomparable mix.
+    * and the DSv2 stats report — same semantics as [[mergeBound]];
+    * None out = incomparable mix.
     */
-  private[sinks] def mergeBoundPublic(a: Option[Any], b: Option[Any],
+  def mergeBoundPublic(a: Option[Any], b: Option[Any],
       keepMin: Boolean): Option[Any] = mergeBound(a, b, keepMin)
 
   /** All-null merge identity: when one side is an all-null chunk its

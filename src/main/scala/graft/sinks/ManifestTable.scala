@@ -6814,10 +6814,25 @@ object ManifestTable {
     */
   def analyze(spark: SparkSession, table: String,
       columns: Seq[String] = Seq.empty, lgK: Int = 12,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5, histogramBins: Int = 64): Long = {
     import org.apache.spark.sql.functions.{col, hll_sketch_agg}
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val (fs, p) = fsOf(spark, table)
+    // EQUI-HEIGHT histograms for the numeric targets (VERDICT r18 #8)
+    // — computed ONCE over the live table, committed through the
+    // sticky props channel; deterministic sketches, so a re-analyze
+    // of unchanged data re-derives identical JSON and commits nothing
+    val histProps: Map[String, String] =
+      if (histogramBins <= 0) Map.empty
+      else {
+        val numeric = tableSchema(spark, table).toSeq
+          .flatMap(_.fields.filter(_.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case _ => false
+          }).map(_.name))
+          .filter(c => columns.isEmpty || columns.contains(c))
+        histogramProps(spark, table, numeric, histogramBins)
+      }
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentVersion(spark, table)
@@ -6843,7 +6858,24 @@ object ManifestTable {
       val allTodo = snap.files.filter(f => snap.stats.get(f)
         .exists(st => targets.exists(c =>
           !st.ndv.contains(physLookup.getOrElse(c, c)))))
-      if (allTodo.isEmpty) return base
+      if (allTodo.isEmpty) {
+        // sketches are current; refresh histograms alone if they moved
+        val cur = m.map(_.props).getOrElse(Map.empty)
+        if (histProps.forall { case (k, v) => cur.get(k).contains(v) })
+          return base
+        if (commitDelta(fs, p, base + 1, Seq.empty,
+          m.map(_.txns).getOrElse(Map.empty),
+          parts = m.map(_.parts).getOrElse(Seq.empty),
+          schemaJson = m.flatMap(_.schemaJson),
+          props = cur ++ histProps,
+          dataChange = false,
+          op = opInfo(m, "analyze",
+            "histograms" -> histProps.size.toString))) {
+          maybeCheckpoint(spark, fs, p, base + 1)
+          return base + 1
+        }
+        attempt += 1
+      } else {
       // bound EACH stats delta to the sidecar threshold: one inline
       // JSON delta carrying sketches for a million files would
       // reintroduce the O(table) driver-parse ceiling the sidecar
@@ -6887,7 +6919,7 @@ object ManifestTable {
         stats = newStats,
         parts = m.map(_.parts).getOrElse(Seq.empty),
         schemaJson = m.flatMap(_.schemaJson),
-        props = m.map(_.props).getOrElse(Map.empty),
+        props = m.map(_.props).getOrElse(Map.empty) ++ histProps,
         op = opInfo(m, "analyze",
           "columns" -> targets.mkString(","),
           "files" -> newStats.size.toString))) {
@@ -6896,8 +6928,97 @@ object ManifestTable {
         // drained (the loop re-resolves, so concurrent commits fold in)
         if (!moreAfter) return base + 1
       } else attempt += 1
+      }
     }
     raceLost(table, currentVersion(spark, table) + 1)
+  }
+
+  /** Sticky-property key prefix for per-column EQUI-HEIGHT histograms
+    * committed by [[analyze]] (VERDICT r18 #8): value is a compact
+    * JSON `{"h":<rows-per-bin>,"b":[[lo,hi,ndv],...]}` — exactly the
+    * catalyst `Histogram` shape, served through the DSv2 scan's
+    * `estimateStatistics` so CBO filter selectivity on SKEWED columns
+    * stops falling back to linear range interpolation.
+    */
+  val HistogramPropPrefix = "graft.stats.hist."
+
+  /** Parse a [[HistogramPropPrefix]] JSON value. */
+  def parseHistogram(json: String)
+      : Option[(Double, Seq[(Double, Double, Long)])] =
+    try {
+      val root = mapper.readTree(json)
+      val h = root.get("h").asDouble()
+      val bins = Seq.newBuilder[(Double, Double, Long)]
+      val it = root.get("b").elements()
+      while (it.hasNext) {
+        val b = it.next()
+        bins += ((b.get(0).asDouble(), b.get(1).asDouble(),
+          b.get(2).asLong()))
+      }
+      Some((h, bins.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Equi-height histograms of the given NUMERIC columns over the
+    * LIVE table (DVs and mapping applied) — the Spark ANALYZE recipe:
+    * bin boundaries from `approx_percentile` at 0, 1/n, …, 1, per-bin
+    * distinct counts from `ApproxCountDistinctForIntervals` over
+    * those endpoints, height = non-null rows / bins. Two aggregation
+    * jobs total, O(bins) result — a maintenance cost, never a write-
+    * path one. Columns that are all-null (no percentiles) are skipped.
+    */
+  private def histogramProps(spark: SparkSession, table: String,
+      cols: Seq[String], bins: Int): Map[String, String] = {
+    import org.apache.spark.sql.functions.{array, col, count, lit, percentile_approx}
+    if (cols.isEmpty) return Map.empty
+    val df = read(spark, table)
+    val have = df.columns.toSet
+    val targets = cols.filter(have)
+    if (targets.isEmpty) return Map.empty
+    val pcts = array((0 to bins).map(i =>
+      lit(i.toDouble / bins)): _*)
+    val aggs1 = targets.flatMap(c => Seq(
+      percentile_approx(col(c).cast("double"), pcts, lit(10000))
+        .as(s"p_$c"),
+      count(col(c)).as(s"n_$c")))
+    val row1 = df.agg(aggs1.head, aggs1.tail: _*).head()
+    val withEnds = targets.zipWithIndex.flatMap { case (c, i) =>
+      if (row1.isNullAt(2 * i)) None
+      else {
+        val ends = row1.getSeq[Double](2 * i)
+        val n = row1.getLong(2 * i + 1)
+        if (ends.isEmpty || n == 0) None else Some((c, ends, n))
+      }
+    }
+    if (withEnds.isEmpty) return Map.empty
+    // per-bin NDV in ONE pass (the expression Spark's own ANALYZE
+    // histogram uses)
+    val aggs2 = withEnds.map { case (c, ends, _) =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .ApproxCountDistinctForIntervals(
+            org.apache.spark.sql.GraftColumnBridge.eagerExpression(
+              col(c).cast("double")),
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              ends.toArray,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))
+          .toAggregateExpression()).as(c)
+    }
+    val row2 = df.agg(aggs2.head, aggs2.tail: _*).head()
+    withEnds.zipWithIndex.map { case ((c, ends, n), i) =>
+      val ndvs: Seq[Long] =
+        if (row2.isNullAt(i)) Seq.fill(ends.size - 1)(1L)
+        else row2.getSeq[Long](i)
+      val node = mapper.createObjectNode()
+      node.put("h", n.toDouble / (ends.size - 1)): Unit
+      val arr = node.putArray("b")
+      ends.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), bi) =>
+        val b = arr.addArray()
+        b.add(lo); b.add(hi)
+        b.add(ndvs.lift(bi).getOrElse(1L)): Unit
+      }
+      (HistogramPropPrefix + c) -> mapper.writeValueAsString(node)
+    }.toMap
   }
 
   /** Driver-side union of base64 HLL sketches → distinct-count

@@ -211,7 +211,7 @@ object GraftTableV2 {
       new GraftStatsScanBuilder(cs,
         new SnapshotFileIndex(cs, tableRoot, files, partSchema,
           Some(schema)),
-        schema, dataSchema, options, files)
+        schema, dataSchema, options, files, tblProps)
     }
 
     /** `DELETE FROM cat.ns.t WHERE ...` — Spark translates the
@@ -649,14 +649,15 @@ object GraftTableV2 {
       schema: StructType,
       dataSchema: StructType,
       options: CaseInsensitiveStringMap,
-      files: Seq[ManifestFile])
+      files: Seq[ManifestFile],
+      tblProps: Map[String, String] = Map.empty)
     extends ParquetScanBuilder(cs, fileIndex, schema, dataSchema, options) {
     override def build(): execution.datasources.v2.parquet.ParquetScan = {
       val inner = super.build()
       // a pushed-down aggregate changes the output cardinality — the
       // parquet scan's own estimate is the honest one there
       if (inner.pushedAggregate.nonEmpty) inner
-      else new GraftStatsScan(inner, files)
+      else new GraftStatsScan(inner, files, tblProps)
     }
   }
 
@@ -673,7 +674,8 @@ object GraftTableV2 {
     */
   final class GraftStatsScan(
       inner: execution.datasources.v2.parquet.ParquetScan,
-      files: Seq[ManifestFile])
+      files: Seq[ManifestFile],
+      tblProps: Map[String, String] = Map.empty)
     extends execution.datasources.v2.parquet.ParquetScan(
       inner.sparkSession, inner.hadoopConf, inner.fileIndex,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
@@ -698,6 +700,33 @@ object GraftTableV2 {
         connector.read.colstats.ColumnStatistics]()
       if (pruned.nonEmpty && pruned.forall(_.stats.isDefined)) {
         val stats = pruned.map(_.stats.get)
+        // a stats-model bound → the CATALYST-internal value the
+        // ColumnStat contract expects for the column's type (None =
+        // not convertible: keep the stat absent rather than lie)
+        def catalystBound(v: Any, dt: types.DataType): Option[Any] =
+          (v, dt) match {
+            case (l: Long, types.LongType) => Some(l)
+            case (l: Long, types.IntegerType)
+                if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
+            case (l: Long, types.ShortType)
+                if l >= Short.MinValue && l <= Short.MaxValue =>
+              Some(l.toShort)
+            case (l: Long, types.ByteType)
+                if l >= Byte.MinValue && l <= Byte.MaxValue => Some(l.toByte)
+            case (l: Long, types.DateType)
+                if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
+            case (l: Long, types.TimestampType) => Some(l)
+            case (d: Double, types.DoubleType) => Some(d)
+            case (d: Double, types.FloatType) => Some(d.toFloat)
+            case (b: Boolean, types.BooleanType) => Some(b)
+            case (bd: BigDecimal, dt: types.DecimalType)
+                if bd.precision <= dt.precision =>
+              Some(types.Decimal(bd.setScale(dt.scale,
+                scala.math.BigDecimal.RoundingMode.HALF_UP)))
+            case _ => None
+          }
+        val fieldTypes: Map[String, types.DataType] =
+          readSchema().fields.map(f => f.name -> f.dataType).toMap
         readSchema().fieldNames.foreach { c =>
           val nulls: Option[Long] = {
             val per = stats.map(_.cols.get(c).flatMap(_.nulls))
@@ -707,7 +736,57 @@ object GraftTableV2 {
             if (stats.forall(_.ndv.contains(c)))
               graft.sinks.ManifestTable.ndvEstimate(stats.map(_.ndv(c)))
             else None
-          if (nulls.isDefined || ndv.isDefined) {
+          // min/max over the PRUNED files (exact when every file has
+          // bounds and no DV clipped an extreme — DV tables do not
+          // reach this scan), converted to catalyst-internal values;
+          // these are what CBO range estimation interpolates over
+          // (DV-bearing tables never reach this scan — newScanBuilder
+          // refuses them — so footer extremes are never DV-clipped)
+          val (mn, mx): (Option[Any], Option[Any]) =
+            fieldTypes.get(c).fold(
+              (Option.empty[Any], Option.empty[Any])) { dt =>
+              var lo: Option[Any] = None
+              var hi: Option[Any] = None
+              var ok = true
+              stats.foreach { st =>
+                st.cols.get(c) match {
+                  case Some(graft.sinks.DataSkipping.ColStats(
+                      Some(l), Some(h), _)) =>
+                    lo = graft.sinks.DataSkipping.mergeBoundPublic(
+                      lo, Some(l), keepMin = true)
+                    hi = graft.sinks.DataSkipping.mergeBoundPublic(
+                      hi, Some(h), keepMin = false)
+                    if (lo.isEmpty || hi.isEmpty) ok = false
+                  case Some(graft.sinks.DataSkipping.ColStats(
+                      None, None, Some(n))) if n == st.rows => ()
+                  case _ => ok = false
+                }
+              }
+              if (!ok) (None, None)
+              else (lo.flatMap(catalystBound(_, dt)),
+                hi.flatMap(catalystBound(_, dt)))
+            }
+          // analyze-committed equi-height histogram (skew-aware
+          // selectivity — VERDICT r18 #8)
+          val hist: Option[connector.read.colstats.Histogram] =
+            tblProps.get(graft.sinks.ManifestTable.HistogramPropPrefix + c)
+              .flatMap(graft.sinks.ManifestTable.parseHistogram)
+              .map { case (h, binSeq) =>
+                new connector.read.colstats.Histogram {
+                  override def height(): Double = h
+                  override def bins()
+                      : Array[connector.read.colstats.HistogramBin] =
+                    binSeq.map { case (binLo, binHi, binNdv) =>
+                      new connector.read.colstats.HistogramBin {
+                        override def lo(): Double = binLo
+                        override def hi(): Double = binHi
+                        override def ndv(): Long = binNdv
+                      }: connector.read.colstats.HistogramBin
+                    }.toArray
+                }
+              }
+          if (nulls.isDefined || ndv.isDefined || mn.isDefined ||
+            hist.isDefined) {
             colStats.put(connector.expressions.FieldReference.column(c),
               new connector.read.colstats.ColumnStatistics {
                 override def nullCount(): java.util.OptionalLong =
@@ -716,6 +795,17 @@ object GraftTableV2 {
                 override def distinctCount(): java.util.OptionalLong =
                   ndv.fold(java.util.OptionalLong.empty())(
                     java.util.OptionalLong.of)
+                override def min(): java.util.Optional[Object] =
+                  mn.fold(java.util.Optional.empty[Object]())(v =>
+                    java.util.Optional.of(v.asInstanceOf[Object]))
+                override def max(): java.util.Optional[Object] =
+                  mx.fold(java.util.Optional.empty[Object]())(v =>
+                    java.util.Optional.of(v.asInstanceOf[Object]))
+                override def histogram()
+                    : java.util.Optional[connector.read.colstats.Histogram] =
+                  hist.fold(java.util.Optional.empty[
+                    connector.read.colstats.Histogram]())(
+                    java.util.Optional.of)
               }): Unit
           }
         }
