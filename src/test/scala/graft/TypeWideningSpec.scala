@@ -163,7 +163,8 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(ch.schema("i").dataType == LongType)
     val byType = ch.groupBy("_change_type").count().collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap
-    assert(byType == Map("insert" -> 3L, "delete" -> 2L),
-      s"2 appends + dv-delete + update(pre+post): $byType")
+    assert(byType == Map("insert" -> 2L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L),
+      s"2 appends + dv-delete + PAIRED update images: $byType")
   }
 }
