@@ -42,8 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * integer exactly in int32/int64/binary/FLBA; bounds decode to
   * BigDecimal and compare numerically — the money-column range
   * predicate is the single most common fact-table filter shape, and
-  * without these stats it scans every file). INT96, nested fields and
-  * NANOS timestamps get no stats — unprunable, never wrong.
+  * without these stats it scans every file). NESTED STRUCT leaves
+  * record under their dotted path (`meta.price`) and prune row
+  * predicates like top-level columns; leaves under a REPEATED group
+  * (array/map elements) are excluded — their stats describe elements,
+  * not rows. INT96 and NANOS timestamps get no stats — unprunable,
+  * never wrong.
   *
   * String order note: comparisons use [[UTF8String]]'s unsigned byte
   * order — the same order parquet declares for UTF-8 min/max — not
@@ -164,10 +168,29 @@ object DataSkipping {
       try {
         val footer = reader.getFooter
         import scala.jdk.CollectionConverters._
-        val fields: Map[String, org.apache.parquet.schema.PrimitiveType] =
-          footer.getFileMetaData.getSchema.getFields.asScala
-            .collect { case t if t.isPrimitive => t.getName -> t.asPrimitiveType }
-            .toMap
+        val schema = footer.getFileMetaData.getSchema
+        // the PRIMITIVE leaf a column path names, provided no ancestor
+        // is REPEATED: stats of a leaf under an array/map describe
+        // ELEMENTS, not rows, and must never answer a row predicate.
+        // Nested struct leaves qualify (VERDICT r18 #1's second half)
+        // and record under their DOTTED path — `meta.price` prunes
+        // exactly like a top-level column.
+        def leafOf(path: Array[String])
+            : Option[org.apache.parquet.schema.PrimitiveType] =
+          try {
+            var cur: org.apache.parquet.schema.Type = schema
+            var ok = true
+            path.foreach { seg =>
+              if (!ok || cur.isPrimitive) ok = false
+              else {
+                cur = cur.asGroupType.getType(seg)
+                if (cur.getRepetition ==
+                  org.apache.parquet.schema.Type.Repetition.REPEATED)
+                  ok = false
+              }
+            }
+            if (ok && cur.isPrimitive) Some(cur.asPrimitiveType) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
         val blocks = footer.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
         // merge per-column chunk statistics across row groups; a column
@@ -176,12 +199,12 @@ object DataSkipping {
         val bad = scala.collection.mutable.Set.empty[String]
         for (b <- blocks; c <- b.getColumns.asScala) {
           val pathArr = c.getPath.toArray
-          if (pathArr.length == 1) {
-            val name = pathArr(0)
+          if (pathArr.length >= 1) {
+            val name = pathArr.mkString(".")
             if (!bad(name)) {
               val s: org.apache.parquet.column.statistics.Statistics[_] =
                 c.getStatistics
-              fields.get(name) match {
+              leafOf(pathArr) match {
                 case Some(field) if s != null && s.isNumNullsSet &&
                     (!s.hasNonNullValue || supported(field)) =>
                   val nulls = s.getNumNulls
@@ -534,6 +557,10 @@ object DataSkipping {
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
+    // resolved nested access (`meta.price` in a pushed filter) names
+    // the dotted footer-stats key the nested leaf recorded under
+    case g: GetStructField =>
+      attrName(g.child).map(_ + "." + g.extractFieldName)
     case _ => None
   }
 

@@ -115,6 +115,47 @@ class ManifestSkippingSpec extends AnyFunSuite {
       s"got $bounds")
   }
 
+  test("nested struct leaves prune; repeated-group leaves never do") {
+    import spark.implicits._
+    // 100 rows in 5 range-localized files; the range key lives INSIDE
+    // a struct — `meta.price` must prune exactly like a top-level
+    // column (footer stats record under the dotted path)
+    val t = freshTable()
+    val df = (0 until 100).map(i =>
+      (i.toLong, (i.toLong * 10, s"tag${i % 7}"), Seq(i.toLong, 999L)))
+      .toDF("id", "meta", "arr")
+      .selectExpr("id",
+        "named_struct('price', meta._1, 'tag', meta._2) AS meta", "arr")
+    ManifestTable.write(spark, df.repartitionByRange(5, col("id")), t)
+    val stats = ManifestTable.fileStats(spark, t)
+    assert(stats.values.exists(_.cols.contains("meta.price")),
+      s"nested leaf stats must record: ${stats.values.head.cols.keySet}")
+    assert(!stats.values.exists(_.cols.keys.exists(_.startsWith("arr"))),
+      "array-element stats must be excluded (they describe elements)")
+    // range predicate on the nested leaf: ids 25-44 → 2 of 5 files
+    val pred = col("meta.price") >= 250L && col("meta.price") < 450L
+    val (kept, total) = ManifestTable.skippingReport(spark, t, pred)
+    assert(total == 5 && kept == 2, s"nested range must prune: $kept/$total")
+    assert(ManifestTable.readWhere(spark, t, pred)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == (25L until 45L))
+    // the native FileIndex path: resolved GetStructField filters prune
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val filtered = ManifestTable.scan(spark, t).filter(pred)
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    val planned = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .map(_.files.size).sum
+    assert(planned == 2, s"native scan must plan 2 files, got $planned")
+    assert(filtered.count() == 20)
+    // equality + impossible band on the nested leaf
+    assert(ManifestTable.skippingReport(spark, t,
+      col("meta.price") === 570L)._1 == 1)
+    assert(ManifestTable.skippingReport(spark, t,
+      col("meta.price") > 99999L)._1 == 0)
+  }
+
   test("string stats prune; disjunctions keep the union of sides") {
     import spark.implicits._
     val t = freshTable()
