@@ -302,7 +302,40 @@ object GeneratedPruning {
       case _ => None
     }
 
-    conjuncts(pred).flatMap(leafOf).flatMap { case (src, op0, v0) =>
+    // IN lists derive one OR-of-bands conjunct (each value maps to
+    // gen ∈ [f(v), f(v)]); bounded — a huge list isn't worth the walk
+    def inOf(e: Expression): Option[(String, Seq[Any])] = e match {
+      case In(a, list) if list.lengthCompare(32) <= 0 =>
+        val vs = list.map(constValue)
+        if (vs.forall(_.isDefined))
+          attrName(a).map(n => (n, vs.flatten))
+        else None
+      case InSet(a, set) if set.size <= 32 =>
+        attrName(a).map(n => (n, set.toSeq.filter(_ != null)))
+      case _ => None
+    }
+    val inDerived: Seq[Expression] = conjuncts(pred).flatMap(inOf)
+      .flatMap { case (src, values) =>
+        val srcL = src.toLowerCase(java.util.Locale.ROOT)
+        shapes.filter(
+          _._2.source.toLowerCase(java.util.Locale.ROOT) == srcL)
+          .flatMap { case (gen, shape, genType) =>
+            val srcType = srcTypes.getOrElse(srcL, NullType)
+            val asPart = parts(gen.toLowerCase(java.util.Locale.ROOT))
+            val bands = values.map(
+              mapLit(shape, _, srcType, genType, asPart, zone))
+            // every value must map, else the disjunction proves nothing
+            if (bands.isEmpty || bands.exists(_.isEmpty)) None
+            else {
+              val g = UnresolvedAttribute(Seq(gen))
+              Some(bands.flatten.map(lit =>
+                And(GreaterThanOrEqual(g, lit),
+                  LessThanOrEqual(g, lit)): Expression)
+                .reduce(Or(_, _)))
+            }
+          }
+      }
+    inDerived ++ conjuncts(pred).flatMap(leafOf).flatMap { case (src, op0, v0) =>
       val adjusted: Option[(String, Any)] = op0 match {
         case "gt" => bump(v0, 1L).map("ge" -> _)
         case "lt" => bump(v0, -1L).map("le" -> _)

@@ -5212,6 +5212,14 @@ object ManifestTable {
       maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val (fs, p) = fsOf(spark, table)
+    // opt-in merge-on-read strategy, the twin of [[UpdateModeProp]]:
+    // the property routes every delete surface (API and SQL) through
+    // the deletion-vector commit — a point delete in a wide file
+    // commits kilobytes instead of a rewrite
+    if (manifestAt(fs, p, currentVersion(spark, table))
+      .map(_.props).exists(_.get(DeleteModeProp)
+        .exists(_.equalsIgnoreCase("merge-on-read"))))
+      return deleteVectors(spark, table, predicate, maxAttempts)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentVersion(spark, table)
@@ -5776,6 +5784,11 @@ object ManifestTable {
     */
   val UpdateModeProp = "graft.update.mode"
 
+  /** Table property selecting [[delete]]'s physical strategy:
+    * `copy-on-write` (default) or `merge-on-read` ([[deleteVectors]]).
+    */
+  val DeleteModeProp = "graft.delete.mode"
+
   /** Row-level UPDATE, MERGE-ON-READ (VERDICT r18 #3): apply `set` to
     * every row matching `predicate` WITHOUT rewriting the touched
     * files — ONE commit writes (1) a deletion-vector sidecar hiding
@@ -6323,6 +6336,11 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val (fs, p) = fsOf(spark, table)
+    // opt-in merge-on-read strategy, the twin of [[UpdateModeProp]]
+    if (manifestAt(fs, p, currentVersion(spark, table))
+      .map(_.props).exists(_.get(MergeModeProp)
+        .exists(_.equalsIgnoreCase("merge-on-read"))))
+      return mergeVectors(spark, source, table, keyCols, maxAttempts)
     // pin ONE evaluation of the source (the mergeClauses discipline,
     // extended here per ADVICE r14) WHEN required: the key-bounds agg,
     // the hit scan, the rewrite union, the constraint check and the
@@ -6454,6 +6472,135 @@ object ManifestTable {
     * key column → source key column (they differ when the SQL ON
     * clause equates differently-named columns).
     */
+  /** Table property selecting [[merge]]'s physical strategy:
+    * `copy-on-write` (default) or `merge-on-read` ([[mergeVectors]]).
+    */
+  val MergeModeProp = "graft.merge.mode"
+
+  /** Whole-row upsert MERGE, MERGE-ON-READ: the matched target rows
+    * are hidden by a deletion-vector sidecar and EVERY prepared source
+    * row appends — one commit, zero file rewrites. The survivor rows
+    * of a hit file stay in place, so a wide-table upsert touching a
+    * few rows per file commits O(source + matched), not O(hit files)
+    * of rewrite; [[compact]] materializes the vectors as usual. Same
+    * duplicate-source-key guard, identity inheritance (an existing
+    * key keeps its id), generated recomputation, schema enforcement,
+    * constraints and CDC shape as [[merge]]. Routed from [[merge]]
+    * via [[MergeModeProp]].
+    */
+  def mergeVectors(spark: SparkSession, source: DataFrame, table: String,
+      keyCols: Seq[String], maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val (fs, p) = fsOf(spark, table)
+    val src = pinIfNeeded(spark, source, table)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      require(base > 0, s"no committed version in $table")
+      val (_, cs) = listLog(fs, p)
+      val m = manifestAt(fs, p, base)
+      val snap = resolve(spark, fs, p, base, cs)
+      val parts = m.map(_.parts).getOrElse(Seq.empty)
+      val mapping0 = mappingOf(m)
+      val rec = recordedSchema(m)
+      val props0 = m.map(_.props).getOrElse(Map.empty)
+      val snapL = snap.copy(stats = logicalStats(snap.stats, mapping0))
+      val candidates =
+        mergeKeyCandidates(src, keyCols.map(k => k -> k), snapL)
+      // the matched target rows, pinned ONCE: the sidecar ids, the
+      // inherited identity values and the CDC pre-images must agree
+      val matched =
+        if (candidates.isEmpty) None
+        else {
+          val mf = readFiles(spark, table, candidates, snap.dvs,
+            keepIdentity = true, mapping = mapping0, recorded = rec)
+            .join(srcKeys, keyCols, "left_semi")
+            .localCheckpoint()
+          if (mf.isEmpty) None else Some(mf)
+        }
+      // identity inheritance + fresh draws, exactly [[merge]]'s rule
+      val (srcPrepped, idCols) = {
+        val gens = recomputeGenerated(src, rec)
+        val specs = identityOf(rec)
+        if (specs.isEmpty) (gens, Seq.empty[(String, Long)])
+        else {
+          val idNames = specs.map(_._1.name)
+          val inherited = matched match {
+            case None => gens
+            case Some(mf) =>
+              val olds = mf
+                .select((keyCols ++ idNames).map(col): _*)
+                .select(keyCols.map(col) ++ idNames.map(n =>
+                  col(n).as(s"_graft_old_$n")): _*)
+              val joined = gens.join(olds, keyCols, "left")
+              idNames.foldLeft(joined) { (d, n) =>
+                val merged =
+                  if (d.columns.contains(n)) coalesce(col(n),
+                    col(s"_graft_old_$n"))
+                  else col(s"_graft_old_$n")
+                d.withColumn(n, merged)
+              }.drop(idNames.map(n => s"_graft_old_$n"): _*)
+          }
+          val (filled, ids) = fillIdentity(inherited, rec, props0)
+          (filled.localCheckpoint(), ids)
+        }
+      }
+      val active = rec.exists(columnMapped)
+      val evolved = stampNewFields(
+        enforceSchema(rec, srcPrepped.schema, table), active)
+      enforceConstraints(srcPrepped, props0, table, pin = false,
+        recorded = Some(evolved)): Unit
+      // DV sidecar hiding the matched rows in their original files
+      val refs: Map[String, Seq[DvRef]] = matched match {
+        case None => Map.empty
+        case Some(mf) =>
+          val byFile = mf.groupBy(col(AbsPathCol))
+            .agg(count(lit(1)).as("n")).collect()
+          if (byFile.isEmpty) Map.empty
+          else {
+            val dvDir = s"deletes/d${base + 1}-${java.util.UUID.randomUUID()}"
+            mf.select(col(DvFileCol).as("file"), col(DvIdxCol).as("idx"))
+              .write.parquet(s"$table/$dvDir")
+            byFile.map(r => matchRel(r.getString(0), candidates) ->
+              Seq(DvRef(dvDir, r.getLong(1)))).toMap
+          }
+      }
+      val fresh = writeSnapshot(fs, p,
+        toPhysical(srcPrepped, Some(evolved).filter(columnMapped)),
+        base + 1, parts, 0L)
+      val cdc =
+        if (!changeFeedOn(m)) None
+        else {
+          val replaced = matched.map(
+            _.drop(AbsPathCol, DvFileCol, DvIdxCol)
+              .withColumn(ChangeTypeCol, lit("delete")))
+          val added = srcPrepped.withColumn(ChangeTypeCol, lit("insert"))
+          Some(writeChangeDir(spark, p, base + 1,
+            replaced.fold(added)(r =>
+              r.unionByName(added, allowMissingColumns = true))))
+        }
+      val stats = collectStats(spark, p, fresh, props0)
+      if (commitDelta(fs, p, base + 1, fresh,
+        m.map(_.txns).getOrElse(Map.empty),
+        stats, parts = parts,
+        schemaJson = Some(evolved.json),
+        dvs = refs,
+        props = advanceIdentity(spark, p, fresh, stats,
+          Some(evolved).filter(columnMapped), props0, idCols),
+        cdcDir = cdc,
+        op = opInfo(m, "merge", "keys" -> keyCols.mkString(","),
+          "mode" -> "merge-on-read",
+          "targetFiles" -> refs.size.toString))) {
+        maybeCheckpoint(spark, fs, p, base + 1)
+        return base + 1
+      }
+      attempt += 1
+    }
+    raceLost(table, currentVersion(spark, table) + 1)
+  }
+
   private def mergeKeyCandidates(source: DataFrame,
       keyPairs: Seq[(String, String)], snap: Snapshot): Seq[String] = {
     import org.apache.spark.sql.functions.{col, count_distinct, lit, struct, sum, when, max => fmax, min => fmin}

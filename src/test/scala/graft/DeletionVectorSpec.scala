@@ -109,6 +109,61 @@ class DeletionVectorSpec extends AnyFunSuite {
       .select("tag").head().getString(0) == "updated")
   }
 
+  test("merge-on-read MERGE: matched rows hide via DV, source appends, no rewrites") {
+    import spark.implicits._
+    val t = rangedTable()
+    val before = ManifestTable.currentFiles(spark, t)
+    // upsert: replace 2 existing keys, insert 1 new
+    val src = Seq((7L, "up7"), (42L, "up42"), (200L, "new"))
+      .toDF("id", "tag")
+    val v = ManifestTable.mergeVectors(spark, src, t, Seq("id"))
+    assert(v == 2)
+    assert(before.forall(ManifestTable.currentFiles(spark, t).contains),
+      "MoR merge must remove zero data files")
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 101)
+    assert(r.filter(col("id") === 7L).select("tag").head().getString(0)
+      == "up7")
+    assert(r.filter(col("id") === 42L).select("tag").head().getString(0)
+      == "up42")
+    assert(r.filter(col("id") === 200L).count() == 1)
+    // time travel: pre-merge images intact
+    assert(ManifestTable.read(spark, t, version = 1)
+      .filter(col("id") === 7L).select("tag").head().getString(0)
+      == "tag0")
+    // duplicate source keys refuse exactly like CoW merge
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.mergeVectors(spark,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "tag"), t, Seq("id")))
+    assert(e.getMessage.contains("duplicate"), s"got $e")
+    // property routing: merge() takes the MoR path; compact heals
+    val t2 = rangedTable()
+    ManifestTable.setProperty(spark, t2,
+      ManifestTable.MergeModeProp, "merge-on-read")
+    val files2 = ManifestTable.currentFiles(spark, t2)
+    ManifestTable.merge(spark, Seq((3L, "m3")).toDF("id", "tag"),
+      t2, Seq("id"))
+    assert(files2.forall(ManifestTable.currentFiles(spark, t2).contains),
+      "property-routed merge must be merge-on-read")
+    assert(ManifestTable.read(spark, t2).filter(col("id") === 3L)
+      .select("tag").head().getString(0) == "m3")
+    ManifestTable.compact(spark, t2)
+    assert(!ManifestTable.hasDeletionVectors(spark, t2))
+    assert(ManifestTable.read(spark, t2).count() == 100)
+  }
+
+  test("graft.delete.mode routes plain delete() through deletion vectors") {
+    val t = rangedTable()
+    ManifestTable.setProperty(spark, t,
+      ManifestTable.DeleteModeProp, "merge-on-read")
+    val files = ManifestTable.currentFiles(spark, t)
+    ManifestTable.delete(spark, t, col("id") === 11L)
+    assert(files.forall(ManifestTable.currentFiles(spark, t).contains),
+      "property-routed delete must rewrite nothing")
+    assert(ManifestTable.hasDeletionVectors(spark, t))
+    assert(ManifestTable.read(spark, t).count() == 99)
+  }
+
   test("overlapping deletes stay disjoint; rowCount stays exact") {
     val t = rangedTable()
     ManifestTable.deleteVectors(spark, t, col("id") < 10L)
