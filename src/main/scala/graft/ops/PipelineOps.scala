@@ -978,8 +978,15 @@ object PipelineOps {
     val updates = docs.filter(col("doc_id") % 4 === 0)
       .withColumn("n_chars", col("n_chars") + 1000)
     val inserts = docs.filter(col("doc_id") % 2 =!= 0)
+    val src = updates.unionByName(inserts)
+    // the same logical upsert split across BOTH physical strategies —
+    // copy-on-write for one key half, MERGE-ON-READ (DV sidecar +
+    // source appends, zero rewrites) for the other — so one oracle
+    // hash gates that they agree exactly
     graft.sinks.ManifestTable.merge(spark,
-      updates.unionByName(inserts), table, Seq("doc_id"))
+      src.filter(col("doc_id") % 8 < 4), table, Seq("doc_id"))
+    graft.sinks.ManifestTable.mergeVectors(spark,
+      src.filter(col("doc_id") % 8 >= 4), table, Seq("doc_id"))
     langCensus(graft.sinks.ManifestTable.read(spark, table))
   }
 
