@@ -4833,9 +4833,16 @@ object ManifestTable {
           val targets = d.dvs.keys.toSeq.sorted
           val tagged = readFiles(spark, table, targets, Map.empty,
             keepIdentity = true, mapping = mapTo, recorded = recTo)
-          Seq(tag(tagged.join(dvEntries(spark, table, dvDirs),
+          val dels = tag(tagged.join(dvEntries(spark, table, dvDirs),
             Seq(DvFileCol, DvIdxCol), "inner")
-            .drop(AbsPathCol, DvFileCol, DvIdxCol), "delete", v))
+            .drop(AbsPathCol, DvFileCol, DvIdxCol), "delete", v)
+          // a MERGE-ON-READ update/merge commit carries DVs AND fresh
+          // post-image files in ONE delta: the hidden rows die, the
+          // appended rows are born — emitting only the deletes would
+          // silently drop the post-images from the feed
+          if (d.add.isEmpty) Seq(dels)
+          else Seq(dels, tag(readFiles(spark, table, d.add, Map.empty,
+            mapping = mapTo, recorded = recTo), "insert", v))
         case d: Delta if d.remove.isEmpty =>
           if (d.add.isEmpty) Seq.empty // pure offset/DDL commit
           else Seq(tag(readFiles(spark, table, d.add, Map.empty,

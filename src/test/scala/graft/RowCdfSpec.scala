@@ -65,6 +65,25 @@ class RowCdfSpec extends AnyFunSuite {
       s"truncate must delete the 19 survivors: ${trunc.size}")
   }
 
+  test("feed-off MoR update/merge: the diff walk emits hidden rows AND post-images") {
+    import spark.implicits._
+    // a merge-on-read commit carries DVs AND fresh files in ONE delta;
+    // the feed-less rowChanges walk must emit both halves
+    val t = freshTable()
+    ManifestTable.write(spark,
+      (0L until 10L).map(i => (i, i * 10)).toDF("id", "qty"), t) // v1
+    ManifestTable.updateVectors(spark, t, col("id") === 5L,
+      Map("qty" -> lit(999L))) // v2: DV(5,50) + append(5,999)
+    val ch = changeSet(ManifestTable.rowChanges(spark, t, 1))
+    assert(ch == Set((5L, 50L, "delete", 2L), (5L, 999L, "insert", 2L)),
+      s"got $ch")
+    ManifestTable.mergeVectors(spark,
+      Seq((7L, 700L), (20L, 200L)).toDF("id", "qty"), t, Seq("id")) // v3
+    val ch3 = changeSet(ManifestTable.rowChanges(spark, t, 2))
+    assert(ch3 == Set((7L, 70L, "delete", 3L), (7L, 700L, "insert", 3L),
+      (20L, 200L, "insert", 3L)), s"got $ch3")
+  }
+
   test("enableChangeFeed: commits persist change files; rowChanges prefers them; vacuum sweeps orphans") {
     import spark.implicits._
     val t = freshTable()
