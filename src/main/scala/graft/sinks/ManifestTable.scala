@@ -6791,9 +6791,25 @@ object ManifestTable {
           val (anyChange, _, _) = clausePlan(matchedFlag)
           joined.filter(anyChange)
         }, mapping0, recorded = recorded)
-      // rewrite the hit files under the clause plan
+      // MERGE-ON-READ clause mode ([[MergeModeProp]]): the clause-
+      // affected rows hide behind a deletion-vector sidecar and only
+      // the UPDATE-clause post-images (plus inserts) append — zero
+      // file rewrites; survivors of a hit file stay in place
+      val morMode = props0.get(MergeModeProp)
+        .exists(_.equalsIgnoreCase("merge-on-read"))
+      val morJoin: Option[(DataFrame, Seq[String])] =
+        if (!morMode || hits.isEmpty) None
+        else {
+          val tagged = readFiles(spark, table, hits, snap.dvs,
+            keepIdentity = true, mapping = mapping0, recorded = recorded)
+          val tcols = tagged.columns.toIndexedSeq
+            .filterNot(Set(AbsPathCol, DvFileCol, DvIdxCol))
+          Some((tagged.alias("t").join(srcMarked, keyCond, "left_outer"),
+            tcols))
+        }
+      // rewrite the hit files under the clause plan (copy-on-write)
       val rewritten: Option[DataFrame] =
-        if (hits.isEmpty) None
+        if (hits.isEmpty || morMode) None
         else {
           val tgt = readFiles(spark, table, hits, snap.dvs,
             mapping = mapping0, recorded = recorded)
@@ -6809,6 +6825,37 @@ object ManifestTable {
           // UPDATE-staleness contract, see [[recomputeGenerated]])
           Some(recomputeGenerated(
             joined.filter(!del).select(out: _*), recorded))
+        }
+      // MoR: sidecar ids + UPDATE-clause post-images from ONE clause
+      // join (lazily re-evaluated under the pinned src, the same
+      // single-evaluation discipline as the CoW branch)
+      val (morRefs, morPost)
+          : (Map[String, Seq[DvRef]], Option[DataFrame]) =
+        morJoin match {
+          case None => (Map.empty, None)
+          case Some((joined, tcols)) =>
+            val (anyChange, del, ups) = clausePlan(matchedFlag)
+            val matchedRows = joined.filter(anyChange)
+            val byFile = matchedRows.groupBy(col(AbsPathCol))
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+              .collect()
+            if (byFile.isEmpty) (Map.empty, None)
+            else {
+              val dvDir =
+                s"deletes/d${base + 1}-${java.util.UUID.randomUUID()}"
+              matchedRows.select(col(DvFileCol).as("file"),
+                col(DvIdxCol).as("idx")).write.parquet(s"$table/$dvDir")
+              val refs = byFile.map(r =>
+                matchRel(r.getString(0), hits) ->
+                  Seq(DvRef(dvDir, r.getLong(1)))).toMap
+              val out = tcols.map { c =>
+                ups.foldRight(col(s"t.$c")) { case ((a, set), acc) =>
+                  set.get(c).fold(acc)(v => when(a, v).otherwise(acc))
+                }.as(c)
+              }
+              (refs, Some(recomputeGenerated(
+                matchedRows.filter(!del).select(out: _*), recorded)))
+            }
         }
       // inserts: source rows whose key matches NO live target row.
       // Key lookup scans only the key-candidate files (other files
@@ -6884,16 +6931,18 @@ object ManifestTable {
           (Some(if (ids.isEmpty) filled else filled.localCheckpoint()),
             ids)
       }
-      val newData: Option[DataFrame] = (rewritten, insertsPrepped) match {
-        case (Some(r), Some(i)) =>
-          Some(r.unionByName(i, allowMissingColumns = true))
-        case (r, i) => r.orElse(i)
-      }
+      val newData: Option[DataFrame] =
+        (rewritten.orElse(morPost), insertsPrepped) match {
+          case (Some(r), Some(i)) =>
+            Some(r.unionByName(i, allowMissingColumns = true))
+          case (r, i) => r.orElse(i)
+        }
       newData match {
         case None => return base // nothing to change
         case Some(nd) =>
           // an insert-only merge with zero insert rows must not commit
-          val hasRows = hits.nonEmpty || nd.limit(1).count() > 0
+          val hasRows = (if (morMode) morRefs.nonEmpty else hits.nonEmpty) ||
+            nd.limit(1).count() > 0
           if (!hasRows) return base
           val active = recorded.exists(columnMapped)
           val evolved =
@@ -6907,11 +6956,32 @@ object ManifestTable {
           val fresh = writeSnapshot(fs, p,
             toPhysical(checked, Some(evolved).filter(columnMapped)),
             base + 1, parts, 0L)
-          // change feed: multiset diff of the hit files' pre-image vs
-          // their rewrite (updates = delete+insert, unchanged cancel),
-          // plus the insert rows — two feed-gated exceptAll jobs
+          // change feed. CoW: multiset diff of the hit files'
+          // pre-image vs their rewrite (updates = delete+insert,
+          // unchanged cancel) plus the insert rows. MoR: the clause
+          // join is EXACT — delete-clause rows tag delete, update-
+          // clause rows tag paired pre/post images, inserts insert.
           val cdc =
             if (!changeFeedOn(m)) None
+            else if (morMode) {
+              val frames: Seq[DataFrame] = (morJoin match {
+                case Some((joined, tcols)) if morRefs.nonEmpty =>
+                  val (anyChange, del, _) = clausePlan(matchedFlag)
+                  Seq(joined.filter(anyChange)
+                    .withColumn(ChangeTypeCol, when(del, lit("delete"))
+                      .otherwise(lit("update_preimage")))
+                    .select((tcols.map(c => col(s"t.$c").as(c)) :+
+                      col(ChangeTypeCol)): _*)) ++
+                    morPost.map(_.withColumn(ChangeTypeCol,
+                      lit("update_postimage"))).toSeq
+                case _ => Seq.empty
+              }) ++ insertsPrepped.map(
+                _.withColumn(ChangeTypeCol, lit("insert"))).toSeq
+              if (frames.isEmpty) None
+              else Some(writeChangeDir(spark, p, base + 1,
+                frames.reduce(
+                  _.unionByName(_, allowMissingColumns = true))))
+            }
             else {
               val rewriteDiffs: Seq[DataFrame] = (rewritten, hits) match {
                 case (Some(rw), hs) if hs.nonEmpty =>
@@ -6931,8 +7001,10 @@ object ManifestTable {
           val stats = collectStats(spark, p, fresh, props0)
           if (commitDelta(fs, p, base + 1, fresh,
             m.map(_.txns).getOrElse(Map.empty),
-            stats, remove = hits, parts = parts,
+            stats, remove = (if (morMode) Seq.empty else hits),
+            parts = parts,
             schemaJson = Some(evolved.json),
+            dvs = morRefs,
             props = advanceIdentity(spark, p, fresh, stats,
               Some(evolved).filter(columnMapped), props0, idCols),
             cdcDir = cdc,
@@ -6940,7 +7012,9 @@ object ManifestTable {
               "keys" -> keyPairs.map(_._1).mkString(","),
               "clauses" -> (matched.size + notMatched.size +
                 bySource.size).toString,
-              "rewrittenFiles" -> hits.size.toString))) {
+              "mode" -> (if (morMode) "merge-on-read" else "copy-on-write"),
+              "rewrittenFiles" ->
+                (if (morMode) "0" else hits.size.toString)))) {
             maybeCheckpoint(spark, fs, p, base + 1)
             return base + 1
           }

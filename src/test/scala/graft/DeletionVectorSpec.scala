@@ -152,6 +152,49 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t2).count() == 100)
   }
 
+  test("merge-on-read mergeClauses: DELETE/UPDATE clauses via DVs, paired CDC") {
+    import graft.sinks.ManifestTable.{MatchedClause, NotMatchedClause}
+    import spark.implicits._
+    val t = rangedTable()
+    ManifestTable.setProperty(spark, t,
+      ManifestTable.MergeModeProp, "merge-on-read")
+    ManifestTable.enableChangeFeed(spark, t)
+    val before = ManifestTable.currentFiles(spark, t)
+    ManifestTable.mergeClauses(spark,
+      Seq((2L, "D", ""), (63L, "U", "u63"), (500L, "I", "i500"))
+        .toDF("id", "op", "v"), t, Seq("id" -> "id"),
+      matched = Seq(
+        MatchedClause(Some(col("s.op") === "D"), None),
+        MatchedClause(Some(col("s.op") === "U"),
+          Some(Map("tag" -> col("s.v"))))),
+      notMatched = Seq(NotMatchedClause(Some(col("s.op") === "I"),
+        Map("id" -> col("s.id"), "tag" -> col("s.v")))))
+    assert(before.forall(ManifestTable.currentFiles(spark, t).contains),
+      "MoR mergeClauses must remove zero data files")
+    assert(ManifestTable.hasDeletionVectors(spark, t))
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 100, "100 - 1 deleted + 1 inserted")
+    assert(r.filter(col("id") === 2L).count() == 0)
+    assert(r.filter(col("id") === 63L).select("tag").head().getString(0)
+      == "u63")
+    assert(r.filter(col("id") === 500L).count() == 1)
+    // the clause CDC is EXACT and paired (no multiset diff needed)
+    val v = ManifestTable.currentVersion(spark, t)
+    val ch = ManifestTable.rowChanges(spark, t, v - 1, v)
+      .select("id", "tag", "_change_type").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    assert(ch == Set(
+      (2L, "tag2", "delete"),
+      (63L, "tag0", "update_preimage"), (63L, "u63", "update_postimage"),
+      (500L, "i500", "insert")), s"got $ch")
+    // compaction materializes; results stable
+    ManifestTable.compact(spark, t)
+    assert(!ManifestTable.hasDeletionVectors(spark, t))
+    assert(ManifestTable.read(spark, t).count() == 100)
+    assert(ManifestTable.read(spark, t).filter(col("id") === 63L)
+      .select("tag").head().getString(0) == "u63")
+  }
+
   test("graft.delete.mode routes plain delete() through deletion vectors") {
     val t = rangedTable()
     ManifestTable.setProperty(spark, t,
