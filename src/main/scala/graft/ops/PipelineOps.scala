@@ -2505,6 +2505,91 @@ object PipelineOps {
       "GROUP BY flag ORDER BY flag ASC NULLS LAST")
   }
 
+  private val p52Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p52: the MERGE-ON-READ DML family end-to-end — delete, update
+    * and clause MERGE all routed through deletion vectors by the
+    * mode properties (zero file rewrites; each commit = one DV
+    * sidecar + post-image appends), with the row change feed on, so
+    * the accumulated CDF census pins every physical path AND the
+    * paired update tags at once. The DuckDB oracle reconstructs the
+    * exact change log; a hash match proves the DV-backed lifecycle
+    * produced precisely the row effects the copy-on-write one would.
+    */
+  def p52MorRowOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    import graft.sinks.ManifestTable
+    import graft.sinks.ManifestTable.{MatchedClause, NotMatchedClause}
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val inv = p52Invocation.incrementAndGet()
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p52_mor_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + inv)
+    ManifestTable.write(spark, // v1: bulk load, range-localized
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("doc_id")), table)
+    ManifestTable.updateProperties(spark, table, Map( // v2
+      ManifestTable.DeleteModeProp -> "merge-on-read",
+      ManifestTable.UpdateModeProp -> "merge-on-read",
+      ManifestTable.MergeModeProp -> "merge-on-read",
+      ManifestTable.ChangeFeedProp -> "true"))
+    // v3: MoR delete (DV sidecar, no rewrite)
+    ManifestTable.delete(spark, table, col("doc_id") % 10 === 0)
+    // v4: MoR update (DV + post-image append, paired CDF tags)
+    ManifestTable.update(spark, table, col("doc_id") % 10 === 2,
+      Map("n_chars" -> (col("n_chars") + 500)))
+    // v5: MoR clause merge — DELETE, conditional UPDATE, INSERT
+    val src = docs.filter(
+      (col("doc_id") % 2 === 0 &&
+        (col("doc_id") % 10 === 4 || col("doc_id") % 10 === 6)) ||
+        (col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0))
+      .withColumn("op", when(col("doc_id") % 10 === 4, "D")
+        .when(col("doc_id") % 10 === 6, "U").otherwise("I"))
+    ManifestTable.mergeClauses(spark, src, table, Seq("doc_id" -> "doc_id"),
+      matched = Seq(
+        MatchedClause(Some(col("s.op") === "D"), None),
+        MatchedClause(Some(col("s.op") === "U"),
+          Some(Map("n_chars" -> (col("t.n_chars") + 100))))),
+      notMatched = Seq(NotMatchedClause(Some(col("s.op") === "I"),
+        Map("doc_id" -> col("s.doc_id"), "lang" -> col("s.lang"),
+          "n_chars" -> col("s.n_chars")))))
+    ManifestTable.rowChanges(spark, table, 0)
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").cast("bigint").as("total_chars"))
+      .orderBy(col("_change_type").asc, col("lang").asc_nulls_last)
+  }
+
+  /** DuckDB reconstruction of the DV-backed change log. */
+  val p52Sql: String =
+    """WITH evens AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |changes AS (
+      |  SELECT 'insert' AS _change_type, lang, n_chars FROM evens
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', lang, n_chars FROM evens
+      |  WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT 'update_postimage', lang, n_chars + 500 FROM evens
+      |  WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars FROM evens WHERE doc_id % 10 = 4
+      |  UNION ALL
+      |  SELECT 'update_preimage', lang, n_chars FROM evens
+      |  WHERE doc_id % 10 = 6
+      |  UNION ALL
+      |  SELECT 'update_postimage', lang, n_chars + 100 FROM evens
+      |  WHERE doc_id % 10 = 6
+      |  UNION ALL
+      |  SELECT 'insert', lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)
+      |SELECT _change_type, lang, count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM changes GROUP BY 1, 2
+      |ORDER BY _change_type ASC, lang ASC NULLS LAST""".stripMargin
+
   val p51Sql: String =
     """WITH src AS (SELECT l_returnflag AS flag,
       |    CAST(floor(l_extendedprice * 100) / 100 AS DECIMAL(14,2)) AS price
