@@ -4975,7 +4975,8 @@ object ManifestTable {
         case Some(cond) =>
           val mapping = mappingOf(m)
           val lstats = logicalStats(snapB.stats, mapping)
-          val sel = DataSkipping.expressionOf(cond)
+          val sel = prunePredicate(spark, m,
+            DataSkipping.expressionOf(cond))
           val selected = before.filter(f =>
             DataSkipping.mayMatch(lstats.get(f), sel))
           val selBytes = snapshotBytes(fs, p, selected, snapB.stats)
@@ -5315,8 +5316,9 @@ object ManifestTable {
       val mapping = mappingOf(m)
       val lstats = logicalStats(snap.stats, mapping)
       val candidates = prune match {
-        case Some(e) => snap.files.filter(f =>
-          DataSkipping.mayMatch(lstats.get(f), e))
+        case Some(e) =>
+          val pe = prunePredicate(spark, m, e) // derive ONCE per commit
+          snap.files.filter(f => DataSkipping.mayMatch(lstats.get(f), pe))
         case None => snap.files
       }
       if (candidates.isEmpty) return base
@@ -5925,8 +5927,9 @@ object ManifestTable {
       val mapping = mappingOf(m)
       val lstats = logicalStats(snap.stats, mapping)
       val candidates = prune match {
-        case Some(e) => snap.files.filter(f =>
-          DataSkipping.mayMatch(lstats.get(f), e))
+        case Some(e) =>
+          val pe = prunePredicate(spark, m, e) // derive ONCE per commit
+          snap.files.filter(f => DataSkipping.mayMatch(lstats.get(f), pe))
         case None => snap.files
       }
       if (candidates.isEmpty) return base
