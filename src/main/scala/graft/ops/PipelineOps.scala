@@ -2487,9 +2487,12 @@ object PipelineOps {
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE NAMESPACE $cat.db")
+    // the liquid-clustering DDL spelling (round 19): CLUSTER BY maps
+    // onto the write-clustering property, so the oracle hash also
+    // gates the DDL round-trip end to end
     spark.sql(s"CREATE TABLE $cat.db.prices " +
       "(ok BIGINT, flag STRING, price DECIMAL(14,2)) " +
-      "TBLPROPERTIES ('graft.write.clusterBy' = 'price')")
+      "CLUSTER BY (price)")
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_returnflag").as("flag"),
         expr("CAST(floor(l_extendedprice * 100) / 100 AS DECIMAL(14,2))")
