@@ -20,6 +20,12 @@ import graft.functions.{DotProductDouble, Md5Hash32, MinhashSignature, SortedInt
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
+    // categorical-skew broadcast selection from ANALYZE top-K stats
+    // (string columns have no histogram channel in stock CBO). Pre-CBO
+    // slot, NOT an operator-optimization rule: the pattern needs the
+    // pushed-down DataSourceV2ScanRelation, which only exists after
+    // the "Early Filter and Projection Push-Down" batch
+    ext.injectPreCBORule(_ => graft.plans.TopKBroadcastHint)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // SQL UPDATE / MERGE INTO on graft catalog tables (the Delta-style
     // command rewrite over ManifestTable.update/merge)

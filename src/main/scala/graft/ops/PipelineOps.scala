@@ -2563,6 +2563,114 @@ object PipelineOps {
       .orderBy(col("_change_type").asc, col("lang").asc_nulls_last)
   }
 
+  private val p53Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p53: READ-ONLY DELTA TABLE ADOPTION (VERDICT r19 #1 — the #1
+    * interop ask of any new engine: real lake estates are Delta, and
+    * in-place adoption queries them without copying a byte). The query
+    * hand-builds a genuine minimal Delta table — Hive-layout parquet
+    * plus a `_delta_log` in the public delta.io commit format (commit
+    * 0: protocol + metaData + adds; commit 1: more adds + a REMOVE of
+    * the whole `lang=en` even slice) — adopts it through the generic
+    * `convertToGraft` entry point (which auto-detects the log), lands
+    * a post-adoption graft append on top, and runs the language census
+    * over the mixed adopted+native snapshot. Hash-exact vs DuckDB
+    * replaying the same add/remove/append set relationally — proving
+    * the log resolution (removes honored), the layout adoption, and
+    * the first-class post-adopt write path at once.
+    */
+  def p53DeltaAdopt(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p53_delta_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p53Invocation.incrementAndGet())
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def listFiles(): Seq[String] = {
+      val root = java.nio.file.Paths.get(table)
+      val out = Seq.newBuilder[String]
+      java.nio.file.Files.walk(root).forEach { p =>
+        val rel = root.relativize(p).toString
+        if (rel.endsWith(".parquet") && !rel.startsWith("_delta_log"))
+          out += rel
+      }
+      out.result().sorted
+    }
+    def addLine(rel: String): String = {
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", rel)
+      val pv = a.putObject("partitionValues")
+      pv.put("lang", rel.split("/").head.split("=", 2)(1))
+      a.put("size", 1L)
+      a.put("modificationTime", 1700000000000L)
+      a.put("dataChange", true)
+      mapper.writeValueAsString(n)
+    }
+    def commit(v: Long, lines: Seq[String]): Unit = {
+      val dir = java.nio.file.Paths.get(table, "_delta_log")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(f"$v%020d.json"),
+        lines.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    // the foreign engine's table: even docs, one file per lang dir
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).write.partitionBy("lang").parquet(table)
+    val era1 = listFiles()
+    val head = {
+      val n = mapper.createObjectNode()
+      val p = n.putObject("protocol")
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+      val m2 = mapper.createObjectNode()
+      val md = m2.putObject("metaData")
+      md.put("id", "0f5c3e86-6f1e-4d41-9d9e-000000000053")
+      md.putObject("format").put("provider", "parquet")
+      md.put("schemaString", docs.schema.json)
+      md.putArray("partitionColumns").add("lang")
+      md.putObject("configuration")
+      Seq(mapper.writeValueAsString(n), mapper.writeValueAsString(m2))
+    }
+    commit(0, head ++ era1.map(addLine))
+    // commit 1: the odd docs land; the even `lang=en` file is removed
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartition(1).write.mode("append").partitionBy("lang").parquet(table)
+    val era2 = listFiles().diff(era1)
+    val removedRel = era1.find(_.startsWith("lang=en/")).get
+    val rm = {
+      val n = mapper.createObjectNode()
+      val r = n.putObject("remove")
+      r.put("path", removedRel)
+      r.put("deletionTimestamp", 1700000001000L)
+      r.put("dataChange", true)
+      mapper.writeValueAsString(n)
+    }
+    commit(1, era2.map(addLine) :+ rm)
+    // adopt via the GENERIC entry point — it must detect the log
+    graft.sinks.ManifestTable.convertToGraft(spark, table)
+    // post-adoption native append: partial restoration of the slice
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 === 0 && col("lang") === "en" &&
+        col("doc_id") % 3 === 0), table)
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  /** DuckDB replay of the Delta add/remove set plus the graft append. */
+  val p53Sql: String =
+    """WITH live AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 0 AND lang <> 'en'
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 0 AND lang = 'en' AND doc_id % 3 = 0)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM live GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   /** DuckDB reconstruction of the DV-backed change log. */
   val p52Sql: String =
     """WITH evens AS (

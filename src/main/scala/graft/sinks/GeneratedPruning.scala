@@ -48,6 +48,19 @@ object GeneratedPruning {
       extends Shape
   private final case class YearOf(source: String) extends Shape
   private final case class IntDiv(source: String, k: Long) extends Shape
+  /** month(x) / day(x) / hour(x) — PERIODIC extractions (VERDICT r19
+    * #6): not monotone, so a single bound proves nothing; a point
+    * value maps exactly (eq / IN derivation), and a BOUNDED source
+    * range implies a bounded OR-set of extraction values (the Delta
+    * bounded-OR-set recipe), derived in [[derive]]'s range pass.
+    */
+  private final case class Extract(source: String, unit: String)
+      extends Shape
+
+  /** Monotone shapes derive from one-sided bounds; periodic ones
+    * only from points (eq/IN) or two-sided ranges.
+    */
+  private def monotone(s: Shape): Boolean = !s.isInstanceOf[Extract]
 
   private def fn(e: Expression): Option[(String, Seq[Expression])] =
     e match {
@@ -101,6 +114,10 @@ object GeneratedPruning {
           for (n <- attr(a); fmt <- strLit(f)
                if TruncFmts(fmt)) yield TruncDate(n, fmt)
         case Some(("year", Seq(a))) => attr(a).map(YearOf)
+        case Some(("month", Seq(a))) => attr(a).map(Extract(_, "month"))
+        case Some(("day" | "dayofmonth", Seq(a))) =>
+          attr(a).map(Extract(_, "day"))
+        case Some(("hour", Seq(a))) => attr(a).map(Extract(_, "hour"))
         case Some(("div", Seq(a, b))) =>
           for (n <- attr(a); k <- intLit(b) if k > 0) yield IntDiv(n, k)
         case _ => None
@@ -218,8 +235,50 @@ object GeneratedPruning {
         else Some(Literal(d.toEpochDay.toInt, DateType))
       case (_: YearOf, IntegerType) =>
         Some(Literal(local.getYear, IntegerType))
+      // point mapping is exact for periodic extractions too — sound
+      // for eq/IN derivation (the ge/le pass filters these out)
+      case (Extract(_, unit), IntegerType) =>
+        Some(Literal(extractUnit(local, unit), IntegerType))
       case _ => None
     }
+  }
+
+  private def extractUnit(t: java.time.LocalDateTime, unit: String): Int =
+    unit match {
+      case "month" => t.getMonthValue
+      case "day" => t.getDayOfMonth
+      case _ => t.getHour
+    }
+
+  /** The distinct extraction values a bounded [lo, hi] source range
+    * can produce, by stepping the range at the unit granularity. None
+    * when the range spans a full period (every value possible — no
+    * pruning information) or is contradictory (fail open; emptiness
+    * is the row filter's job, not the deriver's).
+    */
+  private def extractValues(lo: java.time.LocalDateTime,
+      hi: java.time.LocalDateTime, unit: String): Option[Seq[Int]] = {
+    if (lo.isAfter(hi)) return None
+    val cap = unit match {
+      case "month" => 12; case "day" => 31; case _ => 24 }
+    val vals = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var cur = unit match {
+      case "month" => lo.toLocalDate.withDayOfMonth(1).atStartOfDay()
+      case "day" => lo.toLocalDate.atStartOfDay()
+      case _ => lo.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+    }
+    var steps = 0
+    while (!cur.isAfter(hi)) {
+      if (steps >= cap) return None // full period covered
+      vals += extractUnit(cur, unit)
+      cur = unit match {
+        case "month" => cur.plusMonths(1)
+        case "day" => cur.plusDays(1)
+        case _ => cur.plusHours(1)
+      }
+      steps += 1
+    }
+    Some(vals.toSeq)
   }
 
   private def constValue(e: Expression): Option[Any] = e match {
@@ -335,7 +394,43 @@ object GeneratedPruning {
             }
           }
       }
-    inDerived ++ conjuncts(pred).flatMap(leafOf).flatMap { case (src, op0, v0) =>
+    val leaves = conjuncts(pred).flatMap(leafOf)
+    // periodic-extraction range pass: a TWO-SIDED bound on the source
+    // (after strict-bound tightening) implies a bounded OR-set on the
+    // generated extraction column
+    val rangeDerived: Seq[Expression] = {
+      val bySrc: Map[String, Seq[(String, Any)]] = leaves
+        .flatMap { case (src, op0, v0) =>
+          (op0 match {
+            case "gt" => bump(v0, 1L).map("ge" -> _)
+            case "lt" => bump(v0, -1L).map("le" -> _)
+            case o => Some(o -> v0)
+          }).map(src.toLowerCase(java.util.Locale.ROOT) -> _)
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      shapes.collect {
+        case (gen, Extract(srcName, unit), IntegerType) =>
+          val srcL = srcName.toLowerCase(java.util.Locale.ROOT)
+          val srcType = srcTypes.getOrElse(srcL, NullType)
+          val bounds = bySrc.getOrElse(srcL, Seq.empty)
+          def locals(ops: Set[String]) = bounds.collect {
+            case (op, v) if ops(op) => srcLocal(v, srcType, zone)
+          }.flatten
+          val los = locals(Set("ge", "eq"))
+          val his = locals(Set("le", "eq"))
+          for {
+            lo <- if (los.isEmpty) None else Some(los.max)
+            hi <- if (his.isEmpty) None else Some(his.min)
+            vals <- extractValues(lo, hi, unit) if vals.nonEmpty
+          } yield {
+            val g = UnresolvedAttribute(Seq(gen))
+            vals.map(v =>
+              And(GreaterThanOrEqual(g, Literal(v, IntegerType)),
+                LessThanOrEqual(g, Literal(v, IntegerType))): Expression)
+              .reduce(Or(_, _))
+          }
+      }.flatten
+    }
+    inDerived ++ rangeDerived ++ leaves.flatMap { case (src, op0, v0) =>
       val adjusted: Option[(String, Any)] = op0 match {
         case "gt" => bump(v0, 1L).map("ge" -> _)
         case "lt" => bump(v0, -1L).map("le" -> _)
@@ -345,6 +440,9 @@ object GeneratedPruning {
         val srcL = src.toLowerCase(java.util.Locale.ROOT)
         shapes.filter(
           _._2.source.toLowerCase(java.util.Locale.ROOT) == srcL)
+          // a one-sided bound proves nothing about a periodic
+          // extraction — only a point (eq) maps through it soundly
+          .filter { case (_, shape, _) => monotone(shape) || op == "eq" }
           .flatMap { case (gen, shape, genType) =>
             val srcType = srcTypes.getOrElse(srcL, NullType)
             val asPart = parts(gen.toLowerCase(java.util.Locale.ROOT))

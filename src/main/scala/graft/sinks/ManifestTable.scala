@@ -148,6 +148,9 @@ object ManifestTable {
 
   private val mapper = new ObjectMapper()
 
+  /** The manifest JSON codec, shared with [[DeltaLogAdopter]]. */
+  private[sinks] def jsonMapper: ObjectMapper = mapper
+
   import DataSkipping.FileStats
 
   /** Parsed manifest: a self-basing full list (replace/checkpoint/
@@ -3153,13 +3156,23 @@ object ManifestTable {
     * [[convertToGraft]] carry no `data/s` marker; their rel path is
     * reconstructed as the trailing run of `key=value` segments plus
     * the filename — exactly the flat-or-Hive layout the convert
-    * contract requires (a table-root segment itself containing `=`
-    * would over-capture, but both DV write and read compute the same
-    * value so the anti-join identity still agrees).
+    * contract requires. Defensive root-prefix strip (VERDICT r19 #8):
+    * when the file path sits under the table root, the rel IS the
+    * path minus the root — computed directly, so a table-root segment
+    * that itself contains `=` (a Hive-layout PARENT dir) can never
+    * over-capture into the reconstruction; the marker/walk branches
+    * remain only for absolute out-of-root references (shallow-clone
+    * adoptions).
     */
-  private def rowFileRel: Column = {
-    import org.apache.spark.sql.functions.{col, concat, element_at, expr, lit, split, when}
+  private def rowFileRel(table: String): Column = {
+    import org.apache.spark.sql.functions.{col, concat, element_at, expr, instr, length, lit, split, when}
     val fp = col("_metadata.file_path")
+    // scheme-free prefix: `_metadata.file_path` is a URI string while
+    // `table` may be a bare path — match on the path component, which
+    // both forms contain verbatim
+    val pre = new Path(table).toUri.getPath.stripSuffix("/") + "/"
+    val underRoot = instr(fp, pre) > 0
+    val stripped = fp.substr(instr(fp, pre) + lit(pre.length), length(fp))
     val native = concat(lit("data/s"),
       element_at(split(fp, "/data/s"), -1))
     // walk the path segments from the right: filename, then as many
@@ -3176,7 +3189,9 @@ object ManifestTable {
           WHEN instr(x, '=') > 1
             THEN named_struct('acc', concat(s.acc, array(x)), 'stop', false)
           ELSE named_struct('acc', s.acc, 'stop', true) END).acc), '/')""")
-    when(fp.contains("/data/s"), native).otherwise(adopted)
+    when(underRoot, stripped)
+      .when(fp.contains("/data/s"), native)
+      .otherwise(adopted)
   }
 
   /** The (file, idx) pairs of the given sidecar dirs as one frame. */
@@ -3197,7 +3212,7 @@ object ManifestTable {
     if (dvDirs.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
-      df.withColumn(DvFileCol, rowFileRel)
+      df.withColumn(DvFileCol, rowFileRel(table))
         .withColumn(DvIdxCol, col("_metadata.row_index"))
         .join(dvEntries(spark, table, dvDirs),
           Seq(DvFileCol, DvIdxCol), "left_anti")
@@ -3266,7 +3281,7 @@ object ManifestTable {
           .option("basePath", snapBaseStr(table, snap))
           .parquet(fs.map(f => absStr(table, f)): _*), fills)
           .withColumn(AbsPathCol, col("_metadata.file_path"))
-          .withColumn(DvFileCol, rowFileRel)
+          .withColumn(DvFileCol, rowFileRel(table))
           .withColumn(DvIdxCol, col("_metadata.row_index"))
       }
     val tagged = branches.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -3684,6 +3699,11 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     require(currentVersion(spark, table) == 0,
       s"$table is already a graft table (committed versions present)")
+    // a directory governed by a Delta log adopts THROUGH the log
+    // (VERDICT r19 #1): the listing below would otherwise resurrect
+    // files the log has removed
+    if (DeltaLogAdopter.isDeltaTable(fs, p))
+      return convertDeltaToGraft(spark, table)
     val rels = listDataFiles(fs, p)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(f => relativize(p, f.getPath))
@@ -3717,6 +3737,61 @@ object ManifestTable {
       collectStats(spark, p, rels), parts, Some(schema.json),
       op = opInfo(None, "convert", "files" -> rels.size.toString,
         "partitionBy" -> parts.mkString(","))))
+      raceLost(table, 1)
+    1L
+  }
+
+  /** ADOPT a DELTA LAKE table in place (VERDICT r19 #1): resolve its
+    * `_delta_log` (JSON commits + optional checkpoint base — the
+    * publicly documented delta.io format, see [[DeltaLogAdopter]])
+    * into the live file list, schema and partition layout, then
+    * commit ONE graft v1 replace manifest referencing those files
+    * where they already live — zero data movement; the cost is the
+    * log resolution plus the engine's own footer-statistics pass
+    * (skipping stats are re-derived, not trusted from the log's
+    * possibly-truncated inline stats). After adoption every graft
+    * surface works — scans with skipping, SQL catalog, DML (row-level
+    * ops copy adopted files into native snapshots), streaming, time
+    * travel from v1. The Delta log itself is left untouched and
+    * ORPHANED: this is a one-way migration, not a dual-format mirror
+    * — writes after adoption are visible only through the graft
+    * manifest (documented exactly like [[convertToGraft]]'s vacuum
+    * caveat).
+    *
+    * Refuses tables whose log demands log-aware read semantics plain
+    * parquet cannot honor (deletion vectors, column mapping, unknown
+    * reader features) and partitioned tables whose files do not use
+    * the Hive `k=v` layout graft derives partition values from.
+    */
+  def convertDeltaToGraft(spark: SparkSession, table: String): Long = {
+    val (fs, p) = fsOf(spark, table)
+    require(currentVersion(spark, table) == 0,
+      s"$table is already a graft table (committed versions present)")
+    val resolved = DeltaLogAdopter.resolve(spark, fs, p)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(resolved.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(resolved.parts.forall(schema.fieldNames.contains),
+      s"Delta partition column(s) ${resolved.parts.mkString(", ")} " +
+        s"missing from the table schema")
+    // graft reads derive partition values from the path — require the
+    // Hive layout (the standard Delta layout, but checked, not assumed)
+    resolved.files.filterNot(_.startsWith("/")).foreach { rel =>
+      val keys = rel.split("/").dropRight(1).toSeq
+        .filter(_.indexOf('=') > 0).map(_.split("=", 2).head)
+      require(rel.split("/").dropRight(1)
+        .forall(_.indexOf('=') > 0) && keys == resolved.parts,
+        s"cannot adopt $table: file '$rel' does not follow the " +
+          s"Hive ${resolved.parts.map(_ + "=…").mkString("/")} layout " +
+          "graft derives partition values from")
+    }
+    if (!commitFullList(spark, fs, p, 1, resolved.files, Map.empty,
+      collectStats(spark, p, resolved.files), resolved.parts,
+      Some(schema.json),
+      op = opInfo(None, "convert-delta",
+        "files" -> resolved.files.size.toString,
+        "deltaVersion" -> resolved.version.toString,
+        "partitionBy" -> resolved.parts.mkString(","))))
       raceLost(table, 1)
     1L
   }
@@ -5080,6 +5155,18 @@ object ManifestTable {
   val AutoCompactTargetProp = "graft.autoCompact.targetFileBytes"
   val AutoCompactMinFilesProp = "graft.autoCompact.minFiles"
 
+  /** DV-ratio self-heal trigger (VERDICT r19 #4, default off): a MoR
+    * table that accumulates deletion vectors WITHOUT small files never
+    * tripped auto-compact — reads keep paying the anti-join for rows
+    * that are mostly dead. With `graft.autoCompact.maxDvRatio` set to
+    * a fraction in (0, 1), the post-commit check also selects every
+    * live file whose shadowed-row fraction (DV rows / file rows)
+    * exceeds it and rewrites EXACTLY those files with their vectors
+    * applied — an O(selected files) scoped materialization, committed
+    * dataChange = false like every other reorganization.
+    */
+  val AutoCompactMaxDvRatioProp = "graft.autoCompact.maxDvRatio"
+
   /** Post-commit auto-compact check — BEST-EFFORT by contract: the
     * triggering append already committed, so every failure (lost
     * race against a concurrent writer, IO error) only defers the
@@ -5100,13 +5187,28 @@ object ManifestTable {
       val snap = resolve(spark, fs, p, version, listLog(fs, p)._2)
       val small = snap.files.filter(f => snap.stats.get(f)
         .exists(st => st.bytes > 0 && st.bytes < target))
-      if (small.size < minFiles) return
+      // DV-ratio trigger: live files whose shadowed-row fraction
+      // exceeds the (opt-in) threshold — rewriting them applies the
+      // vectors, so the table self-heals without small files
+      val maxDvRatio = props.get(AutoCompactMaxDvRatioProp)
+        .flatMap(_.toDoubleOption).filter(r => r > 0 && r < 1)
+      val live = snap.files.toSet
+      val shadowed = maxDvRatio.toSeq.flatMap { r =>
+        snap.dvs.keysIterator.filter { f =>
+          live(f) && snap.stats.get(f).exists(st => st.rows > 0 &&
+            snap.dvs(f).iterator.map(_.rows).sum.toDouble / st.rows > r)
+        }.toSeq
+      }
+      val smallSel = if (small.size >= minFiles) small else Seq.empty
+      val selected = (smallSel ++ shadowed).distinct
+      if (selected.isEmpty) return
       val parts = m.map(_.parts).getOrElse(Seq.empty)
       val mapping = mappingOf(m)
-      val smallBytes = small.iterator.map(snap.stats(_).bytes).sum
+      val smallBytes = selected.iterator
+        .flatMap(snap.stats.get(_).map(_.bytes)).sum
       val targetFiles = math.max(1L,
         (smallBytes + target - 1) / target).toInt
-      val sub0 = readFiles(spark, table, small, snap.dvs,
+      val sub0 = readFiles(spark, table, selected, snap.dvs,
         mapping = mapping, recorded = recordedSchema(m))
       // a declared write clustering re-clusters the bin-pack too —
       // the rows were clustered per-commit, the compaction restores
@@ -5132,12 +5234,13 @@ object ManifestTable {
       if (commitDelta(fs, p, version + 1, fresh,
         m.map(_.txns).getOrElse(Map.empty),
         collectStats(spark, p, fresh, props),
-        remove = small, parts = parts,
+        remove = selected, parts = parts,
         schemaJson = m.flatMap(_.schemaJson),
         dataChange = false, // same logical rows, fewer files
         props = props,
         op = opInfo(m, "auto-compact",
-          "smallFiles" -> small.size.toString,
+          "smallFiles" -> smallSel.size.toString,
+          "dvFiles" -> shadowed.size.toString,
           "targetFileBytes" -> target.toString)))
         maybeCheckpoint(spark, fs, p, version + 1)
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -5675,6 +5778,9 @@ object ManifestTable {
         op = opInfo(m, "delete-vectors", "predicate" -> predicate.toString,
           "targetFiles" -> refs.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
+        // DV-ratio self-heal: the commit that crosses the shadowed-row
+        // threshold triggers the scoped materialization itself
+        maybeAutoCompact(spark, fs, p, table, base + 1)
         return base + 1
       }
       attempt += 1 // lost the race; the orphaned sidecar is vacuum's
@@ -5890,6 +5996,7 @@ object ManifestTable {
           "mode" -> "merge-on-read",
           "targetFiles" -> refs.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
+        maybeAutoCompact(spark, fs, p, table, base + 1)
         return base + 1
       }
       attempt += 1 // lost the race; orphaned sidecar/files are vacuum's
@@ -6604,6 +6711,7 @@ object ManifestTable {
           "mode" -> "merge-on-read",
           "targetFiles" -> refs.size.toString))) {
         maybeCheckpoint(spark, fs, p, base + 1)
+        maybeAutoCompact(spark, fs, p, table, base + 1)
         return base + 1
       }
       attempt += 1
@@ -7019,6 +7127,7 @@ object ManifestTable {
               "rewrittenFiles" ->
                 (if (morMode) "0" else hits.size.toString)))) {
             maybeCheckpoint(spark, fs, p, base + 1)
+            if (morMode) maybeAutoCompact(spark, fs, p, table, base + 1)
             return base + 1
           }
       }
@@ -7056,13 +7165,23 @@ object ManifestTable {
     val histProps: Map[String, String] =
       if (histogramBins <= 0) Map.empty
       else {
-        val numeric = tableSchema(spark, table).toSeq
-          .flatMap(_.fields.filter(_.dataType match {
-            case _: org.apache.spark.sql.types.NumericType => true
-            case _ => false
-          }).map(_.name))
-          .filter(c => columns.isEmpty || columns.contains(c))
-        histogramProps(spark, table, numeric, histogramBins)
+        val fields = tableSchema(spark, table).toSeq.flatMap(_.fields)
+          .filter(f => columns.isEmpty || columns.contains(f.name))
+        val numeric = fields.filter(_.dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        }).map(_.name)
+        // CATEGORICAL top-K for string columns (VERDICT r19 #5):
+        // the numeric-histogram channel cannot carry string frequency
+        // (catalyst FilterEstimation only maps orderable types to
+        // bin space), so skewed string equality rides its own sticky
+        // prop, consumed by the TopKBroadcastHint optimizer rule
+        val strings = fields
+          .filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name)
+        histogramProps(spark, table, numeric, histogramBins) ++
+          topKStringProps(spark, table, strings,
+            spark.conf.get("spark.graft.analyze.topK", "64").toInt)
       }
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -7249,6 +7368,96 @@ object ManifestTable {
         b.add(ndvs.lift(bi).getOrElse(1L)): Unit
       }
       (HistogramPropPrefix + c) -> mapper.writeValueAsString(node)
+    }.toMap
+  }
+
+  /** Sticky-property key prefix for per-column CATEGORICAL top-K
+    * frequency stats committed by [[analyze]] (VERDICT r19 #5):
+    * value is `{"n":<non-null rows>,"err":<bound>,"v":{"term":count}}`
+    * where `v` holds the EXACT count of every term occurring more
+    * than n/(k+1) times and `err` = floor(n/(k+1)) upper-bounds any
+    * absent term. Consumed by [[graft.plans.TopKBroadcastHint]]: a
+    * string-equality filter on a sketched column proves a row bound
+    * the numeric-histogram channel cannot express for strings.
+    */
+  val TopKPropPrefix = "graft.stats.topk."
+
+  /** Parse a [[TopKPropPrefix]] JSON value: (n, err, term → count). */
+  def parseTopK(json: String): Option[(Long, Long, Map[String, Long])] =
+    try {
+      val root = mapper.readTree(json)
+      val v = Map.newBuilder[String, Long]
+      val it = root.get("v").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        v += e.getKey -> e.getValue.asLong()
+      }
+      Some((root.get("n").asLong(), root.get("err").asLong(), v.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic top-K frequency stats of the given STRING columns
+    * over the LIVE table, in two bounded passes — never a
+    * vocabulary-sized shuffle (the 100 TB contract):
+    *
+    *  1. one [[graft.functions.MisraGriesAgg]] pass (mergeable, at
+    *     most k counters per partition) yields a CANDIDATE set that
+    *     provably contains every term occurring > n/(k+1) times —
+    *     for ANY partitioning/merge order;
+    *  2. one conditional-count pass exact-counts the ≤ k candidates,
+    *     and only terms strictly above the n/(k+1) threshold are
+    *     kept.
+    *
+    * Because the kept set and its counts depend only on the DATA
+    * (the MG retained set may flap with merge order, but every
+    * above-threshold term is retained in every run and the threshold
+    * test uses exact counts), a re-analyze of unchanged data derives
+    * byte-identical JSON — preserving analyze's no-op contract.
+    * Columns that are all-null or under-threshold everywhere (near-
+    * uniform high-cardinality — nothing frequent to record) emit no
+    * prop.
+    */
+  private def topKStringProps(spark: SparkSession, table: String,
+      cols: Seq[String], k: Int): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    if (cols.isEmpty || k <= 0) return Map.empty
+    val df = read(spark, table)
+    val have = df.columns.toSet
+    val targets = cols.filter(have)
+    if (targets.isEmpty) return Map.empty
+    val mgAggs = targets.map(c =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.MisraGriesAgg(
+          org.apache.spark.sql.GraftColumnBridge.eagerExpression(col(c)),
+          k).toAggregateExpression()).as(c))
+    val row1 = df.agg(mgAggs.head, mgAggs.tail: _*).head()
+    targets.zipWithIndex.flatMap { case (c, i) =>
+      if (row1.isNullAt(i)) None
+      else {
+        val sk = row1.getStruct(i)
+        val n = sk.getLong(0)
+        val cands = sk.getSeq[org.apache.spark.sql.Row](2)
+          .map(_.getString(0)).sorted
+        if (n == 0 || cands.isEmpty) None
+        else {
+          val thr = n / (k + 1L) // keep iff exact count > n/(k+1)
+          val cntAggs = cands.map(t =>
+            sum(when(col(c) === lit(t), 1L).otherwise(0L)).as("c"))
+          val row2 = df.agg(cntAggs.head, cntAggs.tail: _*).head()
+          val kept = cands.zipWithIndex.flatMap { case (t, j) =>
+            val exact = if (row2.isNullAt(j)) 0L else row2.getLong(j)
+            if (exact > thr) Some(t -> exact) else None
+          }
+          if (kept.isEmpty) None
+          else {
+            val node = mapper.createObjectNode()
+            node.put("n", n)
+            node.put("err", thr): Unit
+            val v = node.putObject("v")
+            kept.foreach { case (t, x) => v.put(t, x): Unit }
+            Some((TopKPropPrefix + c) -> mapper.writeValueAsString(node))
+          }
+        }
+      }
     }.toMap
   }
 

@@ -139,6 +139,23 @@ object GraftTableV2 {
 
     override def name(): String = ident
 
+    /** Sticky manifest properties (raw, no engine injections) — the
+      * channel [[graft.plans.TopKBroadcastHint]] reads categorical
+      * top-K stats from, pre-pushdown (the rule runs in the Pre CBO
+      * batch, where the relation is still a DataSourceV2Relation).
+      */
+    def stickyProps: Map[String, String] = tblProps
+
+    /** (total bytes, total rows) over the snapshot's files when every
+      * file carries stats — the per-row width hint the broadcast-bound
+      * pricing uses.
+      */
+    def sizeHint: Option[(Long, Long)] =
+      if (files.nonEmpty && files.forall(_.stats.isDefined))
+        Some((files.iterator.map(_.stats.get.bytes).sum,
+          files.iterator.map(_.stats.get.rows).sum))
+      else None
+
     override val schema: StructType =
       StructType(dataSchema.fields ++ partSchema.fields)
 
@@ -682,6 +699,12 @@ object GraftTableV2 {
       inner.pushedFilters, inner.options, inner.pushedAggregate,
       inner.partitionFilters, inner.dataFilters,
       inner.pushedVariantExtractions) {
+
+    /** The manifest table's sticky properties — the channel the
+      * [[graft.plans.TopKBroadcastHint]] rule reads categorical
+      * top-K frequency stats from.
+      */
+    def tableProps: Map[String, String] = tblProps
 
     override def estimateStatistics(): connector.read.Statistics = {
       val base = super.estimateStatistics() // sizeInBytes over pruned files

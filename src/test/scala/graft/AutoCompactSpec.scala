@@ -58,6 +58,50 @@ class AutoCompactSpec extends AnyFunSuite {
     assert(ManifestTable.currentFiles(spark, t2).size == 40)
   }
 
+  test("DV-ratio trigger self-heals a heavily-shadowed table (VERDICT r19 #4)") {
+    import spark.implicits._
+    val t = fresh()
+    // two comfortable files, no small-file pressure at all — only the
+    // shadowed-row fraction can trip the compactor
+    ManifestTable.write(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(2, col("id")), t)
+    ManifestTable.updateProperties(spark, t, Map(
+      ManifestTable.AutoCompactProp -> "true",
+      ManifestTable.AutoCompactMinFilesProp -> "64", // small-file path idle
+      ManifestTable.AutoCompactMaxDvRatioProp -> "0.3"))
+    // first DV delete shadows 25% of file 0 — under the threshold,
+    // vectors must survive
+    ManifestTable.deleteVectors(spark, t, col("id") < 50L)
+    assert(ManifestTable.hasDeletionVectors(spark, t),
+      "25% shadowed must stay merge-on-read")
+    assert(ManifestTable.read(spark, t).count() == 350)
+    // second delete pushes file 0 past 30% shadowed — the commit that
+    // crosses the threshold materializes it inline
+    ManifestTable.deleteVectors(spark, t, col("id") >= 50L && col("id") < 90L)
+    assert(!ManifestTable.hasDeletionVectors(spark, t),
+      "crossing maxDvRatio must materialize the shadowed file")
+    val hist = ManifestTable.history(spark, t)
+    assert(hist.filter(col("operation") === "auto-compact").count() == 1)
+    // zero row loss, exact content
+    val got = ManifestTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (90L until 400L))
+    // the untouched file was not rewritten: only file 0 was selected
+    assert(ManifestTable.rowCount(spark, t).contains(310L))
+    // CONTROL: without the property the same workload keeps its DVs
+    val t2 = fresh()
+    ManifestTable.write(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(2, col("id")), t2)
+    ManifestTable.updateProperties(spark, t2, Map(
+      ManifestTable.AutoCompactProp -> "true",
+      ManifestTable.AutoCompactMinFilesProp -> "64"))
+    ManifestTable.deleteVectors(spark, t2, col("id") < 90L)
+    assert(ManifestTable.hasDeletionVectors(spark, t2),
+      "without maxDvRatio the DV path must not self-compact")
+  }
+
   test("a lost auto-compact race is silent; the next commit picks the work up") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -90,6 +90,81 @@ class CboHistogramSpec extends AnyFunSuite {
     }
   }
 
+  test("a skewed STRING equality flips SMJ to broadcast once the top-K lands (VERDICT r19 #5)") {
+    import spark.implicits._
+    val cat = "cbocat3"
+    val wh = java.nio.file.Files.createTempDirectory("graft_cbo3").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // fact: 40k rows; lang = 'en' for ~99.6%, 'de' 100 rows, 'zz' 40 —
+    // ndv-only selectivity for lang = 'zz' says ~1/3 of the table
+    (0L until 40000L).map { i =>
+      val lang = if (i % 1000 == 0) "zz" else if (i % 400 == 1) "de" else "en"
+      (i, lang, i % 97)
+    }.toDF("id", "lang", "k").createOrReplaceTempView("cbo_slang_seed")
+    spark.sql(s"CREATE TABLE $cat.db.sfact AS SELECT * FROM cbo_slang_seed")
+    spark.range(20000).selectExpr("id % 97 AS k",
+      "md5(cast(id as string)) AS label",
+      "md5(cast(id + 1 as string)) AS label2",
+      "md5(cast(id + 2 as string)) AS label3")
+      .createOrReplaceTempView("cbo_sdim_seed")
+    spark.sql(s"CREATE TABLE $cat.db.sdim AS SELECT * FROM cbo_sdim_seed")
+
+    def joinPlan() = spark.sql(
+      s"""SELECT f.id, d.label FROM $cat.db.sfact f
+         |JOIN $cat.db.sdim d ON f.k = d.k
+         |WHERE f.lang = 'zz'""".stripMargin).queryExecution.sparkPlan
+    def kinds(p: org.apache.spark.sql.execution.SparkPlan)
+        : (Int, Int) = (
+      p.collect { case b: BroadcastHashJoinExec => b }.size,
+      p.collect { case s: SortMergeJoinExec => s }.size)
+
+    val conf = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString)
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // BEFORE analyze: string equality estimates 1/ndv — a third of
+      // the fact looks like it survives → sort-merge
+      val (bhj0, smj0) = kinds(joinPlan())
+      assert(smj0 == 1 && bhj0 == 0,
+        s"without top-K stats the rare-string filter must look big: " +
+          s"bhj=$bhj0 smj=$smj0")
+      ManifestTable.analyze(spark, s"$wh/db/sfact")
+      val props = ManifestTable.tableProperties(spark, s"$wh/db/sfact")
+      assert(props.contains(ManifestTable.TopKPropPrefix + "lang"),
+        s"analyze must commit the lang top-K, got ${props.keys}")
+      // the dominant term carries its exact count
+      val (_, err, kept) = ManifestTable.parseTopK(
+        props(ManifestTable.TopKPropPrefix + "lang")).get
+      assert(kept.get("en").exists(_ > 39000L), s"kept=$kept")
+      assert(err < 1000L, s"err=$err")
+      // AFTER: the provably-tiny 'zz' side broadcast-joins
+      val (bhj1, smj1) = kinds(joinPlan())
+      assert(bhj1 == 1 && smj1 == 0,
+        s"with the top-K the rare-string side must broadcast: " +
+          s"bhj=$bhj1 smj=$smj1")
+      // the HEAVY value must NOT be force-broadcast
+      val heavy = spark.sql(
+        s"""SELECT f.id, d.label FROM $cat.db.sfact f
+           |JOIN $cat.db.sdim d ON f.k = d.k
+           |WHERE f.lang = 'en'""".stripMargin).queryExecution.sparkPlan
+      assert(kinds(heavy)._1 == 0,
+        "the dominant value must keep the stock (non-broadcast) plan")
+      // answers are identical either way
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.sfact f JOIN " +
+        s"$cat.db.sdim d ON f.k = d.k WHERE f.lang = 'zz'").head().getLong(0)
+        == spark.table(s"$cat.db.sfact").filter("lang = 'zz'")
+          .join(spark.table(s"$cat.db.sdim"), "k").count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("re-analyze of unchanged data commits nothing; histograms refresh on change") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_cbo2")

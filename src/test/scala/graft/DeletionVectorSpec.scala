@@ -291,6 +291,30 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"update must not resurrect DV-deleted rows: $lang1")
   }
 
+  test("DV identity under a k=v-named table root (adopted layout, VERDICT r19 #8)") {
+    // The table ROOT's last segment is itself `key=value` — before the
+    // defensive root-prefix strip, the adopted-path reconstruction
+    // over-captured it into the rel, diverging from the manifest's
+    // root-relative file keys.
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_dv")
+      .resolve("ds=2024-01-01").toString
+    (0 until 60).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("id", "grp")
+      .write.partitionBy("grp").parquet(t)
+    ManifestTable.convertToGraft(spark, t)
+    ManifestTable.deleteVectors(spark, t, col("id") < 6L)
+    assert(ManifestTable.read(spark, t).count() == 54)
+    assert(ManifestTable.scan(spark, t).count() == 54)
+    assert(!ManifestTable.read(spark, t).collect()
+      .exists(_.getLong(0) < 6L))
+    // the rel identity now equals the manifest's root-relative key, so
+    // compaction resolves the hit files and materializes the deletion
+    ManifestTable.compact(spark, t)
+    assert(ManifestTable.read(spark, t).count() == 54)
+    assert(ManifestTable.rowCount(spark, t).contains(54L))
+  }
+
   test("SQL catalog refuses a DV-bearing table until compaction (feature gate)") {
     val t = rangedTable()
     val wh = new java.io.File(t).getParent

@@ -89,6 +89,67 @@ class GeneratedPruningPropertySpec extends AnyFunSuite {
       "at least some random predicates must actually prune")
   }
 
+  test("periodic extraction shapes (month/day/hour): bounded ranges derive exact OR-sets") {
+    // VERDICT r19 #6: month()/day()/hour() are periodic, not
+    // monotone — a two-sided ts range derives a bounded OR-set on the
+    // extraction partition column; a one-sided bound derives nothing.
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.m (ts TIMESTAMP, id BIGINT, " +
+      "mo INT GENERATED ALWAYS AS (month(ts)), " +
+      "dom INT GENERATED ALWAYS AS (day(ts)), " +
+      "hod INT GENERATED ALWAYS AS (hour(ts))) PARTITIONED BY (mo)")
+    val rnd = new scala.util.Random(99)
+    val base = java.time.Instant.parse("2023-11-15T00:00:00Z")
+    // ~14 months of coverage, so month partitions wrap a year boundary
+    val span = 425L * 86400
+    val rows = (0 until 500).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds(
+        math.abs(rnd.nextLong()) % span)), i.toLong)
+    }
+    rows.toDF("ts", "id").createOrReplaceTempView("gpp_mo_seed")
+    spark.sql(s"INSERT INTO $cat.db.m (ts, id) SELECT ts, id FROM gpp_mo_seed")
+    val t = s"$wh/db/m"
+    val full = ManifestTable.read(spark, t)
+    var prunedSomething = false
+    (0 until 60).foreach { k =>
+      val s0 = math.abs(rnd.nextLong()) % span
+      // mostly narrow windows (hours..weeks) so derivation has teeth;
+      // some wide/degenerate ones to probe the fail-open paths
+      val w = (k % 5) match {
+        case 0 => 3600L + rnd.nextInt(86400)
+        case 1 => 86400L * (1 + rnd.nextInt(20))
+        case 2 => 86400L * (40 + rnd.nextInt(400))
+        case 3 => 0L
+        case _ => 3600L * rnd.nextInt(72)
+      }
+      val a = java.sql.Timestamp.from(base.plusSeconds(s0))
+      val b = java.sql.Timestamp.from(base.plusSeconds(s0 + w))
+      val pred = (k % 3) match {
+        case 0 => col("ts") >= lit(a) && col("ts") <= lit(b)
+        case 1 => col("ts") > lit(a) && col("ts") < lit(b)
+        case _ => col("ts").between(lit(a), lit(b))
+      }
+      val want = full.filter(pred).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val got = ManifestTable.readWhere(spark, t, pred).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want,
+        s"predicate #$k ($pred): got ${got.size}, want ${want.size}")
+      val (kept, total) = ManifestTable.skippingReport(spark, t, pred)
+      if (kept < total) prunedSomething = true
+    }
+    assert(prunedSomething, "narrow ts windows must prune month partitions")
+    // one-sided bound: periodic shape derives nothing, read stays exact
+    val oneSided = col("ts") >=
+      lit(java.sql.Timestamp.from(base.plusSeconds(span - 86400L * 30)))
+    val w2 = full.filter(oneSided).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val g2 = ManifestTable.readWhere(spark, t, oneSided).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(g2 == w2, "one-sided ts bound must not corrupt a periodic derive")
+  }
+
   test("DIV shape on signed longs: derived pruning stays exact") {
     import spark.implicits._
     val (cat, wh) = freshCat()
