@@ -3202,17 +3202,60 @@ object ManifestTable {
       .select(col("file").as(DvFileCol), col("idx").as(DvIdxCol))
   }
 
+  /** Positions at or under this count apply as a SCAN-LEVEL broadcast
+    * bitmap filter ([[graft.functions.DvPositionHit]] — VERDICT r19
+    * #3) instead of the distributed anti-join: the read stays one
+    * whole-stage-codegen span with no join node. Above it (or at `0`,
+    * which disables inlining) the anti-join remains — an oversized
+    * vector must not be collected to the driver. 4M positions ≈
+    * 32 MB of sorted longs, comfortably broadcast-sized.
+    */
+  private def dvInlineThreshold(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.dv.inlineThreshold", "4000000").toLong
+
+  /** The sidecar positions as a broadcast file → sorted-array map. */
+  private def dvInlineCondition(spark: SparkSession, table: String,
+      dvDirs: Seq[String], fileCol: Column, idxCol: Column): Column = {
+    val rows = spark.read
+      .parquet(dvDirs.sorted.map(d => absStr(table, d)): _*)
+      .select("file", "idx").collect() // bounded by dvInlineThreshold
+    val acc = new java.util.HashMap[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    rows.foreach { r =>
+      acc.computeIfAbsent(r.getString(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+        r.getLong(1)
+    }
+    val map = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]](
+      math.max(8, acc.size * 2))
+    acc.forEach { (k, v) =>
+      val a = v.toArray
+      java.util.Arrays.sort(a)
+      map.put(org.apache.spark.unsafe.types.UTF8String.fromString(k), a): Unit
+    }
+    val bc = spark.sparkContext.broadcast(map)
+    import org.apache.spark.sql.GraftColumnBridge.{column, eagerExpression}
+    !column(graft.functions.DvPositionHit(
+      eagerExpression(fileCol), eagerExpression(idxCol), bc))
+  }
+
   /** Merge-on-read over a SINGLE file relation (the native scan / a
     * streaming batch — places where the hidden `_metadata` column is
     * reachable directly): tag row identity, one anti-join against the
     * sidecars, identity dropped. No-op without sidecars.
     */
   private def applyDvAntiJoin(spark: SparkSession, table: String,
-      df: DataFrame, dvDirs: Seq[String]): DataFrame =
+      df: DataFrame, dvDirs: Seq[String], dvRows: Long = -1L): DataFrame =
     if (dvDirs.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
-      df.withColumn(DvFileCol, rowFileRel(table))
+      // small vectors (count known from the manifest): one codegen'd
+      // membership filter, no join node in the read plan
+      if (dvRows > 0 && dvRows <= dvInlineThreshold(spark))
+        df.filter(dvInlineCondition(spark, table, dvDirs,
+          rowFileRel(table), col("_metadata.row_index")))
+      else df.withColumn(DvFileCol, rowFileRel(table))
         .withColumn(DvIdxCol, col("_metadata.row_index"))
         .join(dvEntries(spark, table, dvDirs),
           Seq(DvFileCol, DvIdxCol), "left_anti")
@@ -3285,10 +3328,16 @@ object ManifestTable {
           .withColumn(DvIdxCol, col("_metadata.row_index"))
       }
     val tagged = branches.reduce(_.unionByName(_, allowMissingColumns = true))
+    val liveRows = live.values.flatten.map(_.rows).sum
+    val liveDirs = live.values.flatten.map(_.path).toSeq.distinct
     val filtered =
       if (live.isEmpty) tagged
-      else tagged.join(
-        dvEntries(spark, table, live.values.flatten.map(_.path).toSeq.distinct),
+      // small vectors: codegen'd membership filter instead of a join
+      // node (VERDICT r19 #3) — counts come straight from the manifest
+      else if (liveRows > 0 && liveRows <= dvInlineThreshold(spark))
+        tagged.filter(dvInlineCondition(spark, table, liveDirs,
+          col(DvFileCol), col(DvIdxCol)))
+      else tagged.join(dvEntries(spark, table, liveDirs),
         Seq(DvFileCol, DvIdxCol), "left_anti")
     // the identity columns are never in `recorded`, so widenTo leaves
     // them untouched on the keepIdentity path
@@ -3563,15 +3612,17 @@ object ManifestTable {
     */
   def scan(spark: SparkSession, table: String,
       version: Long = -1L): DataFrame = {
-    val (p, mfiles, parts, schema, dvDirs, _) =
+    val (p, mfiles, parts, schema, dvDirs, v) =
       resolvedScan(spark, table, version)
+    val dvRows = if (dvDirs.isEmpty) 0L else dvRowsAt(spark, table, v)
     schema.filter(columnMapped) match {
       case None =>
-        // merge-on-read through the native scan: one anti-join against
-        // the sidecars (a no-op without deletion vectors)
+        // merge-on-read through the native scan: a codegen'd bitmap
+        // filter for small vectors, one anti-join otherwise (a no-op
+        // without deletion vectors)
         applyDvAntiJoin(spark, table,
           org.apache.spark.sql.GraftManifestScan.relation(spark, p,
-            mfiles, parts, schema), dvDirs)
+            mfiles, parts, schema), dvDirs, dvRows)
       case Some(ms) =>
         // column-mapped table: the relation reads the PHYSICAL columns
         // the files contain (pushed filters arrive in physical names
@@ -3591,7 +3642,7 @@ object ManifestTable {
             f.nullable, f.metadata)))
         val rel = org.apache.spark.sql.GraftManifestScan.relation(spark, p,
           mfiles, parts, Some(physSchema))
-        applyDvAntiJoin(spark, table, rel, dvDirs)
+        applyDvAntiJoin(spark, table, rel, dvDirs, dvRows)
           .select(ms.fields.toIndexedSeq.map(f =>
             conform(col(physicalOf(f)), physicalShape(f.dataType),
               f.dataType).as(f.name)): _*)
@@ -3618,6 +3669,16 @@ object ManifestTable {
     (p, manifestFilesOf(fs, p, table, snap.files, snap.stats, parts),
       parts, recordedSchema(m),
       snap.dvs.values.flatten.map(_.path).toSeq.distinct.sorted, v)
+  }
+
+  /** Total deleted positions across a snapshot's live deletion
+    * vectors — the manifest-recorded count the scan-level bitmap
+    * threshold gates on (zero jobs, zero sidecar reads).
+    */
+  private def dvRowsAt(spark: SparkSession, table: String,
+      version: Long): Long = {
+    val (fs, p, v, snap) = resolveAt(spark, table, version)
+    snap.dvs.values.flatten.map(_.rows).sum
   }
 
   /** Resolve on-disk statuses + partition values for `relFiles` — one
@@ -4533,7 +4594,8 @@ object ManifestTable {
     // range already failed the walk above)
     val dv = applyDvAntiJoin(spark, table, rel,
       snap0.map(_.dvs.values.flatten.map(_.path).toSeq.distinct)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      snap0.map(_.dvs.values.flatten.map(_.rows).sum).getOrElse(-1L))
     mapping.fold(dv) { ms =>
       import org.apache.spark.sql.functions.col
       dv.select(ms.fields.toIndexedSeq.map(f =>

@@ -689,6 +689,20 @@ object GraftTableV2 {
     * args copied from the built instance) keeps every planner
     * type-check, split computation and reader path byte-identical.
     */
+  /** A file split that knows its Hive partition key — the
+    * [[connector.read.HasPartitionKey]] contract storage-partitioned
+    * joins group by. Plain subclass of the (non-case-to-case)
+    * [[FilePartition]], so every reader-factory pattern match keeps
+    * working unchanged.
+    */
+  final class KeyedFilePartition(index: Int,
+      files: Array[execution.datasources.PartitionedFile],
+      key: catalyst.InternalRow)
+    extends execution.datasources.FilePartition(index, files)
+      with connector.read.HasPartitionKey {
+    override def partitionKey(): catalyst.InternalRow = key
+  }
+
   final class GraftStatsScan(
       inner: execution.datasources.v2.parquet.ParquetScan,
       files: Seq[ManifestFile],
@@ -698,7 +712,67 @@ object GraftTableV2 {
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
       inner.partitionFilters, inner.dataFilters,
-      inner.pushedVariantExtractions) {
+      inner.pushedVariantExtractions)
+      with connector.read.SupportsReportPartitioning {
+
+    /** STORAGE-PARTITIONED JOINS (VERDICT r19 #2): when the scan reads
+      * every Hive partition column, its data IS key-grouped by those
+      * columns — reporting that as a [[connector.read.partitioning
+      * .KeyGroupedPartitioning]] lets Spark's SPJ machinery
+      * (`spark.sql.sources.v2.bucketing.enabled`, the standard opt-in)
+      * plan co-partitioned joins of two graft tables with ZERO shuffle
+      * exchanges — at 100 TB, the single biggest repeated-query win:
+      * a fact-fact join on the partition key moves no bytes between
+      * stages. Gating on the session conf keeps the default plan
+      * byte-identical (reporting alone would already be inert, but
+      * the per-key split regrouping below is not free either).
+      */
+    private def spjEligible: Boolean = {
+      val ps = fileIndex.partitionSchema
+      ps.nonEmpty &&
+        sparkSession.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) &&
+        java.util.Arrays.equals(
+          readPartitionSchema.fieldNames.map(
+            _.toLowerCase(java.util.Locale.ROOT)).asInstanceOf[Array[AnyRef]],
+          ps.fieldNames.map(
+            _.toLowerCase(java.util.Locale.ROOT)).asInstanceOf[Array[AnyRef]])
+    }
+
+    override def outputPartitioning()
+        : connector.read.partitioning.Partitioning =
+      if (!spjEligible)
+        new connector.read.partitioning.UnknownPartitioning(0)
+      else new connector.read.partitioning.KeyGroupedPartitioning(
+        fileIndex.partitionSchema.fieldNames.map(n =>
+          connector.expressions.Expressions.identity(n)
+            : connector.expressions.Expression),
+        partitions.size)
+
+    /** Under SPJ, every emitted split must hold files of ONE partition
+      * key and carry it ([[KeyedFilePartition]]): the byte-packed base
+      * splits may mix keys, so they re-split per key — Spark's exec
+      * side then groups per key itself (keeping the sub-key splits
+      * lets partially-clustered SPJ retain intra-key parallelism).
+      */
+    override def partitions: Seq[execution.datasources.FilePartition] = {
+      val base = super.partitions
+      if (!spjEligible) base
+      else {
+        val ps = readPartitionSchema
+        var i = -1
+        base.flatMap { fp =>
+          fp.files.groupBy(f =>
+            f.partitionValues.toSeq(ps).toIndexedSeq)
+            .toSeq
+            .sortBy(_._1.map(String.valueOf).mkString(" "))
+            .map { case (_, fs) =>
+              i += 1
+              new KeyedFilePartition(i, fs.toArray, fs.head.partitionValues)
+            }
+        }
+      }
+    }
 
     /** The manifest table's sticky properties — the channel the
       * [[graft.plans.TopKBroadcastHint]] rule reads categorical

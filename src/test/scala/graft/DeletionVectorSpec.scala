@@ -291,6 +291,32 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"update must not resurrect DV-deleted rows: $lang1")
   }
 
+  test("small DVs apply as a scan-level bitmap filter: no join node (VERDICT r19 #3)") {
+    // logical Join count — AQE-proof (physical joins hide inside
+    // AdaptiveSparkPlanExec until materialization)
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    val t = rangedTable()
+    ManifestTable.deleteVectors(spark, t, col("id") === 37L)
+    // under the threshold: membership filter, zero join nodes, exact rows
+    val inlined = ManifestTable.read(spark, t)
+    assert(joins(inlined) == 0,
+      s"small-DV read must plan without a join:\n${inlined.queryExecution.executedPlan}")
+    assert(inlined.count() == 99)
+    assert(joins(ManifestTable.scan(spark, t)) == 0)
+    assert(ManifestTable.scan(spark, t).count() == 99)
+    // threshold disabled: the anti-join fallback returns, same rows
+    spark.conf.set("spark.graft.dv.inlineThreshold", "0")
+    try {
+      val joined = ManifestTable.read(spark, t)
+      assert(joins(joined) == 1,
+        s"disabled inlining must fall back to the anti-join:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 99)
+    } finally spark.conf.unset("spark.graft.dv.inlineThreshold")
+  }
+
   test("DV identity under a k=v-named table root (adopted layout, VERDICT r19 #8)") {
     // The table ROOT's last segment is itself `key=value` — before the
     // defensive root-prefix strip, the adopted-path reconstruction
