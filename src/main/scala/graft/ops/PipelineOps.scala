@@ -2656,6 +2656,65 @@ object PipelineOps {
     langCensus(graft.sinks.ManifestTable.read(spark, table))
   }
 
+  private val p54Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p54: ROW TRACKING end-to-end (VERDICT r19 missing #7) — stable
+    * row ids as the exact-CDC join key. The even documents land in a
+    * tracked table; a copy-on-write UPDATE bumps `n_chars` by 500 on
+    * the `doc_id % 10 == 2` slice (rewriting whole files), a
+    * merge-on-read DELETE removes `doc_id % 10 == 0` via deletion
+    * vectors, and a COMPACT rewrites everything while materializing
+    * the vectors. The query then joins the PRE snapshot (time travel)
+    * with the POST snapshot ON `_row_id` — no business key — and
+    * aggregates the per-language survivor count and the summed
+    * `n_chars` delta. The ids themselves are nondeterministic
+    * (partitioning-dependent), but the PAIRING is exact, so the
+    * census hash-matches DuckDB replaying the edits relationally —
+    * which fails if any rewrite loses or reassigns a single id.
+    */
+  def p54RowTracking(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sinks.ManifestTable
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p54_rt_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p54Invocation.incrementAndGet())
+    ManifestTable.create(spark, table,
+      docs.schema, props = Map(ManifestTable.RowTrackingProp -> "true"))
+    ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), table)
+    val vPre = ManifestTable.currentVersion(spark, table)
+    ManifestTable.update(spark, table, col("doc_id") % 10 === 2,
+      Map("n_chars" -> (col("n_chars") + 500)))
+    ManifestTable.deleteVectors(spark, table, col("doc_id") % 10 === 0)
+    ManifestTable.compact(spark, table)
+    val pre = ManifestTable.readWithRowIds(spark, table, vPre)
+      .select(col("_row_id"), col("n_chars").as("pre_chars"))
+    val post = ManifestTable.readWithRowIds(spark, table)
+    post.join(pre, "_row_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars") - col("pre_chars")).cast("bigint")
+          .as("chars_delta"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  /** DuckDB replay of the tracked-table edit set. */
+  val p54Sql: String =
+    """WITH evens AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |survivors AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 2 THEN 500 ELSE 0 END AS delta
+      |  FROM evens WHERE doc_id % 10 <> 0)
+      |SELECT lang, count(*) AS n_rows,
+      |  CAST(sum(delta) AS BIGINT) AS chars_delta,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM survivors GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   /** DuckDB replay of the Delta add/remove set plus the graft append. */
   val p53Sql: String =
     """WITH live AS (

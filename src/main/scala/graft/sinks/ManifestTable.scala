@@ -1290,9 +1290,12 @@ object ManifestTable {
     */
   private def enforceSchema(
       recorded: Option[org.apache.spark.sql.types.StructType],
-      incoming: org.apache.spark.sql.types.StructType,
+      incoming0: org.apache.spark.sql.types.StructType,
       table: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
+    // the hidden row-id column is a FILE fact, never a schema fact —
+    // it must not read as an evolution-added user column
+    val incoming = stripRowId(incoming0)
     recorded match {
       // legacy table or first commit: adopt the DATA-derived schema —
       // AS NULLABLE (the Delta ImplicitMetadataOperation discipline):
@@ -1699,12 +1702,16 @@ object ManifestTable {
     val (synth, genExps, idCols) =
       if (preserveSchema)
         synthesizeColumns(spark, df, recordedSchema(m), props0, table)
-      else (df, Seq.empty[Expectation], Seq.empty[(String, Long)])
+      else {
+        // a plain replace still assigns row ids when tracking is on
+        val (filled, rid) = fillRowIds(df, props0)
+        (filled, Seq.empty[Expectation], rid)
+      }
     // data-derived schemas record AS NULLABLE (see [[enforceSchema]]):
     // toDF-encoded non-nullability is an encoding fact, not a contract
     val evolved =
       if (preserveSchema) enforceSchema(recordedSchema(m), synth.schema, table)
-      else nullableize(synth.schema)
+      else nullableize(stripRowId(synth.schema))
     val notNull =
       if (preserveSchema)
         notNullExpectations(Some(evolved), synth.columns.toSeq, table)
@@ -1993,6 +2000,18 @@ object ManifestTable {
       recorded: Option[org.apache.spark.sql.types.StructType],
       props: Map[String, String], table: String)
       : (DataFrame, Seq[Expectation], Seq[(String, Long)]) = {
+    val (synth, exps, ids) =
+      synthesizeDeclared(spark, df, recorded, props, table)
+    // row tracking rides the same funnel: every row-introducing path
+    // that synthesizes declared columns also fills row ids
+    val (filled, rid) = fillRowIds(synth, props)
+    (filled, exps, ids ++ rid)
+  }
+
+  private def synthesizeDeclared(spark: SparkSession, df: DataFrame,
+      recorded: Option[org.apache.spark.sql.types.StructType],
+      props: Map[String, String], table: String)
+      : (DataFrame, Seq[Expectation], Seq[(String, Long)]) = {
     import org.apache.spark.sql.functions.{col, expr, lit, monotonically_increasing_id, when}
     import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
     val rec = recorded.getOrElse(return (df, Seq.empty, Seq.empty))
@@ -2044,6 +2063,69 @@ object ManifestTable {
     }
     (out, exps.result(), idCols.result())
   }
+
+  /** ROW TRACKING (VERDICT r19 missing #7, the Delta row-tracking
+    * capability re-expressed for this engine): with the property set,
+    * every row carries a STABLE unique id in a hidden physical column
+    * ([[RowIdCol]], never part of the logical schema) — filled at
+    * write from the identity-watermark machinery, materialized
+    * EAGERLY into the files (Delta materializes lazily on first
+    * rewrite; eager is +8 bytes/row on opt-in tables and makes
+    * preservation free everywhere), so:
+    *
+    *  - copy-on-write rewrites (delete survivors, UPDATE, MERGE,
+    *    compaction) carry ids through because the rewrite frames read
+    *    the physical column and write it back unchanged;
+    *  - merge-on-read ops preserve trivially — DVs never touch files,
+    *    and post-image appends inherit the matched rows' ids;
+    *  - downstream CDC joins become exact: an update's pre/post
+    *    images share the row id with no key assumptions.
+    *
+    * Ids are unique, not dense ([[org.apache.spark.sql.functions
+    * .monotonically_increasing_id]] offsets above the watermark; the
+    * watermark advances past the footer max like any identity
+    * column). [[readWithRowIds]] serves them as `_row_id`; rows
+    * written before tracking was enabled (or through the V2 dynamic-
+    * overwrite/streaming writers, which bypass the synthesizing
+    * funnel) read null. Plain reads never see the column.
+    */
+  val RowTrackingProp = "graft.rowTracking.enabled"
+
+  /** The hidden physical row-id column (reserved name). */
+  private[graft] val RowIdCol = "_graft_row_id"
+
+  private def rowTracking(props: Map[String, String]): Boolean =
+    props.get(RowTrackingProp).exists(_.equalsIgnoreCase("true"))
+
+  /** Fill null/absent row ids above the watermark; non-null values
+    * pass through (rewrites keep their rows' ids). Returns the frame
+    * plus the watermark entry for [[advanceIdentity]].
+    */
+  private def fillRowIds(df: DataFrame,
+      props: Map[String, String]): (DataFrame, Seq[(String, Long)]) = {
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, when}
+    if (!rowTracking(props)) (df, Seq.empty)
+    else {
+      val next = props.get(identityNextKey(RowIdCol))
+        .flatMap(_.toLongOption).getOrElse(0L)
+      val fill = lit(next) + monotonically_increasing_id()
+      val out =
+        if (df.columns.contains(RowIdCol))
+          df.withColumn(RowIdCol,
+            when(col(RowIdCol).isNull, fill).otherwise(col(RowIdCol)))
+        else df.withColumn(RowIdCol, fill)
+      (out, Seq(RowIdCol -> 1L))
+    }
+  }
+
+  /** The logical shape of an outgoing frame's schema: the hidden
+    * row-id column never enters the RECORDED schema.
+    */
+  private def stripRowId(
+      st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(_.name == RowIdCol))
 
   /** Declarative WRITE CLUSTERING (the liquid-clustering-shaped
     * property): `graft.write.clusterBy = "c1,c2"` makes every
@@ -2792,10 +2874,12 @@ object ManifestTable {
     mapping.fold(df) { ms =>
       import org.apache.spark.sql.functions.{col, lit}
       val have = df.columns.toSet
+      // the hidden row-id rides the projection (it has no logical
+      // field); public reads drop it at their own surface
       val idCols =
-        if (keepIdentity)
+        (if (keepIdentity)
           Seq(AbsPathCol, DvFileCol, DvIdxCol).filter(have)
-        else Seq.empty
+        else Seq.empty) ++ Seq(RowIdCol).filter(have)
       df.select((ms.fields.toIndexedSeq.map { f =>
         val phys = physicalOf(f)
         if (have(phys))
@@ -3363,11 +3447,33 @@ object ManifestTable {
     if (snap.files.isEmpty) emptyTyped(spark, fs, p, v)
     else {
       // each version reads under its OWN recorded schema (time travel
-      // across a widening commit serves the era's types)
+      // across a widening commit serves the era's types). The hidden
+      // row-id column is internal — the public read never serves it
       val rec = schemaAt(fs, p, v)
       readFiles(spark, table, snap.files, snap.dvs,
         mapping = rec.filter(columnMapped), recorded = rec)
+        .drop(RowIdCol)
     }
+  }
+
+  /** [[read]] plus the stable `_row_id` column of a row-tracked table
+    * ([[RowTrackingProp]]): unique ids that survive copy-on-write
+    * rewrites, compaction and merge-on-read DML — the exact-CDC join
+    * key. Rows written before tracking was enabled read null.
+    */
+  def readWithRowIds(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, p, v, snap) = resolveAt(spark, table, version)
+    if (snap.files.isEmpty)
+      return emptyTyped(spark, fs, p, v)
+        .withColumn("_row_id", lit(null).cast("long"))
+    val rec = schemaAt(fs, p, v)
+    val df = readFiles(spark, table, snap.files, snap.dvs,
+      mapping = rec.filter(columnMapped), recorded = rec)
+    if (df.columns.contains(RowIdCol))
+      df.withColumn("_row_id", col(RowIdCol)).drop(RowIdCol)
+    else df.withColumn("_row_id", lit(null).cast("long"))
   }
 
   /** An empty frame carrying the recorded schema of `version` (falls
@@ -3422,9 +3528,9 @@ object ManifestTable {
       // schema-stable empty result: plan over the real files, read none
       widenTo(applyMapping(unionSnapshots(spark, table, snap.files,
         existsDefaultFills(rec, mapping)), mapping),
-        rec).limit(0).filter(predicate)
+        rec).drop(RowIdCol).limit(0).filter(predicate)
     else readFiles(spark, table, kept, snap.dvs, mapping = mapping,
-      recorded = rec).filter(predicate)
+      recorded = rec).drop(RowIdCol).filter(predicate)
   }
 
   /** BLOOM-FILTER file pruning, the tier below range pruning
@@ -5165,7 +5271,11 @@ object ManifestTable {
           attempt += 1
         case None => // whole-table compaction below
       val totalBytes = snapshotBytes(fs, p, before, snapB.stats)
-      val df0 = read(spark, table, base)
+      // the internal funnel, not read(): a compaction must carry the
+      // hidden row-id column through (ids survive reorganizations)
+      val recB = schemaAt(fs, p, base)
+      val df0 = readFiles(spark, table, snapB.files, snapB.dvs,
+        mapping = recB.filter(columnMapped), recorded = recB)
       val df =
         if (clusterBy.isEmpty) df0
         else {
@@ -6461,7 +6571,7 @@ object ManifestTable {
     // next-value would re-issue them to post-restore inserts
     val oldProps = mOld.map(_.props).getOrElse(Map.empty)
     val curProps = mCur.map(_.props).getOrElse(Map.empty)
-    val restoredProps = identityOf(
+    val restoredProps0 = identityOf(
       mOld.flatMap(_.schemaJson).map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
@@ -6476,6 +6586,17 @@ object ManifestTable {
           case _ => ps
         }
       }
+    // the ROW-ID watermark never regresses either: ids issued since
+    // version n are burned — a CDC consumer may have recorded them
+    val restoredProps = {
+      val key = identityNextKey(RowIdCol)
+      (restoredProps0.get(key).flatMap(_.toLongOption),
+          curProps.get(key).flatMap(_.toLongOption)) match {
+        case (o, Some(c)) =>
+          restoredProps0 + (key -> math.max(o.getOrElse(c), c).toString)
+        case _ => restoredProps0
+      }
+    }
     if (!commitFullList(spark, fs, p, base + 1, snap.files,
       mCur.map(_.txns).getOrElse(Map.empty), snap.stats,
       mOld.map(_.parts).getOrElse(Seq.empty),
@@ -6557,30 +6678,40 @@ object ManifestTable {
       val (srcPrepped, idCols) = {
         val gens = recomputeGenerated(src, rec)
         val specs = identityOf(rec)
-        if (specs.isEmpty) (gens, Seq.empty[(String, Long)])
+        // row ids inherit EXACTLY like identity values: an upsert is
+        // an update, so a source row replacing a tracked target row
+        // keeps that row's id; a new key draws a fresh one
+        val trackRow = rowTracking(props0)
+        if (specs.isEmpty && !trackRow) (gens, Seq.empty[(String, Long)])
         else {
-          val idNames = specs.map(_._1.name)
+          val idNames = specs.map(_._1.name) ++
+            (if (trackRow) Seq(RowIdCol) else Seq.empty)
           val inherited =
             if (hits.isEmpty) gens
             else {
-              val olds = readFiles(spark, table, hits, snap.dvs,
+              val oldsBase = readFiles(spark, table, hits, snap.dvs,
                 mapping = mapping0, recorded = rec)
+              // files written before tracking carry no id column —
+              // their matched rows draw fresh ids instead
+              val names = idNames.filter(oldsBase.columns.contains)
+              val olds = oldsBase
                 .join(srcKeys, keyCols, "left_semi")
-                .select((keyCols ++ idNames).map(col): _*)
-                .select(keyCols.map(col) ++ idNames.map(n =>
+                .select((keyCols ++ names).map(col): _*)
+                .select(keyCols.map(col) ++ names.map(n =>
                   col(n).as(s"_graft_old_$n")): _*)
               val joined = gens.join(olds, keyCols, "left")
-              idNames.foldLeft(joined) { (d, n) =>
+              names.foldLeft(joined) { (d, n) =>
                 val merged =
                   if (d.columns.contains(n))
                     org.apache.spark.sql.functions.coalesce(
                       col(n), col(s"_graft_old_$n"))
                   else col(s"_graft_old_$n")
                 d.withColumn(n, merged)
-              }.drop(idNames.map(n => s"_graft_old_$n"): _*)
+              }.drop(names.map(n => s"_graft_old_$n"): _*)
             }
-          val (filled, ids) = fillIdentity(inherited, rec, props0)
-          (filled.localCheckpoint(), ids)
+          val (filled0, ids) = fillIdentity(inherited, rec, props0)
+          val (filled, rids) = fillRowIds(filled0, props0)
+          (filled.localCheckpoint(), ids ++ rids)
         }
       }
       val newData =
@@ -6699,31 +6830,36 @@ object ManifestTable {
             .localCheckpoint()
           if (mf.isEmpty) None else Some(mf)
         }
-      // identity inheritance + fresh draws, exactly [[merge]]'s rule
+      // identity + row-id inheritance + fresh draws, exactly
+      // [[merge]]'s rule (a MoR upsert is still an update)
       val (srcPrepped, idCols) = {
         val gens = recomputeGenerated(src, rec)
         val specs = identityOf(rec)
-        if (specs.isEmpty) (gens, Seq.empty[(String, Long)])
+        val trackRow = rowTracking(props0)
+        if (specs.isEmpty && !trackRow) (gens, Seq.empty[(String, Long)])
         else {
-          val idNames = specs.map(_._1.name)
+          val idNames = specs.map(_._1.name) ++
+            (if (trackRow) Seq(RowIdCol) else Seq.empty)
           val inherited = matched match {
             case None => gens
             case Some(mf) =>
+              val names = idNames.filter(mf.columns.contains)
               val olds = mf
-                .select((keyCols ++ idNames).map(col): _*)
-                .select(keyCols.map(col) ++ idNames.map(n =>
+                .select((keyCols ++ names).map(col): _*)
+                .select(keyCols.map(col) ++ names.map(n =>
                   col(n).as(s"_graft_old_$n")): _*)
               val joined = gens.join(olds, keyCols, "left")
-              idNames.foldLeft(joined) { (d, n) =>
+              names.foldLeft(joined) { (d, n) =>
                 val merged =
                   if (d.columns.contains(n)) coalesce(col(n),
                     col(s"_graft_old_$n"))
                   else col(s"_graft_old_$n")
                 d.withColumn(n, merged)
-              }.drop(idNames.map(n => s"_graft_old_$n"): _*)
+              }.drop(names.map(n => s"_graft_old_$n"): _*)
           }
-          val (filled, ids) = fillIdentity(inherited, rec, props0)
-          (filled.localCheckpoint(), ids)
+          val (filled0, ids) = fillIdentity(inherited, rec, props0)
+          val (filled, rids) = fillRowIds(filled0, props0)
+          (filled.localCheckpoint(), ids ++ rids)
         }
       }
       val active = rec.exists(columnMapped)
@@ -7100,7 +7236,11 @@ object ManifestTable {
         case None => (None, Seq.empty[(String, Long)])
         case Some(ins) =>
           val gens = recomputeGenerated(ins, recorded)
-          val (filled, ids) = fillIdentity(gens, recorded, props0)
+          val (filled0, ids0) = fillIdentity(gens, recorded, props0)
+          // inserted rows draw fresh row ids; matched rows keep theirs
+          // through the rewrite/post-image projections
+          val (filled, rids) = fillRowIds(filled0, props0)
+          val ids = ids0 ++ rids
           (Some(if (ids.isEmpty) filled else filled.localCheckpoint()),
             ids)
       }
