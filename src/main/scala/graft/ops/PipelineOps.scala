@@ -2702,6 +2702,122 @@ object PipelineOps {
       .orderBy(col("lang").asc_nulls_last)
   }
 
+  private val p55Invocation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** p55: READ-ONLY ICEBERG TABLE ADOPTION — the sibling of p53 for
+    * the other open format. The query hand-builds a genuine minimal
+    * Iceberg Hadoop-layout table (Hive-partitioned parquet under
+    * `data/`, plus `metadata/v1.metadata.json` + `version-hint.text`
+    * + manifest-list/manifest Avro in the public iceberg.apache.org
+    * spec — written with the plain Avro library), whose manifest
+    * marks the whole even `lang='de'` file DELETED; adopts it through
+    * the generic `convertToGraft` entry point (auto-detected), lands
+    * a post-adoption graft append of the odd `de` docs, and censuses
+    * the mixed snapshot. Hash-exact vs DuckDB replaying the same
+    * add/delete/append set — gating the metadata resolution (deleted
+    * entries honored), the `data/`-prefixed Hive layout adoption, and
+    * the first-class post-adopt write path.
+    */
+  def p55IcebergAdopt(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val table = graft.sinks.Sinks.sessionScratchPath(spark,
+      "p55_ice_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + p55Invocation.incrementAndGet())
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).write.partitionBy("lang").parquet(s"$table/data")
+    val root = java.nio.file.Paths.get(table)
+    val files = {
+      val out = Seq.newBuilder[String]
+      java.nio.file.Files.walk(root).forEach { p =>
+        val rel = root.relativize(p).toString
+        if (rel.endsWith(".parquet") && !rel.startsWith("metadata"))
+          out += rel
+      }
+      out.result().sorted
+    }
+    val manifestSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file",
+        |"fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"content","type":"int"}]}""".stripMargin)
+    def writeAvro(path: java.io.File, schema: Schema,
+        records: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, path)
+      try records.foreach(w.append) finally w.close()
+    }
+    val metaDir = root.resolve("metadata")
+    java.nio.file.Files.createDirectories(metaDir)
+    writeAvro(metaDir.resolve("m1.avro").toFile, manifestSchema,
+      files.map { f =>
+        val df = new GenericData.Record(
+          manifestSchema.getField("data_file").schema())
+        df.put("content", 0)
+        df.put("file_path", f)
+        df.put("file_format", "parquet")
+        df.put("record_count", 1L)
+        val e = new GenericData.Record(manifestSchema)
+        // the even `de` slice is DELETED in the adopted snapshot
+        e.put("status", if (f.startsWith("data/lang=de/")) 2 else 1)
+        e.put("data_file", df)
+        e: GenericRecord
+      })
+    writeAvro(metaDir.resolve("snap-1.avro").toFile, listSchema, Seq {
+      val e = new GenericData.Record(listSchema)
+      e.put("manifest_path", "metadata/m1.avro")
+      e.put("manifest_length", 1L)
+      e.put("content", 0)
+      e: GenericRecord
+    })
+    val meta =
+      s"""{"format-version":2,"table-uuid":"p55-0001","location":"$table",
+         |"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct",
+         |"fields":[
+         |{"id":1,"name":"doc_id","required":false,"type":"long"},
+         |{"id":2,"name":"lang","required":false,"type":"string"},
+         |{"id":3,"name":"n_chars","required":false,"type":"long"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"lang","transform":"identity","source-id":2,"field-id":1000}]}],
+         |"current-snapshot-id":1,"snapshots":[{"snapshot-id":1,
+         |"timestamp-ms":1700000000000,
+         |"manifest-list":"metadata/snap-1.avro"}]}""".stripMargin
+    java.nio.file.Files.write(metaDir.resolve("v1.metadata.json"),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.sinks.ManifestTable.convertToGraft(spark, table)
+    graft.sinks.ManifestTable.append(spark,
+      docs.filter(col("doc_id") % 2 === 1 && col("lang") === "de"), table)
+    langCensus(graft.sinks.ManifestTable.read(spark, table))
+  }
+
+  /** DuckDB replay of the Iceberg add/delete set plus the append. */
+  val p55Sql: String =
+    """WITH live AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 0 AND lang <> 'de'
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 1 AND lang = 'de')
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM live GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   /** DuckDB replay of the tracked-table edit set. */
   val p54Sql: String =
     """WITH evens AS (

@@ -3866,11 +3866,13 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, table)
     require(currentVersion(spark, table) == 0,
       s"$table is already a graft table (committed versions present)")
-    // a directory governed by a Delta log adopts THROUGH the log
-    // (VERDICT r19 #1): the listing below would otherwise resurrect
-    // files the log has removed
+    // a directory governed by a Delta log or Iceberg metadata adopts
+    // THROUGH its log (VERDICT r19 #1): the listing below would
+    // otherwise resurrect files the log has removed
     if (DeltaLogAdopter.isDeltaTable(fs, p))
       return convertDeltaToGraft(spark, table)
+    if (IcebergAdopter.isIcebergTable(fs, p))
+      return convertIcebergToGraft(spark, table)
     val rels = listDataFiles(fs, p)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(f => relativize(p, f.getPath))
@@ -3959,6 +3961,50 @@ object ManifestTable {
         "files" -> resolved.files.size.toString,
         "deltaVersion" -> resolved.version.toString,
         "partitionBy" -> resolved.parts.mkString(","))))
+      raceLost(table, 1)
+    1L
+  }
+
+  /** ADOPT an APACHE ICEBERG table in place — the sibling of
+    * [[convertDeltaToGraft]] (VERDICT r19 #1 named both formats):
+    * resolve `metadata/vN.metadata.json` → current snapshot →
+    * manifest list → manifests (all metadata-sized Avro/JSON, see
+    * [[IcebergAdopter]]) into the live parquet file list, the current
+    * schema and the identity partition spec, then commit ONE graft v1
+    * replace manifest referencing the files where they live — zero
+    * data movement; skipping stats re-derive from footers exactly
+    * like every CONVERT. The Iceberg metadata is left untouched and
+    * orphaned (one-way migration, the documented convert contract).
+    * Refuses v2 row-level delete files, non-identity partition
+    * transforms, non-parquet files, and field-id renames a name-based
+    * read cannot honor.
+    */
+  def convertIcebergToGraft(spark: SparkSession, table: String): Long = {
+    val (fs, p) = fsOf(spark, table)
+    require(currentVersion(spark, table) == 0,
+      s"$table is already a graft table (committed versions present)")
+    val r = IcebergAdopter.resolve(spark, fs, p)
+    require(r.parts.forall(r.schema.fieldNames.contains),
+      s"Iceberg partition column(s) ${r.parts.mkString(", ")} missing " +
+        "from the table schema")
+    // layout contract: an optional non-`k=v` prefix (Iceberg's `data/`
+    // dir — it becomes the snapshot base exactly like native
+    // `data/sN`), then the Hive fragments matching the spec
+    r.files.filterNot(_.startsWith("/")).foreach { rel =>
+      val dirs = rel.split("/").dropRight(1).toSeq
+      val run = dirs.dropWhile(_.indexOf('=') <= 0)
+      val keys = run.takeWhile(_.indexOf('=') > 0).map(_.split("=", 2).head)
+      require(run.forall(_.indexOf('=') > 0) && keys == r.parts,
+        s"cannot adopt $table: file '$rel' does not follow the " +
+          s"Hive ${r.parts.map(_ + "=…").mkString("/")} layout " +
+          "graft derives partition values from")
+    }
+    if (!commitFullList(spark, fs, p, 1, r.files, Map.empty,
+      collectStats(spark, p, r.files), r.parts, Some(r.schema.json),
+      op = opInfo(None, "convert-iceberg",
+        "files" -> r.files.size.toString,
+        "icebergSnapshot" -> r.snapshotId.toString,
+        "partitionBy" -> r.parts.mkString(","))))
       raceLost(table, 1)
     1L
   }
