@@ -2589,11 +2589,12 @@ object PipelineOps {
     def listFiles(): Seq[String] = {
       val root = java.nio.file.Paths.get(table)
       val out = Seq.newBuilder[String]
-      java.nio.file.Files.walk(root).forEach { p =>
+      val stream = java.nio.file.Files.walk(root)
+      try stream.forEach { p =>
         val rel = root.relativize(p).toString
         if (rel.endsWith(".parquet") && !rel.startsWith("_delta_log"))
           out += rel
-      }
+      } finally stream.close()
       out.result().sorted
     }
     def addLine(rel: String): String = {
@@ -2732,11 +2733,12 @@ object PipelineOps {
     val root = java.nio.file.Paths.get(table)
     val files = {
       val out = Seq.newBuilder[String]
-      java.nio.file.Files.walk(root).forEach { p =>
+      val stream = java.nio.file.Files.walk(root)
+      try stream.forEach { p =>
         val rel = root.relativize(p).toString
         if (rel.endsWith(".parquet") && !rel.startsWith("metadata"))
           out += rel
-      }
+      } finally stream.close()
       out.result().sorted
     }
     val manifestSchema = new Schema.Parser().parse(

@@ -98,8 +98,18 @@ object TopKBroadcastHint extends Rule[LogicalPlan] with PredicateHelper {
       props: Map[String, String],
       sizeHint: Option[(Long, Long)]): Option[BigInt] = {
     val outNames = output.map(a => a.exprId -> a.name).toMap
+    // STALENESS guard: the top-K counts are analyze-time facts. Every
+    // row appended since could carry the probed value, so the sound
+    // bound is count + (current rows − analyze-time rows) — priced
+    // from the manifest's exact current row count. Without a current
+    // count nothing is provable; a table that grew materially prices
+    // itself back out of the broadcast range instead of OOMing it.
+    val current: Long = sizeHint.filter(_._2 > 0).map(_._2)
+      .getOrElse(return None)
     val bounds = splitConjunctivePredicates(cond).flatMap(
-      conjunctBound(_, outNames, props))
+      conjunctBound(_, outNames, props).map { case (b, n) =>
+        b + math.max(0L, current - n)
+      })
     if (bounds.isEmpty) None
     else {
       val rows = bounds.min
@@ -118,20 +128,21 @@ object TopKBroadcastHint extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** The row bound a single conjunct proves, if any: `col = 'lit'`
-    * (either orientation) or a small `col IN (...)` over a sketched
-    * string column. A kept term bounds by its exact analyze-time
-    * count, an absent term by the sketch's err bound.
+  /** The (row bound, analyze-time rows) a single conjunct proves, if
+    * any: `col = 'lit'` (either orientation) or a small `col IN
+    * (...)` over a sketched string column. A kept term bounds by its
+    * exact analyze-time count, an absent term by the sketch's err
+    * bound; the caller adds the growth-since-analyze slack.
     */
   private def conjunctBound(e: Expression,
       names: Map[ExprId, String],
-      props: Map[String, String]): Option[Long] = {
+      props: Map[String, String]): Option[(Long, Long)] = {
 
-    def termBound(col: String, v: UTF8String): Option[Long] =
+    def termBound(col: String, v: UTF8String): Option[(Long, Long)] =
       props.get(graft.sinks.ManifestTable.TopKPropPrefix + col)
         .flatMap(graft.sinks.ManifestTable.parseTopK)
-        .map { case (_, err, kept) =>
-          if (v == null) 0L else kept.getOrElse(v.toString, err)
+        .map { case (n, err, kept) =>
+          (if (v == null) 0L else kept.getOrElse(v.toString, err), n)
         }
 
     def colName(a: Expression): Option[String] = a match {
@@ -156,16 +167,20 @@ object TopKBroadcastHint extends Rule[LogicalPlan] with PredicateHelper {
               termBound(c, v.asInstanceOf[UTF8String])
             case _ => None
           }
-          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+          if (per.forall(_.isDefined))
+            Some((per.flatten.map(_._1).sum, per.flatten.map(_._2).min))
+          else None
         }
       case InSet(a, set) if set.nonEmpty && set.size <= 16 =>
         colName(a).flatMap { c =>
           val per = set.toSeq.map {
             case v: UTF8String => termBound(c, v)
-            case null => Some(0L)
+            case null => Some((0L, Long.MaxValue))
             case _ => None
           }
-          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+          if (per.forall(_.isDefined))
+            Some((per.flatten.map(_._1).sum, per.flatten.map(_._2).min))
+          else None
         }
       case _ => None
     }

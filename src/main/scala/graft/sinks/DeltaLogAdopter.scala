@@ -81,14 +81,35 @@ object DeltaLogAdopter {
           Some(ManifestTable.jsonMapper.readTree(txt).get("version").asLong())
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    val ckptVersion: Option[Long] = lastCkpt.orElse {
-      entries.collect { case CheckpointName(v, _) => v.toLong }
-        .sorted.lastOption
-    }
-
     val commits = entries.collect { case CommitName(v) => v.toLong }.sorted
-    require(commits.nonEmpty || ckptVersion.nonEmpty,
-      s"$table/_delta_log holds no commit or checkpoint files")
+    /** COMPLETE checkpoint versions only: a multi-part name encodes
+      * its part count (`N.checkpoint.<part>.<parts>.parquet`) — a
+      * version missing parts must not resolve (it would silently drop
+      * live files); single-part names are complete by existence.
+      */
+    def complete(v: Long): Boolean = {
+      val parts = entries.collect {
+        case CheckpointName(cv, suffix) if cv.toLong == v =>
+          Option(suffix).map(_.split("\\.").last.toLong)
+      }
+      parts.nonEmpty && (parts.contains(None) ||
+        parts.flatten.headOption.exists(n =>
+          parts.flatten.toSet == Set(n) && parts.size.toLong == n))
+    }
+    // _last_checkpoint is a HINT (written non-atomically by Delta):
+    // an incomplete or missing hinted checkpoint falls back to the
+    // best complete one by listing, and to pure JSON replay when the
+    // full commit chain is present — never a hard refusal of an
+    // adoptable table
+    val listed = entries.collect { case CheckpointName(v, _) => v.toLong }
+      .distinct.filter(complete)
+    val ckptVersion: Option[Long] = lastCkpt.filter(complete)
+      .orElse(listed.sorted.lastOption)
+    require(ckptVersion.nonEmpty ||
+      (commits.nonEmpty && commits.min == 0L),
+      s"$table/_delta_log holds no complete checkpoint and no JSON " +
+        "commit chain from version 0 — the live file set cannot be " +
+        "resolved")
 
     // live-state accumulator (insertion-ordered for deterministic
     // manifests); paths are the RAW log spellings until decode below
@@ -171,8 +192,17 @@ object DeltaLogAdopter {
       }
     }
 
-    // JSON replay after the checkpoint (or from the log start)
+    // JSON replay after the checkpoint (or from the log start) — the
+    // chain must be GAP-FREE: a missing commit would silently skip
+    // its adds/removes
     val replay = commits.filter(v => ckptVersion.forall(v > _))
+    replay.headOption.foreach { h =>
+      val expectedHead = ckptVersion.map(_ + 1).getOrElse(0L)
+      require(h == expectedHead && replay == (h to replay.max),
+        s"$table/_delta_log JSON chain has gaps after version " +
+          s"${ckptVersion.getOrElse(-1L)} (${replay.mkString(", ")}) — " +
+          "the live file set cannot be resolved")
+    }
     replay.foreach { v =>
       val p = new Path(log, f"$v%020d.json")
       val in = fs.open(p)

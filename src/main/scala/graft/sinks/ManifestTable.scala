@@ -3297,28 +3297,50 @@ object ManifestTable {
   private def dvInlineThreshold(spark: SparkSession): Long =
     spark.conf.get("spark.graft.dv.inlineThreshold", "4000000").toLong
 
+  /** Memoized inline DV broadcasts, keyed by the ABSOLUTE sidecar-dir
+    * set: sidecar content is immutable (new deletes create new dirs),
+    * so ONE collect + ONE broadcast serves every read of the same
+    * vectors instead of a plan-time job per read. Bounded: past 64
+    * entries the cache clears and the evicted broadcasts unpersist
+    * (executor copies released; an in-flight plan refetches from the
+    * driver copy).
+    */
+  private val dvInlineMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        Array[Long]]]]()
+
   /** The sidecar positions as a broadcast file → sorted-array map. */
   private def dvInlineCondition(spark: SparkSession, table: String,
       dvDirs: Seq[String], fileCol: Column, idxCol: Column): Column = {
-    val rows = spark.read
-      .parquet(dvDirs.sorted.map(d => absStr(table, d)): _*)
-      .select("file", "idx").collect() // bounded by dvInlineThreshold
-    val acc = new java.util.HashMap[String,
-      scala.collection.mutable.ArrayBuffer[Long]]()
-    rows.foreach { r =>
-      acc.computeIfAbsent(r.getString(0),
-        _ => scala.collection.mutable.ArrayBuffer.empty[Long]) +=
-        r.getLong(1)
+    val absDirs = dvDirs.sorted.map(d => absStr(table, d))
+    if (dvInlineMemo.size > 64) {
+      val old = new java.util.ArrayList(dvInlineMemo.values())
+      dvInlineMemo.clear()
+      old.forEach(b =>
+        try b.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () })
     }
-    val map = new java.util.HashMap[
-      org.apache.spark.unsafe.types.UTF8String, Array[Long]](
-      math.max(8, acc.size * 2))
-    acc.forEach { (k, v) =>
-      val a = v.toArray
-      java.util.Arrays.sort(a)
-      map.put(org.apache.spark.unsafe.types.UTF8String.fromString(k), a): Unit
-    }
-    val bc = spark.sparkContext.broadcast(map)
+    val bc = dvInlineMemo.computeIfAbsent(absDirs.mkString(" "), _ => {
+      val rows = spark.read.parquet(absDirs: _*)
+        .select("file", "idx").collect() // bounded by dvInlineThreshold
+      val acc = new java.util.HashMap[String,
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      rows.foreach { r =>
+        acc.computeIfAbsent(r.getString(0),
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          r.getLong(1)
+      }
+      val map = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, Array[Long]](
+        math.max(8, acc.size * 2))
+      acc.forEach { (k, v) =>
+        val a = v.toArray
+        java.util.Arrays.sort(a)
+        map.put(org.apache.spark.unsafe.types.UTF8String.fromString(k), a): Unit
+      }
+      spark.sparkContext.broadcast(map)
+    })
     import org.apache.spark.sql.GraftColumnBridge.{column, eagerExpression}
     !column(graft.functions.DvPositionHit(
       eagerExpression(fileCol), eagerExpression(idxCol), bc))
@@ -3718,9 +3740,8 @@ object ManifestTable {
     */
   def scan(spark: SparkSession, table: String,
       version: Long = -1L): DataFrame = {
-    val (p, mfiles, parts, schema, dvDirs, v) =
-      resolvedScan(spark, table, version)
-    val dvRows = if (dvDirs.isEmpty) 0L else dvRowsAt(spark, table, v)
+    val ((p, mfiles, parts, schema, dvDirs, _), dvRows) =
+      resolvedScanWithDvRows(spark, table, version)
     schema.filter(columnMapped) match {
       case None =>
         // merge-on-read through the native scan: a codegen'd bitmap
@@ -3768,23 +3789,24 @@ object ManifestTable {
       version: Long = -1L): (Path,
       Seq[org.apache.spark.sql.GraftManifestScan.ManifestFile],
       Seq[String], Option[org.apache.spark.sql.types.StructType],
-      Seq[String], Long) = {
+      Seq[String], Long) = resolvedScanWithDvRows(spark, table, version)._1
+
+  /** [[resolvedScan]] plus the manifest-recorded total of deleted
+    * positions — ONE snapshot resolution serves the scan AND the
+    * inline-bitmap threshold decision (no second log walk).
+    */
+  private def resolvedScanWithDvRows(spark: SparkSession, table: String,
+      version: Long): ((Path,
+      Seq[org.apache.spark.sql.GraftManifestScan.ManifestFile],
+      Seq[String], Option[org.apache.spark.sql.types.StructType],
+      Seq[String], Long), Long) = {
     val (fs, p, v, snap) = resolveAt(spark, table, version)
     val m = manifestAt(fs, p, v) // ONE read serves parts + schema
     val parts = m.map(_.parts).getOrElse(Seq.empty)
-    (p, manifestFilesOf(fs, p, table, snap.files, snap.stats, parts),
+    ((p, manifestFilesOf(fs, p, table, snap.files, snap.stats, parts),
       parts, recordedSchema(m),
-      snap.dvs.values.flatten.map(_.path).toSeq.distinct.sorted, v)
-  }
-
-  /** Total deleted positions across a snapshot's live deletion
-    * vectors — the manifest-recorded count the scan-level bitmap
-    * threshold gates on (zero jobs, zero sidecar reads).
-    */
-  private def dvRowsAt(spark: SparkSession, table: String,
-      version: Long): Long = {
-    val (fs, p, v, snap) = resolveAt(spark, table, version)
-    snap.dvs.values.flatten.map(_.rows).sum
+      snap.dvs.values.flatten.map(_.path).toSeq.distinct.sorted, v),
+      snap.dvs.values.flatten.map(_.rows).sum)
   }
 
   /** Resolve on-disk statuses + partition values for `relFiles` — one
@@ -4599,6 +4621,7 @@ object ManifestTable {
     if (added.isEmpty) read(spark, table, to).limit(0)
     else readFiles(spark, table, added, snap.dvs,
       mapping = recC.filter(columnMapped), recorded = recC)
+      .drop(RowIdCol) // public surface: the hidden row id stays hidden
   }
 
   /** [[consumeChanges]] `onRewrite` policies: `fail` (default) aborts
@@ -4980,6 +5003,7 @@ object ManifestTable {
         readFiles(spark, table, added, dvs,
           mapping = mappingAt(fs, p, current),
           recorded = schemaAt(fs, p, current))
+          .drop(RowIdCol) // public surface: the hidden row id stays hidden
       } catch { case e: org.apache.spark.sql.AnalysisException =>
         // normally unreachable (vacuum reclaims an add-file only
         // together with the manifest naming it, and the walk throws
@@ -5318,10 +5342,14 @@ object ManifestTable {
         case None => // whole-table compaction below
       val totalBytes = snapshotBytes(fs, p, before, snapB.stats)
       // the internal funnel, not read(): a compaction must carry the
-      // hidden row-id column through (ids survive reorganizations)
+      // hidden row-id column through (ids survive reorganizations).
+      // An EMPTY snapshot still reads TYPED (readFiles([]) is a
+      // zero-column frame the write path would refuse)
       val recB = schemaAt(fs, p, base)
-      val df0 = readFiles(spark, table, snapB.files, snapB.dvs,
-        mapping = recB.filter(columnMapped), recorded = recB)
+      val df0 =
+        if (snapB.files.isEmpty) emptyTyped(spark, fs, p, base)
+        else readFiles(spark, table, snapB.files, snapB.dvs,
+          mapping = recB.filter(columnMapped), recorded = recB)
       val df =
         if (clusterBy.isEmpty) df0
         else {

@@ -98,11 +98,12 @@ class DeltaAdoptSpec extends AnyFunSuite {
   private def dataFiles(table: String): Seq[String] = {
     val root = java.nio.file.Paths.get(table)
     val out = Seq.newBuilder[String]
-    java.nio.file.Files.walk(root).forEach { p =>
+    val stream = java.nio.file.Files.walk(root)
+    try stream.forEach { p =>
       val rel = root.relativize(p).toString
       if (rel.endsWith(".parquet") && !rel.startsWith("_delta_log"))
         out += rel
-    }
+    } finally stream.close()
     out.result().sorted
   }
 
@@ -223,6 +224,52 @@ class DeltaAdoptSpec extends AnyFunSuite {
     val got = ManifestTable.read(spark, t)
     assert(got.count() == 60)
     assert(got.agg(min("id"), max("id")).head() == Row(40L, 99L))
+  }
+
+  test("torn logs refuse; a stale _last_checkpoint falls back to JSON replay") {
+    import spark.implicits._
+    // gap in the JSON chain (0 and 2 present, 1 missing) → refuse
+    val t1 = fresh()
+    Seq((1L, 1L, "a")).toDF("id", "x", "cat")
+      .repartition(1).write.partitionBy("cat").parquet(t1)
+    val f1 = dataFiles(t1)
+    writeCommit(t1, 0, Seq(protocolLine(), metaLine(schema2, Seq("cat"))) ++
+      f1.map(f => addLine(f, pvalsOf(f))))
+    writeCommit(t1, 2, f1.map(f => addLine(f, pvalsOf(f))))
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.convertDeltaToGraft(spark, t1))
+    assert(e1.getMessage.contains("gaps"))
+    // _last_checkpoint names a checkpoint that never landed, but the
+    // full JSON chain exists → resolve via replay, not a refusal
+    val t2 = fresh()
+    Seq((1L, 1L, "a"), (2L, 2L, "b")).toDF("id", "x", "cat")
+      .repartition(1).write.partitionBy("cat").parquet(t2)
+    val f2 = dataFiles(t2)
+    writeCommit(t2, 0, Seq(protocolLine(), metaLine(schema2, Seq("cat"))) ++
+      f2.map(f => addLine(f, pvalsOf(f))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t2, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":3}""".getBytes("UTF-8"))
+    ManifestTable.convertDeltaToGraft(spark, t2)
+    assert(ManifestTable.read(spark, t2).count() == 2)
+    // a multi-part checkpoint MISSING a part is never used as a base:
+    // with no JSON chain either, resolution refuses
+    val t3 = fresh()
+    Seq((1L, 1L, "a")).toDF("id", "x", "cat")
+      .repartition(1).write.partitionBy("cat").parquet(t3)
+    val log3 = java.nio.file.Paths.get(t3, "_delta_log")
+    java.nio.file.Files.createDirectories(log3)
+    // fabricate part 1-of-3 and 3-of-3 only (any parquet body works —
+    // completeness is checked BEFORE reading)
+    Seq("0000000001", "0000000003").foreach { part =>
+      java.nio.file.Files.write(log3.resolve(
+        f"${5L}%020d.checkpoint.$part.0000000003.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    val e3 = intercept[IllegalArgumentException](
+      ManifestTable.convertDeltaToGraft(spark, t3))
+    assert(e3.getMessage.contains("no complete checkpoint"),
+      e3.getMessage)
   }
 
   test("unsupported reader semantics refuse loudly") {

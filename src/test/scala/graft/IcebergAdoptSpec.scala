@@ -77,11 +77,12 @@ class IcebergAdoptSpec extends AnyFunSuite {
   private def dataFiles(table: String): Seq[String] = {
     val root = java.nio.file.Paths.get(table)
     val out = Seq.newBuilder[String]
-    java.nio.file.Files.walk(root).forEach { p =>
+    val stream = java.nio.file.Files.walk(root)
+    try stream.forEach { p =>
       val rel = root.relativize(p).toString
       if (rel.endsWith(".parquet") && !rel.startsWith("metadata"))
         out += rel
-    }
+    } finally stream.close()
     out.result().sorted
   }
 

@@ -149,6 +149,34 @@ class RowTrackingSpec extends AnyFunSuite {
       .filter(col("id") === 5L).head().getString(1) == "upd")
   }
 
+  test("compacting an EMPTY tracked table is a typed no-op (review regression)") {
+    // the compact funnel reads through readFiles now — an empty
+    // snapshot must still read TYPED or the rewrite refuses
+    val t = fresh()
+    ManifestTable.create(spark, t,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))),
+      props = Map(ManifestTable.RowTrackingProp -> "true"))
+    ManifestTable.compact(spark, t)
+    assert(ManifestTable.read(spark, t).count() == 0)
+    assert(ManifestTable.read(spark, t).columns.toSeq == Seq("id"))
+  }
+
+  test("file-level CDF surfaces hide the row-id column (review regression)") {
+    import spark.implicits._
+    val t = tracked()
+    ManifestTable.append(spark,
+      Seq((900L, "z")).toDF("id", "pay"), t)
+    assert(!ManifestTable.readChanges(spark, t, 0).columns
+      .contains("_graft_row_id"))
+    var seen: Seq[String] = Seq.empty
+    ManifestTable.consumeChanges(spark, t, "rtleak") { (df, _, _) =>
+      seen = df.columns.toSeq
+    }
+    assert(!seen.contains("_graft_row_id"), seen.toString)
+  }
+
   test("watermark monotone across commits; disabled tables untouched") {
     import spark.implicits._
     val t = tracked()
