@@ -87,7 +87,7 @@ object TopKBroadcastHint extends Rule[LogicalPlan] with PredicateHelper {
       case Filter(cond, rel: DataSourceV2ScanRelation) =>
         rel.scan match {
           case g: org.apache.spark.sql.GraftTableV2.GraftStatsScan =>
-            priced(cond, rel.output, g.tableProps, None)
+            priced(cond, rel.output, g.tableProps, g.sizeHint)
           case _ => None
         }
       case _ => None

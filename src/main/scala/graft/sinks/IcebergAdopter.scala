@@ -30,8 +30,8 @@ import org.apache.spark.sql.types._
   *  - a column-name mismatch between the current schema and the
   *    physical parquet columns (Iceberg reads by FIELD ID, so a
   *    renamed column leaves old files under old physical names — a
-  *    name-based adoption would silently null it; checked against a
-  *    sample footer).
+  *    name-based adoption would silently null it; checked against
+  *    every live file's footer).
   */
 object IcebergAdopter {
 
@@ -200,30 +200,52 @@ object IcebergAdopter {
 
     // name-based read guard: Iceberg resolves columns by FIELD ID —
     // after a rename, old files keep old physical names and a
-    // name-based scan would silently null the column. One sample
-    // footer catches the common case cheaply; the refusal names it.
-    rels.headOption.filterNot(_.startsWith("/")).foreach { sample =>
-      try {
-        val footer = org.apache.parquet.hadoop.ParquetFileReader
-          .readFooter(spark.sparkContext.hadoopConfiguration,
-            new Path(table, sample))
-        val physical = footer.getFileMetaData.getSchema.getFields
-          .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type]
-            .getName).toSet
-        val missing = schema.fieldNames
-          .filterNot(parts.contains).filterNot(physical)
-        require(missing.isEmpty,
-          s"cannot adopt $table: schema column(s) " +
-            s"${missing.mkString(", ")} missing from $sample's " +
-            "physical columns — the table was likely renamed through " +
-            "Iceberg field-id mapping, which a name-based in-place " +
-            "adoption cannot honor")
-      } catch {
-        case e: IllegalArgumentException => throw e
-        case scala.util.control.NonFatal(_) => () // unreadable: let
-        // the stats pass surface it
+    // name-based scan would silently null the column. A PARTIALLY
+    // renamed table (new files under the new physical name, old files
+    // under the old one) passes any single-sample check, so EVERY
+    // live file's footer is validated — footers are metadata-sized,
+    // adoption is one-shot maintenance, and a bounded pool keeps the
+    // walk parallel. Unreadable footers refuse loudly too: adopting a
+    // file the engine cannot read only defers the failure to a scan.
+    val required = schema.fieldNames.filterNot(parts.contains)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, rels.size)))
+    try {
+      val checks = rels.map { rel =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          override def call(): Option[String] = {
+            val fp = if (rel.startsWith("/")) new Path(rel)
+              else new Path(table, rel)
+            val footer = try org.apache.parquet.hadoop.ParquetFileReader
+              .readFooter(conf, fp)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalArgumentException(
+                  s"cannot adopt $table: data file $rel is not a " +
+                    s"readable parquet file (${e.getMessage})", e)
+            }
+            val physical = footer.getFileMetaData.getSchema.getFields
+              .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type]
+                .getName).toSet
+            val missing = required.filterNot(physical)
+            if (missing.isEmpty) None
+            else Some(s"cannot adopt $table: schema column(s) " +
+              s"${missing.mkString(", ")} missing from $rel's " +
+              "physical columns — the table was likely renamed through " +
+              "Iceberg field-id mapping, which a name-based in-place " +
+              "adoption cannot honor")
+          }
+        })
       }
-    }
+      checks.foreach { f =>
+        try f.get().foreach(msg => throw new IllegalArgumentException(msg))
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
     Resolved(curId, rels, parts, schema)
   }
 

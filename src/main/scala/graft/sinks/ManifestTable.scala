@@ -1423,11 +1423,24 @@ object ManifestTable {
       props: Map[String, String] = Map.empty,
       cdcDir: Option[String] = None,
       op: Map[String, String] = Map.empty,
-      dataChange: Boolean = true): Boolean =
+      dataChange: Boolean = true): Boolean = {
+    // A row-REWRITING data change (remove or DV attach: update, merge,
+    // delete, replaceWhere, dynamic overwrite) can flip a categorical
+    // column's values at constant row count, so the analyze-time top-K
+    // counts stop upper-bounding term frequency — and the growth-only
+    // slack in TopKBroadcastHint.priced would not notice. Drop the
+    // sketches here; a re-analyze re-derives them from live data.
+    // Pure appends keep them: the hint's (current − analyze-time n)
+    // slack is exactly the sound correction for growth.
+    val safeProps =
+      if (dataChange && (remove.nonEmpty || dvs.nonEmpty))
+        props.filter { case (k, _) => !k.startsWith(TopKPropPrefix) }
+      else props
     casCreate(fs, table, manifestPath(table, version),
       renderNode(version, "add", add, txns, stats, remove, parts, schemaJson,
-        quality, dvs = dvs, props = props, cdcDir = cdcDir, op = op,
+        quality, dvs = dvs, props = safeProps, cdcDir = cdcDir, op = op,
         dataChange = dataChange))
+  }
 
   /** Best-effort full checkpoint at `version` (skipped if present;
     * losing the create race or failing outright only lengthens later
@@ -3249,14 +3262,22 @@ object ManifestTable {
     * adoptions).
     */
   private def rowFileRel(table: String): Column = {
-    import org.apache.spark.sql.functions.{col, concat, element_at, expr, instr, length, lit, split, when}
+    import org.apache.spark.sql.functions.{col, concat, element_at, expr, length, lit, regexp_replace, split, when}
     val fp = col("_metadata.file_path")
     // scheme-free prefix: `_metadata.file_path` is a URI string while
     // `table` may be a bare path — match on the path component, which
-    // both forms contain verbatim
+    // both forms contain verbatim. The match is ANCHORED to the path
+    // start (scheme/authority stripped, then a prefix test), never an
+    // any-position `instr`: an out-of-root adopted file whose absolute
+    // path merely CONTAINS the root as an interior substring (e.g.
+    // root `/data` with a clone source `/backup/data/x/k=v/f.parquet`)
+    // must fall through to the k=v-walk branch, not get a mis-stripped
+    // rel that breaks the DV anti-join key.
     val pre = new Path(table).toUri.getPath.stripSuffix("/") + "/"
-    val underRoot = instr(fp, pre) > 0
-    val stripped = fp.substr(instr(fp, pre) + lit(pre.length), length(fp))
+    val pathOnly = regexp_replace(fp,
+      lit("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"), lit(""))
+    val underRoot = pathOnly.startsWith(pre)
+    val stripped = pathOnly.substr(lit(pre.length + 1), length(pathOnly))
     val native = concat(lit("data/s"),
       element_at(split(fp, "/data/s"), -1))
     // walk the path segments from the right: filename, then as many

@@ -780,6 +780,17 @@ object GraftTableV2 {
       */
     def tableProps: Map[String, String] = tblProps
 
+    /** (total bytes, total rows) over the SNAPSHOT's files when every
+      * file carries stats — the same per-row width / staleness anchor
+      * [[GraftV2Table.sizeHint]] exposes pre-pushdown, so the hint
+      * rule can price a post-pushdown scan relation too.
+      */
+    def sizeHint: Option[(Long, Long)] =
+      if (files.nonEmpty && files.forall(_.stats.isDefined))
+        Some((files.iterator.map(_.stats.get.bytes).sum,
+          files.iterator.map(_.stats.get.rows).sum))
+      else None
+
     override def estimateStatistics(): connector.read.Statistics = {
       val base = super.estimateStatistics() // sizeInBytes over pruned files
       // the files THIS scan reads (after its own pruning walk)
