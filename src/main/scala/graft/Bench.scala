@@ -64,6 +64,11 @@ object Bench {
       // the library's deployment shape: analyzer/optimizer/strategy
       // injections active (SQL UPDATE/MERGE INTO need the rule)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // no-libhadoop hosts: stock local FS forks a `chmod`/`ls`
+      // process per created/inspected file — pure driver latency on
+      // every commit/write (guide §7.3). NIO-backed drop-in instead.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,8 @@ object Verify {
       // the library's deployment shape: analyzer/optimizer/strategy
       // injections active (SQL UPDATE/MERGE INTO need the rule)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -551,13 +551,21 @@ object ManifestTable {
   }
 
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
-    val it = fs.listFiles(dir, true)
+    // manual listStatus walk, NOT fs.listFiles(dir, recursive=true):
+    // the recursive iterator wraps every entry in a LocatedFileStatus,
+    // whose constructor eagerly copies the permission — on a local FS
+    // without libhadoop that lazy load shells out (`ls -ld`) once PER
+    // FILE, all serial driver time after every snapshot write. The
+    // plain statuses here never have their permission read.
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += f
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { f =>
+      if (f.isDirectory) walk(f.getPath)
+      else {
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += f
+      }
     }
+    walk(dir)
     buf.toSeq
   }
 

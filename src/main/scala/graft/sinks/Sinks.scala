@@ -225,14 +225,21 @@ object Sinks {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(p, true)
+      // listStatus walk, not fs.listFiles(recursive): the recursive
+      // iterator's LocatedFileStatus wrapping forces a per-file
+      // permission load — a process fork each on local FS without
+      // libhadoop (see ManifestTable.listDataFiles)
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val f = it.next()
-        val n = f.getPath.getName
-        if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += f
-      }
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { f =>
+          if (f.isDirectory) walk(f.getPath)
+          else {
+            val n = f.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".")) buf += f
+          }
+        }
+      walk(p)
       buf.toSeq
     }
     val before = dataFiles()
