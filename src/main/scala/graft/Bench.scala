@@ -69,6 +69,8 @@ object Bench {
       // every commit/write (guide §7.3). NIO-backed drop-in instead.
       .config("spark.hadoop.fs.file.impl",
         "graft.hadoop.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NioLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

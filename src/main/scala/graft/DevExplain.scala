@@ -20,6 +20,8 @@ object DevExplain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.fs.file.impl",
         "graft.hadoop.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NioLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -24,6 +24,8 @@ object DevProfile {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.hadoop.fs.file.impl",
         "graft.hadoop.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NioLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,11 +35,12 @@ object DevProfile {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.synchronized {
+          val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
           jobs(js.jobId) = Job(js.jobId,
-            Option(js.properties.getProperty("spark.job.description"))
+            Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
               .getOrElse(""),
-            Option(js.properties.getProperty("callSite.short")).getOrElse(""),
-            js.time)
+            site, js.time)
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(je.jobId).foreach(_.end = je.time) }

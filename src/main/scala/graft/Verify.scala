@@ -22,6 +22,8 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.hadoop.fs.file.impl",
         "graft.hadoop.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NioLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,6 +34,20 @@ import org.apache.hadoop.fs.permission.FsPermission
   * carries its own integrity (hard-link CAS + immutable files), and
   * parquet pages carry format-level checksums.
   */
+/** The [[NioLocalFileSystem]] as an `AbstractFileSystem`, for the
+  * FileContext API — Spark's STREAMING checkpoint/state-store writes
+  * go through `CheckpointFileManager` → `FileContext`, which resolves
+  * `fs.AbstractFileSystem.file.impl`, NOT `fs.file.impl`; without
+  * this twin every state-store delta/snapshot file of every
+  * micro-batch pays the same `chmod` fork (and a `.crc` sidecar).
+  * Select with
+  * `spark.hadoop.fs.AbstractFileSystem.file.impl=graft.hadoop.NioLocalFs`.
+  */
+class NioLocalFs(uri: java.net.URI,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new NioLocalFileSystem, conf, "file", false)
+
 class NioLocalFileSystem extends RawLocalFileSystem {
 
   override def setPermission(p: Path, permission: FsPermission): Unit =
@@ -50,6 +64,22 @@ class NioLocalFileSystem extends RawLocalFileSystem {
 
   override def getFileStatus(f: Path): FileStatus =
     fill(super.getFileStatus(f))
+
+  /** Symlink-aware status via NIO: the stock path shells out
+    * `readlink` on EVERY call — and `AbstractFileSystem.rename`
+    * (the FileContext route Spark's streaming checkpoint manager
+    * uses for every state-store delta/offset/commit file) calls it
+    * up to three times per rename. Non-links (the only thing the
+    * engine ever writes) short-circuit to a fork-free status.
+    */
+  override def getFileLinkStatus(f: Path): FileStatus = {
+    val isLink =
+      try Files.isSymbolicLink(
+        Paths.get(pathToFile(f).getAbsolutePath))
+      catch { case _: RuntimeException =>
+        return super.getFileLinkStatus(f) }
+    if (isLink) super.getFileLinkStatus(f) else getFileStatus(f)
+  }
 
   override def listStatus(f: Path): Array[FileStatus] = {
     val base = super.listStatus(f)
