@@ -981,10 +981,23 @@ object ManifestTable {
     * file LIST itself legitimately lands on the driver (the FileIndex
     * contract needs it there); the parse is the part that scales.
     */
+  /** The fixed sidecar schema [[writeRefData]] writes — reading with
+    * it skips footer inference (and its Spark job) on every resolve
+    * that loads a ref checkpoint.
+    */
+  private val RefSidecarSchema = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("stat", StringType, nullable = true),
+      StructField("dv", StringType, nullable = true)))
+  }
+
   private def loadRef(spark: SparkSession, table: Path,
       ref: String, nFiles: Long): (Seq[String], Map[String, FileStats],
       Map[String, Seq[DvRef]]) = {
-    val df = spark.read.parquet(new Path(table, ref).toString)
+    val df = spark.read.schema(RefSidecarSchema)
+      .parquet(new Path(table, ref).toString)
       .select("file", "stat", "dv")
     val threshold = spark.conf.get(
       "spark.graft.manifest.distributedParseThreshold",
@@ -3172,6 +3185,43 @@ object ManifestTable {
   private def absStr(table: String, rel: String): String =
     if (rel.startsWith("/")) rel else s"$table/$rel"
 
+  /** Bounded memo of INFERRED parquet read schemas, keyed by
+    * (basePath, exact path list). Every location the manifest log
+    * references is immutable by construction (snapshot/DV/change dirs
+    * are UUID-fresh per commit and never appended to), so the schema
+    * Spark would infer for a given path set can never change across
+    * reads. Supplying the memoized schema as the reader schema skips
+    * the footer-inference Spark job that every internal RE-read of the
+    * same files otherwise pays — one job + one hadoop-conf broadcast +
+    * one AQE cycle per read, the measured driver-gap tax of the
+    * lifecycle ops (guide §7.3: fewer driver round-trips per step).
+    * First read of a path set infers exactly as before; only repeats
+    * hit the memo, so behavior is byte-identical.
+    */
+  private val inferredSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  /** `spark.read[.option(basePath)].parquet(paths)` with the inferred
+    * schema memoized per exact (basePath, paths) key — see
+    * [[inferredSchemaMemo]]. Only for log-referenced (immutable)
+    * locations.
+    */
+  private def readParquetMemo(spark: SparkSession, basePath: Option[String],
+      paths: Seq[String]): DataFrame = {
+    if (inferredSchemaMemo.size > 1024) inferredSchemaMemo.clear()
+    val key = basePath.getOrElse("") + "\u0000" + paths.mkString("\u0001")
+    var r = spark.read
+    basePath.foreach(b => r = r.option("basePath", b))
+    val hit = inferredSchemaMemo.get(key)
+    if (hit != null) r.schema(hit).parquet(paths: _*)
+    else {
+      val df = r.parquet(paths: _*)
+      inferredSchemaMemo.put(key, df.schema)
+      df
+    }
+  }
+
   /** Union `relFiles` grouped per snapshot base, each under its own
     * `basePath`: Spark's partition-structure parser walks each file's
     * ancestors only until the first non-`key=value` segment, so a
@@ -3192,9 +3242,9 @@ object ManifestTable {
     else relFiles.groupBy(snapBaseOf).toSeq
       .sortBy(_._1)
       .map { case (snap, fs) =>
-        applyExistsDefaults(spark.read
-          .option("basePath", snapBaseStr(table, snap))
-          .parquet(fs.map(f => absStr(table, f)): _*), fillDefaults)
+        applyExistsDefaults(readParquetMemo(spark,
+          Some(snapBaseStr(table, snap)),
+          fs.map(f => absStr(table, f))), fillDefaults)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -3308,10 +3358,22 @@ object ManifestTable {
   }
 
   /** The (file, idx) pairs of the given sidecar dirs as one frame. */
+  /** Every DV sidecar is written as exactly (file STRING, idx BIGINT)
+    * — see the four `write.parquet(s"$table/$dvDir")` sites. Passing
+    * the schema explicitly skips footer inference (and its Spark job)
+    * on every sidecar read.
+    */
+  private val DvSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("idx",
+      org.apache.spark.sql.types.LongType)))
+
   private def dvEntries(spark: SparkSession, table: String,
       dvDirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(dvDirs.sorted.map(d => absStr(table, d)): _*)
+    spark.read.schema(DvSidecarSchema)
+      .parquet(dvDirs.sorted.map(d => absStr(table, d)): _*)
       .select(col("file").as(DvFileCol), col("idx").as(DvIdxCol))
   }
 
@@ -3351,7 +3413,7 @@ object ManifestTable {
         catch { case scala.util.control.NonFatal(_) => () })
     }
     val bc = dvInlineMemo.computeIfAbsent(absDirs.mkString(" "), _ => {
-      val rows = spark.read.parquet(absDirs: _*)
+      val rows = spark.read.schema(DvSidecarSchema).parquet(absDirs: _*)
         .select("file", "idx").collect() // bounded by dvInlineThreshold
       val acc = new java.util.HashMap[String,
         scala.collection.mutable.ArrayBuffer[Long]]()
@@ -3455,9 +3517,9 @@ object ManifestTable {
     val branches = relFiles.groupBy(snapBaseOf)
       .toSeq.sortBy(_._1)
       .map { case (snap, fs) =>
-        applyExistsDefaults(spark.read
-          .option("basePath", snapBaseStr(table, snap))
-          .parquet(fs.map(f => absStr(table, f)): _*), fills)
+        applyExistsDefaults(readParquetMemo(spark,
+          Some(snapBaseStr(table, snap)),
+          fs.map(f => absStr(table, f))), fills)
           .withColumn(AbsPathCol, col("_metadata.file_path"))
           .withColumn(DvFileCol, rowFileRel(table))
           .withColumn(DvIdxCol, col("_metadata.row_index"))
@@ -5162,8 +5224,8 @@ object ManifestTable {
         // precomputed change files (feed enabled at commit time): the
         // exact rows, no diffing needed
         case d: Delta if d.cdcDir.isDefined =>
-          val df = spark.read.parquet(
-            new Path(p, d.cdcDir.get).toString)
+          val df = readParquetMemo(spark, None,
+            Seq(new Path(p, d.cdcDir.get).toString))
           val have = df.columns.toSet
           Seq(df.select((baseFields.map(f =>
             if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
