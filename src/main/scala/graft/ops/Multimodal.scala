@@ -524,8 +524,16 @@ object Multimodal {
           lit(1L << ((r % 4) * 8 + c))).otherwise(lit(0L))
       }
     }.reduce(_ + _)
+    // one lineage cut on the 3-column signature table (guide §8:
+    // decide on a lightweight proxy, compute the heavy extraction
+    // ONCE): without it the payload build + 72-sample grid runs THREE
+    // times — once for the grid census collect and once per self-join
+    // side — and the 72-term expression tree is re-optimized/codegen'd
+    // in every copy (measured: ~2s of driver gaps at sf0.1). The
+    // checkpoint holds doc_id + two longs per image, never the payload.
     val sigs = sampled.select(col("doc_id"),
       half(0 until 4).as("lo"), half(4 until 8).as("hi"))
+      .localCheckpoint(false)
     val bands = sigs.select(col("doc_id"), col("lo"), col("hi"),
       posexplode(array(
         col("lo").bitwiseAND(lit(65535L)),

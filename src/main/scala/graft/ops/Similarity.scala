@@ -90,6 +90,34 @@ object Similarity {
       .withColumn("crn", row_number().over(wAssign))
   }
 
+  /** The owning cell per vector — exactly [[assignCells]]'s `crn == 1`
+    * row — as an argmax AGGREGATE instead of a window rank:
+    * `max(struct(cscore, -cent_id, ...))` picks the highest score with
+    * ties to the SMALLEST cent_id, which is the window's
+    * (cscore DESC, cent_id ASC) first row, including NaN placement
+    * (Spark's total order puts NaN greatest in max() and in DESC sorts
+    * alike). Why it matters (guide §2.3/§2.4): the window form
+    * shuffles and sorts the ENTIRE corpus × codebook expansion with
+    * every row's full vector payload; the aggregate form partially
+    * combines map-side, so at most one row per (vector, partition)
+    * ever crosses the exchange and nothing is sorted. Carried columns
+    * ride inside the struct (after the two decision fields, so they
+    * never influence the comparison). The query-side probe set
+    * (`crn <= nprobe`) stays on the window — ranking is per-vector, so
+    * it runs on the handful of filtered query rows only.
+    */
+  private def ownCells(e: DataFrame, cents: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val fields = Seq(col("cscore"), (-col("cent_id")).as("negid"),
+      col("cent_id").as("cell")) ++ carry.map(col)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cscore", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(fields: _*)).as("b"))
+      .select(col("vec_id") +: col("b.cell").as("cell") +:
+        carry.map(c => col(s"b.$c").as(c)): _*)
+  }
+
   /** Spherical k-means codebook over the corpus (Lloyd's iterations,
     * cosine assignment): initial centroids are the k lowest vec_ids
     * (deterministic), each round reassigns (one broadcast pass) and
@@ -108,8 +136,8 @@ object Similarity {
     var cents = e.orderBy(col("vec_id").asc_nulls_last).limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     for (_ <- 1 to iters) {
-      val assigned = assignCells(e, cents).filter(col("crn") === 1)
-        .select(col("cent_id").as("cell"), col("v"))
+      val assigned = ownCells(e, cents, Seq("v")) // argmax agg, not a window
+        .select(col("cell"), col("v"))
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -160,10 +188,12 @@ object Similarity {
     val cents = codebook.getOrElse(
       e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn")))
-    val scored = assignCells(e, cents)
-    val assigned = scored.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
-    val q = scored.filter(col("crn") <= nprobe && col("vec_id") < NQueries)
+    // assignment via the partial-aggregating argmax (see [[ownCells]]);
+    // probes rank only the filtered query rows — the corpus-wide
+    // window over the cross-join expansion is gone from the plan
+    val assigned = ownCells(e, cents, Seq("v", "nrm"))
+    val q = assignCells(e.filter(col("vec_id") < NQueries), cents)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
@@ -396,9 +426,8 @@ object Similarity {
     val e = prepared(spark, sfDir)
     val cents = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = assignCells(e, cents)
-    val assigned = scored.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+    // argmax aggregate, not a corpus-wide window — see [[ownCells]]
+    val assigned = ownCells(e, cents, Seq("v"))
     // sub-codebooks: (subspace, code, sub-centroid, its squared norm)
     val subcb = e
       .filter(col("vec_id") % S05CbStride === 0 && col("vec_id") < S05CbMaxId)
@@ -411,8 +440,8 @@ object Similarity {
     // gives exactly the smallest-distance-then-smallest-code
     // semantics, with a map-side partial combine instead of sorting
     // corpus × subspaces × codebook rows through a window; and since
-    // the cell-assignment window already hash-partitioned the corpus
-    // by vec_id, the groupBy needs no exchange at all.
+    // the cell-assignment aggregate already hash-partitioned the
+    // corpus by vec_id, the groupBy needs no exchange at all.
     // d2 expands to |vm|² + |sc|² − 2·⟨vm, sc⟩ so the only per-pair
     // work is one codegen'd native dot product (an interpreted
     // zip_with/aggregate fold here measured ~4 s at sf0.1 — higher-
@@ -432,7 +461,8 @@ object Similarity {
     // query side: probe cells (s03 shape) + per-subspace query slices
     val qv = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val probes = scored.filter(col("crn") <= nprobe && col("vec_id") < NQueries)
+    val probes = assignCells(e.filter(col("vec_id") < NQueries), cents)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val qSub = qv.select(col("query_id"), explode(subSlices(col("qv"))).as("s"))
       .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qvm"))
@@ -1057,8 +1087,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     def assignedOf(src: DataFrame): DataFrame =
-      assignCells(src, cents).filter(col("crn") === 1)
-        .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
+      ownCells(src, cents, Seq("v", "nrm")) // argmax agg, not a window
     // index build: one full-corpus commit...
     graft.sinks.ManifestTable.write(spark, assignedOf(e), table, Seq("cell"))
     // ...then the weekly re-crawl lands as an O(batch) delta append
@@ -1181,8 +1210,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     def assignedOf(src: DataFrame): DataFrame =
-      assignCells(src, cents).filter(col("crn") === 1)
-        .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
+      ownCells(src, cents, Seq("v", "nrm")) // argmax agg, not a window
     def batchOf(m: Int, off: Long): DataFrame =
       e.filter(col("vec_id") % 10 === m)
         .select((col("vec_id") + off).as("vec_id"), col("v"), col("nrm"))

@@ -147,6 +147,11 @@ object TextOps {
       col("w0"), col("p_name").as("name2"))
     a.join(b, Seq("p_brand", "w0"))
       .filter(col("id1") < col("id2"))
+      // deliberately the UNBOUNDED form: the threshold variant
+      // (levenshtein(a, b, 8), tried round 22) was measured 2x SLOWER
+      // on this fixture — p_name is ~30 chars, so the banded DP's
+      // per-call bookkeeping costs more than the 900-cell full matrix
+      // it avoids; the bound only pays off on long strings
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= 8)
       .select(col("id1"), col("id2"), col("p_brand"), col("dist"))
@@ -685,6 +690,14 @@ object TextOps {
   private[graft] def bpeTrainOn(words0: DataFrame, nMerges: Int): DataFrame = {
     val spark = words0.sparkSession
     import spark.implicits._
+    // per-round lineage cut stays a localCheckpoint: a persist()-based
+    // variant (tried round 22) runs one fewer job per round but does
+    // NOT cut the logical plan — every round's InMemoryRelation embeds
+    // the previous round's whole cached AQE plan, and the per-
+    // execution plan-string rendering grows super-linearly until the
+    // driver spends minutes inside generateTreeString. The checkpoint
+    // truncates to a flat ExistingRDD, keeping every round's plan
+    // constant-size.
     var words = words0.localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -694,11 +707,16 @@ object TextOps {
       round += 1
       val top = words
         .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-            |  i -> struct(element_at(syms, i) AS l,
-            |              element_at(syms, i + 1) AS r))""".stripMargin)).as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        // pair emission stays in whole-stage codegen (§4): explode a
+        // plain index sequence and read the two symbols with
+        // element_at, instead of building an interpreted
+        // transform(..., struct(...)) array per row
+        .select(col("freq"), col("syms"),
+          explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+        .select(col("freq"),
+          expr("element_at(syms, i)").as("l"),
+          expr("element_at(syms, i + 1)").as("r"))
+        .groupBy(col("l"), col("r"))
         .agg(sum(col("freq")).as("pair_n"))
         .orderBy(col("pair_n").desc_nulls_last,
           col("l").asc_nulls_last, col("r").asc_nulls_last)
