@@ -159,6 +159,39 @@ class CboHistogramSpec extends AnyFunSuite {
         s"$cat.db.sdim d ON f.k = d.k WHERE f.lang = 'zz'").head().getLong(0)
         == spark.table(s"$cat.db.sfact").filter("lang = 'zz'")
           .join(spark.table(s"$cat.db.sdim"), "k").count())
+
+      // the POST-PUSHDOWN branch specifically (VERDICT r21 #7): by the
+      // Pre-CBO slot the filter sits over the pushed
+      // DataSourceV2ScanRelation, so the rule can only have priced the
+      // side through GraftStatsScan.sizeHint — pin that shape in the
+      // optimized plan, that the hint is populated, and that
+      // RE-APPLYING the rule to the hint-stripped post-pushdown tree
+      // re-derives the broadcast (the branch fires on its own)
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint}
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      val optimized = spark.sql(
+        s"""SELECT f.id, d.label FROM $cat.db.sfact f
+           |JOIN $cat.db.sdim d ON f.k = d.k
+           |WHERE f.lang = 'zz'""".stripMargin).queryExecution.optimizedPlan
+      val statsScans = optimized.collect {
+        case Filter(_, rel: DataSourceV2ScanRelation) => rel.scan
+      }.collect { case g: org.apache.spark.sql.GraftTableV2.GraftStatsScan => g }
+      assert(statsScans.nonEmpty,
+        s"the filtered side must be a pushed graft stats scan:\n$optimized")
+      assert(statsScans.head.sizeHint.exists(_._2 == 40000L),
+        s"the pushed scan must carry the snapshot (bytes, rows) hint: " +
+          s"${statsScans.head.sizeHint}")
+      val joins = optimized.collect { case jn: Join => jn }
+      assert(joins.exists(_.hint != JoinHint.NONE),
+        s"the optimized join must carry the broadcast hint:\n$optimized")
+      val stripped = optimized.transform {
+        case jn: Join => jn.copy(hint = JoinHint.NONE)
+      }
+      val rehinted = graft.plans.TopKBroadcastHint(stripped)
+      assert(rehinted.collect { case jn: Join => jn }
+        .exists(_.hint != JoinHint.NONE),
+        "re-applying TopKBroadcastHint to the hint-stripped " +
+          s"post-pushdown tree must re-derive the broadcast:\n$rehinted")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
